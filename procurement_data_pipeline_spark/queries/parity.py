@@ -1,0 +1,474 @@
+"""Reference-parity declared queries (SURVEY.md §2) over the driver tables.
+
+Each query runs the reference operator implementation from ``operators/`` on
+the procurement-shaped views of ``sources/procurement_views.py``; the paired
+DuckDB oracle reuses :data:`ORACLE_VIEWS` so both engines execute the same
+derivation + the same relational semantics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from procurement_data_pipeline_spark.operators import kpi as kpi_ops
+from procurement_data_pipeline_spark.operators.aggregate import aggregate_orders
+from procurement_data_pipeline_spark.operators.export import supplier_orders
+from procurement_data_pipeline_spark.operators.net_demand import (
+    net_demand,
+    preferred_suppliers,
+    rank_suppliers,
+    rollup_inventory,
+)
+from procurement_data_pipeline_spark.operators.quality import (
+    exceptions_report,
+    missing_inventory,
+    orphan_products,
+)
+from procurement_data_pipeline_spark.registry import register
+from procurement_data_pipeline_spark.sources import procurement_views as pv
+from procurement_data_pipeline_spark.sources.tables import load_table
+
+_FROM, _TO, _CUT, _CALC = pv.DEMAND_FROM, pv.DEMAND_TO, pv.INV_CUTOFF, pv.CALC_DATE
+_QCUT = pv.QUALITY_CUTOFF
+
+# Shared DuckDB CTE suffix: the net-demand chain over the derived views
+# (reference docker/dags/sql/net_demand.sql:4-87, supplier_id tie-break added
+# per SURVEY.md §4 item 3).
+_ND_CTES = f"""
+daily_orders AS (
+  SELECT product_id,
+         CAST(SUM(quantity) AS INTEGER) AS total_demand,
+         CAST(COUNT(DISTINCT order_id) AS INTEGER) AS order_count
+  FROM porders
+  WHERE order_date >= DATE '{_FROM}' AND order_date < DATE '{_TO}'
+  GROUP BY product_id
+),
+aggregated_inventory AS (
+  SELECT product_id,
+         CAST(SUM(available_qty) AS INTEGER) AS available_qty,
+         CAST(SUM(reserved_qty) AS INTEGER) AS reserved_qty,
+         CAST(MAX(safety_stock) AS INTEGER) AS safety_stock
+  FROM inventory
+  GROUP BY product_id
+),
+ranked_suppliers AS (
+  SELECT product_id, supplier_id, unit_cost, priority,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY product_id
+           ORDER BY priority ASC, unit_cost ASC, supplier_id ASC
+         ) AS INTEGER) AS supplier_rank
+  FROM product_suppliers
+),
+net_demand_calc AS (
+  SELECT p.product_id, p.product_name, rs.supplier_id, s.supplier_name,
+         rs.priority AS supplier_priority, rs.unit_cost,
+         CAST(GREATEST(0,
+              COALESCE(d.total_demand, 0)
+              + COALESCE(ai.safety_stock, p.safety_stock_level)
+              - (COALESCE(ai.available_qty, 0) - COALESCE(ai.reserved_qty, 0))
+         ) AS INTEGER) AS net_demand
+  FROM products p
+  LEFT JOIN daily_orders d ON p.product_id = d.product_id
+  LEFT JOIN aggregated_inventory ai ON p.product_id = ai.product_id
+  INNER JOIN ranked_suppliers rs
+    ON p.product_id = rs.product_id AND rs.supplier_rank = 1
+  INNER JOIN suppliers s ON rs.supplier_id = s.supplier_id
+  WHERE p.is_active AND s.is_active
+),
+net_demand AS (
+  SELECT product_id, product_name, supplier_id, supplier_name,
+         supplier_priority, net_demand, unit_cost,
+         CAST(net_demand * unit_cost AS DECIMAL(18,2)) AS estimated_cost,
+         DATE '{_CALC}' AS calculation_date
+  FROM net_demand_calc
+  WHERE net_demand > 0
+)
+""".strip()
+
+
+def _views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {
+        "orders": pv.orders(spark, sf_dir),
+        "inventory": pv.inventory(spark, sf_dir),
+        "products": pv.products(spark, sf_dir),
+        "suppliers": pv.suppliers(spark, sf_dir),
+        "product_suppliers": pv.product_suppliers(spark, sf_dir),
+    }
+
+
+def _net_demand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    v = _views(spark, sf_dir)
+    return net_demand(
+        v["orders"], v["inventory"], v["products"], v["suppliers"],
+        v["product_suppliers"], _FROM, _TO, _CALC,
+    )
+
+
+# --- S1/P3/A1/A2: daily demand aggregation --------------------------------
+
+
+@register(
+    "agg_orders_daily",
+    oracle=f"""
+WITH {pv.ORACLE_VIEWS}
+SELECT product_id, order_date,
+       CAST(SUM(quantity) AS INTEGER) AS total_quantity,
+       CAST(COUNT(DISTINCT order_id) AS INTEGER) AS order_count
+FROM porders
+WHERE order_date >= DATE '{_FROM}' AND order_date < DATE '{_TO}'
+GROUP BY product_id, order_date
+""",
+    tags=("parity", "A1", "A2", "P3", "S1"),
+    bench=True,
+)
+def q_agg_orders_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SUM + COUNT(DISTINCT) by (product, day) — aggregate_orders.sql:6-14."""
+    return aggregate_orders(pv.orders(spark, sf_dir), _FROM, _TO)
+
+
+# --- the golden MRP query --------------------------------------------------
+
+
+@register(
+    "net_demand_mrp",
+    oracle=f"WITH {pv.ORACLE_VIEWS},\n{_ND_CTES}\nSELECT * FROM net_demand",
+    tags=("parity", "J1", "J2", "J3", "J4", "W1", "P9", "P10", "A3"),
+    bench=True,
+)
+def q_net_demand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full MRP chain — net_demand.sql:4-87."""
+    return _net_demand(spark, sf_dir)
+
+
+@register(
+    "ranked_suppliers",
+    oracle=f"""
+WITH {pv.ORACLE_VIEWS}
+SELECT product_id, supplier_id, unit_cost, priority,
+       CAST(ROW_NUMBER() OVER (
+         PARTITION BY product_id
+         ORDER BY priority ASC, unit_cost ASC, supplier_id ASC
+       ) AS INTEGER) AS supplier_rank
+FROM product_suppliers
+""",
+    tags=("parity", "W1"),
+)
+def q_ranked_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROW_NUMBER preferred-supplier ranking — net_demand.sql:26-38."""
+    return rank_suppliers(pv.product_suppliers(spark, sf_dir))
+
+
+@register(
+    "preferred_suppliers",
+    oracle=f"""
+WITH {pv.ORACLE_VIEWS},
+ranked AS (
+  SELECT product_id, supplier_id, unit_cost, priority,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY product_id
+           ORDER BY priority ASC, unit_cost ASC, supplier_id ASC
+         ) AS INTEGER) AS supplier_rank
+  FROM product_suppliers
+)
+SELECT * FROM ranked WHERE supplier_rank = 1
+""",
+    tags=("parity", "W1", "P6", "O3"),
+)
+def q_preferred_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-1-per-group rank filter — net_demand.sql:33-36,72."""
+    return preferred_suppliers(pv.product_suppliers(spark, sf_dir))
+
+
+@register(
+    "inventory_rollup",
+    oracle=f"""
+WITH {pv.ORACLE_VIEWS}
+SELECT product_id,
+       CAST(SUM(available_qty) AS INTEGER) AS available_qty,
+       CAST(SUM(reserved_qty) AS INTEGER) AS reserved_qty,
+       CAST(MAX(safety_stock) AS INTEGER) AS safety_stock
+FROM inventory
+GROUP BY product_id
+""",
+    tags=("parity", "A3"),
+)
+def q_inventory_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Warehouse→product SUM/SUM/MAX rollup — net_demand.sql:14-24."""
+    return rollup_inventory(pv.inventory(spark, sf_dir))
+
+
+# --- quality checks (anti-joins) ------------------------------------------
+
+
+def _known_mappings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier mappings known as of the quality cutoff (so the orphan
+
+    check is non-trivial: parts first shipped after the cutoff have no
+    'registered' mapping yet)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") < F.lit(_QCUT).cast("timestamp"))
+        .select(F.col("l_partkey").alias("product_id"))
+        .distinct()
+    )
+
+
+_KNOWN_SQL = f"""
+known_mappings AS (
+  SELECT DISTINCT l_partkey AS product_id
+  FROM lineitem
+  WHERE l_shipdate < TIMESTAMP '{_QCUT} 00:00:00'
+),
+inventory_q AS (
+  SELECT l_partkey AS product_id,
+         DATE '{_QCUT}' AS snapshot_date
+  FROM lineitem
+  WHERE l_shipdate < TIMESTAMP '{_QCUT} 00:00:00'
+  GROUP BY 1
+)
+""".strip()
+
+_WINDOW_ORDERS_SQL = f"""
+window_orders AS (
+  SELECT * FROM porders
+  WHERE order_date >= DATE '{_FROM}' AND order_date < DATE '{_TO}'
+)
+""".strip()
+
+
+@register(
+    "quality_orphan_products",
+    oracle=f"""
+WITH {pv.ORACLE_VIEWS}, {_KNOWN_SQL}, {_WINDOW_ORDERS_SQL}
+SELECT o.product_id, COUNT(*) AS order_count
+FROM window_orders o
+LEFT JOIN known_mappings km ON o.product_id = km.product_id
+WHERE km.product_id IS NULL
+GROUP BY o.product_id
+""",
+    tags=("parity", "J5", "P7", "A4"),
+)
+def q_quality_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT JOIN + IS NULL as left_anti — procurement_dag.py:161-169."""
+    window_orders = pv.orders(spark, sf_dir).filter(
+        (F.col("order_date") >= F.lit(_FROM).cast("date"))
+        & (F.col("order_date") < F.lit(_TO).cast("date"))
+    )
+    return orphan_products(window_orders, _known_mappings(spark, sf_dir))
+
+
+@register(
+    "quality_missing_inventory",
+    oracle=f"""
+WITH {pv.ORACLE_VIEWS}, {_KNOWN_SQL}, {_WINDOW_ORDERS_SQL}
+SELECT DISTINCT o.product_id
+FROM window_orders o
+LEFT JOIN (SELECT product_id FROM inventory_q
+           WHERE snapshot_date = DATE '{_QCUT}') i
+  ON o.product_id = i.product_id
+WHERE i.product_id IS NULL
+""",
+    tags=("parity", "J6", "P7", "A7"),
+)
+def q_quality_missing_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compound anti-join + DISTINCT — procurement_dag.py:172-179."""
+    window_orders = pv.orders(spark, sf_dir).filter(
+        (F.col("order_date") >= F.lit(_FROM).cast("date"))
+        & (F.col("order_date") < F.lit(_TO).cast("date"))
+    )
+    return missing_inventory(window_orders, pv.inventory(spark, sf_dir, _QCUT), _QCUT)
+
+
+@register(
+    "quality_exceptions",
+    oracle=f"""
+WITH {pv.ORACLE_VIEWS}, {_KNOWN_SQL}, {_WINDOW_ORDERS_SQL}
+SELECT 'MISSING_SUPPLIER_MAPPING' AS type, 'HIGH' AS severity, product_id
+FROM (
+  SELECT o.product_id
+  FROM window_orders o
+  LEFT JOIN known_mappings km ON o.product_id = km.product_id
+  WHERE km.product_id IS NULL
+  GROUP BY o.product_id
+) orphans
+UNION ALL
+SELECT 'MISSING_INVENTORY' AS type, 'MEDIUM' AS severity, product_id
+FROM (
+  SELECT DISTINCT o.product_id
+  FROM window_orders o
+  LEFT JOIN (SELECT product_id FROM inventory_q
+             WHERE snapshot_date = DATE '{_QCUT}') i
+    ON o.product_id = i.product_id
+  WHERE i.product_id IS NULL
+) missing
+""",
+    tags=("parity", "J5", "J6", "S10"),
+)
+def q_quality_exceptions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Severity-tagged union of both checks — procurement_dag.py:153-194."""
+    window_orders = pv.orders(spark, sf_dir).filter(
+        (F.col("order_date") >= F.lit(_FROM).cast("date"))
+        & (F.col("order_date") < F.lit(_TO).cast("date"))
+    )
+    return exceptions_report(
+        window_orders,
+        _known_mappings(spark, sf_dir),
+        pv.inventory(spark, sf_dir, _QCUT),
+        _QCUT,
+    )
+
+
+# --- export ----------------------------------------------------------------
+
+
+@register(
+    "supplier_orders_flat",
+    oracle=f"""
+WITH {pv.ORACLE_VIEWS},
+{_ND_CTES}
+SELECT supplier_id, supplier_name, product_id, product_name,
+       net_demand AS quantity,
+       ROUND(CAST(unit_cost AS DOUBLE), 2) AS unit_cost,
+       ROUND(CAST(estimated_cost AS DOUBLE), 2) AS total_cost
+FROM net_demand
+""",
+    tags=("parity", "A9", "S9"),
+)
+def q_supplier_orders_flat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Purchase-order line items per supplier — procurement_dag.py:100-133
+    (flat, oracle-comparable form)."""
+    nd = _net_demand(spark, sf_dir)
+    return nd.select(
+        "supplier_id",
+        "supplier_name",
+        "product_id",
+        "product_name",
+        F.col("net_demand").alias("quantity"),
+        F.round(F.col("unit_cost").cast("double"), 2).alias("unit_cost"),
+        F.round(F.col("estimated_cost").cast("double"), 2).alias("total_cost"),
+    )
+
+
+@register(
+    "supplier_orders_nested",
+    oracle=None,  # nested array<struct> — driver records rows-only check
+    tags=("parity", "A9", "S9"),
+)
+def q_supplier_orders_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested per-supplier purchase orders (collect_list(struct)) —
+    procurement_dag.py:100-147."""
+    return supplier_orders(_net_demand(spark, sf_dir), _CALC, _CALC)
+
+
+@register(
+    "supplier_order_totals",
+    oracle=f"""
+WITH {pv.ORACLE_VIEWS},
+{_ND_CTES}
+SELECT supplier_id, supplier_name,
+       CAST(COUNT(*) AS INTEGER) AS item_count,
+       CAST(SUM(estimated_cost) AS DECIMAL(18,2)) AS total_estimated_cost
+FROM net_demand
+GROUP BY supplier_id, supplier_name
+""",
+    tags=("parity", "A9"),
+)
+def q_supplier_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-supplier envelope totals — procurement_dag.py:133,142."""
+    return (
+        _net_demand(spark, sf_dir)
+        .groupBy("supplier_id", "supplier_name")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("item_count"),
+            F.sum("estimated_cost").cast("decimal(18,2)").alias("total_estimated_cost"),
+        )
+    )
+
+
+# --- KPI dashboard queries (metabase_setup_dag.py:237-313) ----------------
+
+
+@register(
+    "kpi_total_net_demand",
+    oracle=f"""
+WITH {pv.ORACLE_VIEWS},
+{_ND_CTES}
+SELECT CAST(SUM(net_demand) AS BIGINT) AS total_net_demand
+FROM net_demand
+WHERE calculation_date = (SELECT MAX(calculation_date) FROM net_demand)
+""",
+    tags=("parity", "A5", "A6"),
+)
+def q_kpi_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return kpi_ops.total_net_demand(_net_demand(spark, sf_dir))
+
+
+@register(
+    "kpi_demand_by_product",
+    oracle=f"""
+WITH {pv.ORACLE_VIEWS},
+{_ND_CTES}
+SELECT product_name, CAST(SUM(net_demand) AS BIGINT) AS net_demand
+FROM net_demand
+WHERE calculation_date = (SELECT MAX(calculation_date) FROM net_demand)
+GROUP BY product_name
+ORDER BY net_demand DESC, product_name ASC
+""",
+    tags=("parity", "A8", "O2"),
+)
+def q_kpi_by_product(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return kpi_ops.demand_by_product(_net_demand(spark, sf_dir))
+
+
+@register(
+    "kpi_demand_by_supplier",
+    oracle=f"""
+WITH {pv.ORACLE_VIEWS},
+{_ND_CTES}
+SELECT supplier_name, CAST(SUM(net_demand) AS BIGINT) AS total_demand
+FROM net_demand
+WHERE calculation_date = (SELECT MAX(calculation_date) FROM net_demand)
+GROUP BY supplier_name
+ORDER BY total_demand DESC, supplier_name ASC
+""",
+    tags=("parity", "A8", "O2"),
+)
+def q_kpi_by_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return kpi_ops.demand_by_supplier(_net_demand(spark, sf_dir))
+
+
+@register(
+    "kpi_order_status",
+    oracle="""
+SELECT o_orderstatus, COUNT(*) AS order_count
+FROM orders
+WHERE o_orderdate = (SELECT MAX(o_orderdate) FROM orders)
+GROUP BY o_orderstatus
+""",
+    tags=("parity", "A5", "A6"),
+)
+def q_kpi_order_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Status breakdown on the latest order date — metabase_setup_dag.py:291-297."""
+    orders = load_table(spark, sf_dir, "orders").withColumnRenamed(
+        "o_orderdate", "order_date"
+    )
+    return kpi_ops.order_status_breakdown(orders, "o_orderstatus")
+
+
+@register(
+    "kpi_total_cost",
+    oracle=f"""
+WITH {pv.ORACLE_VIEWS},
+{_ND_CTES}
+SELECT CAST(SUM(estimated_cost) AS DECIMAL(18,2)) AS total_estimated_cost
+FROM net_demand
+WHERE calculation_date = (SELECT MAX(calculation_date) FROM net_demand)
+""",
+    tags=("parity", "A5", "A6", "P8"),
+)
+def q_kpi_total_cost(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nd = _net_demand(spark, sf_dir)
+    return kpi_ops._latest(nd, "calculation_date").agg(
+        F.sum("estimated_cost").cast("decimal(18,2)").alias("total_estimated_cost")
+    )

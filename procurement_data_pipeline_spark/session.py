@@ -1,0 +1,57 @@
+"""SparkSession factory.
+
+Local-mode defaults sized for the test container (``local[$SPARK_GRAFT_CPUS]``)
+but every knob here is the one you would set on a 1000-executor cluster too:
+AQE for runtime re-planning (coalescing post-shuffle partitions, skew-join
+splitting), Arrow for any pandas-UDF boundary, UTC session timezone so
+timestamp→date semantics are stable across engines, and a shuffle partition
+count that AQE can shrink rather than a tiny fixed one it cannot grow.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = 32
+
+
+def cpu_count() -> int:
+    return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
+
+
+def get_session(app_name: str = "procurement-data-pipeline-spark") -> SparkSession:
+    """Build (or reuse) a local SparkSession with scale-ready defaults."""
+    cpus = cpu_count()
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{cpus}]")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.shuffle.partitions", str(DEFAULT_SHUFFLE_PARTITIONS))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.filterPushdown", "true")
+        .config("spark.sql.parquet.aggregatePushdown", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
+    )
+    return builder.getOrCreate()
+
+
+def configure_runtime(spark: SparkSession) -> SparkSession:
+    """Pin runtime-mutable confs on a session we did not create.
+
+    The driver harness hands ``entry(spark)``/``queries()`` builders an
+    externally built session; timestamp→date casts and pandas-UDF transfer
+    must behave identically there, so set the mutable subset defensively.
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    try:
+        spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
+    except Exception:
+        pass  # static conf on some builds; Arrow is an optimization only
+    return spark

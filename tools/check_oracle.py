@@ -1,0 +1,121 @@
+"""Local replica of the driver's correctness gate.
+
+Runs every registered query on Spark and its oracle SQL on DuckDB over the
+same sf directory, then compares row count, column names, and an
+order-insensitive value comparison (sorted rows, normalized cell values).
+
+Usage: python tools/check_oracle.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import decimal
+import math
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb
+
+from procurement_data_pipeline_spark.registry import load_all
+from procurement_data_pipeline_spark.session import get_session
+from procurement_data_pipeline_spark.sources.tables import TABLES
+
+
+def _norm(v):
+    if v is None:
+        return None
+    if isinstance(v, bool):
+        return v
+    if isinstance(v, decimal.Decimal):
+        return ("num", float(v))
+    if isinstance(v, float):
+        if math.isnan(v):
+            return ("nan",)
+        return ("num", v)
+    if isinstance(v, int):
+        return ("num", float(v))
+    if isinstance(v, _dt.datetime):
+        return ("ts", v.replace(tzinfo=None).isoformat())
+    if isinstance(v, _dt.date):
+        return ("date", v.isoformat())
+    if isinstance(v, (list, tuple)):
+        return tuple(_norm(x) for x in v)
+    if isinstance(v, dict):
+        return tuple(sorted((k, _norm(x)) for k, x in v.items()))
+    if hasattr(v, "asDict"):  # pyspark Row
+        return tuple(sorted((k, _norm(x)) for k, x in v.asDict().items()))
+    return str(v)
+
+
+def _rows_key(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted(tuple(_norm(r[i]) for i in order) for r in rows)
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+    specs = load_all()
+    spark = get_session("check-oracle")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+
+    failures = []
+    for name, spec in sorted(specs.items()):
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = spec.builder(spark, sf_dir)
+            scols = sdf.columns
+            srows = [tuple(r) for r in sdf.collect()]
+        except Exception as e:
+            failures.append(name)
+            print(f"FAIL  {name}: spark error: {e}")
+            continue
+        if spec.oracle is None:
+            print(f"rows  {name}: {len(srows)} rows (no oracle) [{time.time()-t0:.1f}s]")
+            continue
+        try:
+            cur = con.execute(spec.oracle)
+            ocols = [d[0] for d in cur.description]
+            orows = cur.fetchall()
+        except Exception as e:
+            failures.append(name)
+            print(f"FAIL  {name}: duckdb error: {e}")
+            continue
+        ok = True
+        msgs = []
+        if sorted(scols) != sorted(ocols):
+            ok = False
+            msgs.append(f"cols spark={sorted(scols)} oracle={sorted(ocols)}")
+        if len(srows) != len(orows):
+            ok = False
+            msgs.append(f"rowcount spark={len(srows)} oracle={len(orows)}")
+        if ok:
+            sk = _rows_key(scols, srows)
+            okey = _rows_key(ocols, orows)
+            if sk != okey:
+                ok = False
+                diff = [
+                    (a, b) for a, b in zip(sk, okey) if a != b
+                ][:3]
+                msgs.append(f"values differ, first diffs: {diff}")
+        status = "OK  " if ok else "FAIL"
+        if not ok:
+            failures.append(name)
+        print(f"{status}  {name}: {len(srows)} rows [{time.time()-t0:.1f}s]"
+              + ("" if ok else " | " + " | ".join(msgs)))
+    print(f"\n{len(failures)} failures" + (f": {failures}" if failures else ""))
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
