@@ -1,0 +1,250 @@
+"""Deduplication operators for LLM-data pipelines.
+
+Three tiers, all expressed as distributed DataFrame plans (no driver-side
+pair loops — candidate generation is always a key-equality shuffle join, the
+scalable pattern at 100 TB):
+
+* exact        — content-fingerprint groupBy (one shuffle on the hash)
+* n-gram Jaccard — inverted-index join on shingles (exact similarity, but
+                   pair generation bounded by shared-shingle blocking)
+* MinHash LSH  — signature banding; candidates only for band collisions,
+                 then exact verify. The probabilistic scale path.
+* SimHash      — 64-bit near-dup signature via per-bit majority vote.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from procurement_data_pipeline_spark.llm_ops.text import fingerprint, words
+
+MERSENNE_PRIME = (1 << 61) - 1
+
+
+def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup: one row per distinct normalized content.
+
+    Returns (fingerprint, n_docs, keep_doc_id) — the kept id is the minimum,
+    deterministically. Single hash-shuffle on the 128-bit fingerprint;
+    partial aggregation makes the map side emit one row per distinct hash
+    per partition, so skew is bounded by distinct-content cardinality.
+    """
+    return (
+        df.select(fingerprint(text_col).alias("fingerprint"), F.col(id_col))
+        .groupBy("fingerprint")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.min(id_col).alias("keep_doc_id"),
+        )
+    )
+
+
+def drop_exact_duplicates(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Keep only the minimum-id row per distinct content (the applied form)."""
+    keep = dedup_exact(df, text_col, id_col).select(
+        F.col("keep_doc_id").alias(id_col)
+    )
+    return df.join(keep, id_col, "left_semi")
+
+
+def _doc_shingles(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
+    """(id, shingle) distinct pairs — the inverted-index rows."""
+    return (
+        df.select(F.col(id_col).alias("_id"), F.explode(words(text_col)).alias("w"))
+        .distinct()
+        if n == 1
+        else df.select(
+            F.col(id_col).alias("_id"),
+            F.explode(
+                F.transform(
+                    F.sequence(
+                        F.lit(0), F.greatest(F.size(words(text_col)) - n, F.lit(-1))
+                    ),
+                    lambda i: F.concat_ws(" ", F.slice(words(text_col), i + 1, n)),
+                )
+            ).alias("w"),
+        ).distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 1,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for all pairs sharing ≥1 shingle.
+
+    Pair generation is a self-equi-join on the shingle (inverted index) —
+    never a cross join — then |A∩B| falls out of a groupBy count and |A∪B|
+    from per-doc set sizes. Output: (doc_a, doc_b, jaccard) with
+    doc_a < doc_b and jaccard ≥ threshold.
+
+    Scale note: hot shingles (stopwords) create join skew; real corpora drop
+    top-document-frequency shingles first (a WHERE on the df count). AQE
+    skew-join handles moderate cases.
+    """
+    sh = _doc_shingles(df, text_col, id_col, n)
+    sizes = sh.groupBy("_id").agg(F.count(F.lit(1)).alias("_sz"))
+
+    a = sh.select(F.col("_id").alias("doc_a"), "w")
+    b = sh.select(F.col("_id").alias("doc_b"), "w")
+    inter = (
+        a.join(b, "w")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("_inter"))
+    )
+    return (
+        inter.join(sizes.withColumnsRenamed({"_id": "doc_a", "_sz": "_sza"}), "doc_a")
+        .join(sizes.withColumnsRenamed({"_id": "doc_b", "_sz": "_szb"}), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("_inter").cast("double")
+            / (F.col("_sza") + F.col("_szb") - F.col("_inter")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= F.lit(threshold))
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def _minhash_exprs(num_hashes: int, seed: int = 7) -> list[Column]:
+    """Deterministic hash family: h_i(w) = xxhash64(w, seed+i) — 64-bit
+    well-mixed, independent per index, reproducible run to run, and safe
+    under ANSI arithmetic (no multiply-overflow games)."""
+    return [
+        F.xxhash64(F.col("w"), F.lit(seed + i)) for i in range(num_hashes)
+    ]
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 2,
+    num_hashes: int = 32,
+) -> DataFrame:
+    """(id, sig: array<bigint>) — per-doc MinHash signature.
+
+    One explode + one groupBy: each hash function is a MIN aggregate over the
+    doc's shingle hashes (map-side partial mins keep the shuffle tiny —
+    num_hashes longs per doc per partition)."""
+    sh = _doc_shingles(df, text_col, id_col, n)
+    mins = [
+        F.min(e).alias(f"_h{i}") for i, e in enumerate(_minhash_exprs(num_hashes))
+    ]
+    sig = sh.groupBy("_id").agg(*mins)
+    return sig.select(
+        F.col("_id").alias(id_col),
+        F.array(*[F.col(f"_h{i}") for i in range(num_hashes)]).alias("sig"),
+    )
+
+
+def minhash_lsh_candidates(
+    signatures: DataFrame,
+    id_col: str = "doc_id",
+    bands: int = 8,
+) -> DataFrame:
+    """LSH banding: docs whose signature agrees on all rows of ≥1 band.
+
+    Explode to (band_idx, band_hash) keys, self-join per band, distinct the
+    pairs. The join key includes the band index, so only same-band
+    collisions meet — candidate count scales with true near-dup density,
+    not corpus size².
+    """
+    banded = signatures.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.xxhash64(
+                    F.concat_ws(
+                        ",",
+                        F.transform(
+                            F.slice(
+                                F.col("sig"),
+                                b * (F.size("sig") / bands).cast("int") + 1,
+                                (F.size("sig") / bands).cast("int"),
+                            ),
+                            lambda v: v.cast("string"),
+                        ),
+                    )
+                ),
+            )
+        ).alias("band_idx", "band_hash"),
+    )
+    left = banded.select(F.col("_id").alias("doc_a"), "band_idx", "band_hash")
+    right = banded.select(F.col("_id").alias("doc_b"), "band_idx", "band_hash")
+    return (
+        left.join(right, ["band_idx", "band_hash"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
+def minhash_dedup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 2,
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """Full MinHash-LSH near-dup pipeline: signatures → band candidates →
+    exact Jaccard verification of candidates only."""
+    sigs = minhash_signatures(df, text_col, id_col, n, num_hashes)
+    cand = minhash_lsh_candidates(sigs, id_col, bands)
+    sh = _doc_shingles(df, text_col, id_col, n)
+    sizes = sh.groupBy("_id").agg(F.count(F.lit(1)).alias("_sz"))
+    inter = (
+        cand.join(sh.select(F.col("_id").alias("doc_a"), "w"), "doc_a")
+        .join(sh.select(F.col("_id").alias("doc_b"), F.col("w").alias("w2")), "doc_b")
+        .filter(F.col("w") == F.col("w2"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("_inter"))
+    )
+    return (
+        inter.join(sizes.withColumnsRenamed({"_id": "doc_a", "_sz": "_sza"}), "doc_a")
+        .join(sizes.withColumnsRenamed({"_id": "doc_b", "_sz": "_szb"}), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("_inter").cast("double")
+            / (F.col("_sza") + F.col("_szb") - F.col("_inter")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= F.lit(threshold))
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """64-bit SimHash per doc: per-bit majority vote over token xxhash64s.
+
+    Explode tokens → for each of 64 bits accumulate +1/−1 → sign bit. The
+    64 SUM aggregates ride one groupBy (map-side combined)."""
+    tok = df.select(
+        F.col(id_col).alias("_id"), F.explode(words(text_col)).alias("w")
+    ).withColumn("h", F.xxhash64("w"))
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"_b{i}")
+        for i in range(64)
+    ]
+    agg = tok.groupBy("_id").agg(*votes)
+    bits = [
+        F.when(
+            F.col(f"_b{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)
+        ).otherwise(F.lit(0).cast("long"))
+        for i in range(64)
+    ]
+    out = agg.select(
+        F.col("_id").alias(id_col),
+        sum(bits[1:], start=bits[0]).alias("simhash"),
+    )
+    return out

@@ -1,0 +1,96 @@
+"""Text-analysis column functions for LLM-data pipelines.
+
+All functions are built-in-only (JVM-side, whole-stage-codegen-friendly):
+no Python UDFs in any hot path. Ratios are computed with a fixed expression
+order so Spark and DuckDB produce bit-identical doubles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Tiny in-expression stopword lists (broadcast literals). For real corpora
+# these would come from a broadcast dimension table; the operator shape is
+# identical.
+EN_STOPWORDS = ("the", "a", "of", "and", "to", "in", "is")
+DE_STOPWORDS = ("der", "die", "das", "und", "ist", "ein", "zu")
+
+# Word-ish tokens: runs of word chars, or single punctuation marks (a cheap
+# BPE-ish proxy that splits "don't" → ["don", "'", "t"]).
+TOKEN_REGEX = r"\w+|[^\w\s]"
+
+
+def _c(col: str | Column) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def normalize_text(col: str | Column) -> Column:
+    """Lowercase, trim, collapse internal whitespace."""
+    return F.lower(F.trim(F.regexp_replace(_c(col), r"\s+", " ")))
+
+
+def fingerprint(col: str | Column) -> Column:
+    """Deterministic 128-bit content fingerprint (md5 of normalized utf-8)."""
+    return F.md5(F.encode(normalize_text(col), "UTF-8"))
+
+
+def words(col: str | Column) -> Column:
+    return F.split(normalize_text(col), " ")
+
+
+def word_count(col: str | Column) -> Column:
+    return F.size(words(col)).cast("int")
+
+
+def char_count(col: str | Column) -> Column:
+    return F.length(_c(col)).cast("int")
+
+
+def token_count(col: str | Column) -> Column:
+    """Regex token count (TOKEN_REGEX matches)."""
+    return F.regexp_count(_c(col), F.lit(TOKEN_REGEX)).cast("int")
+
+
+def stopword_count(col: str | Column, stopwords: tuple[str, ...]) -> Column:
+    stops = F.array(*[F.lit(s) for s in stopwords])
+    return F.size(F.filter(words(col), lambda w: F.array_contains(stops, w))).cast("int")
+
+
+def lang_id(col: str | Column) -> Column:
+    """n-gram-free heuristic language ID: compare stopword hit counts.
+
+    Deterministic integer comparison — 'en' wins ties with 'de'; no hits at
+    all → 'und' (ISO 639-3 undetermined)."""
+    en = stopword_count(col, EN_STOPWORDS)
+    de = stopword_count(col, DE_STOPWORDS)
+    return (
+        F.when((en == 0) & (de == 0), F.lit("und"))
+        .when(en >= de, F.lit("en"))
+        .otherwise(F.lit("de"))
+    )
+
+
+def quality_score(col: str | Column) -> Column:
+    """Cheap doc-quality heuristic in [0,1]: length, stopword density, and
+    mean word length, each clamped and weighted. Fixed operation order keeps
+    the double bit-stable across engines."""
+    wc = word_count(col).cast("double")
+    sw = stopword_count(col, EN_STOPWORDS).cast("double")
+    chars = char_count(col).cast("double")
+    len_term = F.least(F.lit(1.0), wc / F.lit(100.0))
+    stop_term = F.least(F.lit(1.0), (sw / wc) * F.lit(4.0))
+    awl_term = F.least(F.lit(1.0), (chars / wc) / F.lit(8.0))
+    return (
+        len_term * F.lit(0.4) + stop_term * F.lit(0.3) + awl_term * F.lit(0.3)
+    ).alias("quality_score")
+
+
+def word_ngrams(col: str | Column, n: int) -> Column:
+    """Array of word n-grams (space-joined), built with JVM array lambdas —
+    no UDF, no explode blow-up before it's needed."""
+    ws = words(col)
+    return F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(ws) - n, F.lit(-1))),
+        lambda i: F.concat_ws(" ", F.slice(ws, i + 1, n)),
+    )

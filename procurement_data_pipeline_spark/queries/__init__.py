@@ -1,3 +1,9 @@
 """Declared-query modules. Importing this package registers every query."""
 
-from procurement_data_pipeline_spark.queries import parity, tpch  # noqa: F401
+from procurement_data_pipeline_spark.queries import (  # noqa: F401
+    events,
+    parity,
+    similarity,
+    text,
+    tpch,
+)

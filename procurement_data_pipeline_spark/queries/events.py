@@ -1,0 +1,200 @@
+"""Event-stream analytics in batch form (the Structured Streaming module in
+``streaming/`` runs the same logic incrementally; these declared queries are
+the batch-equivalent semantics the driver can oracle-check)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from procurement_data_pipeline_spark.registry import register
+from procurement_data_pipeline_spark.sources.tables import load_table
+
+SESSION_GAP_MIN = 30
+
+
+@register(
+    "events_hourly_rollup",
+    oracle="""
+SELECT date_trunc('hour', ts) AS hour_start,
+       event_type,
+       COUNT(*) AS n_events,
+       COUNT(DISTINCT user_id) AS n_users,
+       CAST(SUM(CAST(FLOOR(value * 1000000) AS BIGINT)) AS DOUBLE) / 1000000.0 AS total_value
+FROM events
+GROUP BY 1, 2
+""",
+    tags=("events", "streaming-batch", "A1", "A2"),
+    bench=True,
+)
+def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour window rollup (batch form of a watermark+window
+    streaming aggregation). Value sums are micro-quantized for exactness."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("hour_start"),
+        "event_type",
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        (
+            F.sum(F.floor(F.col("value") * 1000000).cast("long")).cast("double")
+            / F.lit(1000000.0)
+        ).alias("total_value"),
+    )
+
+
+@register(
+    "events_sessionization",
+    oracle=f"""
+WITH base AS (
+  SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events
+),
+flagged AS (
+  SELECT user_id, ts_us, event_id,
+         CASE WHEN ts_us - LAG(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id)
+                   > {SESSION_GAP_MIN} * 60 * 1000000
+              OR LAG(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) IS NULL
+              THEN 1 ELSE 0 END AS is_new
+  FROM base
+),
+sessions AS (
+  SELECT user_id, ts_us, event_id,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+  FROM flagged
+),
+per_session AS (
+  SELECT user_id, session_idx,
+         COUNT(*) AS n_events,
+         (MAX(ts_us) - MIN(ts_us)) // 1000000 AS duration_sec
+  FROM sessions
+  GROUP BY user_id, session_idx
+)
+SELECT user_id,
+       COUNT(*) AS n_sessions,
+       CAST(MAX(n_events) AS BIGINT) AS max_session_events,
+       CAST(MAX(duration_sec) AS BIGINT) AS max_session_sec
+FROM per_session
+GROUP BY user_id
+""",
+    tags=("events", "streaming-batch", "W1"),
+    bench=True,
+)
+def q_events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (lag + running sum), then per-user session
+    stats — the batch analogue of ``session_window``/applyInPandasWithState.
+
+    One shuffle on user_id serves both window functions and the final
+    aggregation (same partitioning key reused)."""
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "ts_us", F.unix_micros(F.col("ts"))
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    flagged = ev.withColumn(
+        "is_new",
+        F.when(
+            F.col("ts_us") - F.lag(F.col("ts_us")).over(w)
+            > SESSION_GAP_MIN * 60 * 1_000_000,
+            1,
+        )
+        .when(F.lag(F.col("ts_us")).over(w).isNull(), 1)
+        .otherwise(0),
+    )
+    sessions = flagged.withColumn(
+        "session_idx", F.sum("is_new").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    per_session = sessions.groupBy("user_id", "session_idx").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.expr("(max(ts_us) - min(ts_us)) div 1000000").alias("duration_sec"),
+    )
+    return per_session.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.max("n_events").cast("long").alias("max_session_events"),
+        F.max("duration_sec").cast("long").alias("max_session_sec"),
+    )
+
+
+@register(
+    "events_type_pivot_daily",
+    oracle="""
+SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+       SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS clicks,
+       SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS views,
+       SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchases,
+       SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS signups,
+       SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS errors
+FROM events
+GROUP BY 1
+""",
+    tags=("events", "A1"),
+)
+def q_events_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional-aggregation pivot by day (explicit CASE form — stays
+    portable and avoids Spark's two-pass pivot inference)."""
+    ev = load_table(spark, sf_dir, "events")
+    cnt = lambda t: F.sum(F.when(F.col("event_type") == t, 1).otherwise(0))  # noqa: E731
+    return ev.groupBy(
+        F.date_trunc("day", F.col("ts")).cast("date").alias("day")
+    ).agg(
+        cnt("click").alias("clicks"),
+        cnt("view").alias("views"),
+        cnt("purchase").alias("purchases"),
+        cnt("signup").alias("signups"),
+        cnt("error").alias("errors"),
+    )
+
+
+@register(
+    "events_top_purchasers",
+    oracle="""
+SELECT user_id,
+       COUNT(*) AS n_purchases,
+       CAST(SUM(CAST(FLOOR(value * 1000000) AS BIGINT)) AS DOUBLE) / 1000000.0 AS total_value
+FROM events
+WHERE event_type = 'purchase'
+GROUP BY user_id
+ORDER BY total_value DESC, user_id ASC
+LIMIT 20
+""",
+    tags=("events", "A8", "O2"),
+)
+def q_events_top_purchasers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            (
+                F.sum(F.floor(F.col("value") * 1000000).cast("long")).cast("double")
+                / F.lit(1000000.0)
+            ).alias("total_value"),
+        )
+        .orderBy(F.col("total_value").desc(), F.col("user_id").asc())
+        .limit(20)
+    )
+
+
+@register(
+    "events_props_json",
+    oracle="""
+SELECT event_type,
+       CAST(SUM(CAST(json_extract(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k,
+       COUNT(*) AS n
+FROM events
+GROUP BY event_type
+""",
+    tags=("events", "semi-structured"),
+)
+def q_events_props_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured access: JSON props column → typed field → aggregate
+    (get_json_object stays JVM-side; no UDF)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.sum(F.get_json_object("props", "$.k").cast("int"))
+        .cast("long")
+        .alias("sum_k"),
+        F.count(F.lit(1)).alias("n"),
+    )

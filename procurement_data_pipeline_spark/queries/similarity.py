@@ -1,0 +1,92 @@
+"""Declared similarity-search queries over the embeddings table."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from procurement_data_pipeline_spark.llm_ops.similarity import (
+    knn_bruteforce,
+    label_centroids,
+    lsh_ann,
+)
+from procurement_data_pipeline_spark.registry import register
+from procurement_data_pipeline_spark.sources.tables import load_table
+
+N_QUERY_VECS = 5
+TOP_K = 10
+
+# DuckDB: exact integer dot product of 1e-6-quantized vectors
+_QDOT = (
+    "list_sum(list_transform(list_zip({a}, {b}),"
+    " s -> CAST(FLOOR(CAST(s[1] AS DOUBLE) * 1000000) AS BIGINT)"
+    " * CAST(FLOOR(CAST(s[2] AS DOUBLE) * 1000000) AS BIGINT)))"
+)
+
+
+@register(
+    "emb_knn_bruteforce",
+    oracle=f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qvec
+  FROM embeddings WHERE vec_id < {N_QUERY_VECS}
+),
+scored AS (
+  SELECT q.query_id, e.vec_id,
+         CAST({_QDOT.format(a='e.embedding', b='q.qvec')} AS DOUBLE)
+         / (sqrt(CAST({_QDOT.format(a='e.embedding', b='e.embedding')} AS DOUBLE))
+            * sqrt(CAST({_QDOT.format(a='q.qvec', b='q.qvec')} AS DOUBLE))) AS score
+  FROM embeddings e CROSS JOIN q
+  WHERE e.vec_id != q.query_id
+),
+ranked AS (
+  SELECT query_id, vec_id, score,
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY score DESC, vec_id ASC) AS INTEGER) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, score, rank FROM ranked WHERE rank <= {TOP_K}
+""",
+    tags=("similarity", "llm"),
+    bench=True,
+)
+def q_emb_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-{10} for 5 query vectors — broadcast-queries pattern,
+    quantized dot products so the oracle hash is exact."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERY_VECS)
+    return knn_bruteforce(emb, queries, k=TOP_K)
+
+
+@register(
+    "emb_label_centroids",
+    oracle="""
+SELECT label, pos - 1 AS pos,
+       CAST(SUM(CAST(FLOOR(CAST(v AS DOUBLE) * 1000000) AS BIGINT)) AS DOUBLE)
+       / COUNT(*) / 1000000.0 AS centroid
+FROM (
+  SELECT label, unnest(embedding) AS v,
+         generate_subscripts(embedding, 1) AS pos
+  FROM embeddings
+) t
+GROUP BY label, pos
+""",
+    tags=("similarity", "llm"),
+)
+def q_emb_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label mean embedding (flat (label,pos,centroid) form), exact
+    integer sums so the result is partitioning-independent."""
+    return label_centroids(load_table(spark, sf_dir, "embeddings"))
+
+
+@register(
+    "emb_lsh_ann",
+    oracle=None,  # approximate — recall vs brute force asserted in tests
+    tags=("similarity", "llm", "ann"),
+)
+def q_emb_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-table hyperplane-LSH approximate top-k (bucket join + exact
+    rerank; signatures via one Arrow-batched numpy matmul per batch)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERY_VECS)
+    return lsh_ann(emb, queries, k=TOP_K)

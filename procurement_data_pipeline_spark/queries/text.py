@@ -1,0 +1,220 @@
+"""Declared text-analysis / dedup queries over the documents table."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from procurement_data_pipeline_spark.llm_ops.dedup import (
+    dedup_exact,
+    minhash_dedup_pairs,
+    ngram_jaccard_pairs,
+    simhash,
+)
+from procurement_data_pipeline_spark.llm_ops.text import (
+    DE_STOPWORDS,
+    EN_STOPWORDS,
+    char_count,
+    fingerprint,
+    lang_id,
+    quality_score,
+    token_count,
+    word_count,
+)
+from procurement_data_pipeline_spark.registry import register
+from procurement_data_pipeline_spark.sources.tables import load_table
+
+_EN = ", ".join(f"'{w}'" for w in EN_STOPWORDS)
+_DE = ", ".join(f"'{w}'" for w in DE_STOPWORDS)
+
+# DuckDB equivalent of text.normalize_text / words
+_NORM = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
+_WORDS = f"string_split({_NORM}, ' ')"
+
+
+@register(
+    "docs_fingerprint",
+    oracle=f"""
+SELECT doc_id, md5({_NORM}) AS fingerprint, n_chars
+FROM documents
+""",
+    tags=("text", "llm"),
+)
+def q_docs_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content fingerprint per doc (md5 over normalized utf-8)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", fingerprint("text").alias("fingerprint"), "n_chars"
+    )
+
+
+@register(
+    "docs_dedup_exact",
+    oracle=f"""
+SELECT md5({_NORM}) AS fingerprint,
+       COUNT(*) AS n_docs,
+       MIN(doc_id) AS keep_doc_id
+FROM documents
+GROUP BY 1
+""",
+    tags=("text", "llm", "dedup"),
+)
+def q_docs_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: one shuffle on the content fingerprint."""
+    return dedup_exact(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "docs_token_stats",
+    oracle=f"""
+SELECT doc_id,
+       CAST(length(text) AS INTEGER) AS n_chars_measured,
+       CAST(len({_WORDS}) AS INTEGER) AS n_words,
+       CAST(len(regexp_extract_all(text, '\\w+|[^\\w\\s]')) AS INTEGER) AS n_tokens,
+       CAST(len(list_filter({_WORDS}, w -> list_contains([{_EN}], w))) AS INTEGER) AS n_stopwords
+FROM documents
+""",
+    tags=("text", "llm"),
+)
+def q_docs_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Char / word / regex-token / stopword counts — all JVM built-ins."""
+    from procurement_data_pipeline_spark.llm_ops.text import stopword_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        char_count("text").alias("n_chars_measured"),
+        word_count("text").alias("n_words"),
+        token_count("text").alias("n_tokens"),
+        stopword_count("text", EN_STOPWORDS).alias("n_stopwords"),
+    )
+
+
+@register(
+    "docs_lang_id",
+    oracle=f"""
+WITH counts AS (
+  SELECT doc_id, lang AS labeled_lang,
+         len(list_filter({_WORDS}, w -> list_contains([{_EN}], w))) AS en_n,
+         len(list_filter({_WORDS}, w -> list_contains([{_DE}], w))) AS de_n
+  FROM documents
+)
+SELECT doc_id, labeled_lang,
+       CASE WHEN en_n = 0 AND de_n = 0 THEN 'und'
+            WHEN en_n >= de_n THEN 'en'
+            ELSE 'de' END AS detected_lang
+FROM counts
+""",
+    tags=("text", "llm"),
+)
+def q_docs_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-vote language ID next to the labeled lang column."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        lang_id("text").alias("detected_lang"),
+    )
+
+
+@register(
+    "docs_quality_score",
+    oracle=f"""
+WITH feats AS (
+  SELECT doc_id,
+         CAST(len({_WORDS}) AS DOUBLE) AS wc,
+         CAST(len(list_filter({_WORDS}, w -> list_contains([{_EN}], w))) AS DOUBLE) AS sw,
+         CAST(length(text) AS DOUBLE) AS chars
+  FROM documents
+)
+SELECT doc_id,
+       LEAST(1.0, wc / 100.0) * 0.4
+       + LEAST(1.0, (sw / wc) * 4.0) * 0.3
+       + LEAST(1.0, (chars / wc) / 8.0) * 0.3 AS quality_score
+FROM feats
+""",
+    tags=("text", "llm"),
+)
+def q_docs_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality score in [0,1] (length/stopword/word-shape terms)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", quality_score("text").alias("quality_score"))
+
+
+@register(
+    "docs_ngram_jaccard_pairs",
+    oracle=f"""
+WITH sh AS (
+  SELECT DISTINCT doc_id AS _id, unnest({_WORDS}) AS w
+  FROM documents
+),
+sizes AS (
+  SELECT _id, COUNT(*) AS _sz FROM sh GROUP BY _id
+),
+inter AS (
+  SELECT a._id AS doc_a, b._id AS doc_b, COUNT(*) AS _inter
+  FROM sh a JOIN sh b ON a.w = b.w AND a._id < b._id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       CAST(_inter AS DOUBLE) / CAST(sa._sz + sb._sz - _inter AS DOUBLE) AS jaccard
+FROM inter
+JOIN sizes sa ON doc_a = sa._id
+JOIN sizes sb ON doc_b = sb._id
+WHERE CAST(_inter AS DOUBLE) / CAST(sa._sz + sb._sz - _inter AS DOUBLE) >= 0.8
+""",
+    tags=("text", "llm", "dedup"),
+)
+def q_docs_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-set Jaccard near-dup pairs via inverted-index join
+    (blocking by shared token — never a cross join)."""
+    return ngram_jaccard_pairs(
+        load_table(spark, sf_dir, "documents"), n=1, threshold=0.8
+    )
+
+
+@register(
+    "docs_minhash_pairs",
+    oracle=None,  # hash-family dependent — verified against exact Jaccard in tests
+    tags=("text", "llm", "dedup"),
+)
+def q_docs_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup candidates with exact-Jaccard verification."""
+    return minhash_dedup_pairs(
+        load_table(spark, sf_dir, "documents"), n=2, threshold=0.5
+    )
+
+
+@register(
+    "docs_simhash",
+    oracle=None,  # depends on xxhash64 — structural check only
+    tags=("text", "llm", "dedup"),
+)
+def q_docs_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash signature per document."""
+    return simhash(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "docs_binary_meta",
+    oracle=f"""
+SELECT doc_id,
+       octet_length(encode(text)) AS payload_bytes,
+       md5(text) AS payload_md5,
+       source
+FROM documents
+""",
+    tags=("text", "multimodal"),
+)
+def q_docs_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opaque-binary-column plumbing: payload bytes + checksum + typed
+    metadata (the multimodal column pattern, with text bytes as the stand-in
+    payload since the container ships no media libs)."""
+    docs = load_table(spark, sf_dir, "documents")
+    payload = F.encode(F.col("text"), "UTF-8")
+    return docs.select(
+        "doc_id",
+        F.octet_length(payload).alias("payload_bytes"),
+        F.md5(payload).alias("payload_md5"),
+        "source",
+    )

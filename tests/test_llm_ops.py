@@ -1,0 +1,154 @@
+"""Tests for dedup / similarity / text-analysis operators (llm_ops)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from procurement_data_pipeline_spark.llm_ops.dedup import (
+    dedup_exact,
+    drop_exact_duplicates,
+    minhash_dedup_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash,
+)
+from procurement_data_pipeline_spark.llm_ops.similarity import (
+    knn_bruteforce,
+    label_centroids,
+    lsh_ann,
+)
+from procurement_data_pipeline_spark.llm_ops.text import (
+    fingerprint,
+    lang_id,
+    token_count,
+    word_count,
+)
+from procurement_data_pipeline_spark.sources.tables import load_table
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy dog"),  # exact dup of 1
+        (3, "The  quick  Brown fox jumps over the lazy dog "),  # dup modulo norm
+        (4, "the quick brown fox jumps over the sleepy dog"),  # near-dup
+        (5, "completely different words appear here tonight"),
+        (6, "der hund und die katze ist ein tier zu hause"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_dedup_exact_groups_normalized_duplicates(spark, docs):
+    out = {r.keep_doc_id: r.n_docs for r in dedup_exact(docs).collect()}
+    assert out[1] == 3  # docs 1,2,3 collapse
+    assert out[4] == 1 and out[5] == 1 and out[6] == 1
+
+
+def test_drop_exact_duplicates_keeps_min_id(spark, docs):
+    kept = {r.doc_id for r in drop_exact_duplicates(docs).collect()}
+    assert kept == {1, 4, 5, 6}
+
+
+def test_ngram_jaccard_near_dup(spark, docs):
+    pairs = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in ngram_jaccard_pairs(docs, n=1, threshold=0.5).collect()
+    }
+    # 1,2,3 identical word sets → jaccard 1.0; 4 differs by one word of 8
+    assert pairs[(1, 2)] == 1.0
+    assert pairs[(1, 3)] == 1.0
+    assert math.isclose(pairs[(1, 4)], 7 / 9)
+    assert (1, 5) not in pairs
+
+
+def test_minhash_finds_planted_near_dups(spark, docs):
+    got = {(r.doc_a, r.doc_b) for r in minhash_dedup_pairs(docs, n=1, threshold=0.7).collect()}
+    assert (1, 2) in got and (1, 3) in got and (2, 3) in got
+    assert all(5 not in p and 6 not in p for p in got)
+
+
+def test_minhash_signature_shape_and_determinism(spark, docs):
+    s1 = minhash_signatures(docs, num_hashes=16).collect()
+    s2 = minhash_signatures(docs, num_hashes=16).collect()
+    assert {r.doc_id: r.sig for r in s1} == {r.doc_id: r.sig for r in s2}
+    assert all(len(r.sig) == 16 for r in s1)
+    sig = {r.doc_id: r.sig for r in s1}
+    assert sig[1] == sig[2]  # identical content → identical signature
+
+
+def test_simhash_similar_docs_low_hamming(spark, docs):
+    sh = {r.doc_id: r.simhash for r in simhash(docs).collect()}
+    ham = lambda a, b: bin((a ^ b) & ((1 << 64) - 1)).count("1")  # noqa: E731
+    assert sh[1] == sh[2]
+    assert ham(sh[1], sh[4]) < ham(sh[1], sh[5])
+
+
+@pytest.fixture(scope="module")
+def vecs(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0], 0),
+        (1, [0.9, 0.1, 0.0], 0),
+        (2, [0.0, 1.0, 0.0], 1),
+        (3, [0.0, 0.95, 0.05], 1),
+        (4, [-1.0, 0.0, 0.0], 2),
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+
+
+def test_knn_bruteforce_exact_neighbors(spark, vecs):
+    out = knn_bruteforce(vecs, vecs.filter("vec_id = 0"), k=2)
+    rows = sorted(out.collect(), key=lambda r: r.rank)
+    assert [r.vec_id for r in rows] == [1, 2]  # cos: 0.994, 0.0, …, -1
+    assert rows[0].score > 0.99
+    assert rows[1].score == 0.0
+
+
+def test_label_centroids_exact_mean(spark, vecs):
+    got = {
+        (r.label, r.pos): r.centroid for r in label_centroids(vecs).collect()
+    }
+    assert math.isclose(got[(0, 0)], 0.95, abs_tol=1e-5)
+    assert math.isclose(got[(1, 1)], 0.975, abs_tol=1e-5)
+    assert got[(2, 0)] == -1.0
+
+
+def test_lsh_ann_recall_on_real_embeddings(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    exact = {
+        (r.query_id, r.vec_id)
+        for r in knn_bruteforce(emb, queries, k=10, quantized=False).collect()
+    }
+    approx = {
+        (r.query_id, r.vec_id)
+        for r in lsh_ann(emb, queries, k=10, nbits=6, tables=32).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.4, f"LSH recall collapsed: {recall}"
+    # every approx hit must be a true corpus vector, ranked deterministically
+    assert all(q != v for q, v in approx)
+
+
+def test_text_functions(spark):
+    df = spark.createDataFrame(
+        [(1, "The cat and the dog! Sat."), (2, "der hund und die katze")],
+        "id int, text string",
+    )
+    row = df.select(
+        word_count("text").alias("wc"),
+        token_count("text").alias("tc"),
+        lang_id("text").alias("lang"),
+        fingerprint("text").alias("fp"),
+    ).collect()
+    assert row[0].wc == 6
+    assert row[0].tc == 8  # 6 words + '!' + '.'
+    assert row[0].lang == "en"
+    assert row[1].lang == "de"
+    assert len(row[0].fp) == 32
+    # fingerprint is normalization-invariant
+    fp2 = df.select(fingerprint(F.lit("  the CAT and the dog!  sat. ")).alias("fp")).collect()
+    assert fp2[0].fp == row[0].fp
