@@ -1,0 +1,115 @@
+"""Catalog & physical layout management (reference parity S8/S13/S14).
+
+The reference's layout contract (README.md:241-253): Hive-style
+date-partitioned raw zones, managed derived tables, processed archive. Here
+the warehouse is any filesystem root; tables are parquet directories with
+``key=value`` partition dirs that Spark discovers natively, plus optional
+catalog registration (external tables + ``recoverPartitions`` replacing
+Trino's ``sync_partition_metadata``).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+RAW_ORDERS = "raw/orders"
+RAW_STOCK = "raw/stock"
+PROCESSED = "processed"
+OUTPUT_SUPPLIER_ORDERS = "output/supplier_orders"
+LOGS_EXCEPTIONS = "logs/exceptions"
+
+
+class Warehouse:
+    """A filesystem-rooted warehouse with the reference's directory layout."""
+
+    def __init__(self, root: str):
+        self.root = root
+
+    def path(self, *parts: str) -> str:
+        return os.path.join(self.root, *parts)
+
+    def init_layout(self) -> None:
+        """hdfs_initialize_dag.py:26-33 parity — create the landing zones."""
+        for p in (RAW_ORDERS, RAW_STOCK, PROCESSED, OUTPUT_SUPPLIER_ORDERS, LOGS_EXCEPTIONS):
+            os.makedirs(self.path(p), exist_ok=True)
+
+    # --- partitioned writes (S6-S8) ---------------------------------------
+
+    def write_orders(self, orders: DataFrame, stage_csv: bool = False) -> None:
+        """Partitioned parquet write: one call replaces the reference's
+        generate-CSV → pyarrow → WebHDFS upload chain
+        (hdfs_upload_data_dag.py:122-221)."""
+        if stage_csv:
+            orders.write.mode("overwrite").option("header", True).csv(
+                self.path("staging", "orders")
+            )
+        orders.write.mode("append").partitionBy("order_date").parquet(
+            self.path(RAW_ORDERS)
+        )
+
+    def write_inventory(self, inventory: DataFrame, stage_csv: bool = False) -> None:
+        if stage_csv:
+            inventory.write.mode("overwrite").option("header", True).csv(
+                self.path("staging", "stock")
+            )
+        inventory.write.mode("append").partitionBy("snapshot_date").parquet(
+            self.path(RAW_STOCK)
+        )
+
+    def read_orders(self, spark: SparkSession) -> DataFrame:
+        return spark.read.parquet(self.path(RAW_ORDERS))
+
+    def read_inventory(self, spark: SparkSession) -> DataFrame:
+        return spark.read.parquet(self.path(RAW_STOCK))
+
+    def write_derived(self, df: DataFrame, table: str, partition_col: str) -> None:
+        """Materialize a derived table (INSERT INTO … SELECT parity, S5)."""
+        df.write.mode("append").partitionBy(partition_col).parquet(
+            self.path(PROCESSED, table)
+        )
+
+    def read_derived(self, spark: SparkSession, table: str) -> DataFrame:
+        return spark.read.parquet(self.path(PROCESSED, table))
+
+
+def register_tables(spark: SparkSession, wh: Warehouse, db: str = "procurement") -> None:
+    """CREATE SCHEMA/TABLE + partition-metadata sync (S13-S14).
+
+    External parquet tables over the warehouse paths; recoverPartitions is
+    the Spark-native ``CALL hive.system.sync_partition_metadata`` /
+    ``MSCK REPAIR TABLE`` (trino_init_tables_dag.py:33-96,
+    utils/trino_client.py:130-151)."""
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS {db}")
+    for table, path, part_col, schema in (
+        (
+            "orders",
+            wh.path(RAW_ORDERS),
+            "order_date",
+            "order_id BIGINT, product_id INT, quantity INT, status STRING",
+        ),
+        (
+            "inventory",
+            wh.path(RAW_STOCK),
+            "snapshot_date",
+            "product_id INT, available_qty INT, reserved_qty INT,"
+            " safety_stock INT, warehouse_id INT",
+        ),
+    ):
+        spark.sql(f"DROP TABLE IF EXISTS {db}.{table}")
+        spark.sql(
+            f"CREATE TABLE {db}.{table} ({schema}, {part_col} DATE)"
+            f" USING PARQUET PARTITIONED BY ({part_col})"
+            f" LOCATION '{path}'"
+        )
+        spark.sql(f"MSCK REPAIR TABLE {db}.{table}")
+
+
+def sync_partitions(spark: SparkSession, db: str, tables: tuple[str, ...]) -> None:
+    for t in tables:
+        spark.catalog.recoverPartitions(f"{db}.{t}")
+
+
+def list_tables(spark: SparkSession, db: str = "procurement") -> list[str]:
+    return [t.name for t in spark.catalog.listTables(db)]

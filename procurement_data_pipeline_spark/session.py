@@ -21,8 +21,22 @@ def cpu_count() -> int:
     return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
 
 
+def _export_package_path() -> None:
+    """Make this package importable by local-mode Python workers regardless
+    of the driver's cwd (UDF closures may reference package modules, which
+    cloudpickle serializes by reference). Cluster deployments ship a wheel
+    via --py-files instead."""
+    pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    existing = os.environ.get("PYTHONPATH", "")
+    if pkg_root not in existing.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            f"{pkg_root}{os.pathsep}{existing}" if existing else pkg_root
+        )
+
+
 def get_session(app_name: str = "procurement-data-pipeline-spark") -> SparkSession:
     """Build (or reuse) a local SparkSession with scale-ready defaults."""
+    _export_package_path()
     cpus = cpu_count()
     builder = (
         SparkSession.builder.appName(app_name)

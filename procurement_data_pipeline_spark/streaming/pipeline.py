@@ -1,0 +1,115 @@
+"""Structured Streaming analogues of the batch event analytics.
+
+The reference is batch-only (SURVEY.md §2.9); these operators extend the
+engine to streams using the standard Spark constructs: file/parquet sources,
+event-time watermarks, tumbling windows, streaming dedup, and session
+windows. Each transformation is a pure DataFrame→DataFrame function, so the
+SAME code serves ``readStream`` (incremental) and ``read`` (backfill) — the
+classic Lambda-free pattern.
+
+Tests run them with ``trigger(availableNow=True)`` against a parquet
+directory and assert equality with the batch path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from procurement_data_pipeline_spark.session import configure_runtime
+
+EVENTS_STREAM_SCHEMA = (
+    "event_id long, ts timestamp, user_id long, event_type string,"
+    " value double, props string"
+)
+
+
+def read_event_stream(
+    spark: SparkSession,
+    path: str,
+    fmt: str = "parquet",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """File-source stream over an events directory (exactly-once per file)."""
+    configure_runtime(spark)
+    reader = spark.readStream.format(fmt).schema(EVENTS_STREAM_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.load(path)
+
+
+def hourly_rollup(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Tumbling 1-hour event-time window counts per type.
+
+    With a watermark the state store evicts windows older than the horizon —
+    bounded state at any scale; late rows beyond it are dropped (the
+    documented trade)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.floor(F.col("value") * 1000000).cast("long")).alias(
+                "value_micros"
+            ),
+        )
+        .select(
+            F.col("win.start").alias("hour_start"),
+            "event_type",
+            "n_events",
+            (F.col("value_micros").cast("double") / F.lit(1000000.0)).alias(
+                "total_value"
+            ),
+        )
+    )
+
+
+def dedup_events(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Streaming exactly-once-per-event_id dedup with bounded state
+    (dropDuplicatesWithinWatermark evicts ids older than the horizon)."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+
+
+def session_counts(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
+) -> DataFrame:
+    """Event-time session windows per user (built-in session_window — the
+    stateful operator the batch sessionization query mirrors)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("win"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("win.start").alias("session_start"),
+            F.col("win.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+def run_to_completion(
+    stream_df: DataFrame,
+    checkpoint_dir: str,
+    query_name: str = "stream",
+    output_mode: str = "append",
+    timeout_sec: int = 120,
+) -> list:
+    """Drain a stream with availableNow into an in-memory sink and return
+    the rows (test/backfill helper; production would writeStream to parquet
+    or a table with the same checkpointing)."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_sec)
+    spark = stream_df.sparkSession
+    rows = spark.table(query_name).collect()
+    q.stop()
+    return rows

@@ -1,0 +1,125 @@
+"""End-to-end daily-pipeline test (reference golden-path replica) + runner
+semantics + generator determinism + catalog registration."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from procurement_data_pipeline_spark.catalog import Warehouse, list_tables, register_tables
+from procurement_data_pipeline_spark.generate import (
+    generate_inventory,
+    generate_orders,
+    master_data,
+)
+from procurement_data_pipeline_spark.plans.procurement import run_daily
+from procurement_data_pipeline_spark.plans.runner import Pipeline, Task
+
+EXEC_DATE = "2026-01-14"
+
+
+def test_generators_deterministic_and_in_range(spark):
+    a = generate_orders(spark, EXEC_DATE, n=200).collect()
+    b = generate_orders(spark, EXEC_DATE, n=200).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    assert len({r.order_id for r in a}) == 200
+    assert all(1 <= r.product_id <= 5 and 1 <= r.quantity <= 100 for r in a)
+    inv = generate_inventory(spark, EXEC_DATE).collect()
+    assert len(inv) == 5
+    assert all(50 <= r.available_qty <= 500 and r.reserved_qty <= 50 for r in inv)
+
+
+def test_daily_pipeline_end_to_end(spark, tmp_path):
+    wh, results = run_daily(spark, str(tmp_path / "wh"), EXEC_DATE)
+    assert {r.status for r in results.values()} == {"success"}, results
+
+    # derived tables materialized and partitioned
+    agg = wh.read_derived(spark, "aggregated_orders")
+    assert agg.filter(F.col("order_date") == EXEC_DATE).count() == 5
+    nd = wh.read_derived(spark, "net_demand")
+    assert nd.count() > 0
+    assert nd.filter(F.col("net_demand") <= 0).count() == 0
+
+    # supplier JSONs: MRP-consistent totals, one file per supplier with demand
+    out_dir = wh.path("output/supplier_orders", "2026-01-16")
+    files = sorted(os.listdir(out_dir))
+    assert files and all(f.startswith("supplier_") for f in files)
+    doc = json.load(open(os.path.join(out_dir, files[0])))
+    assert doc["order_date"] == "2026-01-16"
+    assert doc["data_date"] == EXEC_DATE
+    assert doc["total_estimated_cost"] == round(
+        sum(i["total_cost"] for i in doc["items"]), 2
+    )
+    for item in doc["items"]:
+        assert item["quantity"] > 0
+        assert item["total_cost"] == round(item["quantity"] * item["unit_cost"], 2)
+
+    # quality log exists with the reference envelope
+    exc = json.load(open(wh.path("logs/exceptions", f"exceptions_{EXEC_DATE}.json")))
+    assert exc["date"] == EXEC_DATE
+    assert exc["exception_count"] == len(exc["exceptions"]) == 0  # clean seed data
+
+    # archive copied
+    assert os.path.isdir(wh.path("processed/supplier_orders", "2026-01-16"))
+
+
+def test_pipeline_net_demand_matches_direct_mrp(spark, tmp_path):
+    """Cross-check: warehouse round-trip equals computing the MRP directly."""
+    from procurement_data_pipeline_spark.operators.net_demand import net_demand
+
+    wh, _ = run_daily(spark, str(tmp_path / "wh2"), EXEC_DATE)
+    products, suppliers, ps = master_data(spark)
+    direct = net_demand(
+        generate_orders(spark, EXEC_DATE),
+        generate_inventory(spark, EXEC_DATE),
+        products,
+        suppliers,
+        ps.select("product_id", "supplier_id", "unit_cost", "priority"),
+        EXEC_DATE,
+        "2026-01-15",
+        "2026-01-15",
+    )
+    via_wh = wh.read_derived(spark, "net_demand")
+    key = lambda df: sorted(  # noqa: E731
+        (r.product_id, r.supplier_id, r.net_demand, str(r.estimated_cost))
+        for r in df.collect()
+    )
+    assert key(direct) == key(via_wh)
+
+
+def test_runner_fanout_failure_skips_dependents_only(spark):
+    pipe = Pipeline("t")
+    log = []
+    pipe.add(Task("a", lambda ctx: log.append("a") or 1))
+    pipe.add(Task("bad", lambda ctx: 1 / 0, deps=("a",), retries=1))
+    pipe.add(Task("c", lambda ctx: log.append("c") or ctx["a"] + 1, deps=("a",)))
+    pipe.add(Task("d", lambda ctx: log.append("d"), deps=("bad",)))
+    res = pipe.run()
+    assert res["a"].status == "success"
+    assert res["bad"].status == "failed" and res["bad"].attempts == 2
+    assert res["c"].status == "success"  # independent branch continues
+    assert res["d"].status == "skipped"
+    assert "d" not in log
+
+
+def test_catalog_registration_and_partition_discovery(spark, tmp_path):
+    wh = Warehouse(str(tmp_path / "whc"))
+    wh.init_layout()
+    wh.write_orders(generate_orders(spark, EXEC_DATE, n=50))
+    wh.write_orders(generate_orders(spark, "2026-01-15", n=50))
+    wh.write_inventory(generate_inventory(spark, EXEC_DATE))
+    register_tables(spark, wh)
+    assert set(list_tables(spark)) >= {"orders", "inventory"}
+    got = spark.table("procurement.orders")
+    assert got.select("order_date").distinct().count() == 2
+    # partition-pruned read
+    plan = (
+        got.filter(F.col("order_date") == EXEC_DATE)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PartitionFilters: [isnotnull(order_date" in plan

@@ -1,0 +1,120 @@
+"""Structured Streaming + multimodal plumbing tests."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from procurement_data_pipeline_spark.llm_ops.multimodal import (
+    documents_as_media,
+    extract_image_features,
+    sample_frames,
+)
+from procurement_data_pipeline_spark.sources.tables import load_table
+from procurement_data_pipeline_spark.streaming.pipeline import (
+    dedup_events,
+    hourly_rollup,
+    read_event_stream,
+    run_to_completion,
+    session_counts,
+)
+
+
+@pytest.fixture(scope="module")
+def events_dir(spark, sf_dir, tmp_path_factory):
+    """Materialize the events table as a multi-file parquet directory with a
+    normal (microsecond) timestamp column, as a stream source."""
+    out = str(tmp_path_factory.mktemp("events_src"))
+    load_table(spark, sf_dir, "events").repartition(4).write.mode(
+        "overwrite"
+    ).parquet(out)
+    return out
+
+
+def test_stream_hourly_rollup_matches_batch(spark, events_dir, tmp_path):
+    stream = read_event_stream(spark, events_dir, max_files_per_trigger=2)
+    got = run_to_completion(
+        hourly_rollup(stream),
+        str(tmp_path / "ckpt1"),
+        query_name="rollup_stream",
+    )
+    # append mode only emits windows the terminal watermark has closed:
+    # window.end <= max(ts) - 2h. Compare against the batch result limited
+    # the same way (the held-back tail is correct streaming semantics).
+    ev = spark.read.parquet(events_dir)
+    max_ts = ev.agg(F.max("ts")).collect()[0][0]
+    batch = (
+        ev.groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .filter(
+            F.col("win.end") <= F.lit(max_ts) - F.expr("INTERVAL 2 HOURS")
+        )
+        .select(F.col("win.start").alias("hour_start"), "event_type", "n_events")
+    ).collect()
+    got_key = {(r.hour_start, r.event_type): r.n_events for r in got}
+    batch_key = {(r.hour_start, r.event_type): r.n_events for r in batch}
+    assert got_key == batch_key
+
+
+def test_stream_dedup_bounded(spark, events_dir, tmp_path):
+    stream = read_event_stream(spark, events_dir)
+    got = run_to_completion(
+        dedup_events(stream), str(tmp_path / "ckpt2"), query_name="dedup_stream"
+    )
+    n_distinct = spark.read.parquet(events_dir).select("event_id").distinct().count()
+    assert len(got) == n_distinct
+
+
+def test_stream_session_counts_runs(spark, events_dir, tmp_path):
+    stream = read_event_stream(spark, events_dir)
+    got = run_to_completion(
+        session_counts(stream), str(tmp_path / "ckpt3"), query_name="session_stream"
+    )
+    assert len(got) > 0
+    assert all(r.n_events >= 1 for r in got)
+    assert all(r.session_end >= r.session_start for r in got)
+
+
+def test_documents_as_media_schema(spark, sf_dir):
+    media = documents_as_media(load_table(spark, sf_dir, "documents"))
+    assert [f.name for f in media.schema.fields] == ["media_id", "payload", "meta"]
+    row = media.limit(1).collect()[0]
+    assert isinstance(row.payload, (bytes, bytearray))
+    assert row.meta.n_bytes == len(row.payload)
+    assert len(row.meta.checksum) == 32
+    assert row.meta.mime == "text/plain"
+
+
+def test_extract_image_features_requires_explicit_fake(spark, sf_dir):
+    media = documents_as_media(load_table(spark, sf_dir, "documents"))
+    with pytest.raises(NotImplementedError):
+        extract_image_features(media)
+
+
+def test_extract_image_features_fake_deterministic(spark, sf_dir):
+    media = documents_as_media(load_table(spark, sf_dir, "documents")).limit(50)
+    a = {r.media_id: r for r in extract_image_features(media, fake=True).collect()}
+    b = {r.media_id: r for r in extract_image_features(media, fake=True).collect()}
+    assert len(a) == 50
+    for mid in a:
+        assert (a[mid].width, a[mid].height, a[mid].n_channels) == (
+            b[mid].width,
+            b[mid].height,
+            b[mid].n_channels,
+        )
+        assert 64 <= a[mid].width < 256
+        assert 0.0 <= a[mid].mean_luma <= 1.0
+
+
+def test_sample_frames_slices_payload(spark, sf_dir):
+    media = documents_as_media(load_table(spark, sf_dir, "documents")).limit(5)
+    frames = sample_frames(media, every_n_bytes=100, max_frames=3).collect()
+    by_media = {}
+    for r in frames:
+        by_media.setdefault(r.media_id, []).append(r)
+    for mid, rows in by_media.items():
+        assert len(rows) <= 3
+        assert [r.frame_idx for r in sorted(rows, key=lambda x: x.frame_idx)] == list(
+            range(len(rows))
+        )
+        assert all(len(r.frame_bytes) <= 100 for r in rows)
