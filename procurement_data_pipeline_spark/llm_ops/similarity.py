@@ -246,3 +246,185 @@ def lsh_ann(
         .filter(F.col("rank") <= k)
         .select("query_id", id_col, "score", F.col("rank").cast("int").alias("rank"))
     )
+
+
+def cosine_neardup_pairs(
+    embeddings: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact embedding-cosine near-duplicate pairs (id_a < id_b, cos ≥ θ).
+
+    All-pairs baseline: norms are computed once per vector, then the
+    self-join scores each candidate pair with the exact quantized dot
+    product. O(n²) by construction — correct at any scale but only *sized*
+    for corpora that fit a nested-loop join; the 100TB path is
+    :func:`cosine_neardup_lsh`, which blocks candidates by hyperplane
+    signature first and exact-verifies only collisions.
+    """
+    base = embeddings.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).alias("_v"),
+        F.sqrt(
+            quantized_norm_sq(F.col(vec_col)).cast("double")
+        ).alias("_nrm"),
+    )
+    a = base.select(
+        F.col("_id").alias("vec_a"), F.col("_v").alias("_va"), F.col("_nrm").alias("_na")
+    )
+    b = base.select(
+        F.col("_id").alias("vec_b"), F.col("_v").alias("_vb"), F.col("_nrm").alias("_nb")
+    )
+    score = quantized_dot(F.col("_va"), F.col("_vb")).cast("double") / (
+        F.col("_na") * F.col("_nb")
+    )
+    return (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .withColumn("cosine", score)
+        .filter(F.col("cosine") >= F.lit(threshold))
+        .select("vec_a", "vec_b", "cosine")
+    )
+
+
+def cosine_neardup_lsh(
+    embeddings: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    nbits: int = 6,
+    tables: int = 32,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate near-dup pairs: hyperplane-LSH self-join blocking.
+
+    Candidate pairs = signature collisions in any of L tables (per-pair
+    recall 1-(1-p^nbits)^L, p = 1-θ_angle/π); each candidate is
+    exact-verified with full-precision cosine, so there are no false
+    positives — only (bounded-probability) misses. The self-join shuffles
+    on (table, signature): bucket sizes, not corpus², bound the work.
+    """
+    per_table = [_hyperplanes(dim, nbits, seed + 1000 * t) for t in range(tables)]
+    sig_udf = _signatures_pandas_udf(per_table)
+    sigs = embeddings.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).alias("_v"),
+        F.posexplode(sig_udf(F.col(vec_col))).alias("_table", "_sig"),
+    )
+    left = sigs.select(
+        "_table", "_sig", F.col("_id").alias("vec_a"), F.col("_v").alias("_va")
+    )
+    right = sigs.select(
+        "_table", "_sig", F.col("_id").alias("vec_b"), F.col("_v").alias("_vb")
+    )
+    cand = (
+        left.join(right, ["_table", "_sig"])
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "_va", "vec_b", "_vb")
+        .distinct()
+    )
+    return (
+        cand.withColumn("cosine", cosine(F.col("_va"), F.col("_vb")))
+        .filter(F.col("cosine") >= F.lit(threshold))
+        .select("vec_a", "vec_b", "cosine")
+    )
+
+
+def _lloyd_centroids(
+    sample: np.ndarray, nlist: int, iters: int = 10, seed: int = 42
+) -> np.ndarray:
+    """K-means on a driver-side sample (numpy Lloyd iterations, seeded
+    k-means++ init). The sample is O(nlist)·bounded — driver work stays
+    constant as the corpus grows. Returns L2-normalized (nlist × dim)."""
+    rng = np.random.default_rng(seed)
+    x = sample / np.maximum(np.linalg.norm(sample, axis=1, keepdims=True), 1e-12)
+    # k-means++ seeding
+    centroids = [x[rng.integers(len(x))]]
+    for _ in range(nlist - 1):
+        d2 = np.min(
+            [1.0 - x @ c for c in centroids], axis=0
+        )  # cosine distance to nearest seed
+        d2 = np.maximum(d2, 0)
+        probs = d2 / d2.sum() if d2.sum() > 0 else None
+        centroids.append(x[rng.choice(len(x), p=probs)])
+    cents = np.array(centroids)
+    for _ in range(iters):
+        assign = np.argmax(x @ cents.T, axis=1)
+        for j in range(nlist):
+            members = x[assign == j]
+            if len(members):
+                cents[j] = members.mean(axis=0)
+        cents /= np.maximum(np.linalg.norm(cents, axis=1, keepdims=True), 1e-12)
+    return cents
+
+
+def _cell_udfs(cents: np.ndarray, nprobe: int):
+    """Pandas UDFs closing over the (broadcast-small) centroid matrix:
+    top-1 cell for corpus rows, top-nprobe probe list for queries."""
+    from pyspark.sql.functions import pandas_udf
+
+    mat = cents.T.astype(np.float64)  # dim × nlist
+
+    @pandas_udf("int")
+    def cell(emb: pd.Series) -> pd.Series:
+        x = np.vstack(emb.to_numpy()).astype(np.float64)
+        x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+        return pd.Series(np.argmax(x @ mat, axis=1).astype(np.int32))
+
+    @pandas_udf("array<int>")
+    def probes(emb: pd.Series) -> pd.Series:
+        x = np.vstack(emb.to_numpy()).astype(np.float64)
+        x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+        scores = x @ mat
+        top = np.argsort(-scores, axis=1)[:, :nprobe].astype(np.int32)
+        return pd.Series(list(top))
+
+    return cell, probes
+
+
+def ivf_ann(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    nlist: int = 32,
+    nprobe: int = 8,
+    sample_size: int = 2048,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k — the coarse-quantizer scale
+    path complementing :func:`lsh_ann`.
+
+    Train: Lloyd k-means on a bounded driver-side sample → nlist centroids.
+    Index: each corpus vector lands in its nearest-centroid cell (one Arrow
+    matmul per batch; the cell column is the natural partition/bucket key
+    for a persisted index). Search: each query probes its nprobe nearest
+    cells; exact cosine rerank within ~nprobe/nlist of the corpus.
+    """
+    sample_rows = (
+        corpus.select(vec_col).sort(id_col).limit(sample_size).collect()
+    )
+    sample = np.array([r[0] for r in sample_rows], dtype=np.float64)
+    cents = _lloyd_centroids(sample, nlist, seed=seed)
+    cell_udf, probes_udf = _cell_udfs(cents, nprobe)
+
+    indexed = corpus.select(id_col, vec_col, cell_udf(F.col(vec_col)).alias("_cell"))
+    probed = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("_qvec"),
+        F.explode(probes_udf(F.col(vec_col))).alias("_cell"),
+    )
+    cand = indexed.join(F.broadcast(probed), "_cell").filter(
+        F.col(id_col) != F.col("query_id")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col(id_col).asc()
+    )
+    return (
+        cand.withColumn("score", cosine(F.col(vec_col), F.col("_qvec")))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", id_col, "score", F.col("rank").cast("int").alias("rank"))
+    )

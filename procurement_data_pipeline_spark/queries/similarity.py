@@ -90,3 +90,67 @@ def q_emb_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < N_QUERY_VECS)
     return lsh_ann(emb, queries, k=TOP_K)
+
+
+NEARDUP_THRESHOLD = 0.35
+
+
+@register(
+    "emb_cosine_neardup",
+    oracle=f"""
+WITH n AS (
+  SELECT vec_id, embedding,
+         sqrt(CAST({_QDOT.format(a='embedding', b='embedding')} AS DOUBLE)) AS nrm
+  FROM embeddings
+)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       CAST({_QDOT.format(a='a.embedding', b='b.embedding')} AS DOUBLE)
+       / (a.nrm * b.nrm) AS cosine
+FROM n a JOIN n b ON a.vec_id < b.vec_id
+WHERE CAST({_QDOT.format(a='a.embedding', b='b.embedding')} AS DOUBLE)
+      / (a.nrm * b.nrm) >= {NEARDUP_THRESHOLD}
+""",
+    tags=("similarity", "llm", "dedup"),
+)
+def q_emb_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact embedding-cosine near-duplicate pairs (all-pairs baseline;
+    the LSH-blocked variant below is the at-scale form)."""
+    from procurement_data_pipeline_spark.llm_ops.similarity import (
+        cosine_neardup_pairs,
+    )
+
+    return cosine_neardup_pairs(
+        load_table(spark, sf_dir, "embeddings"), threshold=NEARDUP_THRESHOLD
+    )
+
+
+@register(
+    "emb_cosine_neardup_lsh",
+    oracle=None,  # approximate (bounded-miss) — recall vs exact asserted in tests
+    tags=("similarity", "llm", "dedup", "ann"),
+)
+def q_emb_cosine_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-blocked cosine near-dup pairs: signature-bucket self-join for
+    candidates, exact cosine verification — the O(n·bucket) scale path."""
+    from procurement_data_pipeline_spark.llm_ops.similarity import (
+        cosine_neardup_lsh,
+    )
+
+    return cosine_neardup_lsh(
+        load_table(spark, sf_dir, "embeddings"), threshold=NEARDUP_THRESHOLD
+    )
+
+
+@register(
+    "emb_ivf_ann",
+    oracle=None,  # approximate — recall vs brute force asserted in tests
+    tags=("similarity", "llm", "ann"),
+)
+def q_emb_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF coarse-quantizer approximate top-k (sampled k-means centroids,
+    cell-bucketed candidate join, exact rerank)."""
+    from procurement_data_pipeline_spark.llm_ops.similarity import ivf_ann
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERY_VECS)
+    return ivf_ann(emb, queries, k=TOP_K)

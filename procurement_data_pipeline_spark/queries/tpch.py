@@ -241,3 +241,337 @@ def q_scalar_subquery_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
             dollars(F.sum(cents("o_totalprice"))).alias("total_price"),
         )
     )
+
+
+@register(
+    "tpch_q6_revenue_forecast",
+    oracle="""
+SELECT CAST(SUM(CAST(FLOOR(l_extendedprice * 100) AS BIGINT)
+               * CAST(FLOOR(l_discount * 10000) AS BIGINT)) AS DOUBLE)
+       / 10000.0 / 100.0 AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+""",
+    tags=("analytics", "P5", "A5"),
+    bench=True,
+)
+def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue-change forecast — pure scan+filter+global-sum. The whole
+    predicate reaches the Parquet reader (PushedFilters); no shuffle beyond
+    the single-row final aggregate. The canary query for pushdown health."""
+    li = load_table(spark, sf_dir, "lineitem")
+    filtered = li.filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    rev = F.sum(cents("l_extendedprice") * basis_points("l_discount"))
+    return filtered.agg(
+        (rev.cast("double") / F.lit(10000.0) / F.lit(100.0)).alias("revenue")
+    )
+
+
+@register(
+    "tpch_q4_order_priority",
+    oracle="""
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders o
+WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+  AND EXISTS (
+    SELECT 1 FROM lineitem l
+    WHERE l.l_orderkey = o.o_orderkey
+      AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+  )
+GROUP BY o_orderpriority
+""",
+    tags=("analytics", "J5", "A1"),
+)
+def q_tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-priority check (TPC-H Q4 shape, late-shipment predicate since
+    the dataset has no commit/receipt dates): EXISTS → left-semi join with a
+    non-equi residual condition on top of the orderkey equi-join."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    window = orders.filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    late = window.join(
+        li,
+        (F.col("o_orderkey") == F.col("l_orderkey"))
+        & (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAY")),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("order_count")
+    )
+
+
+@register(
+    "tpch_q10_returned_items",
+    oracle=f"""
+SELECT c.c_custkey, c.c_name,
+       CAST(SUM({_REVENUE_SQL}) AS DOUBLE) / 100.0 AS revenue,
+       c.c_acctbal, n.n_name
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o.o_orderdate < TIMESTAMP '1996-07-01 00:00:00'
+  AND l.l_returnflag = 'R'
+GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
+ORDER BY revenue DESC, c.c_custkey ASC
+LIMIT 20
+""",
+    tags=("analytics", "J4", "O2"),
+    bench=True,
+)
+def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Returned-item revenue top-20 — fact⋈fact shuffle join plus two
+    broadcast dims; TakeOrderedAndProject caps the result driver-side."""
+    customer, orders, li, nation = (
+        load_table(spark, sf_dir, t)
+        for t in ("customer", "orders", "lineitem", "nation")
+    )
+    return (
+        li.filter(F.col("l_returnflag") == "R")
+        .join(
+            orders.filter(
+                (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+                & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp"))
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(dollars(F.sum(_disc_price_cents())).alias("revenue"))
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(20)
+    )
+
+
+@register(
+    "tpch_q12_priority_lines",
+    oracle="""
+SELECT l.l_returnflag,
+       SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS high_line_count,
+       SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS low_line_count
+FROM orders o
+JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+WHERE l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l.l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY l.l_returnflag
+""",
+    tags=("analytics", "J4", "A1"),
+)
+def q_tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Priority line counts (TPC-H Q12 shape keyed on returnflag — the
+    dataset has no shipmode): join + conditional-sum pivot aggregation."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+        )
+    )
+
+
+@register(
+    "tpch_q14_promo_revenue",
+    oracle=f"""
+SELECT 100.0 * CAST(SUM(CASE WHEN p.p_type LIKE 'PROMO%'
+                             THEN {_REVENUE_SQL} ELSE 0 END) AS DOUBLE)
+       / CAST(SUM({_REVENUE_SQL}) AS DOUBLE) AS promo_revenue_pct
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+WHERE l.l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
+  AND l.l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+""",
+    tags=("analytics", "J4", "A5"),
+)
+def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Promotion revenue share — broadcast part dim, conditional global sum,
+    one IEEE division at the very end (integer cents underneath)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    joined = li.filter(
+        (F.col("l_shipdate") >= F.lit("1996-03-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    ).join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+    promo = F.when(
+        F.col("p_type").like("PROMO%"), _disc_price_cents()
+    ).otherwise(F.lit(0).cast("long"))
+    return joined.agg(
+        (
+            F.lit(100.0)
+            * F.sum(promo).cast("double")
+            / F.sum(_disc_price_cents()).cast("double")
+        ).alias("promo_revenue_pct")
+    )
+
+
+@register(
+    "tpch_q17_small_quantity",
+    oracle="""
+WITH avg_qty AS (
+  SELECT l_partkey AS ap_partkey,
+         0.5 * (CAST(SUM(CAST(l_quantity AS BIGINT)) AS DOUBLE) / COUNT(*)) AS half_avg
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT CAST(SUM(CAST(FLOOR(l.l_extendedprice * 100) AS BIGINT)) AS DOUBLE)
+       / 100.0 / 7.0 AS avg_weekly_revenue
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+JOIN avg_qty a ON l.l_partkey = a.ap_partkey
+WHERE p.p_brand = 'Brand#1' AND p.p_size < 15
+  AND l.l_quantity < a.half_avg
+""",
+    tags=("analytics", "A6", "J4"),
+)
+def q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-quantity-order revenue (TPC-H Q17 shape): per-part average via
+    self-aggregation joined back to the fact — the correlated-subquery
+    pattern decorrelated into an aggregate+join, Spark's preferred plan.
+    Quantities are integral doubles, so SUM/COUNT is order-exact."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    avg_qty = li.groupBy(F.col("l_partkey").alias("ap_partkey")).agg(
+        (
+            F.lit(0.5)
+            * (
+                F.sum(F.col("l_quantity").cast("long")).cast("double")
+                / F.count(F.lit(1))
+            )
+        ).alias("half_avg")
+    )
+    return (
+        li.join(
+            F.broadcast(
+                part.filter((F.col("p_brand") == "Brand#1") & (F.col("p_size") < 15))
+            ),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .join(avg_qty, F.col("l_partkey") == F.col("ap_partkey"))
+        .filter(F.col("l_quantity") < F.col("half_avg"))
+        .agg(
+            (
+                F.sum(cents("l_extendedprice")).cast("double")
+                / F.lit(100.0)
+                / F.lit(7.0)
+            ).alias("avg_weekly_revenue")
+        )
+    )
+
+
+@register(
+    "tpch_q18_large_volume",
+    oracle="""
+WITH big AS (
+  SELECT l_orderkey AS b_orderkey
+  FROM lineitem GROUP BY l_orderkey
+  HAVING SUM(CAST(l_quantity AS BIGINT)) > 300
+)
+SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+       CAST(FLOOR(o.o_totalprice * 100) AS BIGINT) AS total_price_cents,
+       CAST(SUM(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+JOIN big ON o.o_orderkey = big.b_orderkey
+GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice
+ORDER BY total_price_cents DESC, o.o_orderkey ASC
+LIMIT 100
+""",
+    tags=("analytics", "A1", "P5", "O3"),
+    bench=True,
+)
+def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Large-volume customers — HAVING on a grouped fact feeding a semi-join
+    back into the same fact. The `big` aggregate reuses the lineitem shuffle
+    partitioning for the subsequent orderkey join (no extra exchange)."""
+    customer, orders, li = (
+        load_table(spark, sf_dir, t) for t in ("customer", "orders", "lineitem")
+    )
+    big = (
+        li.groupBy(F.col("l_orderkey").alias("b_orderkey"))
+        .agg(F.sum(F.col("l_quantity").cast("long")).alias("_sq"))
+        .filter(F.col("_sq") > 300)
+        .select("b_orderkey")
+    )
+    return (
+        li.join(F.broadcast(big), F.col("l_orderkey") == F.col("b_orderkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"))
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            cents("o_totalprice").alias("total_price_cents"),
+            "sum_qty",
+        )
+        .orderBy(F.col("total_price_cents").desc(), F.col("o_orderkey").asc())
+        .limit(100)
+    )
+
+
+@register(
+    "tpch_q19_disjunctive_revenue",
+    oracle=f"""
+SELECT CAST(SUM({_REVENUE_SQL}) AS DOUBLE) / 100.0 AS revenue
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 5
+       AND l.l_quantity BETWEEN 1 AND 11)
+   OR (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 10
+       AND l.l_quantity BETWEEN 10 AND 20)
+   OR (p.p_brand = 'Brand#24' AND p.p_size BETWEEN 1 AND 15
+       AND l.l_quantity BETWEEN 20 AND 30)
+""",
+    tags=("analytics", "J4", "P5"),
+)
+def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discounted revenue under a 3-arm disjunctive predicate (TPC-H Q19
+    shape). Catalyst extracts the common join key and pushes the per-side
+    conjuncts (brand/size to part, quantity bounds to lineitem) below the
+    broadcast join."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    q = F.col("l_quantity")
+    arm = lambda brand, size_hi, q_lo, q_hi: (  # noqa: E731
+        (F.col("p_brand") == brand)
+        & (F.col("p_size") >= 1)
+        & (F.col("p_size") <= size_hi)
+        & (q >= q_lo)
+        & (q <= q_hi)
+    )
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .filter(
+            arm("Brand#1", 5, 1, 11)
+            | arm("Brand#12", 10, 10, 20)
+            | arm("Brand#24", 15, 20, 30)
+        )
+        .agg(dollars(F.sum(_disc_price_cents())).alias("revenue"))
+    )

@@ -152,3 +152,43 @@ def test_text_functions(spark):
     # fingerprint is normalization-invariant
     fp2 = df.select(fingerprint(F.lit("  the CAT and the dog!  sat. ")).alias("fp")).collect()
     assert fp2[0].fp == row[0].fp
+
+
+def test_cosine_neardup_lsh_recall_vs_exact(spark, sf_dir):
+    from procurement_data_pipeline_spark.llm_ops.similarity import (
+        cosine_neardup_lsh,
+        cosine_neardup_pairs,
+    )
+    from procurement_data_pipeline_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact = {
+        (r.vec_a, r.vec_b) for r in cosine_neardup_pairs(emb, 0.3).collect()
+    }
+    approx = {
+        (r.vec_a, r.vec_b) for r in cosine_neardup_lsh(emb, 0.3).collect()
+    }
+    assert exact, "fixture should contain near-dup pairs at θ=0.3"
+    assert approx <= exact, "LSH variant must not emit false positives"
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, f"LSH near-dup recall collapsed: {recall}"
+
+
+def test_ivf_ann_recall_vs_bruteforce(spark, sf_dir):
+    from procurement_data_pipeline_spark.llm_ops.similarity import (
+        ivf_ann,
+        knn_bruteforce,
+    )
+    from procurement_data_pipeline_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    exact = {
+        (r.query_id, r.vec_id)
+        for r in knn_bruteforce(emb, queries, k=10, quantized=False).collect()
+    }
+    approx = {
+        (r.query_id, r.vec_id) for r in ivf_ann(emb, queries, k=10).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.4, f"IVF recall collapsed: {recall}"
