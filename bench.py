@@ -33,10 +33,14 @@ def main() -> None:
     bench_specs = {n: s for n, s in sorted(specs.items()) if s.bench}
 
     spark = get_session("bench")
-    # Warm the JVM + parquet footers once so per-query numbers measure the
-    # query, not first-touch session costs.
+    # Warm-up execution of every query (codegen compile, parquet footers,
+    # noop-sink init) so the timed pass measures steady-state plan execution
+    # — the quantity that extrapolates to cluster scale — not constant
+    # first-touch JVM costs.
     for name in bench_specs:
-        bench_specs[name].builder(spark, sf_dir).schema
+        bench_specs[name].builder(spark, sf_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
 
     timings: dict[str, float] = {}
     for name, spec in bench_specs.items():
