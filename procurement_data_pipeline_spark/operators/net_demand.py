@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from procurement_data_pipeline_spark.functions.money import mrp_net_demand
 from procurement_data_pipeline_spark.operators.aggregate import demand_window
 
 
@@ -82,16 +83,13 @@ def net_demand(
     inv = rollup_inventory(inventory)
     ranked = preferred_suppliers(product_suppliers)
 
-    zero = F.lit(0)
-    net = F.greatest(
-        zero,
-        F.coalesce(F.col("total_demand"), zero)
-        + F.coalesce(F.col("safety_stock"), F.col("safety_stock_level"))
-        - (
-            F.coalesce(F.col("available_qty"), zero)
-            - F.coalesce(F.col("reserved_qty"), zero)
-        ),
-    ).cast("int")
+    net = mrp_net_demand(
+        F.col("total_demand"),
+        F.col("safety_stock"),
+        F.col("safety_stock_level"),
+        F.col("available_qty"),
+        F.col("reserved_qty"),
+    )
 
     return (
         products.filter(F.col("is_active"))

@@ -14,13 +14,13 @@ the declared per-supplier boundary).
 
 from __future__ import annotations
 
-import datetime as dt
 import shutil
 from typing import Any
 
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
+from procurement_data_pipeline_spark.functions.dates import shift_date
 from procurement_data_pipeline_spark.catalog import (
     LOGS_EXCEPTIONS,
     OUTPUT_SUPPLIER_ORDERS,
@@ -38,10 +38,6 @@ from procurement_data_pipeline_spark.operators.quality import exceptions_report
 from procurement_data_pipeline_spark.plans.runner import Pipeline
 
 
-def _shift(date: str, days: int) -> str:
-    return (dt.date.fromisoformat(date) + dt.timedelta(days=days)).isoformat()
-
-
 def build_daily_pipeline(
     spark: SparkSession,
     wh: Warehouse,
@@ -51,8 +47,8 @@ def build_daily_pipeline(
     product_suppliers,
 ) -> Pipeline:
     pipe = Pipeline(f"procurement_{exec_date}")
-    next_day = _shift(exec_date, 1)
-    order_date = _shift(exec_date, 2)
+    next_day = shift_date(exec_date, 1)
+    order_date = shift_date(exec_date, 2)
 
     @pipe.task("sync_partitions")
     def sync_partitions(ctx: dict[str, Any]):

@@ -15,20 +15,13 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from procurement_data_pipeline_spark.functions.money import (
+    basis_points,
+    cents,
+    dollars,
+)
 from procurement_data_pipeline_spark.registry import register
 from procurement_data_pipeline_spark.sources.tables import load_table
-
-
-def cents(col: str | Column) -> Column:
-    """Exact integer cents for a dollars-valued double column."""
-    c = F.col(col) if isinstance(col, str) else col
-    return F.floor(c * 100).cast("long")
-
-
-def basis_points(col: str | Column) -> Column:
-    """Exact integer basis points for a rate-valued double column."""
-    c = F.col(col) if isinstance(col, str) else col
-    return F.floor(c * 10000).cast("long")
 
 
 def _disc_price_cents() -> Column:
@@ -45,10 +38,6 @@ def _charge_cents() -> Column:
         * (F.lit(10000) + basis_points("l_tax"))
     )
     return F.floor(prod / F.lit(100000000.0)).cast("long")
-
-
-def dollars(c: Column) -> Column:
-    return c.cast("double") / F.lit(100.0)
 
 
 _REVENUE_SQL = (

@@ -118,3 +118,45 @@ def test_sample_frames_slices_payload(spark, sf_dir):
             range(len(rows))
         )
         assert all(len(r.frame_bytes) <= 100 for r in rows)
+
+
+def test_stateful_running_user_stats_accumulates_across_batches(
+    spark, events_dir, tmp_path
+):
+    from procurement_data_pipeline_spark.streaming.stateful import (
+        running_user_stats,
+    )
+
+    # maxFilesPerTrigger=1 over a 4-file source → 4 microbatches, so totals
+    # only come out right if GroupState survives between batches.
+    stream = read_event_stream(spark, events_dir, max_files_per_trigger=1)
+    got = run_to_completion(
+        running_user_stats(stream),
+        str(tmp_path / "ckpt4"),
+        query_name="stateful_stream",
+        output_mode="update",
+    )
+    # memory sink in update mode keeps every emitted row; the final emission
+    # per user is the one with the highest running count.
+    final: dict[int, object] = {}
+    for r in got:
+        if (
+            r.user_id not in final
+            or r.n_events_total > final[r.user_id].n_events_total
+        ):
+            final[r.user_id] = r
+
+    ev = spark.read.parquet(events_dir)
+    expected = {
+        r.user_id: r
+        for r in ev.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.floor(F.col("value") * 1000000).cast("long")).alias("vm"),
+        )
+        .collect()
+    }
+    assert set(final) == set(expected)
+    for uid, exp in expected.items():
+        assert final[uid].n_events_total == exp.n
+        assert abs(final[uid].value_total - exp.vm / 1e6) < 1e-9
