@@ -113,3 +113,27 @@ def sync_partitions(spark: SparkSession, db: str, tables: tuple[str, ...]) -> No
 
 def list_tables(spark: SparkSession, db: str = "procurement") -> list[str]:
     return [t.name for t in spark.catalog.listTables(db)]
+
+
+def write_bucketed_table(
+    df: DataFrame,
+    name: str,
+    bucket_col: str,
+    num_buckets: int = 32,
+    sort_col: str | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Materialize a bucketed (hash-clustered) managed table.
+
+    Bucketing pre-shuffles the data at write time: two tables bucketed on
+    the same key with the same bucket count join WITHOUT a runtime exchange
+    (Catalyst proves the co-partitioning), and aggregations on the bucket
+    key skip their shuffle too. The at-scale pattern for fact⋈fact joins
+    that recur every run — pay the shuffle once at ingest, never at query.
+    sortBy additionally pre-orders within buckets, enabling sort-merge
+    without the sort.
+    """
+    writer = df.write.mode(mode).bucketBy(num_buckets, bucket_col)
+    if sort_col is not None:
+        writer = writer.sortBy(sort_col)
+    writer.format("parquet").saveAsTable(name)

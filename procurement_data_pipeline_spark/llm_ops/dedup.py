@@ -248,3 +248,82 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Da
         sum(bits[1:], start=bits[0]).alias("simhash"),
     )
     return out
+
+
+def connected_components(
+    pairs: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Undirected connected components over a pair list → (id, component)
+    with component = MIN node id in the component.
+
+    Iterative min-label propagation: each round every node takes the min of
+    its own label and its neighbors' labels; converges in O(component
+    diameter) rounds. Near-dup clusters are dense (quasi-cliques), so real
+    corpora converge in 2-3 rounds regardless of corpus size — each round is
+    one shuffle join + one groupBy, and ``localCheckpoint`` truncates the
+    lineage so plans stay flat. (For adversarial long-chain graphs the
+    alternating large-star/small-star variant gives O(log n) rounds; not
+    needed for dedup workloads.)
+    """
+    edges = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+    edges = (
+        edges.union(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        msgs = edges.join(
+            labels.withColumnRenamed("id", "src"), "src"
+        ).select(F.col("dst").alias("id"), "label")
+        new_labels = (
+            labels.union(msgs)
+            .groupBy("id")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("id", F.col("label").alias("component"))
+
+
+def dedup_clusters(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+) -> DataFrame:
+    """Assign every document a duplicate-cluster id (= min doc id of its
+    component; singletons cluster to themselves) and flag the canonical
+    representative to keep. The applied form of near-dedup: filter on
+    ``is_canonical`` to materialize the deduplicated corpus."""
+    comp = connected_components(pairs, a_col, b_col).withColumnsRenamed(
+        {"id": id_col, "component": "cluster_id"}
+    )
+    return (
+        df.select(id_col)
+        .join(comp, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("cluster_id"), F.col(id_col)).alias("cluster_id"),
+        )
+        .withColumn("is_canonical", F.col(id_col) == F.col("cluster_id"))
+    )

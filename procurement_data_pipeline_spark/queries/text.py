@@ -218,3 +218,59 @@ def q_docs_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(payload).alias("payload_md5"),
         "source",
     )
+
+
+@register(
+    "docs_dedup_clusters",
+    oracle=f"""
+WITH sh AS (
+  SELECT DISTINCT doc_id AS _id, unnest({_WORDS}) AS w
+  FROM documents
+),
+sizes AS (
+  SELECT _id, COUNT(*) AS _sz FROM sh GROUP BY _id
+),
+inter AS (
+  SELECT a._id AS doc_a, b._id AS doc_b, COUNT(*) AS _inter
+  FROM sh a JOIN sh b ON a.w = b.w AND a._id < b._id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT doc_a, doc_b
+  FROM inter
+  JOIN sizes sa ON doc_a = sa._id
+  JOIN sizes sb ON doc_b = sb._id
+  WHERE CAST(_inter AS DOUBLE) / CAST(sa._sz + sb._sz - _inter AS DOUBLE) >= 0.8
+),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION
+  SELECT doc_b AS src, doc_a AS dst FROM pairs
+),
+reach AS (
+  -- transitive closure by recursion: label of a node = any reachable node
+  SELECT src AS id, src AS label FROM edges
+  UNION
+  SELECT e.dst AS id, r.label
+  FROM edges e JOIN reach r ON e.src = r.id
+),
+comp AS (
+  SELECT id, MIN(label) AS component FROM reach GROUP BY id
+)
+SELECT d.doc_id,
+       COALESCE(c.component, d.doc_id) AS cluster_id,
+       COALESCE(c.component, d.doc_id) = d.doc_id AS is_canonical
+FROM documents d
+LEFT JOIN comp c ON d.doc_id = c.id
+""".replace("WITH sh AS", "WITH RECURSIVE sh AS"),
+    tags=("text", "llm", "dedup"),
+)
+def q_docs_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clustering: exact Jaccard pairs (θ=0.8) → undirected
+    connected components (iterative min-label propagation) → per-doc
+    cluster id + canonical-representative flag."""
+    from procurement_data_pipeline_spark.llm_ops.dedup import dedup_clusters
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, n=1, threshold=0.8)
+    return dedup_clusters(docs, pairs)

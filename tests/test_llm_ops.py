@@ -192,3 +192,34 @@ def test_ivf_ann_recall_vs_bruteforce(spark, sf_dir):
     }
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.4, f"IVF recall collapsed: {recall}"
+
+
+def test_connected_components_chain_and_clique(spark):
+    from procurement_data_pipeline_spark.llm_ops.dedup import (
+        connected_components,
+    )
+
+    # chain 1-2-3-4 (diameter 3, forces >1 propagation round),
+    # triangle 10-11-12, isolated pair 20-21
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12), (20, 21)],
+        "doc_a long, doc_b long",
+    )
+    got = {
+        r.id: r.component for r in connected_components(pairs).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
+def test_dedup_clusters_singletons_are_canonical(spark):
+    from procurement_data_pipeline_spark.llm_ops.dedup import dedup_clusters
+
+    docs = spark.createDataFrame([(i,) for i in range(1, 8)], "doc_id long")
+    pairs = spark.createDataFrame([(1, 2), (5, 6)], "doc_a long, doc_b long")
+    rows = {r.doc_id: r for r in dedup_clusters(docs, pairs).collect()}
+    assert rows[2].cluster_id == 1 and not rows[2].is_canonical
+    assert rows[1].is_canonical
+    assert rows[6].cluster_id == 5 and not rows[6].is_canonical
+    # untouched docs are their own canonical cluster
+    for d in (3, 4, 7):
+        assert rows[d].cluster_id == d and rows[d].is_canonical

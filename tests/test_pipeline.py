@@ -123,3 +123,86 @@ def test_catalog_registration_and_partition_discovery(spark, tmp_path):
         .toString()
     )
     assert "PartitionFilters: [isnotnull(order_date" in plan
+
+
+def test_bucketed_join_eliminates_shuffle(spark, sf_dir):
+    from procurement_data_pipeline_spark.catalog import write_bucketed_table
+    from procurement_data_pipeline_spark.sources.tables import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").limit(2000)
+    orders = load_table(spark, sf_dir, "orders").limit(1000)
+    write_bucketed_table(li, "b_lineitem", "l_orderkey", num_buckets=8)
+    write_bucketed_table(orders, "b_orders", "o_orderkey", num_buckets=8)
+    try:
+        # force a non-broadcast join so the exchange question is real
+        with_conf = [
+            ("spark.sql.autoBroadcastJoinThreshold", "-1"),
+            ("spark.sql.adaptive.enabled", "false"),
+        ]
+        old = {k: spark.conf.get(k) for k, _ in with_conf}
+        for k, v in with_conf:
+            spark.conf.set(k, v)
+        try:
+            joined = spark.table("b_lineitem").join(
+                spark.table("b_orders"),
+                F.col("l_orderkey") == F.col("o_orderkey"),
+            )
+            plan = joined._jdf.queryExecution().executedPlan().toString()
+            assert "Exchange" not in plan, f"bucketed join still shuffles:\n{plan}"
+            assert joined.count() > 0
+        finally:
+            for k, v in old.items():
+                spark.conf.set(k, v)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+
+
+def test_salted_join_matches_plain_join(spark, sf_dir):
+    from procurement_data_pipeline_spark.operators.skew import salted_join
+    from procurement_data_pipeline_spark.sources.tables import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority"
+    )
+    plain = (
+        li.join(orders, "l_orderkey")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("l_quantity").alias("q"))
+    )
+    salted = (
+        salted_join(li, orders, "l_orderkey", n_salt=8)
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("l_quantity").alias("q"))
+    )
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+
+def test_salted_left_join_preserves_unmatched(spark):
+    from procurement_data_pipeline_spark.operators.skew import salted_join
+
+    fat = spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], "k int, v string")
+    slim = spark.createDataFrame([(1, "x")], "k int, w string")
+    got = {r.k: r.w for r in salted_join(fat, slim, "k", how="left").collect()}
+    assert got == {1: "x", 2: None, 3: None}
+
+
+def test_two_phase_count_distinct_exact(spark, sf_dir):
+    from procurement_data_pipeline_spark.operators.skew import (
+        two_phase_count_distinct,
+    )
+    from procurement_data_pipeline_spark.sources.tables import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    expected = {
+        (r.l_returnflag,): r.n
+        for r in li.groupBy("l_returnflag")
+        .agg(F.countDistinct("l_orderkey").alias("n"))
+        .collect()
+    }
+    got = {
+        (r.l_returnflag,): r.n_distinct
+        for r in two_phase_count_distinct(li, "l_returnflag", "l_orderkey").collect()
+    }
+    assert got == expected
