@@ -274,3 +274,141 @@ def q_docs_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     pairs = ngram_jaccard_pairs(docs, n=1, threshold=0.8)
     return dedup_clusters(docs, pairs)
+
+
+@register(
+    "docs_profile",
+    oracle="""
+SELECT 'doc_id' AS column, COUNT(*) AS n_rows,
+       SUM(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS n_nulls,
+       COUNT(DISTINCT doc_id) AS n_distinct,
+       CAST(MIN(doc_id) AS VARCHAR) AS min_value,
+       CAST(MAX(doc_id) AS VARCHAR) AS max_value
+FROM documents
+UNION ALL
+SELECT 'lang', COUNT(*),
+       SUM(CASE WHEN lang IS NULL THEN 1 ELSE 0 END),
+       COUNT(DISTINCT lang),
+       CAST(MIN(lang) AS VARCHAR), CAST(MAX(lang) AS VARCHAR)
+FROM documents
+UNION ALL
+SELECT 'source', COUNT(*),
+       SUM(CASE WHEN source IS NULL THEN 1 ELSE 0 END),
+       COUNT(DISTINCT source),
+       CAST(MIN(source) AS VARCHAR), CAST(MAX(source) AS VARCHAR)
+FROM documents
+UNION ALL
+SELECT 'n_chars', COUNT(*),
+       SUM(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END),
+       COUNT(DISTINCT n_chars),
+       CAST(MIN(n_chars) AS VARCHAR), CAST(MAX(n_chars) AS VARCHAR)
+FROM documents
+""",
+    tags=("text", "profiling"),
+)
+def q_docs_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass per-column profile of the documents table (row/null/distinct
+    counts, min/max) — the standard corpus-intake health check."""
+    from procurement_data_pipeline_spark.operators.profile import profile_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    return profile_table(docs, ["doc_id", "lang", "source", "n_chars"])
+
+
+@register(
+    "docs_corpus_curation",
+    oracle=f"""
+WITH RECURSIVE counts AS (
+  SELECT doc_id, lang,
+         len(list_filter({_WORDS}, w -> list_contains([{_EN}], w))) AS en_n,
+         len(list_filter({_WORDS}, w -> list_contains([{_DE}], w))) AS de_n
+  FROM documents
+),
+detected AS (
+  SELECT doc_id,
+         CASE WHEN en_n = 0 AND de_n = 0 THEN 'und'
+              WHEN en_n >= de_n THEN 'en'
+              ELSE 'de' END AS detected_lang
+  FROM counts
+),
+feats AS (
+  SELECT doc_id,
+         CAST(len({_WORDS}) AS DOUBLE) AS wc,
+         CAST(len(list_filter({_WORDS}, w -> list_contains([{_EN}], w))) AS DOUBLE) AS sw,
+         CAST(length(text) AS DOUBLE) AS chars
+  FROM documents
+),
+quality AS (
+  SELECT doc_id,
+         LEAST(1.0, wc / 100.0) * 0.4
+         + LEAST(1.0, (sw / wc) * 4.0) * 0.3
+         + LEAST(1.0, (chars / wc) / 8.0) * 0.3 AS quality_score
+  FROM feats
+),
+sh AS (
+  SELECT DISTINCT doc_id AS _id, unnest({_WORDS}) AS w FROM documents
+),
+sizes AS (
+  SELECT _id, COUNT(*) AS _sz FROM sh GROUP BY _id
+),
+inter AS (
+  SELECT a._id AS doc_a, b._id AS doc_b, COUNT(*) AS _inter
+  FROM sh a JOIN sh b ON a.w = b.w AND a._id < b._id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT doc_a, doc_b FROM inter
+  JOIN sizes sa ON doc_a = sa._id
+  JOIN sizes sb ON doc_b = sb._id
+  WHERE CAST(_inter AS DOUBLE) / CAST(sa._sz + sb._sz - _inter AS DOUBLE) >= 0.8
+),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION
+  SELECT doc_b, doc_a FROM pairs
+),
+reach AS (
+  SELECT src AS id, src AS label FROM edges
+  UNION
+  SELECT e.dst, r.label FROM edges e JOIN reach r ON e.src = r.id
+),
+comp AS (
+  SELECT id, MIN(label) AS component FROM reach GROUP BY id
+)
+SELECT d.doc_id, det.detected_lang, q.quality_score,
+       CAST(len(regexp_extract_all(d.text, '\\w+|[^\\w\\s]')) AS INTEGER) AS n_tokens
+FROM documents d
+JOIN detected det ON d.doc_id = det.doc_id
+JOIN quality q ON d.doc_id = q.doc_id
+LEFT JOIN comp c ON d.doc_id = c.id
+WHERE det.detected_lang = 'en'
+  AND q.quality_score >= 0.5
+  AND COALESCE(c.component, d.doc_id) = d.doc_id
+""",
+    tags=("text", "llm", "dedup", "curation"),
+)
+def q_docs_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end training-corpus curation pipeline in one plan:
+    language-ID gate (en) → quality-score gate (≥0.5) → near-dup collapse
+    (keep only canonical cluster representatives) → token accounting.
+    The composition every LLM data pipeline runs before tokenization."""
+    from procurement_data_pipeline_spark.llm_ops.dedup import dedup_clusters
+    from procurement_data_pipeline_spark.llm_ops.text import token_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, n=1, threshold=0.8)
+    clusters = dedup_clusters(docs, pairs)
+    return (
+        docs.join(clusters, "doc_id")
+        .filter(F.col("is_canonical"))
+        .withColumn("detected_lang", lang_id("text"))
+        .filter(F.col("detected_lang") == "en")
+        .withColumn("quality_score", quality_score("text"))
+        .filter(F.col("quality_score") >= 0.5)
+        .select(
+            "doc_id",
+            "detected_lang",
+            "quality_score",
+            token_count("text").alias("n_tokens"),
+        )
+    )

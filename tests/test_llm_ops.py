@@ -223,3 +223,19 @@ def test_dedup_clusters_singletons_are_canonical(spark):
     # untouched docs are their own canonical cluster
     for d in (3, 4, 7):
         assert rows[d].cluster_id == d and rows[d].is_canonical
+
+
+def test_profile_table_nulls_and_distincts(spark):
+    from procurement_data_pipeline_spark.operators.profile import profile_table
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "a"), (None, "b")], "k int, v string"
+    )
+    got = {r.column: r for r in profile_table(df).collect()}
+    assert got["k"].n_rows == 4
+    assert got["k"].n_nulls == 1
+    assert got["k"].n_distinct == 3
+    assert (got["k"].min_value, got["k"].max_value) == ("1", "3")
+    assert got["v"].n_nulls == 1
+    assert got["v"].n_distinct == 2
+    assert (got["v"].min_value, got["v"].max_value) == ("a", "b")
