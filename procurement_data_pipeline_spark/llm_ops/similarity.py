@@ -75,19 +75,29 @@ def knn_bruteforce(
     shape when |queries| is small; for large query sets use lsh_ann. Output:
     (query_id, vec_id, score) with k rows per query, ties broken by vec_id.
     """
+    # Norms are precomputed per row BEFORE the pair join: each corpus norm is
+    # evaluated once instead of once per query (and vice versa) — the same
+    # IEEE sqrt(dot) either way, so scores are bit-identical to the oracle.
+    if quantized:
+        norm = lambda c: F.sqrt(quantized_norm_sq(c).cast("double"))  # noqa: E731
+    else:
+        norm = lambda c: F.sqrt(dot(c, c))  # noqa: E731
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qvec")
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("_qvec"),
+        norm(F.col(vec_col)).alias("_qn"),
     )
-    joined = corpus.select(id_col, vec_col).join(F.broadcast(q)).filter(
-        F.col(id_col) != F.col("query_id")
+    joined = (
+        corpus.select(id_col, vec_col, norm(F.col(vec_col)).alias("_cn"))
+        .join(F.broadcast(q))
+        .filter(F.col(id_col) != F.col("query_id"))
     )
     if quantized:
         score = quantized_dot(F.col(vec_col), F.col("_qvec")).cast("double") / (
-            F.sqrt(quantized_norm_sq(F.col(vec_col)).cast("double"))
-            * F.sqrt(quantized_norm_sq(F.col("_qvec")).cast("double"))
+            F.col("_cn") * F.col("_qn")
         )
     else:
-        score = cosine(F.col(vec_col), F.col("_qvec"))
+        score = dot(F.col(vec_col), F.col("_qvec")) / (F.col("_cn") * F.col("_qn"))
     w = Window.partitionBy("query_id").orderBy(
         F.col("score").desc(), F.col(id_col).asc()
     )
@@ -220,28 +230,41 @@ def lsh_ann(
         _hyperplanes(dim, nbits, seed + 1000 * t) for t in range(tables)
     ]
     sig_udf = _signatures_pandas_udf(per_table)
-    c = corpus.select(id_col, vec_col).select(
-        id_col, vec_col, F.posexplode(sig_udf(F.col(vec_col))).alias("_table", "_sig")
+    # Norms computed once per source row (pre-explode), not per candidate.
+    c = corpus.select(
+        id_col,
+        vec_col,
+        F.sqrt(dot(F.col(vec_col), F.col(vec_col))).alias("_cn"),
+    ).select(
+        id_col,
+        vec_col,
+        "_cn",
+        F.posexplode(sig_udf(F.col(vec_col))).alias("_table", "_sig"),
     )
-    q = (
-        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qvec"))
-        .select(
-            "query_id",
-            "_qvec",
-            F.posexplode(sig_udf(F.col("_qvec"))).alias("_table", "_sig"),
-        )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("_qvec"),
+        F.sqrt(dot(F.col(vec_col), F.col(vec_col))).alias("_qn"),
+    ).select(
+        "query_id",
+        "_qvec",
+        "_qn",
+        F.posexplode(sig_udf(F.col("_qvec"))).alias("_table", "_sig"),
     )
     cand = (
         c.join(F.broadcast(q), ["_table", "_sig"])
         .filter(F.col(id_col) != F.col("query_id"))
-        .select("query_id", "_qvec", id_col, vec_col)
+        .select("query_id", "_qvec", "_qn", id_col, vec_col, "_cn")
         .distinct()
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("score").desc(), F.col(id_col).asc()
     )
     return (
-        cand.withColumn("score", cosine(F.col(vec_col), F.col("_qvec")))
+        cand.withColumn(
+            "score",
+            dot(F.col(vec_col), F.col("_qvec")) / (F.col("_cn") * F.col("_qn")),
+        )
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", id_col, "score", F.col("rank").cast("int").alias("rank"))
@@ -410,10 +433,16 @@ def ivf_ann(
     cents = _lloyd_centroids(sample, nlist, seed=seed)
     cell_udf, probes_udf = _cell_udfs(cents, nprobe)
 
-    indexed = corpus.select(id_col, vec_col, cell_udf(F.col(vec_col)).alias("_cell"))
+    indexed = corpus.select(
+        id_col,
+        vec_col,
+        F.sqrt(dot(F.col(vec_col), F.col(vec_col))).alias("_cn"),
+        cell_udf(F.col(vec_col)).alias("_cell"),
+    )
     probed = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("_qvec"),
+        F.sqrt(dot(F.col(vec_col), F.col(vec_col))).alias("_qn"),
         F.explode(probes_udf(F.col(vec_col))).alias("_cell"),
     )
     cand = indexed.join(F.broadcast(probed), "_cell").filter(
@@ -423,7 +452,10 @@ def ivf_ann(
         F.col("score").desc(), F.col(id_col).asc()
     )
     return (
-        cand.withColumn("score", cosine(F.col(vec_col), F.col("_qvec")))
+        cand.withColumn(
+            "score",
+            dot(F.col(vec_col), F.col("_qvec")) / (F.col("_cn") * F.col("_qn")),
+        )
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", id_col, "score", F.col("rank").cast("int").alias("rank"))
