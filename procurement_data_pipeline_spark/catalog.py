@@ -137,3 +137,33 @@ def write_bucketed_table(
     if sort_col is not None:
         writer = writer.sortBy(sort_col)
     writer.format("parquet").saveAsTable(name)
+
+
+def compact_dir(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> int:
+    """Rewrite a parquet directory into ~target-sized files.
+
+    The small-files problem is the dominant operational failure mode of
+    long-running partitioned ingests (every micro-append adds a file; scans
+    then pay per-file open cost and lose row-group locality). Compaction =
+    read → repartition to ceil(bytes/target) → atomic-ish rewrite via a
+    temp dir. Returns the new file count.
+    """
+    import shutil
+
+    df = spark.read.parquet(path)
+    size = sum(
+        os.path.getsize(os.path.join(root, f))
+        for root, _, files in os.walk(path)
+        for f in files
+        if f.endswith(".parquet")
+    )
+    n_files = max(1, -(-size // target_file_bytes))
+    tmp = path.rstrip("/") + "__compacting"
+    df.repartition(n_files).write.mode("overwrite").parquet(tmp)
+    shutil.rmtree(path)
+    os.rename(tmp, path)
+    return n_files

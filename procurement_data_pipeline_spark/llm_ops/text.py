@@ -94,3 +94,35 @@ def word_ngrams(col: str | Column, n: int) -> Column:
         F.sequence(F.lit(0), F.greatest(F.size(ws) - n, F.lit(-1))),
         lambda i: F.concat_ws(" ", F.slice(ws, i + 1, n)),
     )
+
+
+# PII patterns kept deliberately simple and portable (same semantics in
+# Java regex and RE2): emails, international-ish phone numbers, and 9+ digit
+# id-like runs. Real deployments plug in jurisdiction-specific pattern packs;
+# the operator shape (ordered regexp_replace chain + per-pattern counts)
+# stays the same.
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\+?[0-9][0-9() .-]{7,}[0-9]",
+    "id_number": r"[0-9]{9,}",
+}
+
+
+def pii_scrub(
+    col: str | Column, patterns: dict[str, str] | None = None
+) -> tuple[Column, dict[str, Column]]:
+    """Redact PII from a text column.
+
+    Returns ``(scrubbed, counts)``: the text with each pattern class
+    replaced by ``[CLASS]`` tokens (applied in dict order, so earlier
+    classes absorb overlapping matches — emails before digit runs), and a
+    per-class match-count column. Pure regexp built-ins — the scrub runs in
+    whole-stage codegen, no UDF, safe at any scale.
+    """
+    pats = patterns or PII_PATTERNS
+    scrubbed = _c(col)
+    counts: dict[str, Column] = {}
+    for name, pat in pats.items():
+        counts[name] = F.regexp_count(scrubbed, F.lit(pat)).cast("int")
+        scrubbed = F.regexp_replace(scrubbed, pat, f"[{name.upper()}]")
+    return scrubbed, counts

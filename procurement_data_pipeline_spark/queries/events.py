@@ -198,3 +198,43 @@ def q_events_props_json(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("sum_k"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+@register(
+    "events_retention_cohorts",
+    oracle="""
+WITH firsts AS (
+  SELECT user_id, CAST(MIN(date_trunc('day', ts)) AS DATE) AS cohort_day
+  FROM events GROUP BY user_id
+),
+activity AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS active_day
+  FROM events
+)
+SELECT f.cohort_day,
+       CAST(datediff('day', f.cohort_day, a.active_day) AS INTEGER) AS day_offset,
+       COUNT(*) AS n_users
+FROM activity a
+JOIN firsts f ON a.user_id = f.user_id
+GROUP BY 1, 2
+""",
+    tags=("events", "A1", "J4"),
+)
+def q_events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention triangle: users keyed by first-seen day, counted on
+    each subsequent active day. Both the cohort assignment and the activity
+    dedup shuffle on user_id — one partitioning serves the self-join."""
+    ev = load_table(spark, sf_dir, "events")
+    day = F.date_trunc("day", F.col("ts")).cast("date")
+    firsts = ev.groupBy("user_id").agg(F.min(day).alias("cohort_day"))
+    activity = ev.select("user_id", day.alias("active_day")).distinct()
+    return (
+        activity.join(firsts, "user_id")
+        .groupBy(
+            "cohort_day",
+            F.datediff(F.col("active_day"), F.col("cohort_day"))
+            .cast("int")
+            .alias("day_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )

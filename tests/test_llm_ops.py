@@ -239,3 +239,49 @@ def test_profile_table_nulls_and_distincts(spark):
     assert got["v"].n_nulls == 1
     assert got["v"].n_distinct == 2
     assert (got["v"].min_value, got["v"].max_value) == ("a", "b")
+
+
+def test_pii_scrub_redacts_and_counts(spark):
+    from procurement_data_pipeline_spark.llm_ops.text import pii_scrub
+
+    df = spark.createDataFrame(
+        [
+            (1, "contact john.doe+x@corp.example.com or +1 (555) 123-4567 now"),
+            (2, "ssn-ish 123456789 twice 987654321111"),
+            (3, "clean text with no identifiers"),
+        ],
+        "doc_id int, text string",
+    )
+    scrubbed, counts = pii_scrub("text")
+    rows = {
+        r.doc_id: r
+        for r in df.select(
+            "doc_id",
+            scrubbed.alias("scrubbed"),
+            *[c.alias(f"n_{k}") for k, c in counts.items()],
+        ).collect()
+    }
+    assert "[EMAIL]" in rows[1].scrubbed and "@" not in rows[1].scrubbed
+    assert "[PHONE]" in rows[1].scrubbed
+    assert rows[1].n_email == 1 and rows[1].n_phone == 1
+    # pattern precedence: the phone class absorbs bare digit runs, and the
+    # already-redacted text must not double-count them as id_numbers
+    assert rows[2].n_phone == 2 and rows[2].n_id_number == 0
+    assert rows[2].scrubbed == "ssn-ish [PHONE] twice [PHONE]"
+    assert rows[3].scrubbed == "clean text with no identifiers"
+    assert rows[3].n_email == rows[3].n_phone == rows[3].n_id_number == 0
+
+    # a patterns dict without the phone class classifies the same runs as ids
+    scrub_ids, id_counts = pii_scrub(
+        "text", {"id_number": r"[0-9]{9,}"}
+    )
+    only_ids = {
+        r.doc_id: r
+        for r in df.select(
+            "doc_id",
+            scrub_ids.alias("scrubbed"),
+            id_counts["id_number"].alias("n_ids"),
+        ).collect()
+    }
+    assert only_ids[2].n_ids == 2
+    assert only_ids[2].scrubbed == "ssn-ish [ID_NUMBER] twice [ID_NUMBER]"

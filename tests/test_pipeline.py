@@ -206,3 +206,22 @@ def test_two_phase_count_distinct_exact(spark, sf_dir):
         for r in two_phase_count_distinct(li, "l_returnflag", "l_orderkey").collect()
     }
     assert got == expected
+
+
+def test_compact_dir_reduces_files_preserves_rows(spark, sf_dir, tmp_path):
+    from procurement_data_pipeline_spark.catalog import compact_dir
+    from procurement_data_pipeline_spark.sources.tables import load_table
+
+    path = str(tmp_path / "frag")
+    src = load_table(spark, sf_dir, "orders")
+    src.repartition(40).write.parquet(path)
+    import os as _os
+
+    before_files = sum(
+        f.endswith(".parquet") for f in _os.listdir(path)
+    )
+    before_rows = spark.read.parquet(path).count()
+    compact_dir(spark, path, target_file_bytes=64 * 1024 * 1024)
+    after_files = sum(f.endswith(".parquet") for f in _os.listdir(path))
+    assert after_files < before_files
+    assert spark.read.parquet(path).count() == before_rows
