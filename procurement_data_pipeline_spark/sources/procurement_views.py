@@ -165,3 +165,20 @@ inventory AS (
   GROUP BY 1, 2
 )
 """.strip()
+
+
+def register_sql_views(spark: SparkSession, sf_dir: str) -> list[str]:
+    """Expose the procurement data model as temp views so users can run
+    plain ``spark.sql`` against ``orders``/``inventory``/``products``/
+    ``suppliers``/``product_suppliers`` — the SQL-first surface reference
+    users have (they wrote Trino SQL, not DataFrame code)."""
+    views = {
+        "orders": orders(spark, sf_dir),
+        "inventory": inventory(spark, sf_dir),
+        "products": products(spark, sf_dir),
+        "suppliers": suppliers(spark, sf_dir),
+        "product_suppliers": product_suppliers(spark, sf_dir),
+    }
+    for name, df in views.items():
+        df.createOrReplaceTempView(name)
+    return sorted(views)

@@ -225,3 +225,51 @@ def test_compact_dir_reduces_files_preserves_rows(spark, sf_dir, tmp_path):
     after_files = sum(f.endswith(".parquet") for f in _os.listdir(path))
     assert after_files < before_files
     assert spark.read.parquet(path).count() == before_rows
+
+
+def test_multi_day_pipeline_accumulates_partitions(spark, tmp_path):
+    from procurement_data_pipeline_spark.plans.procurement import run_daily
+
+    root = str(tmp_path / "wh")
+    for day in ("2026-01-13", "2026-01-14", "2026-01-15"):
+        wh, results = run_daily(spark, root, day, seed=7)
+        assert all(r.error is None for r in results.values()), results
+
+    # raw zone holds one partition dir per day; derived net_demand holds one
+    # calculation_date partition per run (exec_date + 1)
+    orders = spark.read.parquet(wh.path("raw/orders"))
+    days = {r.order_date.isoformat() for r in orders.select("order_date").distinct().collect()}
+    assert days == {"2026-01-13", "2026-01-14", "2026-01-15"}
+    nd = spark.read.parquet(wh.path("processed/net_demand"))
+    calc_days = {
+        r.calculation_date.isoformat()
+        for r in nd.select("calculation_date").distinct().collect()
+    }
+    assert calc_days == {"2026-01-14", "2026-01-15", "2026-01-16"}
+    # latest-partition KPI semantics pick the newest calculation date
+    from procurement_data_pipeline_spark.operators.kpi import total_net_demand
+
+    latest = total_net_demand(nd).collect()[0]
+    latest_only = nd.filter(F.col("calculation_date") == "2026-01-16")
+    assert latest.total_net_demand == (
+        latest_only.agg(F.sum("net_demand")).collect()[0][0]
+    )
+
+
+def test_register_sql_views_enables_plain_sql(spark, sf_dir):
+    from procurement_data_pipeline_spark.sources.procurement_views import (
+        register_sql_views,
+    )
+
+    names = register_sql_views(spark, sf_dir)
+    assert names == [
+        "inventory", "orders", "product_suppliers", "products", "suppliers"
+    ]
+    row = spark.sql(
+        """
+        SELECT COUNT(*) AS n
+        FROM orders o JOIN product_suppliers ps ON o.product_id = ps.product_id
+        WHERE ps.priority = 1
+        """
+    ).collect()[0]
+    assert row.n > 0
