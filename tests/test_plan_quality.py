@@ -1,0 +1,94 @@
+"""Physical-plan quality gate (never-regress invariants for scale).
+
+A correct-but-cartesian plan passes the oracle at sf0.01 and melts down at
+100 TB; these tests pin the plan shapes that make the declared queries
+scale-safe. tools/plan_audit.py prints the full audit table.
+"""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+import pytest
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
+
+from plan_audit import plan_stats  # noqa: E402
+
+from procurement_data_pipeline_spark.registry import load_all
+
+# Queries where a BroadcastNestedLoopJoin is the *intended* plan:
+# - brute-force similarity scores every (corpus, query) pair by design
+# - the latest-partition KPI pattern joins a broadcast single-row aggregate
+#   with no equi-key (a 1×N nested loop is optimal there)
+BNLJ_ALLOWED = {
+    "emb_knn_bruteforce",
+    "emb_cosine_neardup",
+    "kpi_demand_by_product",
+    "kpi_demand_by_supplier",
+    "kpi_total_cost",
+    "kpi_total_net_demand",
+    "scalar_subquery_latest_orders",
+}
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def audits(spark):
+    return {
+        name: plan_stats(spec.builder(spark, SF_DIR))
+        for name, spec in load_all().items()
+    }
+
+
+def test_no_cartesian_products_anywhere(audits):
+    offenders = [n for n, s in audits.items() if s["cartesian"]]
+    assert not offenders, f"cartesian product in: {offenders}"
+
+
+def test_nested_loop_joins_only_where_intended(audits):
+    offenders = [
+        n for n, s in audits.items() if s["bnlj"] and n not in BNLJ_ALLOWED
+    ]
+    assert not offenders, f"unexpected BroadcastNestedLoopJoin in: {offenders}"
+
+
+def test_filtered_scans_push_down(audits):
+    # Every query with a date/flag filter must reach the parquet reader.
+    must_push = [
+        "tpch_q1_pricing_summary",
+        "tpch_q3_shipping_priority",
+        "tpch_q5_local_supplier_revenue",
+        "tpch_q6_revenue_forecast",
+        "tpch_q10_returned_items",
+        "agg_orders_daily",
+        "net_demand_mrp",
+        "events_top_purchasers",
+    ]
+    missing = [
+        n for n in must_push if audits[n]["scans_with_pushdown"] == 0
+    ]
+    assert not missing, f"no PushedFilters in: {missing}"
+
+
+def test_dim_joins_are_broadcast(audits):
+    # The MRP chain and the TPC-H star joins must broadcast their dims —
+    # a sort-merge join against a 5-row dimension is a planning regression.
+    for q in ("net_demand_mrp", "tpch_q5_local_supplier_revenue"):
+        s = audits[q]
+        assert s["broadcast_joins"] >= 3, (q, s)
+        assert s["smj"] == 0, (q, s)
+
+
+def test_single_fact_queries_have_bounded_shuffles(audits):
+    # Scan→aggregate queries should shuffle at most twice (partial/final,
+    # plus one more when a distinct-aggregate expands).
+    for q in (
+        "tpch_q1_pricing_summary",
+        "tpch_q6_revenue_forecast",
+        "docs_dedup_exact",
+        "events_type_pivot_daily",
+    ):
+        assert audits[q]["exchanges"] <= 2, (q, audits[q])
