@@ -16,6 +16,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from procurement_data_pipeline_spark.llm_ops.text import fingerprint, words
 
@@ -77,35 +78,59 @@ def ngram_jaccard_pairs(
     n: int = 1,
     threshold: float = 0.5,
 ) -> DataFrame:
-    """Exact n-gram Jaccard similarity for all pairs sharing ≥1 shingle.
+    """EXACT n-gram Jaccard near-dup pairs with PPJoin-style prefix
+    filtering — sub-quadratic candidate generation with zero misses.
 
-    Pair generation is a self-equi-join on the shingle (inverted index) —
-    never a cross join — then |A∩B| falls out of a groupBy count and |A∪B|
-    from per-doc set sizes. Output: (doc_a, doc_b, jaccard) with
-    doc_a < doc_b and jaccard ≥ threshold.
+    If J(A,B) ≥ θ, the globally-rarest shared shingle lies within each
+    set's prefix of its |X| − ⌈θ·|X|⌉ + 1 rarest shingles (pigeonhole on
+    |A∩B| ≥ ⌈θ·|A|⌉), so joining PREFIX-to-PREFIX on the shingle finds
+    every qualifying pair while skipping the common-shingle flood that
+    makes a naive inverted-index join quadratic on low-entropy corpora.
+    Candidates are then verified with one vectorized
+    ``size(array_intersect)`` per pair (no second explode/groupBy).
 
-    Scale note: hot shingles (stopwords) create join skew; real corpora drop
-    top-document-frequency shingles first (a WHERE on the df count). AQE
-    skew-join handles moderate cases.
+    Output: (doc_a, doc_b, jaccard) with doc_a < doc_b, jaccard ≥ θ.
+
+    Scale notes: the per-doc shingle arrays ride a groupBy collect_list —
+    bounded by document length, the same invariant tokenizers rely on.
+    Prefix ordering is (global document frequency, shingle), so the join
+    keys are the *rarest* shingles — the anti-skew ordering.
     """
     sh = _doc_shingles(df, text_col, id_col, n)
-    sizes = sh.groupBy("_id").agg(F.count(F.lit(1)).alias("_sz"))
-
-    a = sh.select(F.col("_id").alias("doc_a"), "w")
-    b = sh.select(F.col("_id").alias("doc_b"), "w")
-    inter = (
-        a.join(b, "w")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("_inter"))
+    dfreq = sh.groupBy("w").agg(F.count(F.lit(1)).alias("_df"))
+    arrs = sh.groupBy("_id").agg(
+        F.sort_array(F.collect_list("w")).alias("_toks")
     )
+    rank_w = Window.partitionBy("_id").orderBy(
+        F.col("_df").asc(), F.col("w").asc()
+    )
+    prefix = (
+        sh.join(dfreq, "w")
+        .withColumn("_pos", F.row_number().over(rank_w))
+        .join(arrs.select("_id", F.size("_toks").alias("_sz")), "_id")
+        .filter(
+            F.col("_pos")
+            <= F.col("_sz") - F.ceil(F.lit(threshold) * F.col("_sz")) + 1
+        )
+        .select("_id", "w")
+    )
+    cand = (
+        prefix.select(F.col("_id").alias("doc_a"), "w")
+        .join(prefix.select(F.col("_id").alias("doc_b"), "w"), "w")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    a = arrs.select(F.col("_id").alias("doc_a"), F.col("_toks").alias("_ta"))
+    b = arrs.select(F.col("_id").alias("doc_b"), F.col("_toks").alias("_tb"))
+    inter = F.size(F.array_intersect(F.col("_ta"), F.col("_tb")))
     return (
-        inter.join(sizes.withColumnsRenamed({"_id": "doc_a", "_sz": "_sza"}), "doc_a")
-        .join(sizes.withColumnsRenamed({"_id": "doc_b", "_sz": "_szb"}), "doc_b")
+        cand.join(a, "doc_a")
+        .join(b, "doc_b")
         .withColumn(
             "jaccard",
-            F.col("_inter").cast("double")
-            / (F.col("_sza") + F.col("_szb") - F.col("_inter")).cast("double"),
+            inter.cast("double")
+            / (F.size("_ta") + F.size("_tb") - inter).cast("double"),
         )
         .filter(F.col("jaccard") >= F.lit(threshold))
         .select("doc_a", "doc_b", "jaccard")

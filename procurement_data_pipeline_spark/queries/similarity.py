@@ -83,6 +83,7 @@ def q_emb_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     "emb_lsh_ann",
     oracle=None,  # approximate — recall vs brute force asserted in tests
     tags=("similarity", "llm", "ann"),
+    bench=True,
 )
 def q_emb_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-table hyperplane-LSH approximate top-k (bucket join + exact
@@ -145,6 +146,7 @@ def q_emb_cosine_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     "emb_ivf_ann",
     oracle=None,  # approximate — recall vs brute force asserted in tests
     tags=("similarity", "llm", "ann"),
+    bench=True,
 )
 def q_emb_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF coarse-quantizer approximate top-k (sampled k-means centroids,

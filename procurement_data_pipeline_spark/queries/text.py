@@ -30,6 +30,17 @@ _DE = ", ".join(f"'{w}'" for w in DE_STOPWORDS)
 # DuckDB equivalent of text.normalize_text / words
 _NORM = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
 _WORDS = f"string_split({_NORM}, ' ')"
+# DuckDB equivalent of text.word_ngrams(col, 3): space-joined trigrams.
+# Trigram shingles are the dedup key: on this low-entropy corpus the bigram
+# vocabulary is ~1k (avg document frequency 28 — every doc collides with
+# every doc), while trigrams give ~16k shingles at avg df 1.6, so the
+# prefix-filtered pair join stays near-linear. The 25 true near-dup pairs
+# are identical under both shinglings.
+_W3 = (
+    f"list_transform(range(1, len({_WORDS}) - 1),"
+    f" i -> list_extract({_WORDS}, i) || ' ' || list_extract({_WORDS}, i + 1)"
+    f" || ' ' || list_extract({_WORDS}, i + 2))"
+)
 
 
 @register(
@@ -58,6 +69,7 @@ FROM documents
 GROUP BY 1
 """,
     tags=("text", "llm", "dedup"),
+    bench=True,
 )
 def q_docs_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup: one shuffle on the content fingerprint."""
@@ -134,6 +146,7 @@ SELECT doc_id,
 FROM feats
 """,
     tags=("text", "llm"),
+    bench=True,
 )
 def q_docs_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heuristic quality score in [0,1] (length/stopword/word-shape terms)."""
@@ -145,7 +158,7 @@ def q_docs_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     "docs_ngram_jaccard_pairs",
     oracle=f"""
 WITH sh AS (
-  SELECT DISTINCT doc_id AS _id, unnest({_WORDS}) AS w
+  SELECT DISTINCT doc_id AS _id, unnest({_W3}) AS w
   FROM documents
 ),
 sizes AS (
@@ -169,7 +182,7 @@ def q_docs_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact word-set Jaccard near-dup pairs via inverted-index join
     (blocking by shared token — never a cross join)."""
     return ngram_jaccard_pairs(
-        load_table(spark, sf_dir, "documents"), n=1, threshold=0.8
+        load_table(spark, sf_dir, "documents"), n=3, threshold=0.8
     )
 
 
@@ -224,7 +237,7 @@ def q_docs_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     "docs_dedup_clusters",
     oracle=f"""
 WITH sh AS (
-  SELECT DISTINCT doc_id AS _id, unnest({_WORDS}) AS w
+  SELECT DISTINCT doc_id AS _id, unnest({_W3}) AS w
   FROM documents
 ),
 sizes AS (
@@ -272,7 +285,7 @@ def q_docs_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from procurement_data_pipeline_spark.llm_ops.dedup import dedup_clusters
 
     docs = load_table(spark, sf_dir, "documents")
-    pairs = ngram_jaccard_pairs(docs, n=1, threshold=0.8)
+    pairs = ngram_jaccard_pairs(docs, n=3, threshold=0.8)
     return dedup_clusters(docs, pairs)
 
 
@@ -346,7 +359,7 @@ quality AS (
   FROM feats
 ),
 sh AS (
-  SELECT DISTINCT doc_id AS _id, unnest({_WORDS}) AS w FROM documents
+  SELECT DISTINCT doc_id AS _id, unnest({_W3}) AS w FROM documents
 ),
 sizes AS (
   SELECT _id, COUNT(*) AS _sz FROM sh GROUP BY _id
@@ -396,7 +409,7 @@ def q_docs_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     from procurement_data_pipeline_spark.llm_ops.text import token_count
 
     docs = load_table(spark, sf_dir, "documents")
-    pairs = ngram_jaccard_pairs(docs, n=1, threshold=0.8)
+    pairs = ngram_jaccard_pairs(docs, n=3, threshold=0.8)
     clusters = dedup_clusters(docs, pairs)
     return (
         docs.join(clusters, "doc_id")
