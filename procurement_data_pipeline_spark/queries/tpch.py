@@ -564,3 +564,135 @@ def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(dollars(F.sum(_disc_price_cents())).alias("revenue"))
     )
+
+
+@register(
+    "tpch_q13_customer_distribution",
+    oracle="""
+WITH per_cust AS (
+  SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+  FROM customer c
+  LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+  GROUP BY c.c_custkey
+)
+SELECT c_count, COUNT(*) AS custdist
+FROM per_cust
+GROUP BY c_count
+""",
+    tags=("analytics", "J1", "A1"),
+)
+def q_tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer order-count distribution (TPC-H Q13 shape): LEFT join so
+    zero-order customers land in the c_count=0 bucket, then a histogram
+    re-aggregation. COUNT(o_orderkey) — not COUNT(*) — is the null-aware
+    subtlety."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    per_cust = (
+        customer.join(orders, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@register(
+    "tpch_q15_top_supplier",
+    oracle=f"""
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+         SUM({_REVENUE_SQL}) AS total_revenue_cents
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+  GROUP BY l_suppkey
+)
+SELECT s.s_suppkey, s.s_name,
+       CAST(r.total_revenue_cents AS DOUBLE) / 100.0 AS total_revenue
+FROM supplier s
+JOIN revenue r ON s.s_suppkey = r.supplier_no
+WHERE r.total_revenue_cents = (SELECT MAX(total_revenue_cents) FROM revenue)
+""",
+    tags=("analytics", "A6", "C2"),
+)
+def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top supplier by quarterly revenue (TPC-H Q15 shape): derived revenue
+    aggregate consumed twice — once for the max scalar, once for the final
+    join. Spark materializes the agg once under AQE subquery reuse; the
+    scalar arrives via a broadcast single-row join."""
+    li = load_table(spark, sf_dir, "lineitem")
+    supplier = load_table(spark, sf_dir, "supplier")
+    revenue = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+        )
+        .groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(F.sum(_disc_price_cents()).alias("total_revenue_cents"))
+    )
+    top = revenue.agg(F.max("total_revenue_cents").alias("_max_rev"))
+    return (
+        revenue.join(F.broadcast(top))
+        .filter(F.col("total_revenue_cents") == F.col("_max_rev"))
+        .join(F.broadcast(supplier), F.col("supplier_no") == F.col("s_suppkey"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            dollars(F.col("total_revenue_cents")).alias("total_revenue"),
+        )
+    )
+
+
+@register(
+    "tpch_q22_dormant_customers",
+    oracle="""
+WITH positive AS (
+  SELECT CAST(SUM(CAST(FLOOR(c_acctbal * 100) AS BIGINT)) AS DOUBLE)
+         / COUNT(*) / 100.0 AS avg_bal
+  FROM customer WHERE c_acctbal > 0.0
+)
+SELECT c.c_nationkey,
+       COUNT(*) AS numcust,
+       CAST(SUM(CAST(FLOOR(c.c_acctbal * 100) AS BIGINT)) AS DOUBLE) / 100.0
+         AS totacctbal
+FROM customer c, positive p
+WHERE c.c_acctbal > p.avg_bal
+  AND NOT EXISTS (
+    SELECT 1 FROM orders o
+    WHERE o.o_custkey = c.c_custkey
+      AND o.o_orderdate >= TIMESTAMP '2000-01-01 00:00:00'
+  )
+GROUP BY c.c_nationkey
+""",
+    tags=("analytics", "J5", "A6"),
+)
+def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dormant high-balance customers (TPC-H Q22 shape, grouped by nation
+    since the dataset has no phone column; dormant = no orders since
+    2000): scalar average subquery as a broadcast single-row join +
+    NOT EXISTS as a left-anti join."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp")
+    )
+    avg_bal = customer.filter(F.col("c_acctbal") > 0.0).agg(
+        (
+            F.sum(cents("c_acctbal")).cast("double")
+            / F.count(F.lit(1))
+            / F.lit(100.0)
+        ).alias("avg_bal")
+    )
+    return (
+        customer.join(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(
+            orders.select(F.col("o_custkey").alias("c_custkey")),
+            "c_custkey",
+            "left_anti",
+        )
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            dollars(F.sum(cents("c_acctbal"))).alias("totacctbal"),
+        )
+    )

@@ -30,6 +30,7 @@ BNLJ_ALLOWED = {
     "kpi_total_cost",
     "kpi_total_net_demand",
     "scalar_subquery_latest_orders",
+    "tpch_q22_dormant_customers",  # broadcast single-row avg-balance scalar
 }
 
 SF_DIR = "/root/testdata/sf0.001"
