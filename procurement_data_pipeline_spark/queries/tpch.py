@@ -129,8 +129,9 @@ LIMIT 10
 def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shipping priority — selective dim filter, fact join, top-10.
 
-    The customer side is small after the segment filter → broadcast; the
-    order-by-limit is a TakeOrderedAndProject, no global sort."""
+    No broadcast hint on customer: it scales with data volume, so the
+    planner/AQE picks broadcast only while the filtered side actually fits.
+    The order-by-limit is a TakeOrderedAndProject, no global sort."""
     customer, orders, li = (
         load_table(spark, sf_dir, t) for t in ("customer", "orders", "lineitem")
     )
@@ -141,7 +142,7 @@ def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l_orderkey") == F.col("o_orderkey"),
         )
         .join(
-            F.broadcast(customer.filter(F.col("c_mktsegment") == "BUILDING")),
+            customer.filter(F.col("c_mktsegment") == "BUILDING"),
             F.col("o_custkey") == F.col("c_custkey"),
         )
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
@@ -173,8 +174,11 @@ ORDER BY revenue DESC, n.n_name ASC
     bench=True,
 )
 def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Local-supplier revenue — 6-way join; region/nation/supplier/customer
-    are broadcast dims, lineitem⋈orders is the only shuffle join."""
+    """Local-supplier revenue — 6-way join. Only the bounded dims
+    (region, nation: fixed ≤25 rows at any scale) carry broadcast hints;
+    supplier/customer grow with the dataset, so their join strategy is left
+    to size statistics + AQE — broadcast at test scale, shuffle join at
+    100 TB where a forced broadcast would OOM the executors."""
     customer, orders, li, supplier, nation, region = (
         load_table(spark, sf_dir, t)
         for t in ("customer", "orders", "lineitem", "supplier", "nation", "region")
@@ -191,9 +195,9 @@ def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             F.col("l_orderkey") == F.col("o_orderkey"),
         )
-        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(supplier, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(
-            F.broadcast(customer),
+            customer,
             (F.col("o_custkey") == F.col("c_custkey"))
             & (F.col("c_nationkey") == F.col("s_nationkey")),
         )
@@ -338,7 +342,7 @@ def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             F.col("l_orderkey") == F.col("o_orderkey"),
         )
-        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
         .agg(dollars(F.sum(_disc_price_cents())).alias("revenue"))
@@ -405,7 +409,7 @@ def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = li.filter(
         (F.col("l_shipdate") >= F.lit("1996-03-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
-    ).join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+    ).join(part, F.col("l_partkey") == F.col("p_partkey"))
     promo = F.when(
         F.col("p_type").like("PROMO%"), _disc_price_cents()
     ).otherwise(F.lit(0).cast("long"))
@@ -454,9 +458,7 @@ def q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(
-            F.broadcast(
-                part.filter((F.col("p_brand") == "Brand#1") & (F.col("p_size") < 15))
-            ),
+            part.filter((F.col("p_brand") == "Brand#1") & (F.col("p_size") < 15)),
             F.col("l_partkey") == F.col("p_partkey"),
         )
         .join(avg_qty, F.col("l_partkey") == F.col("ap_partkey"))
@@ -507,9 +509,9 @@ def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("b_orderkey")
     )
     return (
-        li.join(F.broadcast(big), F.col("l_orderkey") == F.col("b_orderkey"))
+        li.join(big, F.col("l_orderkey") == F.col("b_orderkey"))
         .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
         .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
         .agg(F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"))
         .select(
@@ -556,7 +558,7 @@ def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (q <= q_hi)
     )
     return (
-        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
         .filter(
             arm("Brand#1", 5, 1, 11)
             | arm("Brand#12", 10, 10, 20)
@@ -634,7 +636,7 @@ def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         revenue.join(F.broadcast(top))
         .filter(F.col("total_revenue_cents") == F.col("_max_rev"))
-        .join(F.broadcast(supplier), F.col("supplier_no") == F.col("s_suppkey"))
+        .join(supplier, F.col("supplier_no") == F.col("s_suppkey"))
         .select(
             "s_suppkey",
             "s_name",

@@ -53,6 +53,14 @@ def get_session(app_name: str = "procurement-data-pipeline-spark") -> SparkSessi
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
+        # AQE re-plans joins from MEASURED shuffle sizes, so a generous
+        # runtime broadcast threshold is safe at any scale — unlike static
+        # hints on tables that grow with the dataset (removed from the
+        # declared queries; see README "Shuffle discipline").
+        .config(
+            "spark.sql.adaptive.autoBroadcastJoinThreshold",
+            str(64 * 1024 * 1024),
+        )
     )
     return builder.getOrCreate()
 
