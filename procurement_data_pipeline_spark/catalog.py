@@ -37,6 +37,22 @@ class Warehouse:
 
     # --- partitioned writes (S6-S8) ---------------------------------------
 
+    @staticmethod
+    def _write_partitioned(df: DataFrame, partition_col: str, path: str) -> None:
+        """Idempotent partitioned write: dynamic partition overwrite replaces
+        exactly the partitions present in ``df`` and leaves the rest of the
+        table untouched, so re-running a day (task retry, backfill) cannot
+        duplicate rows. The reference's INSERT INTO append (trino_client.py)
+        lacks this — a deliberate upgrade, not a parity break, since a
+        single clean run produces identical content.
+        """
+        (
+            df.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(partition_col)
+            .parquet(path)
+        )
+
     def write_orders(self, orders: DataFrame, stage_csv: bool = False) -> None:
         """Partitioned parquet write: one call replaces the reference's
         generate-CSV → pyarrow → WebHDFS upload chain
@@ -45,18 +61,14 @@ class Warehouse:
             orders.write.mode("overwrite").option("header", True).csv(
                 self.path("staging", "orders")
             )
-        orders.write.mode("append").partitionBy("order_date").parquet(
-            self.path(RAW_ORDERS)
-        )
+        self._write_partitioned(orders, "order_date", self.path(RAW_ORDERS))
 
     def write_inventory(self, inventory: DataFrame, stage_csv: bool = False) -> None:
         if stage_csv:
             inventory.write.mode("overwrite").option("header", True).csv(
                 self.path("staging", "stock")
             )
-        inventory.write.mode("append").partitionBy("snapshot_date").parquet(
-            self.path(RAW_STOCK)
-        )
+        self._write_partitioned(inventory, "snapshot_date", self.path(RAW_STOCK))
 
     def read_orders(self, spark: SparkSession) -> DataFrame:
         return spark.read.parquet(self.path(RAW_ORDERS))
@@ -65,10 +77,9 @@ class Warehouse:
         return spark.read.parquet(self.path(RAW_STOCK))
 
     def write_derived(self, df: DataFrame, table: str, partition_col: str) -> None:
-        """Materialize a derived table (INSERT INTO … SELECT parity, S5)."""
-        df.write.mode("append").partitionBy(partition_col).parquet(
-            self.path(PROCESSED, table)
-        )
+        """Materialize a derived table (INSERT INTO … SELECT parity, S5),
+        idempotently per partition (see _write_partitioned)."""
+        self._write_partitioned(df, partition_col, self.path(PROCESSED, table))
 
     def read_derived(self, spark: SparkSession, table: str) -> DataFrame:
         return spark.read.parquet(self.path(PROCESSED, table))

@@ -273,3 +273,16 @@ def test_register_sql_views_enables_plain_sql(spark, sf_dir):
         """
     ).collect()[0]
     assert row.n > 0
+
+
+def test_rerun_same_day_is_idempotent(spark, tmp_path):
+    from procurement_data_pipeline_spark.plans.procurement import run_daily
+
+    root = str(tmp_path / "wh")
+    wh, r1 = run_daily(spark, root, "2026-02-01", seed=11)
+    n_orders_1 = spark.read.parquet(wh.path("raw/orders")).count()
+    nd_1 = spark.read.parquet(wh.path("processed/net_demand")).count()
+    # retry/backfill of the SAME day must replace, not append
+    wh, r2 = run_daily(spark, root, "2026-02-01", seed=11)
+    assert spark.read.parquet(wh.path("raw/orders")).count() == n_orders_1
+    assert spark.read.parquet(wh.path("processed/net_demand")).count() == nd_1
