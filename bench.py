@@ -42,11 +42,16 @@ def main() -> None:
             "overwrite"
         ).save()
 
+    # Two timed passes, report the min: the container shares cores with
+    # other tenants, and min-of-N is the standard estimator for the
+    # machine-independent cost under intermittent external load.
     timings: dict[str, float] = {}
-    for name, spec in bench_specs.items():
-        t0 = time.perf_counter()
-        spec.builder(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 4)
+    for _ in range(2):
+        for name, spec in bench_specs.items():
+            t0 = time.perf_counter()
+            spec.builder(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            elapsed = round(time.perf_counter() - t0, 4)
+            timings[name] = min(timings.get(name, elapsed), elapsed)
 
     total = round(sum(timings.values()), 4)
     print(
