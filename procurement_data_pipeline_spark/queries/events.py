@@ -238,3 +238,35 @@ def q_events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("n_users"))
     )
+
+
+@register(
+    "events_props_typed",
+    oracle="""
+SELECT event_type,
+       CAST(MIN(CAST(json_extract(props, '$.k') AS INTEGER)) AS INTEGER) AS min_k,
+       CAST(MAX(CAST(json_extract(props, '$.k') AS INTEGER)) AS INTEGER) AS max_k,
+       COUNT(*) AS n_valid
+FROM events
+WHERE json_extract(props, '$.k') IS NOT NULL
+GROUP BY event_type
+""",
+    tags=("events", "semi-structured"),
+)
+def q_events_props_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed semi-structured access: from_json with an explicit schema
+    (vs. get_json_object's per-path extraction in events_props_json).
+    One parse per row regardless of field count — the right shape when
+    several fields are consumed; malformed rows become nulls, filtered
+    like the oracle's IS NOT NULL."""
+    ev = load_table(spark, sf_dir, "events")
+    parsed = ev.withColumn("_p", F.from_json("props", "k INT"))
+    return (
+        parsed.filter(F.col("_p.k").isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.min("_p.k").cast("int").alias("min_k"),
+            F.max("_p.k").cast("int").alias("max_k"),
+            F.count(F.lit(1)).alias("n_valid"),
+        )
+    )
