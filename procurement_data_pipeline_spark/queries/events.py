@@ -270,3 +270,125 @@ def q_events_props_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_valid"),
         )
     )
+
+
+@register(
+    "events_rollup_daily_type",
+    oracle="""
+SELECT CASE WHEN GROUPING(day) = 1 THEN 'ALL'
+            ELSE CAST(day AS VARCHAR) END AS day,
+       CASE WHEN GROUPING(event_type) = 1 THEN 'ALL'
+            ELSE event_type END AS event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(vm) AS DOUBLE) / 1000000.0 AS total_value
+FROM (
+  SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+         event_type,
+         CAST(FLOOR(value * 1000000) AS BIGINT) AS vm
+  FROM events
+)
+GROUP BY ROLLUP (day, event_type)
+""",
+    tags=("events", "A1", "rollup"),
+)
+def q_events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical subtotals via ROLLUP (day, type) → per-type, per-day,
+    and grand-total rows in one aggregation pass (the Expand operator fans
+    each input row into its grouping sets map-side; still one shuffle).
+    Subtotal keys are labeled 'ALL' via grouping() instead of NULL markers
+    so downstream consumers never confuse a subtotal with missing data."""
+    ev = load_table(spark, sf_dir, "events")
+    # grouping() is only legal inside the rollup's agg list — emit the
+    # grouping bits there, then label.
+    label = lambda c, g: F.when(  # noqa: E731
+        F.col(g) == 1, F.lit("ALL")
+    ).otherwise(F.col(c).cast("string"))
+    return (
+        ev.select(
+            F.date_trunc("day", F.col("ts")).cast("date").alias("day"),
+            "event_type",
+            F.floor(F.col("value") * 1000000).cast("long").alias("_vm"),
+        )
+        .rollup("day", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.sum("_vm").cast("double") / F.lit(1000000.0)).alias("total_value"),
+            F.grouping("day").alias("_gd"),
+            F.grouping("event_type").alias("_gt"),
+        )
+        .select(
+            label("day", "_gd").alias("day"),
+            label("event_type", "_gt").alias("event_type"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+@register(
+    "events_value_moving_avg",
+    oracle="""
+WITH q AS (
+  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+         CAST(FLOOR(value * 1000000) AS BIGINT) AS vm
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT user_id, event_id,
+       CAST(SUM(vm) OVER w AS DOUBLE)
+         / COUNT(*) OVER w / 1000000.0 AS moving_avg_value
+FROM q
+WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+""",
+    tags=("events", "window-frame"),
+)
+def q_events_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 3-event moving average per user — an explicit ROWS frame
+    (the reference's only window is an unframed ROW_NUMBER). Sum runs over
+    exact micros; one IEEE division per output row."""
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("ts")), F.col("event_id"))
+        .rowsBetween(-2, 0)
+    )
+    vm = F.floor(F.col("value") * 1000000).cast("long")
+    return ev.select(
+        "user_id",
+        "event_id",
+        (
+            F.sum(vm).over(w).cast("double")
+            / F.count(F.lit(1)).over(w)
+            / F.lit(1000000.0)
+        ).alias("moving_avg_value"),
+    )
+
+
+@register(
+    "events_value_quantiles",
+    oracle="""
+SELECT event_type,
+       quantile_cont(CAST(FLOOR(value * 1000000) AS BIGINT), 0.5) / 1000000.0
+         AS p50_value,
+       quantile_cont(CAST(FLOOR(value * 1000000) AS BIGINT), 0.95) / 1000000.0
+         AS p95_value
+FROM events
+GROUP BY event_type
+""",
+    tags=("events", "A5", "quantiles"),
+)
+def q_events_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated p50/p95 per type (both engines implement the
+    same continuous-quantile definition; inputs quantized to micros so the
+    interpolation arithmetic is identical). At 100 TB the drop-in is
+    approx_percentile — one pass, mergeable sketches."""
+    ev = load_table(spark, sf_dir, "events")
+    vm = F.floor(F.col("value") * 1000000).cast("long")
+    return ev.groupBy("event_type").agg(
+        (F.percentile(vm, F.lit(0.5)) / F.lit(1000000.0)).alias("p50_value"),
+        (F.percentile(vm, F.lit(0.95)) / F.lit(1000000.0)).alias("p95_value"),
+    )

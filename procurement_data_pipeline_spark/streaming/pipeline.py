@@ -113,3 +113,31 @@ def run_to_completion(
     rows = spark.table(query_name).collect()
     q.stop()
     return rows
+
+
+def stream_to_warehouse(
+    stream_df: DataFrame,
+    path: str,
+    checkpoint_dir: str,
+    partition_col: str | None = None,
+    timeout_sec: int = 120,
+) -> None:
+    """Drain a stream into partitioned warehouse parquet (availableNow).
+
+    The file sink + checkpoint give exactly-once output across restarts:
+    re-running with the same checkpoint processes only unseen source files,
+    so a crashed/retried ingest never duplicates rows — the streaming
+    analogue of the batch layer's dynamic-partition-overwrite idempotency.
+    """
+    writer = (
+        stream_df.writeStream.format("parquet")
+        .option("path", path)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+    )
+    if partition_col is not None:
+        writer = writer.partitionBy(partition_col)
+    q = writer.start()
+    q.awaitTermination(timeout_sec)
+    q.stop()

@@ -160,3 +160,26 @@ def test_stateful_running_user_stats_accumulates_across_batches(
     for uid, exp in expected.items():
         assert final[uid].n_events_total == exp.n
         assert abs(final[uid].value_total - exp.vm / 1e6) < 1e-9
+
+
+def test_stream_to_warehouse_exactly_once_across_restarts(
+    spark, events_dir, tmp_path
+):
+    from procurement_data_pipeline_spark.streaming.pipeline import (
+        stream_to_warehouse,
+    )
+
+    out = str(tmp_path / "wh_events")
+    ckpt = str(tmp_path / "ckpt5")
+    stream_to_warehouse(
+        dedup_events(read_event_stream(spark, events_dir)), out, ckpt
+    )
+    n_distinct = (
+        spark.read.parquet(events_dir).select("event_id").distinct().count()
+    )
+    assert spark.read.parquet(out).count() == n_distinct
+    # restart with the same checkpoint: no new source files → no new rows
+    stream_to_warehouse(
+        dedup_events(read_event_stream(spark, events_dir)), out, ckpt
+    )
+    assert spark.read.parquet(out).count() == n_distinct

@@ -26,10 +26,12 @@ from procurement_data_pipeline_spark.sources.tables import TABLES
 
 
 def _norm(v):
+    # Every branch returns a ("tag", ...) tuple so mixed columns (e.g.
+    # NULL rollup subtotal markers next to strings) stay sortable.
     if v is None:
-        return None
+        return ("none",)
     if isinstance(v, bool):
-        return v
+        return ("bool", v)
     if isinstance(v, decimal.Decimal):
         return ("num", float(v))
     if isinstance(v, float):
@@ -43,12 +45,12 @@ def _norm(v):
     if isinstance(v, _dt.date):
         return ("date", v.isoformat())
     if isinstance(v, (list, tuple)):
-        return tuple(_norm(x) for x in v)
+        return ("arr", tuple(_norm(x) for x in v))
     if isinstance(v, dict):
-        return tuple(sorted((k, _norm(x)) for k, x in v.items()))
+        return ("map", tuple(sorted((k, _norm(x)) for k, x in v.items())))
     if hasattr(v, "asDict"):  # pyspark Row
-        return tuple(sorted((k, _norm(x)) for k, x in v.asDict().items()))
-    return str(v)
+        return ("map", tuple(sorted((k, _norm(x)) for k, x in v.asDict().items())))
+    return ("str", str(v))
 
 
 def _rows_key(cols, rows):
