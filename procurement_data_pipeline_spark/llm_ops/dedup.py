@@ -352,3 +352,56 @@ def dedup_clusters(
         )
         .withColumn("is_canonical", F.col(id_col) == F.col("cluster_id"))
     )
+
+
+def simhash_neardup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance ≤ k.
+
+    Candidate generation uses the pigeonhole banding guarantee: split the
+    64-bit signature into k+1 bands — any pair within Hamming k agrees
+    EXACTLY on at least one band, so a per-band equality self-join finds
+    every qualifying pair (no misses); verification is one
+    ``bit_count(a XOR b)`` per candidate. Join keys are (band_idx,
+    band_bits): candidate volume tracks true near-dup density, not n².
+    """
+    bands = max_hamming + 1
+    width = 64 // bands
+    sig = simhash(df, text_col, id_col).withColumnRenamed(id_col, "_id")
+    banded = sig.select(
+        "_id",
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    # unsigned slice: shift right then mask to `width` bits
+                    F.shiftrightunsigned(F.col("simhash"), i * width).bitwiseAND(
+                        F.lit((1 << width) - 1).cast("long")
+                    )
+                    for i in range(bands)
+                ]
+            )
+        ).alias("_band", "_bits"),
+    )
+    left = banded.select(
+        F.col("_id").alias("doc_a"), F.col("simhash").alias("_sa"), "_band", "_bits"
+    )
+    right = banded.select(
+        F.col("_id").alias("doc_b"), F.col("simhash").alias("_sb"), "_band", "_bits"
+    )
+    return (
+        left.join(right, ["_band", "_bits"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "_sa", "_sb")
+        .distinct()
+        .withColumn(
+            "hamming",
+            F.bit_count(F.col("_sa").bitwiseXOR(F.col("_sb"))).cast("int"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )

@@ -425,3 +425,18 @@ def q_docs_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
             token_count("text").alias("n_tokens"),
         )
     )
+
+
+@register(
+    "docs_simhash_neardup",
+    oracle=None,  # xxhash64-dependent signature — recall asserted in tests
+    tags=("text", "llm", "dedup"),
+)
+def q_docs_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash Hamming-≤3 near-dup pairs: pigeonhole 4-band candidate join
+    (zero misses at the threshold) + one bit_count(XOR) verify per pair."""
+    from procurement_data_pipeline_spark.llm_ops.dedup import (
+        simhash_neardup_pairs,
+    )
+
+    return simhash_neardup_pairs(load_table(spark, sf_dir, "documents"))

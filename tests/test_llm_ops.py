@@ -285,3 +285,29 @@ def test_pii_scrub_redacts_and_counts(spark):
     }
     assert only_ids[2].n_ids == 2
     assert only_ids[2].scrubbed == "ssn-ish [ID_NUMBER] twice [ID_NUMBER]"
+
+
+def test_simhash_neardup_finds_true_neardups(spark, sf_dir):
+    from procurement_data_pipeline_spark.llm_ops.dedup import (
+        ngram_jaccard_pairs,
+        simhash_neardup_pairs,
+    )
+    from procurement_data_pipeline_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    truth = {
+        (r.doc_a, r.doc_b)
+        for r in ngram_jaccard_pairs(docs, n=3, threshold=0.8).collect()
+    }
+    got = {
+        (r.doc_a, r.doc_b) for r in simhash_neardup_pairs(docs).collect()
+    }
+    assert truth, "fixture must contain true near-dup pairs"
+    # SimHash is a different similarity notion (token multiset, not
+    # 3-gram sets); require substantial agreement, not identity.
+    recall = len(truth & got) / len(truth)
+    assert recall >= 0.5, f"simhash missed too many true near-dups: {recall}"
+    # every reported pair is within the Hamming threshold by construction
+    assert all(
+        r.hamming <= 3 for r in simhash_neardup_pairs(docs).collect()
+    )
