@@ -6,4 +6,5 @@ from procurement_data_pipeline_spark.queries import (  # noqa: F401
     similarity,
     text,
     tpch,
+    tpch_advanced,
 )
