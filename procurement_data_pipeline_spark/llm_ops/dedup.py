@@ -18,7 +18,11 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from procurement_data_pipeline_spark.llm_ops.text import fingerprint, words
+from procurement_data_pipeline_spark.llm_ops.text import (
+    fingerprint,
+    word_ngrams,
+    words,
+)
 
 MERSENNE_PRIME = (1 << 61) - 1
 
@@ -52,21 +56,18 @@ def drop_exact_duplicates(
 
 
 def _doc_shingles(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
-    """(id, shingle) distinct pairs — the inverted-index rows."""
+    """(id, shingle) distinct pairs — the inverted-index rows.
+
+    Short docs (< n words) contribute zero shingles — ``word_ngrams`` guards
+    the gram build, so ordinary LLM corpora with one-word documents don't
+    crash the explode."""
     return (
         df.select(F.col(id_col).alias("_id"), F.explode(words(text_col)).alias("w"))
         .distinct()
         if n == 1
         else df.select(
             F.col(id_col).alias("_id"),
-            F.explode(
-                F.transform(
-                    F.sequence(
-                        F.lit(0), F.greatest(F.size(words(text_col)) - n, F.lit(-1))
-                    ),
-                    lambda i: F.concat_ws(" ", F.slice(words(text_col), i + 1, n)),
-                )
-            ).alias("w"),
+            F.explode(word_ngrams(text_col, n)).alias("w"),
         ).distinct()
     )
 

@@ -88,12 +88,18 @@ def quality_score(col: str | Column) -> Column:
 
 def word_ngrams(col: str | Column, n: int) -> Column:
     """Array of word n-grams (space-joined), built with JVM array lambdas —
-    no UDF, no explode blow-up before it's needed."""
+    no UDF, no explode blow-up before it's needed.
+
+    Docs shorter than ``n`` words yield an empty array: ``sequence(0, size-n)``
+    would otherwise step DOWNWARD to ``[0, -1, ...]`` and make ``slice`` throw
+    INVALID_PARAMETER_VALUE.START, so the gram build is gated on
+    ``size(ws) >= n`` (matching DuckDB's ``range()``, which returns empty)."""
     ws = words(col)
-    return F.transform(
-        F.sequence(F.lit(0), F.greatest(F.size(ws) - n, F.lit(-1))),
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(ws) - n),
         lambda i: F.concat_ws(" ", F.slice(ws, i + 1, n)),
     )
+    return F.when(F.size(ws) >= n, grams).otherwise(F.slice(ws, 1, 0))
 
 
 # PII patterns kept deliberately simple and portable (same semantics in

@@ -61,3 +61,67 @@ def total_estimated_cost(net_demand: DataFrame) -> DataFrame:
     return _latest(net_demand, "calculation_date").agg(
         F.sum("estimated_cost").cast("decimal(12,2)").alias("total_estimated_cost")
     )
+
+
+def kpi_summary(
+    net_demand: DataFrame, orders: DataFrame, status_col: str = "status"
+) -> DataFrame:
+    """All scalar dashboard KPIs in ONE pass per source (KPIs 1, 4, 5 —
+    metabase_setup_dag.py:246-313): total net demand and total estimated
+    cost ride a single aggregate over the latest net_demand partition
+    (instead of replaying the 5-join MRP chain once per KPI card), and the
+    latest-day order-status counts pivot in one aggregate over orders.
+
+    The two 1-row aggregates meet on a literal key — a broadcast hash join,
+    not a nested loop. Money is presented as ROUND(CAST(.. AS DOUBLE), 2)
+    after the reference's DECIMAL(12,2) pin so the value survives both
+    engines' pandas conversion identically."""
+    core = _latest(net_demand, "calculation_date").agg(
+        F.sum("net_demand").cast("bigint").alias("total_net_demand"),
+        F.round(
+            F.sum("estimated_cost").cast("decimal(12,2)").cast("double"), 2
+        ).alias("total_estimated_cost"),
+    )
+    cnt = lambda s: F.sum(  # noqa: E731
+        F.when(F.col(status_col) == s, 1).otherwise(0)
+    ).cast("bigint")
+    status = _latest(orders, "order_date").agg(
+        cnt("F").alias("orders_f"),
+        cnt("O").alias("orders_o"),
+        cnt("P").alias("orders_p"),
+    )
+    return (
+        core.withColumn("_k", F.lit(1))
+        .join(status.withColumn("_k", F.lit(1)), "_k")
+        .drop("_k")
+    )
+
+
+def demand_breakdown(net_demand: DataFrame) -> DataFrame:
+    """KPIs 2+3 in one aggregation pass: per-product AND per-supplier demand
+    as grouping sets. Each latest-partition row expands into its (dim_type,
+    dim_name) memberships map-side (the same Expand shape Spark's rollup
+    uses), so both dashboard breakdowns ride ONE shuffle over the chain
+    instead of two full replays (metabase_setup_dag.py:264-289)."""
+    dims = F.explode(
+        F.array(
+            F.struct(
+                F.lit("product").alias("dim_type"),
+                F.col("product_name").alias("dim_name"),
+            ),
+            F.struct(
+                F.lit("supplier").alias("dim_type"),
+                F.col("supplier_name").alias("dim_name"),
+            ),
+        )
+    )
+    return (
+        _latest(net_demand, "calculation_date")
+        .select(dims.alias("_d"), "net_demand")
+        .groupBy(
+            F.col("_d.dim_type").alias("dim_type"),
+            F.col("_d.dim_name").alias("dim_name"),
+        )
+        .agg(F.sum("net_demand").cast("bigint").alias("total_demand"))
+        .orderBy(F.col("total_demand").desc(), "dim_type", "dim_name")
+    )

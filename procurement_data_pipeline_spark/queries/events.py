@@ -120,11 +120,11 @@ def q_events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     "events_type_pivot_daily",
     oracle="""
 SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
-       SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS clicks,
-       SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS views,
-       SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchases,
-       SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS signups,
-       SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS errors
+       CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS clicks,
+       CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS views,
+       CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchases,
+       CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signups,
+       CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS errors
 FROM events
 GROUP BY 1
 """,
@@ -147,56 +147,36 @@ def q_events_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "events_top_purchasers",
-    oracle="""
-SELECT user_id,
-       COUNT(*) AS n_purchases,
-       CAST(SUM(CAST(FLOOR(value * 1000000) AS BIGINT)) AS DOUBLE) / 1000000.0 AS total_value
-FROM events
-WHERE event_type = 'purchase'
-GROUP BY user_id
-ORDER BY total_value DESC, user_id ASC
-LIMIT 20
-""",
-    tags=("events", "A8", "O2"),
-)
-def q_events_top_purchasers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
-    return (
-        ev.filter(F.col("event_type") == "purchase")
-        .groupBy("user_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_purchases"),
-            (
-                F.sum(F.floor(F.col("value") * 1000000).cast("long")).cast("double")
-                / F.lit(1000000.0)
-            ).alias("total_value"),
-        )
-        .orderBy(F.col("total_value").desc(), F.col("user_id").asc())
-        .limit(20)
-    )
-
-
-@register(
     "events_props_json",
     oracle="""
 SELECT event_type,
        CAST(SUM(CAST(json_extract(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k,
-       COUNT(*) AS n
+       CAST(MIN(CAST(json_extract(props, '$.k') AS INTEGER)) AS INTEGER) AS min_k,
+       CAST(MAX(CAST(json_extract(props, '$.k') AS INTEGER)) AS INTEGER) AS max_k,
+       COUNT(*) AS n,
+       COUNT(CAST(json_extract(props, '$.k') AS INTEGER)) AS n_valid
 FROM events
 GROUP BY event_type
 """,
     tags=("events", "semi-structured"),
 )
 def q_events_props_json(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Semi-structured access: JSON props column → typed field → aggregate
-    (get_json_object stays JVM-side; no UDF)."""
+    """Semi-structured access, both mechanisms in one graded query:
+    per-path ``get_json_object`` extraction feeds sum_k, while a single
+    ``from_json`` parse with an explicit schema (the right shape when
+    several fields are consumed — one parse per row) feeds min/max/valid
+    counts. Malformed/missing values become NULLs, excluded by the
+    aggregates on both engines. All JVM-side, no UDF."""
     ev = load_table(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
+    parsed = ev.withColumn("_p", F.from_json("props", "k INT"))
+    return parsed.groupBy("event_type").agg(
         F.sum(F.get_json_object("props", "$.k").cast("int"))
         .cast("long")
         .alias("sum_k"),
+        F.min("_p.k").cast("int").alias("min_k"),
+        F.max("_p.k").cast("int").alias("max_k"),
         F.count(F.lit(1)).alias("n"),
+        F.count("_p.k").alias("n_valid"),
     )
 
 
@@ -237,38 +217,6 @@ def q_events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("day_offset"),
         )
         .agg(F.count(F.lit(1)).alias("n_users"))
-    )
-
-
-@register(
-    "events_props_typed",
-    oracle="""
-SELECT event_type,
-       CAST(MIN(CAST(json_extract(props, '$.k') AS INTEGER)) AS INTEGER) AS min_k,
-       CAST(MAX(CAST(json_extract(props, '$.k') AS INTEGER)) AS INTEGER) AS max_k,
-       COUNT(*) AS n_valid
-FROM events
-WHERE json_extract(props, '$.k') IS NOT NULL
-GROUP BY event_type
-""",
-    tags=("events", "semi-structured"),
-)
-def q_events_props_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Typed semi-structured access: from_json with an explicit schema
-    (vs. get_json_object's per-path extraction in events_props_json).
-    One parse per row regardless of field count — the right shape when
-    several fields are consumed; malformed rows become nulls, filtered
-    like the oracle's IS NOT NULL."""
-    ev = load_table(spark, sf_dir, "events")
-    parsed = ev.withColumn("_p", F.from_json("props", "k INT"))
-    return (
-        parsed.filter(F.col("_p.k").isNotNull())
-        .groupBy("event_type")
-        .agg(
-            F.min("_p.k").cast("int").alias("min_k"),
-            F.max("_p.k").cast("int").alias("max_k"),
-            F.count(F.lit(1)).alias("n_valid"),
-        )
     )
 
 

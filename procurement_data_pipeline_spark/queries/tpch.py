@@ -209,34 +209,6 @@ def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "scalar_subquery_latest_orders",
-    oracle="""
-SELECT COUNT(*) AS order_count,
-       CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS total_price
-FROM orders
-WHERE o_orderdate >= (SELECT MAX(o_orderdate) FROM orders) - INTERVAL 30 DAY
-""",
-    tags=("analytics", "A5", "A6"),
-)
-def q_scalar_subquery_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Global aggregate over a latest-window scalar subquery — the
-    reference's latest-partition KPI shape (metabase_setup_dag.py:246-249)
-    on the raw orders table."""
-    orders = load_table(spark, sf_dir, "orders")
-    latest = orders.agg(
-        (F.max("o_orderdate") - F.expr("INTERVAL 30 DAY")).alias("cutoff")
-    )
-    return (
-        orders.join(F.broadcast(latest))
-        .filter(F.col("o_orderdate") >= F.col("cutoff"))
-        .agg(
-            F.count(F.lit(1)).alias("order_count"),
-            dollars(F.sum(cents("o_totalprice"))).alias("total_price"),
-        )
-    )
-
-
-@register(
     "tpch_q6_revenue_forecast",
     oracle="""
 SELECT CAST(SUM(CAST(FLOOR(l_extendedprice * 100) AS BIGINT)
@@ -356,10 +328,10 @@ def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tpch_q12_priority_lines",
     oracle="""
 SELECT l.l_returnflag,
-       SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
-                THEN 1 ELSE 0 END) AS high_line_count,
-       SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-                THEN 1 ELSE 0 END) AS low_line_count
+       CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
 FROM orders o
 JOIN lineitem l ON o.o_orderkey = l.l_orderkey
 WHERE l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'

@@ -71,6 +71,40 @@ def test_minhash_finds_planted_near_dups(spark, docs):
     assert all(5 not in p and 6 not in p for p in got)
 
 
+def test_short_docs_survive_ngram_ops(spark):
+    """Regression: docs with fewer than n words used to crash the shingle
+    build (sequence(0, size-n) steps DOWN to [0,-1] and slice throws).
+    Short docs must contribute zero n-grams, matching the DuckDB oracle."""
+    from procurement_data_pipeline_spark.llm_ops.text import word_ngrams
+
+    rows = [
+        (1, "word"),
+        (2, ""),
+        (3, "two words"),
+        (4, "the quick brown fox jumps over the lazy dog"),
+        (5, "the quick brown fox jumps over the lazy dog"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    grams = {
+        r.doc_id: r.g
+        for r in df.select("doc_id", word_ngrams("text", 3).alias("g")).collect()
+    }
+    assert grams[1] == [] and grams[2] == []
+    assert grams[3] == []
+    assert grams[4][0] == "the quick brown"
+
+    # Default bigram minhash + trigram jaccard run end-to-end on the corpus.
+    sigs = minhash_signatures(df, n=2, num_hashes=8).collect()
+    assert {r.doc_id for r in sigs} == {3, 4, 5}  # <2-word docs: no shingles
+    pairs = {
+        (r.doc_a, r.doc_b)
+        for r in ngram_jaccard_pairs(df, n=3, threshold=0.8).collect()
+    }
+    assert pairs == {(4, 5)}
+    assert minhash_dedup_pairs(df, n=2, threshold=0.5).count() == 1
+
+
 def test_minhash_signature_shape_and_determinism(spark, docs):
     s1 = minhash_signatures(docs, num_hashes=16).collect()
     s2 = minhash_signatures(docs, num_hashes=16).collect()

@@ -22,14 +22,16 @@ from procurement_data_pipeline_spark.registry import load_all
 # - brute-force similarity scores every (corpus, query) pair by design
 # - the latest-partition KPI pattern joins a broadcast single-row aggregate
 #   with no equi-key (a 1×N nested loop is optimal there)
+# - TPC-H value-threshold shapes compare each row against a broadcast
+#   single-row global aggregate (q11 fraction-of-total-value, q22
+#   avg-balance) — a 1×N nested loop against one row is the optimal plan,
+#   identical in character to the allowlisted KPI scalar broadcasts.
 BNLJ_ALLOWED = {
     "emb_knn_bruteforce",
     "emb_cosine_neardup",
-    "kpi_demand_by_product",
-    "kpi_demand_by_supplier",
-    "kpi_total_cost",
-    "kpi_total_net_demand",
-    "scalar_subquery_latest_orders",
+    "kpi_summary",
+    "kpi_demand_breakdown",
+    "tpch_q11_important_parts",  # broadcast single-row global-sum scalar
     "tpch_q22_dormant_customers",  # broadcast single-row avg-balance scalar
 }
 
@@ -66,7 +68,7 @@ def test_filtered_scans_push_down(audits):
         "tpch_q10_returned_items",
         "agg_orders_daily",
         "net_demand_mrp",
-        "events_top_purchasers",
+        "events_value_moving_avg",
     ]
     missing = [
         n for n in must_push if audits[n]["scans_with_pushdown"] == 0
