@@ -96,12 +96,18 @@ def ngram_jaccard_pairs(
     bounded by document length, the same invariant tokenizers rely on.
     Prefix ordering is (global document frequency, shingle), so the join
     keys are the *rarest* shingles — the anti-skew ordering.
+
+    The shingle relation feeds three consumers (document frequencies,
+    per-doc arrays, prefix rows) and the arrays feed three joins; both are
+    persisted MEMORY_AND_DISK so the corpus is tokenized ONCE per query —
+    at 100 TB re-tokenizing per consumer would dominate the runtime, and
+    persist (unlike checkpoint) keeps lineage for fault recovery.
     """
-    sh = _doc_shingles(df, text_col, id_col, n)
+    sh = _doc_shingles(df, text_col, id_col, n).persist()
     dfreq = sh.groupBy("w").agg(F.count(F.lit(1)).alias("_df"))
     arrs = sh.groupBy("_id").agg(
         F.sort_array(F.collect_list("w")).alias("_toks")
-    )
+    ).persist()
     rank_w = Window.partitionBy("_id").orderBy(
         F.col("_df").asc(), F.col("w").asc()
     )
@@ -147,6 +153,21 @@ def _minhash_exprs(num_hashes: int, seed: int = 7) -> list[Column]:
     ]
 
 
+def _minhash_from_shingles(
+    sh: DataFrame, id_col: str, num_hashes: int
+) -> DataFrame:
+    """Signatures from a prebuilt (_id, w) shingle relation — lets callers
+    that also need the shingles for verification share one tokenization."""
+    mins = [
+        F.min(e).alias(f"_h{i}") for i, e in enumerate(_minhash_exprs(num_hashes))
+    ]
+    sig = sh.groupBy("_id").agg(*mins)
+    return sig.select(
+        F.col("_id").alias(id_col),
+        F.array(*[F.col(f"_h{i}") for i in range(num_hashes)]).alias("sig"),
+    )
+
+
 def minhash_signatures(
     df: DataFrame,
     text_col: str = "text",
@@ -160,14 +181,7 @@ def minhash_signatures(
     doc's shingle hashes (map-side partial mins keep the shuffle tiny —
     num_hashes longs per doc per partition)."""
     sh = _doc_shingles(df, text_col, id_col, n)
-    mins = [
-        F.min(e).alias(f"_h{i}") for i, e in enumerate(_minhash_exprs(num_hashes))
-    ]
-    sig = sh.groupBy("_id").agg(*mins)
-    return sig.select(
-        F.col("_id").alias(id_col),
-        F.array(*[F.col(f"_h{i}") for i in range(num_hashes)]).alias("sig"),
-    )
+    return _minhash_from_shingles(sh, id_col, num_hashes)
 
 
 def minhash_lsh_candidates(
@@ -223,10 +237,15 @@ def minhash_dedup_pairs(
     threshold: float = 0.7,
 ) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline: signatures → band candidates →
-    exact Jaccard verification of candidates only."""
-    sigs = minhash_signatures(df, text_col, id_col, n, num_hashes)
+    exact Jaccard verification of candidates only.
+
+    The shingle relation is shared by the signature build and both sides of
+    the verification join, and the signature relation self-joins in the
+    banding step — both persist so tokenization and the minhash aggregate
+    each run once, not 4-6× (the dominant cost at corpus scale)."""
+    sh = _doc_shingles(df, text_col, id_col, n).persist()
+    sigs = _minhash_from_shingles(sh, id_col, num_hashes).persist()
     cand = minhash_lsh_candidates(sigs, id_col, bands)
-    sh = _doc_shingles(df, text_col, id_col, n)
     sizes = sh.groupBy("_id").agg(F.count(F.lit(1)).alias("_sz"))
     inter = (
         cand.join(sh.select(F.col("_id").alias("doc_a"), "w"), "doc_a")
@@ -369,10 +388,15 @@ def simhash_neardup_pairs(
     every qualifying pair (no misses); verification is one
     ``bit_count(a XOR b)`` per candidate. Join keys are (band_idx,
     band_bits): candidate volume tracks true near-dup density, not n².
+
+    The signature relation feeds both sides of the band self-join;
+    persisting it runs the 64-vote aggregate once instead of twice.
     """
     bands = max_hamming + 1
     width = 64 // bands
-    sig = simhash(df, text_col, id_col).withColumnRenamed(id_col, "_id")
+    sig = (
+        simhash(df, text_col, id_col).withColumnRenamed(id_col, "_id").persist()
+    )
     banded = sig.select(
         "_id",
         "simhash",

@@ -406,6 +406,25 @@ def _cell_udfs(cents: np.ndarray, nprobe: int):
     return cell, probes
 
 
+def train_ivf_centroids(
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    nlist: int = 32,
+    sample_size: int = 2048,
+    seed: int = 42,
+) -> np.ndarray:
+    """Train the IVF coarse quantizer: Lloyd k-means over a bounded sample.
+
+    The sample is ``limit(n)`` on the source — first-partitions read, NO
+    global sort/TakeOrdered over the corpus (deterministic on a stable
+    parquet source, and O(sample) work regardless of corpus size). Returns
+    the L2-normalized (nlist × dim) centroid matrix, reusable across
+    queries — train once, index/search many times."""
+    sample_rows = corpus.select(vec_col).limit(sample_size).collect()
+    sample = np.array([r[0] for r in sample_rows], dtype=np.float64)
+    return _lloyd_centroids(sample, nlist, seed=seed)
+
+
 def ivf_ann(
     corpus: DataFrame,
     queries: DataFrame,
@@ -416,21 +435,23 @@ def ivf_ann(
     nprobe: int = 8,
     sample_size: int = 2048,
     seed: int = 42,
+    centroids: np.ndarray | None = None,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k — the coarse-quantizer scale
     path complementing :func:`lsh_ann`.
 
-    Train: Lloyd k-means on a bounded driver-side sample → nlist centroids.
+    Train: :func:`train_ivf_centroids` (skipped when ``centroids`` is
+    passed — repeated query batches reuse one trained quantizer).
     Index: each corpus vector lands in its nearest-centroid cell (one Arrow
     matmul per batch; the cell column is the natural partition/bucket key
     for a persisted index). Search: each query probes its nprobe nearest
     cells; exact cosine rerank within ~nprobe/nlist of the corpus.
     """
-    sample_rows = (
-        corpus.select(vec_col).sort(id_col).limit(sample_size).collect()
+    cents = (
+        centroids
+        if centroids is not None
+        else train_ivf_centroids(corpus, vec_col, nlist, sample_size, seed)
     )
-    sample = np.array([r[0] for r in sample_rows], dtype=np.float64)
-    cents = _lloyd_centroids(sample, nlist, seed=seed)
     cell_udf, probes_udf = _cell_udfs(cents, nprobe)
 
     indexed = corpus.select(

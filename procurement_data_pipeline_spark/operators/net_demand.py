@@ -115,3 +115,16 @@ def net_demand(
             F.lit(calc_date).cast("date").alias("calculation_date"),
         )
     )
+
+
+def present_net_demand(nd: DataFrame) -> DataFrame:
+    """Presentation order for the materialized/export boundary —
+    ``ORDER BY supplier_id, supplier_priority, net_demand DESC``
+    (reference net_demand.sql:87). A global sort is presentation-only
+    work: apply it at the final write, never mid-chain (Spark would
+    add a range-partition exchange per use)."""
+    return nd.orderBy(
+        F.col("supplier_id").asc(),
+        F.col("supplier_priority").asc(),
+        F.col("net_demand").desc(),
+    )

@@ -71,7 +71,9 @@ def two_phase_count_distinct(
     Phase 1 dedups (group, salt-of-x, x) — the hot group's distinct set is
     spread over ``n_salt`` partitions; phase 2 counts per (group, salt) and
     sums shards. Same result as ``countDistinct`` with the single-partition
-    hot-group bottleneck removed. Output: group cols + ``n_distinct``.
+    hot-group bottleneck removed: NULL x rows survive phase 1 (so all-NULL
+    groups still appear) but ``count(x)`` skips them, matching
+    COUNT(DISTINCT x)'s NULL exclusion. Output: group cols + ``n_distinct``.
     """
     groups = [group_cols] if isinstance(group_cols, str) else list(group_cols)
     shard = F.pmod(F.xxhash64(F.col(distinct_col)), F.lit(n_salt)).cast("int")
@@ -79,7 +81,7 @@ def two_phase_count_distinct(
         df.select(*groups, F.col(distinct_col), shard.alias("_shard"))
         .distinct()
         .groupBy(*groups, "_shard")
-        .agg(F.count(F.lit(1)).alias("_n"))
+        .agg(F.count(F.col(distinct_col)).alias("_n"))
     )
     return per_shard.groupBy(*groups).agg(
         F.sum("_n").cast("long").alias("n_distinct")

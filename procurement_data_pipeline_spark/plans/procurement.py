@@ -5,7 +5,9 @@ Task graph (procurement_dag.py:379):
     >> [export_supplier_json, quality_checks] >> copy_to_processed
 
 Date semantics (procurement_dag.py:348-375): the run processes ``exec_date``
-(data date); the supplier order is dated ``exec_date + 2`` days.
+(the data date — Airflow's interval_end + 1); net demand is stamped with
+``calculation_date = exec_date`` (net_demand.sql:84) and the supplier order
+is dated ``exec_date + 1`` (the next business day, interval_end + 2).
 
 Each stage is a DataFrame plan over the warehouse; materialization points
 match the reference's (derived tables persisted, exports collected only at
@@ -33,7 +35,10 @@ from procurement_data_pipeline_spark.operators.export import (
     write_exceptions_json,
     write_supplier_json,
 )
-from procurement_data_pipeline_spark.operators.net_demand import net_demand
+from procurement_data_pipeline_spark.operators.net_demand import (
+    net_demand,
+    present_net_demand,
+)
 from procurement_data_pipeline_spark.operators.quality import exceptions_report
 from procurement_data_pipeline_spark.plans.runner import Pipeline
 
@@ -47,8 +52,8 @@ def build_daily_pipeline(
     product_suppliers,
 ) -> Pipeline:
     pipe = Pipeline(f"procurement_{exec_date}")
-    next_day = shift_date(exec_date, 1)
-    order_date = shift_date(exec_date, 2)
+    next_day = shift_date(exec_date, 1)  # exclusive end of the 1-day window
+    order_date = shift_date(exec_date, 1)  # supplier_order_date: data date + 1
 
     @pipe.task("sync_partitions")
     def sync_partitions(ctx: dict[str, Any]):
@@ -84,11 +89,13 @@ def build_daily_pipeline(
             ),
             exec_date,
             next_day,
-            next_day,
+            exec_date,  # calculation_date = data date (net_demand.sql:84)
         )
-        wh.write_derived(nd, "net_demand", "calculation_date")
+        # final ORDER BY supplier_id, supplier_priority, net_demand DESC
+        # (net_demand.sql:87) — applied once, at the materialization boundary
+        wh.write_derived(present_net_demand(nd), "net_demand", "calculation_date")
         ctx["net_demand_df"] = wh.read_derived(spark, "net_demand").filter(
-            F.col("calculation_date") == F.lit(next_day).cast("date")
+            F.col("calculation_date") == F.lit(exec_date).cast("date")
         )
         return True
 

@@ -250,3 +250,19 @@ def test_demand_window_filters_dates(spark, golden):
     out = _run(spark, golden, orders, [(1, 1, 100, 0, 50, DAY)]).collect()
     r = next(x for x in out if x.product_id == 1)
     assert r.net_demand == 100 + 50 - 100
+
+
+def test_present_net_demand_output_order(spark, sf_dir):
+    """O1: final ORDER BY supplier_id, supplier_priority, net_demand DESC
+    (net_demand.sql:87) at the presentation boundary."""
+    from procurement_data_pipeline_spark.operators.net_demand import (
+        present_net_demand,
+    )
+    from procurement_data_pipeline_spark.queries.parity import _net_demand
+
+    rows = present_net_demand(_net_demand(spark, sf_dir)).collect()
+    assert len(rows) > 1
+    keys = [
+        (r.supplier_id, r.supplier_priority, -r.net_demand) for r in rows
+    ]
+    assert keys == sorted(keys)

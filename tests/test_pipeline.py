@@ -43,12 +43,13 @@ def test_daily_pipeline_end_to_end(spark, tmp_path):
     assert nd.count() > 0
     assert nd.filter(F.col("net_demand") <= 0).count() == 0
 
-    # supplier JSONs: MRP-consistent totals, one file per supplier with demand
-    out_dir = wh.path("output/supplier_orders", "2026-01-16")
+    # supplier JSONs: MRP-consistent totals, one file per supplier with
+    # demand; order date = data date + 1 (procurement_dag.py:361-362)
+    out_dir = wh.path("output/supplier_orders", "2026-01-15")
     files = sorted(os.listdir(out_dir))
     assert files and all(f.startswith("supplier_") for f in files)
     doc = json.load(open(os.path.join(out_dir, files[0])))
-    assert doc["order_date"] == "2026-01-16"
+    assert doc["order_date"] == "2026-01-15"
     assert doc["data_date"] == EXEC_DATE
     assert doc["total_estimated_cost"] == round(
         sum(i["total_cost"] for i in doc["items"]), 2
@@ -63,7 +64,7 @@ def test_daily_pipeline_end_to_end(spark, tmp_path):
     assert exc["exception_count"] == len(exc["exceptions"]) == 0  # clean seed data
 
     # archive copied
-    assert os.path.isdir(wh.path("processed/supplier_orders", "2026-01-16"))
+    assert os.path.isdir(wh.path("processed/supplier_orders", "2026-01-15"))
 
 
 def test_pipeline_net_demand_matches_direct_mrp(spark, tmp_path):
@@ -80,7 +81,7 @@ def test_pipeline_net_demand_matches_direct_mrp(spark, tmp_path):
         ps.select("product_id", "supplier_id", "unit_cost", "priority"),
         EXEC_DATE,
         "2026-01-15",
-        "2026-01-15",
+        EXEC_DATE,  # calculation_date = data date (net_demand.sql:84)
     )
     via_wh = wh.read_derived(spark, "net_demand")
     key = lambda df: sorted(  # noqa: E731
@@ -208,6 +209,23 @@ def test_two_phase_count_distinct_exact(spark, sf_dir):
     assert got == expected
 
 
+def test_two_phase_count_distinct_excludes_nulls(spark):
+    """COUNT(DISTINCT x) skips NULLs; all-NULL groups still appear with 0."""
+    from procurement_data_pipeline_spark.operators.skew import (
+        two_phase_count_distinct,
+    )
+
+    df = spark.createDataFrame(
+        [("a", 1), ("a", 1), ("a", None), ("b", None), ("b", None)],
+        "g string, x int",
+    )
+    got = {
+        r.g: r.n_distinct
+        for r in two_phase_count_distinct(df, "g", "x", n_salt=4).collect()
+    }
+    assert got == {"a": 1, "b": 0}
+
+
 def test_compact_dir_reduces_files_preserves_rows(spark, sf_dir, tmp_path):
     from procurement_data_pipeline_spark.catalog import compact_dir
     from procurement_data_pipeline_spark.sources.tables import load_table
@@ -236,7 +254,7 @@ def test_multi_day_pipeline_accumulates_partitions(spark, tmp_path):
         assert all(r.error is None for r in results.values()), results
 
     # raw zone holds one partition dir per day; derived net_demand holds one
-    # calculation_date partition per run (exec_date + 1)
+    # calculation_date partition per run (= the data date)
     orders = spark.read.parquet(wh.path("raw/orders"))
     days = {r.order_date.isoformat() for r in orders.select("order_date").distinct().collect()}
     assert days == {"2026-01-13", "2026-01-14", "2026-01-15"}
@@ -245,12 +263,12 @@ def test_multi_day_pipeline_accumulates_partitions(spark, tmp_path):
         r.calculation_date.isoformat()
         for r in nd.select("calculation_date").distinct().collect()
     }
-    assert calc_days == {"2026-01-14", "2026-01-15", "2026-01-16"}
+    assert calc_days == {"2026-01-13", "2026-01-14", "2026-01-15"}
     # latest-partition KPI semantics pick the newest calculation date
     from procurement_data_pipeline_spark.operators.kpi import total_net_demand
 
     latest = total_net_demand(nd).collect()[0]
-    latest_only = nd.filter(F.col("calculation_date") == "2026-01-16")
+    latest_only = nd.filter(F.col("calculation_date") == "2026-01-15")
     assert latest.total_net_demand == (
         latest_only.agg(F.sum("net_demand")).collect()[0][0]
     )
