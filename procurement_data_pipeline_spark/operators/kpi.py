@@ -75,20 +75,38 @@ def kpi_summary(
     The two 1-row aggregates meet on a literal key — a broadcast hash join,
     not a nested loop. Money is presented as ROUND(CAST(.. AS DOUBLE), 2)
     after the reference's DECIMAL(12,2) pin so the value survives both
-    engines' pandas conversion identically."""
-    core = _latest(net_demand, "calculation_date").agg(
-        F.sum("net_demand").cast("bigint").alias("total_net_demand"),
+    engines' pandas conversion identically.
+
+    Latest-partition selection is ONE pass per source: aggregate per date
+    (map-side partials; #dates groups), then ``max_by(struct(..), date)``
+    picks the latest date's row in a second, tiny global aggregate. The
+    scalar-subquery form (``_latest``) would replay each source's full
+    lineage twice — here that lineage is the 5-join MRP chain, so the
+    one-pass shape halves the query."""
+    by_date = net_demand.groupBy("calculation_date").agg(
+        F.sum("net_demand").cast("bigint").alias("tnd"),
         F.round(
             F.sum("estimated_cost").cast("decimal(12,2)").cast("double"), 2
-        ).alias("total_estimated_cost"),
+        ).alias("tec"),
+    )
+    core = by_date.agg(
+        F.max_by(F.struct("tnd", "tec"), F.col("calculation_date")).alias("_s")
+    ).select(
+        F.col("_s.tnd").alias("total_net_demand"),
+        F.col("_s.tec").alias("total_estimated_cost"),
     )
     cnt = lambda s: F.sum(  # noqa: E731
         F.when(F.col(status_col) == s, 1).otherwise(0)
     ).cast("bigint")
-    status = _latest(orders, "order_date").agg(
-        cnt("F").alias("orders_f"),
-        cnt("O").alias("orders_o"),
-        cnt("P").alias("orders_p"),
+    status_by_date = orders.groupBy("order_date").agg(
+        cnt("F").alias("f"), cnt("O").alias("o"), cnt("P").alias("p")
+    )
+    status = status_by_date.agg(
+        F.max_by(F.struct("f", "o", "p"), F.col("order_date")).alias("_s")
+    ).select(
+        F.col("_s.f").alias("orders_f"),
+        F.col("_s.o").alias("orders_o"),
+        F.col("_s.p").alias("orders_p"),
     )
     return (
         core.withColumn("_k", F.lit(1))
@@ -99,10 +117,15 @@ def kpi_summary(
 
 def demand_breakdown(net_demand: DataFrame) -> DataFrame:
     """KPIs 2+3 in one aggregation pass: per-product AND per-supplier demand
-    as grouping sets. Each latest-partition row expands into its (dim_type,
-    dim_name) memberships map-side (the same Expand shape Spark's rollup
-    uses), so both dashboard breakdowns ride ONE shuffle over the chain
-    instead of two full replays (metabase_setup_dag.py:264-289)."""
+    as grouping sets. Each row expands into its (dim_type, dim_name)
+    memberships map-side (the same Expand shape Spark's rollup uses), so
+    both dashboard breakdowns ride ONE shuffle over the chain instead of
+    two full replays (metabase_setup_dag.py:264-289).
+
+    The latest-date filter happens AFTER the per-(date, dim) aggregation:
+    the aggregated relation is persisted (it's #dates × #dims rows — tiny
+    next to the fact lineage), so the max-date scalar and the final filter
+    both hit the cache and the MRP chain runs exactly once."""
     dims = F.explode(
         F.array(
             F.struct(
@@ -115,13 +138,18 @@ def demand_breakdown(net_demand: DataFrame) -> DataFrame:
             ),
         )
     )
-    return (
-        _latest(net_demand, "calculation_date")
-        .select(dims.alias("_d"), "net_demand")
+    by_date = (
+        net_demand.select(dims.alias("_d"), "calculation_date", "net_demand")
         .groupBy(
+            "calculation_date",
             F.col("_d.dim_type").alias("dim_type"),
             F.col("_d.dim_name").alias("dim_name"),
         )
         .agg(F.sum("net_demand").cast("bigint").alias("total_demand"))
+        .persist()
+    )
+    return (
+        _latest(by_date, "calculation_date")
+        .select("dim_type", "dim_name", "total_demand")
         .orderBy(F.col("total_demand").desc(), "dim_type", "dim_name")
     )
