@@ -510,51 +510,53 @@ LIMIT 100
 def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Suppliers who kept orders waiting (TPC-H Q21 shape; 'late' = shipped
     more than 60 days after order date, standing in for receipt>commit).
-    EXISTS → left-semi, NOT EXISTS → left-anti, both self-joins against
-    lineitem with a non-equi residual on the orderkey equi-join. All three
-    lineitem passes shuffle on l_orderkey, so AQE reuses one exchange."""
+
+    The textbook EXISTS/NOT-EXISTS form is three lineitem passes (base +
+    semi + anti self-joins). Rewritten as ONE pass: per order, collect the
+    supplier set and the late-supplier set (``collect_set`` — bounded by
+    suppliers-per-order, a small constant); a supplier qualifies iff the
+    order has >1 supplier (the EXISTS), exactly one supplier shipped late
+    (the NOT EXISTS), and it is that supplier. COUNT(*) over qualifying l1
+    rows = the order's late-line count, summed per supplier. The groupBy
+    rides the join's existing l_orderkey partitioning — no extra exchange,
+    and lineitem is scanned once instead of three times."""
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders")
     supplier = load_table(spark, sf_dir, "supplier")
     nation = load_table(spark, sf_dir, "nation")
 
-    late_cut = F.col("o_orderdate") + F.expr("INTERVAL 60 DAY")
-    base = (
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAY")
+    per_order = (
         li.join(
-            orders.filter(F.col("o_orderstatus") == "F"),
+            orders.filter(F.col("o_orderstatus") == "F").select(
+                "o_orderkey", "o_orderdate"
+            ),
             F.col("l_orderkey") == F.col("o_orderkey"),
         )
-        .filter(F.col("l_shipdate") > late_cut)
-        .join(supplier, F.col("l_suppkey") == F.col("s_suppkey"))
-        .join(
-            F.broadcast(nation.filter(F.col("n_name") == "NATION_0")),
-            F.col("s_nationkey") == F.col("n_nationkey"),
+        .groupBy("l_orderkey")
+        .agg(
+            F.size(F.collect_set("l_suppkey")).alias("_n_supp"),
+            F.collect_set(F.when(late, F.col("l_suppkey"))).alias("_late_supps"),
+            F.sum(F.when(late, 1).otherwise(0)).alias("_n_late_lines"),
         )
-    )
-    l2 = li.select(
-        F.col("l_orderkey").alias("l2_orderkey"), F.col("l_suppkey").alias("l2_suppkey")
-    )
-    l3 = li.select(
-        F.col("l_orderkey").alias("l3_orderkey"),
-        F.col("l_suppkey").alias("l3_suppkey"),
-        F.col("l_shipdate").alias("l3_shipdate"),
+        .filter((F.col("_n_supp") > 1) & (F.size("_late_supps") == 1))
+        .select(
+            F.col("_late_supps")[0].alias("l_suppkey"),
+            F.col("_n_late_lines"),
+        )
     )
     return (
-        base.join(
-            l2,
-            (F.col("l_orderkey") == F.col("l2_orderkey"))
-            & (F.col("l_suppkey") != F.col("l2_suppkey")),
-            "left_semi",
-        )
-        .join(
-            l3,
-            (F.col("l_orderkey") == F.col("l3_orderkey"))
-            & (F.col("l_suppkey") != F.col("l3_suppkey"))
-            & (F.col("l3_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAY")),
-            "left_anti",
+        per_order.join(
+            F.broadcast(
+                supplier.join(
+                    nation.filter(F.col("n_name") == "NATION_0"),
+                    F.col("s_nationkey") == F.col("n_nationkey"),
+                ).select("s_suppkey", "s_name")
+            ),
+            F.col("l_suppkey") == F.col("s_suppkey"),
         )
         .groupBy("s_name")
-        .agg(F.count(F.lit(1)).alias("numwait"))
+        .agg(F.sum("_n_late_lines").cast("bigint").alias("numwait"))
         .orderBy(F.col("numwait").desc(), F.col("s_name"))
         .limit(100)
     )
