@@ -1,0 +1,87 @@
+"""Deterministic, oracle-checkable sampling for training-data pipelines.
+
+Training corpora need samples that are (a) reproducible across reruns and
+engines (a retried task must emit the same rows — the same property the
+dedup salts rely on), and (b) cheap at scale (no global sort, no second
+pass). Both operators key on a portable content hash: the ``md5`` hex
+digest, which is bit-identical in Spark and DuckDB AND whose hex chars
+order lexicographically exactly like the number they encode — so "hash <
+threshold" is a plain string comparison both engines agree on, and the
+sampling decision itself is oracle-verifiable. ``rand()``-based sampling
+can't be cross-checked and changes under retry; hash sampling is a pure
+projection/filter (no shuffle at all for :func:`hash_sample`).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+_PREFIX_LEN = 8  # hex chars compared; 16^8 = 2^32 buckets
+
+
+def hash_key(col: str | Column, salt: str = "") -> Column:
+    """md5(value ‖ salt) hex digest — the portable sampling key.
+
+    (DuckDB side: ``md5(CAST(x AS VARCHAR) || salt)``.)"""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.md5(F.concat(c.cast("string"), F.lit(salt)))
+
+
+def fraction_threshold(fraction: float) -> str:
+    """Hex-string threshold t such that P(md5 prefix < t) = ``fraction``."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0, 1], got {fraction}")
+    if fraction == 1.0:
+        return "g" * _PREFIX_LEN  # 'g' > 'f': admits every hex prefix
+    return format(int(fraction * (1 << (4 * _PREFIX_LEN))), f"0{_PREFIX_LEN}x")
+
+
+def hash_sample(
+    df: DataFrame, key_col: str, fraction: float, salt: str = ""
+) -> DataFrame:
+    """Keep ~``fraction`` of rows, decided per row by content hash.
+
+    A pure filter — fully parallel, no shuffle, reproducible, and stable
+    under retries AND under corpus growth (a row's keep/drop never changes
+    as other rows arrive, unlike rank-based sampling). Different ``salt``
+    values draw independent samples."""
+    t = fraction_threshold(fraction)
+    return df.filter(
+        F.substring(hash_key(key_col, salt), 1, _PREFIX_LEN) < F.lit(t)
+    )
+
+
+def stratified_sample_n(
+    df: DataFrame,
+    strata_col: str,
+    key_col: str,
+    n_per_stratum: int,
+    salt: str = "",
+) -> DataFrame:
+    """Exactly ``n_per_stratum`` rows per stratum (fewer if the stratum is
+    smaller), chosen as the n smallest content hashes — a deterministic
+    reservoir. One shuffle on the stratum key; the rank window never sees
+    more than a stratum's rows. For balanced class-capped training mixes
+    (cap every source/language/label at n examples)."""
+    w = Window.partitionBy(strata_col).orderBy(
+        hash_key(key_col, salt).asc(), F.col(key_col).asc()
+    )
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= n_per_stratum)
+        .drop("_rk")
+    )
+
+
+def split_train_eval(
+    df: DataFrame, key_col: str, eval_fraction: float, salt: str = "split"
+) -> tuple[DataFrame, DataFrame]:
+    """Disjoint, exhaustive train/eval split by content hash — the standard
+    leakage-safe holdout: a document's side is a pure function of its key,
+    so regenerating the corpus (or sampling it first) never migrates rows
+    across the boundary."""
+    t = fraction_threshold(eval_fraction)
+    in_eval = F.substring(hash_key(key_col, salt), 1, _PREFIX_LEN) < F.lit(t)
+    return df.filter(~in_eval), df.filter(in_eval)

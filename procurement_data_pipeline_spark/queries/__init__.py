@@ -7,4 +7,5 @@ from procurement_data_pipeline_spark.queries import (  # noqa: F401
     text,
     tpch,
     tpch_advanced,
+    augment,
 )
