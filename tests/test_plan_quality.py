@@ -95,3 +95,24 @@ def test_single_fact_queries_have_bounded_shuffles(audits):
         "events_type_pivot_daily",
     ):
         assert audits[q]["exchanges"] <= 2, (q, audits[q])
+
+
+def test_hash_sample_is_a_pure_filter(audits):
+    # Hash sampling must stay a projection/filter: zero shuffles, zero joins.
+    s = audits["docs_hash_sample"]
+    assert s["exchanges"] == 0 and s["bnlj"] == 0 and s["smj"] == 0, s
+
+
+def test_asof_join_plans_as_window_not_join(audits):
+    # The as-of operator is the union + running-last window: exactly one
+    # shuffle (the window partitioning) and NO join node of any kind.
+    s = audits["events_asof_last_click"]
+    assert s["exchanges"] <= 1, s
+    assert s["broadcast_joins"] == 0 and s["smj"] == 0 and s["bnlj"] == 0, s
+
+
+def test_q21_single_lineitem_pass(audits):
+    # Q21's set-based rewrite must not regress to self-join form: one
+    # lineitem scan and at most 2 shuffles (join + final top-k agg).
+    s = audits["tpch_q21_waiting_supplier"]
+    assert s["scans"] <= 4 and s["exchanges"] <= 2, s
