@@ -1,0 +1,81 @@
+"""Range (interval) join — bucketed equi-join instead of a nested loop.
+
+Spark plans a plain ``start <= ts AND ts <= end`` join as a
+BroadcastNestedLoopJoin (or cartesian) — O(|intervals| × |points|) and the
+classic 100 TB scale-killer. The bucketed form restores an equi-join:
+
+1. pick a bucket width ``w`` (≈ the typical interval length),
+2. each interval explodes into its covered buckets
+   (``floor(start/w) .. floor(end/w)`` — ~(len/w)+1 rows),
+3. each point maps to exactly ONE bucket (``floor(ts/w)``),
+4. hash-join on (key, bucket), then apply the exact range predicate.
+
+Because a point lives in a single bucket, every qualifying
+(interval, point) pair meets exactly once — no dedup pass. Candidate
+volume is bounded by interval-length/w × point density per bucket, not by
+|intervals| × |points|; the join shuffles on (key, bucket), so wide keys
+(a hot user) spread across their time buckets — bucketing doubles as skew
+mitigation on the time axis.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def range_join(
+    intervals: DataFrame,
+    points: DataFrame,
+    on: list[str],
+    start_col: str,
+    end_col: str,
+    ts_col: str,
+    bucket_seconds: int,
+    how: str = "inner",
+) -> DataFrame:
+    """Join each point to every interval (same ``on`` keys) containing it:
+    ``start <= ts AND ts <= end``, both bounds inclusive.
+
+    ``how='left'`` keeps intervals with no points (point columns NULL) —
+    implemented as the inner bucketed join plus an anti-join union, so the
+    outer form never falls back to a nested loop either. Pick
+    ``bucket_seconds`` near the typical interval length: too small explodes
+    the interval side, too large floods candidates per bucket.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"how must be inner|left, got {how}")
+    w = float(bucket_seconds)
+    ie = intervals.withColumn(
+        "_b",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(start_col).cast("double") / w).cast("long"),
+                F.floor(F.col(end_col).cast("double") / w).cast("long"),
+            )
+        ),
+    )
+    pe = points.withColumn(
+        "_b", F.floor(F.col(ts_col).cast("double") / w).cast("long")
+    )
+    inner = (
+        ie.join(pe, [*on, "_b"])
+        .filter(
+            (F.col(ts_col) >= F.col(start_col))
+            & (F.col(ts_col) <= F.col(end_col))
+        )
+        .drop("_b")
+    )
+    if how == "inner":
+        return inner
+    point_cols = [c for c in points.columns if c not in on]
+    unmatched = intervals.join(
+        inner.select(*intervals.columns), intervals.columns, "left_anti"
+    ).select(
+        "*",
+        *[
+            F.lit(None).cast(points.schema[c].dataType).alias(c)
+            for c in point_cols
+        ],
+    )
+    return inner.unionByName(unmatched)

@@ -20,6 +20,7 @@ from procurement_data_pipeline_spark.llm_ops.sampling import (
     stratified_sample_n,
 )
 from procurement_data_pipeline_spark.operators.asof import asof_join
+from procurement_data_pipeline_spark.operators.rangejoin import range_join
 from procurement_data_pipeline_spark.registry import register
 from procurement_data_pipeline_spark.sources.tables import load_table
 
@@ -90,6 +91,52 @@ def q_events_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts")
     return asof_join(purchases, clicks, on="user_id", ts_col="ts")
+
+
+@register(
+    "events_click_attribution",
+    oracle="""
+SELECT p.event_id, p.user_id, p.ts,
+       CAST(COUNT(c.ts) AS BIGINT) AS n_clicks_1h
+FROM events p
+LEFT JOIN events c
+  ON c.user_id = p.user_id AND c.event_type = 'click'
+ AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts
+WHERE p.event_type = 'purchase'
+GROUP BY p.event_id, p.user_id, p.ts
+""",
+    tags=("events", "range-join"),
+)
+def q_events_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Attribution via range join: clicks inside each purchase's 1-hour
+    lookback window, zero-click purchases kept. The operator is the
+    bucketed equi-join (operators/rangejoin.py) — the oracle's non-equi
+    LEFT JOIN is what Spark would otherwise plan as a nested loop."""
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id",
+        "user_id",
+        "ts",
+        (F.col("ts") - F.expr("INTERVAL 1 HOUR")).alias("_start"),
+        F.col("ts").alias("_end"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("click_ts")
+    )
+    return (
+        range_join(
+            purchases,
+            clicks,
+            on=["user_id"],
+            start_col="_start",
+            end_col="_end",
+            ts_col="click_ts",
+            bucket_seconds=3600,
+            how="left",
+        )
+        .groupBy("event_id", "user_id", "ts")
+        .agg(F.count("click_ts").alias("n_clicks_1h"))
+    )
 
 
 @register(

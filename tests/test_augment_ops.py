@@ -116,6 +116,66 @@ def test_stratified_sample_caps_each_stratum(spark):
     assert a == b
 
 
+def test_range_join_inner_and_left(spark):
+    from procurement_data_pipeline_spark.operators.rangejoin import range_join
+
+    intervals = spark.createDataFrame(
+        [
+            (1, "u1", 100.0, 200.0),
+            (2, "u1", 150.0, 250.0),  # overlaps interval 1
+            (3, "u2", 0.0, 50.0),     # no points in range
+        ],
+        "iid int, k string, s double, e double",
+    )
+    points = spark.createDataFrame(
+        [
+            ("u1", 100.0),  # on start boundary of 1
+            ("u1", 175.0),  # inside 1 AND 2
+            ("u1", 250.0),  # on end boundary of 2
+            ("u1", 300.0),  # outside all
+            ("u2", 60.0),   # outside u2's interval
+        ],
+        "k string, t double",
+    )
+    inner = {
+        (r.iid, r.t)
+        for r in range_join(
+            intervals, points, ["k"], "s", "e", "t", bucket_seconds=30
+        ).collect()
+    }
+    # boundary-inclusive, overlapping intervals each match, one row per pair
+    assert inner == {(1, 100.0), (1, 175.0), (2, 175.0), (2, 250.0)}
+
+    left = range_join(
+        intervals, points, ["k"], "s", "e", "t", bucket_seconds=30, how="left"
+    ).collect()
+    assert {(r.iid, r.t) for r in left} == inner | {(3, None)}
+
+
+def test_range_join_bucket_width_invariance(spark):
+    from procurement_data_pipeline_spark.operators.rangejoin import range_join
+
+    intervals = spark.createDataFrame(
+        [(i, "k", float(i * 7), float(i * 7 + 13)) for i in range(40)],
+        "iid int, k string, s double, e double",
+    )
+    points = spark.createDataFrame(
+        [("k", float(t * 3 + 1)) for t in range(100)], "k string, t double"
+    )
+    expected = None
+    for w in (1, 5, 1000):  # widths spanning tiny → larger-than-any-interval
+        got = sorted(
+            (r.iid, r.t)
+            for r in range_join(
+                intervals, points, ["k"], "s", "e", "t", bucket_seconds=w
+            ).collect()
+        )
+        if expected is None:
+            expected = got
+        assert got == expected, f"width {w} changed the result"
+    assert len(expected) > 0
+
+
 def test_set_op_cohorts_partition_supplier_space(spark, sf_dir):
     from procurement_data_pipeline_spark.queries.augment import q_supplier_cohorts
     from procurement_data_pipeline_spark.sources.tables import load_table

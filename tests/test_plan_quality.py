@@ -111,6 +111,13 @@ def test_asof_join_plans_as_window_not_join(audits):
     assert s["broadcast_joins"] == 0 and s["smj"] == 0 and s["bnlj"] == 0, s
 
 
+def test_range_join_avoids_nested_loop(audits):
+    # The bucketed range join must plan as hash equi-joins — the whole
+    # point of the operator is dodging the non-equi BNLJ/cartesian.
+    s = audits["events_click_attribution"]
+    assert s["bnlj"] == 0 and s["cartesian"] == 0, s
+
+
 def test_q21_single_lineitem_pass(audits):
     # Q21's set-based rewrite must not regress to self-join form: one
     # lineitem scan and at most 2 shuffles (join + final top-k agg).
