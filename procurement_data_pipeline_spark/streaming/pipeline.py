@@ -90,6 +90,40 @@ def session_counts(
     )
 
 
+def click_attribution_join(
+    purchases: DataFrame,
+    clicks: DataFrame,
+    lookback: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked stream-stream interval join: each purchase pairs with the
+    same user's clicks inside its lookback window — the streaming analogue
+    of the batch ``events_click_attribution`` range join.
+
+    Both sides carry watermarks and the join condition bounds event-time
+    distance, so the state store provably evicts rows older than
+    watermark + lookback — bounded state forever, the requirement for any
+    stream-stream join at scale. Inner join: zero-click purchases surface
+    when the aggregation layer counts, not here (outer stream-stream joins
+    emit NULL rows only at watermark expiry)."""
+    p = purchases.select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id"),
+        F.col("ts").alias("purchase_ts"),
+    ).withWatermark("purchase_ts", watermark)
+    c = clicks.select(
+        F.col("user_id").alias("click_user"),
+        F.col("ts").alias("click_ts"),
+    ).withWatermark("click_ts", watermark)
+    return p.join(
+        c,
+        (F.col("user_id") == F.col("click_user"))
+        & (F.col("click_ts") >= F.col("purchase_ts") - F.expr(f"INTERVAL {lookback}"))
+        & (F.col("click_ts") <= F.col("purchase_ts")),
+        "inner",
+    ).select("purchase_id", "user_id", "purchase_ts", "click_ts")
+
+
 def run_to_completion(
     stream_df: DataFrame,
     checkpoint_dir: str,

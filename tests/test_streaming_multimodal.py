@@ -12,6 +12,7 @@ from procurement_data_pipeline_spark.llm_ops.multimodal import (
 )
 from procurement_data_pipeline_spark.sources.tables import load_table
 from procurement_data_pipeline_spark.streaming.pipeline import (
+    click_attribution_join,
     dedup_events,
     hourly_rollup,
     read_event_stream,
@@ -73,6 +74,42 @@ def test_stream_session_counts_runs(spark, events_dir, tmp_path):
     assert len(got) > 0
     assert all(r.n_events >= 1 for r in got)
     assert all(r.session_end >= r.session_start for r in got)
+
+
+def test_stream_stream_join_matches_batch_range_join(
+    spark, sf_dir, events_dir, tmp_path
+):
+    """The watermarked stream-stream interval join must produce exactly the
+    batch inner range join's pairs (availableNow drains everything, so no
+    rows are lost to the watermark horizon here)."""
+    stream = read_event_stream(spark, events_dir)
+    purchases = stream.filter(F.col("event_type") == "purchase")
+    clicks = stream.filter(F.col("event_type") == "click")
+    got = {
+        (r.purchase_id, r.click_ts)
+        for r in run_to_completion(
+            click_attribution_join(purchases, clicks),
+            str(tmp_path / "ckpt_ss"),
+            query_name="attrib_stream",
+        )
+    }
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", "ts"
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("cu"), F.col("ts").alias("click_ts")
+    )
+    want = {
+        (r.purchase_id, r.click_ts)
+        for r in p.join(
+            c,
+            (F.col("user_id") == F.col("cu"))
+            & (F.col("click_ts") >= F.col("ts") - F.expr("INTERVAL 1 HOUR"))
+            & (F.col("click_ts") <= F.col("ts")),
+        ).collect()
+    }
+    assert got == want and len(want) > 0
 
 
 def test_documents_as_media_schema(spark, sf_dir):
