@@ -13,6 +13,7 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 RAW_ORDERS = "raw/orders"
 RAW_STOCK = "raw/stock"
@@ -178,3 +179,40 @@ def compact_dir(
     shutil.rmtree(path)
     os.rename(tmp, path)
     return n_files
+
+
+def write_sorted_layout(
+    df: DataFrame,
+    path: str,
+    cluster_col: str,
+    sort_cols: list[str] | None = None,
+    num_files: int | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Write parquet clustered + sorted on the filter column so row-group
+    min/max statistics actually prune.
+
+    ``repartitionByRange`` puts disjoint value ranges in disjoint files and
+    ``sortWithinPartitions`` orders rows inside each file, so every file and
+    row group covers a narrow ``cluster_col`` interval. A point or range
+    filter then skips whole files via footer stats instead of scanning —
+    the poor-man's Z-order, and the single highest-leverage layout choice
+    for a 100 TB table queried by time/key range. (Random layout makes
+    every row group's [min, max] span the whole domain — stats prune
+    nothing.)
+
+    ``num_files`` pins the range-partition count (size it to ~128 MB-1 GB
+    per file); default lets Spark/AQE decide, which can coalesce small
+    inputs to one file.
+    """
+    sort_cols = [cluster_col, *(sort_cols or [])]
+    ranged = (
+        df.repartitionByRange(num_files, F.col(cluster_col))
+        if num_files is not None
+        else df.repartitionByRange(F.col(cluster_col))
+    )
+    (
+        ranged.sortWithinPartitions(*[F.col(c) for c in sort_cols])
+        .write.mode(mode)
+        .parquet(path)
+    )

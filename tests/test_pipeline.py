@@ -245,6 +245,42 @@ def test_compact_dir_reduces_files_preserves_rows(spark, sf_dir, tmp_path):
     assert spark.read.parquet(path).count() == before_rows
 
 
+def test_sorted_layout_narrows_rowgroup_stats(spark, sf_dir, tmp_path):
+    """write_sorted_layout must yield files whose [min, max] cluster-column
+    ranges are (near-)disjoint — the property parquet footer-stats pruning
+    depends on. Verified directly from the parquet metadata via pyarrow."""
+    import pyarrow.parquet as pq
+
+    from procurement_data_pipeline_spark.catalog import write_sorted_layout
+    from procurement_data_pipeline_spark.sources.tables import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    path = str(tmp_path / "sorted_orders")
+    write_sorted_layout(orders, path, "o_orderdate", num_files=8)
+
+    ranges = []
+    for f in os.listdir(path):
+        if not f.endswith(".parquet"):
+            continue
+        meta = pq.ParquetFile(os.path.join(path, f)).metadata
+        idx = {
+            meta.row_group(0).column(i).path_in_schema: i
+            for i in range(meta.num_columns)
+        }["o_orderdate"]
+        for rg in range(meta.num_row_groups):
+            st = meta.row_group(rg).column(idx).statistics
+            ranges.append((st.min, st.max))
+    assert len(ranges) >= 2, "expected multiple files/row groups"
+    ranges.sort()
+    overlaps = sum(
+        1 for (a, b) in zip(ranges, ranges[1:]) if b[0] < a[1]
+    )
+    # range-partitioned + sorted ⇒ at most boundary-touching overlap
+    assert overlaps <= len(ranges) // 4, (overlaps, len(ranges), ranges[:5])
+    # row count preserved
+    assert spark.read.parquet(path).count() == orders.count()
+
+
 def test_multi_day_pipeline_accumulates_partitions(spark, tmp_path):
     from procurement_data_pipeline_spark.plans.procurement import run_daily
 
