@@ -120,6 +120,7 @@ def ngram_jaccard_pairs(
             <= F.col("_sz") - F.ceil(F.lit(threshold) * F.col("_sz")) + 1
         )
         .select("_id", "w")
+        .persist()  # feeds BOTH sides of the candidate self-join
     )
     cand = (
         prefix.select(F.col("_id").alias("doc_a"), "w")

@@ -167,6 +167,9 @@ def q_supplier_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
 
     def shipped(y: int) -> DataFrame:
+        # persisted: each year-set feeds two set operations (INTERSECT +
+        # EXCEPT); the distinct supplier sets are tiny next to lineitem,
+        # so caching them scans the fact table once per year, not twice.
         return (
             li.filter(
                 (F.col("l_shipdate") >= F.lit(f"{y}-01-01").cast("timestamp"))
@@ -174,6 +177,7 @@ def q_supplier_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .select("l_suppkey")
             .distinct()
+            .persist()
         )
 
     y96, y97 = shipped(1996), shipped(1997)

@@ -23,6 +23,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from procurement_data_pipeline_spark.functions.money import cents, dollars
 from procurement_data_pipeline_spark.queries.tpch import _disc_price_cents, _REVENUE_SQL
@@ -72,8 +73,9 @@ LIMIT 100
 def q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Min-cost supplier per part (TPC-H Q2 shape; lineitem unit prices
     stand in for partsupp supply cost). The correlated MIN subquery is
-    decorrelated into a per-part aggregate joined back on equality — one
-    shuffle by partkey serves both the aggregate and the join-back."""
+    decorrelated into a MIN window over the partkey partitioning — one
+    shuffle computes the minimum and filters to it in the same pass (the
+    oracle keeps the aggregate + join-back form; same rows)."""
     li = load_table(spark, sf_dir, "lineitem")
     supplier = load_table(spark, sf_dir, "supplier")
     nation = load_table(spark, sf_dir, "nation")
@@ -99,22 +101,25 @@ def q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("s_nationkey") == F.col("n_nationkey"),
         )
     ).select("s_suppkey", "s_name", "s_acctbal", "n_name")
-    costs = ps.join(eu, F.col("ps_suppkey") == F.col("s_suppkey")).select(
-        "ps_partkey", "supply_cents", "s_name", "s_acctbal", "n_name"
-    )
-    best = costs.groupBy(F.col("ps_partkey").alias("b_partkey")).agg(
-        F.min("supply_cents").alias("min_cents")
-    )
-    return (
-        costs.join(
-            best,
-            (F.col("ps_partkey") == F.col("b_partkey"))
-            & (F.col("supply_cents") == F.col("min_cents")),
-        )
-        .join(
-            part.filter(F.col("p_size") == 15),
+    # Part filter applied BEFORE the min-cost window: only size-15 parts'
+    # supplier rows flow into the shuffle, and the per-part minimum is
+    # unchanged (it ranges over that part's suppliers only). The correlated
+    # MIN then resolves as a window over the partkey partitioning — ONE
+    # pass, no groupBy + join-back replay of the costs lineage.
+    costs = (
+        ps.join(
+            F.broadcast(
+                part.filter(F.col("p_size") == 15).select("p_partkey")
+            ),
             F.col("ps_partkey") == F.col("p_partkey"),
         )
+        .join(eu, F.col("ps_suppkey") == F.col("s_suppkey"))
+        .select("ps_partkey", "p_partkey", "supply_cents", "s_name", "s_acctbal", "n_name")
+    )
+    w_min = Window.partitionBy("ps_partkey")
+    return (
+        costs.withColumn("min_cents", F.min("supply_cents").over(w_min))
+        .filter(F.col("supply_cents") == F.col("min_cents"))
         .select(
             cents("s_acctbal").alias("s_acctbal_cents"),
             "s_name",
