@@ -1,0 +1,221 @@
+"""Product quantization (PQ) — compressed ANN for 100 TB embedding stores.
+
+At 100 TB, float32 embeddings are the storage AND shuffle bottleneck: a
+64-dim vector is 256 bytes, its PQ code is M bytes (32× smaller at M=8).
+PQ splits each L2-normalized vector into M subvectors, k-means-quantizes
+each subspace to K centroids (K ≤ 256 → one byte per subvector), and stores
+only the code. Search uses **asymmetric distance computation** (ADC): the
+query stays full-precision, one M×K lookup table of
+``dot(query_subvector, centroid)`` is built per query, and a corpus
+vector's approximate score is the sum of M table lookups — no float vector
+ever leaves storage.
+
+Spark mapping:
+* train   — driver-side Lloyd per subspace over a bounded sample (same
+            bounded-driver-work contract as IVF's coarse quantizer);
+* encode  — one Arrow-batched pandas UDF: (batch × dim) matmuls per
+            subspace, argmin per row → ``array<smallint>`` codes;
+* search  — broadcast the query lookup tables; one pandas UDF turns a
+            batch of codes into scores via numpy fancy indexing; exact
+            top-k per query via window rank.
+
+Recall is bounded by quantization error, so the operator is declared
+without an oracle (like LSH/IVF) and carries recall-floor tests against
+brute force; compose with :mod:`similarity`'s IVF cells for IVF-PQ.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def _l2_lloyd(x: np.ndarray, k: int, iters: int = 15, seed: int = 42) -> np.ndarray:
+    """Plain L2 k-means (k-means++ init) on a driver-side sample."""
+    rng = np.random.default_rng(seed)
+    cents = [x[rng.integers(len(x))]]
+    for _ in range(k - 1):
+        d2 = np.min(
+            [((x - c) ** 2).sum(axis=1) for c in cents], axis=0
+        )
+        probs = d2 / d2.sum() if d2.sum() > 0 else None
+        cents.append(x[rng.choice(len(x), p=probs)])
+    cents = np.array(cents)
+    for _ in range(iters):
+        d = ((x[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        assign = np.argmin(d, axis=1)
+        for j in range(k):
+            members = x[assign == j]
+            if len(members):
+                cents[j] = members.mean(axis=0)
+    return cents
+
+
+def train_pq_codebooks(
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    m: int = 8,
+    k: int = 256,
+    sample_size: int = 2048,
+    seed: int = 42,
+) -> np.ndarray:
+    """Train M per-subspace codebooks over a bounded sample → (m, k, dim/m)
+    array. Vectors are L2-normalized first so ADC scores approximate
+    cosine. ``limit(n)`` sampling — no global sort, O(sample) driver work."""
+    rows = corpus.select(vec_col).limit(sample_size).collect()
+    x = np.array([r[0] for r in rows], dtype=np.float64)
+    x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    dim = x.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    sub = dim // m
+    k = min(k, len(x))
+    return np.stack(
+        [
+            _l2_lloyd(x[:, j * sub : (j + 1) * sub], k, seed=seed + j)
+            for j in range(m)
+        ]
+    )
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebooks: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, code: array<smallint>) — one code per subspace per vector.
+
+    One Arrow batch → M (batch × sub) @ (sub × k) matmuls; nearest centroid
+    per subspace by expanded L2 (argmax of dot − ½‖c‖², since the batch
+    row's own norm is constant across candidates)."""
+    from pyspark.sql.functions import pandas_udf
+
+    m, k, sub = codebooks.shape
+    mats = codebooks.transpose(0, 2, 1)  # m × sub × k
+    half_sq = 0.5 * (codebooks**2).sum(axis=2)  # m × k
+
+    @pandas_udf("array<smallint>")
+    def encode(emb: pd.Series) -> pd.Series:
+        x = np.vstack(emb.to_numpy()).astype(np.float64)
+        x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+        codes = np.empty((len(x), m), dtype=np.int16)
+        for j in range(m):
+            scores = x[:, j * sub : (j + 1) * sub] @ mats[j] - half_sq[j]
+            codes[:, j] = np.argmax(scores, axis=1).astype(np.int16)
+        return pd.Series(list(codes))
+
+    return corpus.select(
+        F.col(id_col), encode(F.col(vec_col)).alias("code")
+    )
+
+
+def pq_ann(
+    encoded_corpus: DataFrame,
+    queries: DataFrame,
+    codebooks: np.ndarray,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k by ADC over PQ codes.
+
+    Query lookup tables (n_queries × m × K) are built driver-side (queries
+    are the small side by contract, same as the other ANN operators) and
+    broadcast inside one pandas UDF closure; each Arrow batch of corpus
+    codes scores against ALL queries via fancy indexing — the per-row cost
+    is M adds per query, independent of the original dimension."""
+    from pyspark.sql.functions import pandas_udf
+
+    m, kk, sub = codebooks.shape
+    q_rows = queries.select(id_col, vec_col).collect()
+    q_ids = [r[0] for r in q_rows]
+    qx = np.array([r[1] for r in q_rows], dtype=np.float64)
+    qx /= np.maximum(np.linalg.norm(qx, axis=1, keepdims=True), 1e-12)
+    # tables[q, j, c] = dot(query_q's j-th subvector, codebook_j[c])
+    tables = np.stack(
+        [qx[:, j * sub : (j + 1) * sub] @ codebooks[j].T for j in range(m)],
+        axis=1,
+    )
+    n_q = len(q_ids)
+
+    @pandas_udf("array<double>")
+    def adc_scores(code: pd.Series) -> pd.Series:
+        codes = np.vstack(code.to_numpy()).astype(np.int64)  # batch × m
+        out = np.zeros((len(codes), n_q), dtype=np.float64)
+        for j in range(m):
+            # tables[:, j, codes[:, j]] → (n_q × batch); accumulate transposed
+            out += tables[:, j, codes[:, j]].T
+        return pd.Series(list(out))
+
+    scored = encoded_corpus.select(
+        id_col, F.posexplode(adc_scores(F.col("code"))).alias("_qi", "score")
+    )
+    qmap = F.array(*[F.lit(q) for q in q_ids])
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("query_id", qmap[F.col("_qi")])
+        .filter(F.col(id_col) != F.col("query_id"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", id_col, "score", F.col("rank").cast("int").alias("rank"))
+    )
+
+
+def pq_ann_end_to_end(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 8,
+    codebook_k: int = 256,
+    sample_size: int = 2048,
+    seed: int = 42,
+) -> DataFrame:
+    """Train → encode → ADC search in one call (tests/declared query);
+    production splits the stages and persists the encoded corpus."""
+    cb = train_pq_codebooks(corpus, vec_col, m, codebook_k, sample_size, seed)
+    enc = pq_encode(corpus, cb, id_col, vec_col)
+    return pq_ann(enc, queries, cb, k, id_col, vec_col)
+
+
+def pq_reconstruction_cosine(
+    corpus: DataFrame,
+    codebooks: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, cosine between the vector and its PQ reconstruction) — the
+    quantization-quality diagnostic: mean ≈ 1 means the codebooks fit."""
+    from pyspark.sql.functions import pandas_udf
+
+    m, kk, sub = codebooks.shape
+
+    @pandas_udf("double")
+    def recon_cos(emb: pd.Series) -> pd.Series:
+        x = np.vstack(emb.to_numpy()).astype(np.float64)
+        x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+        rec = np.empty_like(x)
+        for j in range(m):
+            seg = x[:, j * sub : (j + 1) * sub]
+            d = ((seg[:, None, :] - codebooks[j][None, :, :]) ** 2).sum(axis=2)
+            rec[:, j * sub : (j + 1) * sub] = codebooks[j][np.argmin(d, axis=1)]
+        rec_n = rec / np.maximum(np.linalg.norm(rec, axis=1, keepdims=True), 1e-12)
+        return pd.Series((x * rec_n).sum(axis=1))
+
+    return corpus.select(F.col(id_col), recon_cos(F.col(vec_col)).alias("recon_cosine"))
+
+
+__all__ = [
+    "train_pq_codebooks",
+    "pq_encode",
+    "pq_ann",
+    "pq_ann_end_to_end",
+    "pq_reconstruction_cosine",
+]

@@ -156,3 +156,20 @@ def q_emb_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < N_QUERY_VECS)
     return ivf_ann(emb, queries, k=TOP_K)
+
+
+@register(
+    "emb_pq_ann",
+    oracle=None,  # approximate — recall vs brute force asserted in tests
+    tags=("similarity", "llm", "ann", "pq"),
+)
+def q_emb_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ADC top-k: per-subspace codebooks compress each
+    vector to M bytes; queries score corpus CODES via M table lookups per
+    row (llm_ops/pq.py) — the storage-bound ANN tier (32x smaller than
+    float32 at M=8), composable with the IVF cells for IVF-PQ."""
+    from procurement_data_pipeline_spark.llm_ops.pq import pq_ann_end_to_end
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERY_VECS)
+    return pq_ann_end_to_end(emb, queries, k=TOP_K, m=8, codebook_k=64)

@@ -345,3 +345,59 @@ def test_simhash_neardup_finds_true_neardups(spark, sf_dir):
     assert all(
         r.hamming <= 3 for r in simhash_neardup_pairs(docs).collect()
     )
+
+
+def test_pq_ann_recall_and_compression(spark, sf_dir):
+    """PQ-ADC top-k must substantially agree with brute force on the real
+    embeddings, and codes must be M small ints (the 32x compression)."""
+    from procurement_data_pipeline_spark.llm_ops.pq import (
+        pq_ann,
+        pq_encode,
+        train_pq_codebooks,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    cb = train_pq_codebooks(emb, m=8, k=64, sample_size=1024)
+    assert cb.shape == (8, 64, 8)  # dim 64 → 8 subspaces of 8
+
+    enc = pq_encode(emb, cb)
+    first = enc.first()
+    assert len(first.code) == 8 and all(0 <= c < 64 for c in first.code)
+    # deterministic encode
+    assert enc.first().code == first.code
+
+    exact = {
+        (r.query_id, r.vec_id)
+        for r in knn_bruteforce(emb, queries, k=10, quantized=False).collect()
+    }
+    approx_rows = pq_ann(enc, queries, cb, k=10).collect()
+    approx = {(r.query_id, r.vec_id) for r in approx_rows}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.4, f"PQ recall collapsed: {recall}"
+    # ranks are 1..k per query, deterministic tie-break
+    per_q = {}
+    for r in approx_rows:
+        per_q.setdefault(r.query_id, []).append(r.rank)
+    assert all(sorted(v) == list(range(1, 11)) for v in per_q.values())
+
+
+def test_pq_reconstruction_quality(spark, sf_dir):
+    from procurement_data_pipeline_spark.llm_ops.pq import (
+        pq_reconstruction_cosine,
+        train_pq_codebooks,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cb = train_pq_codebooks(emb, m=8, k=64, sample_size=1024)
+    stats = (
+        pq_reconstruction_cosine(emb, cb)
+        .agg(
+            F.avg("recon_cosine").alias("mean"),
+            F.min("recon_cosine").alias("lo"),
+        )
+        .first()
+    )
+    # 8×64 codebooks on 64-dim data should reconstruct well on average
+    assert stats["mean"] > 0.8, stats
+    assert stats["lo"] > 0.0, stats
