@@ -185,6 +185,88 @@ def pq_ann_end_to_end(
     return pq_ann(enc, queries, cb, k, id_col, vec_col)
 
 
+def ivf_pq_ann(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    nlist: int = 32,
+    nprobe: int = 8,
+    m: int = 8,
+    codebook_k: int = 256,
+    sample_size: int = 2048,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF-PQ: the billion-scale index layout — IVF cells prune the corpus
+    to ~nprobe/nlist, then ADC scores only the surviving PQ codes.
+
+    Composition of the existing tiers: :func:`similarity.train_ivf_centroids`
+    + cell assignment buckets the ENCODED corpus (code + cell: M+4 bytes per
+    vector — the float embedding is dropped after indexing), query probes
+    explode to their nprobe cells, the cell equi-join yields candidates,
+    and one Arrow-batched UDF turns (query-index, code) pairs into ADC
+    scores. Exact top-k per query by window rank over candidates.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    from procurement_data_pipeline_spark.llm_ops.similarity import (
+        _cell_udfs,
+        train_ivf_centroids,
+    )
+
+    cents = train_ivf_centroids(corpus, vec_col, nlist, sample_size, seed)
+    cell_udf, probes_udf = _cell_udfs(cents, nprobe)
+    codebooks = train_pq_codebooks(
+        corpus, vec_col, m, codebook_k, sample_size, seed
+    )
+    sub = codebooks.shape[2]
+
+    indexed = pq_encode(corpus, codebooks, id_col, vec_col).join(
+        corpus.select(id_col, cell_udf(F.col(vec_col)).alias("_cell")), id_col
+    )
+
+    q_rows = queries.select(id_col, vec_col).collect()
+    q_ids = [r[0] for r in q_rows]
+    qx = np.array([r[1] for r in q_rows], dtype=np.float64)
+    qx /= np.maximum(np.linalg.norm(qx, axis=1, keepdims=True), 1e-12)
+    tables = np.stack(
+        [qx[:, j * sub : (j + 1) * sub] @ codebooks[j].T for j in range(m)],
+        axis=1,
+    )
+
+    probed = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.explode(probes_udf(F.col(vec_col))).alias("_cell"),
+    )
+    qidx = F.map_from_arrays(
+        F.array(*[F.lit(q) for q in q_ids]),
+        F.array(*[F.lit(i) for i in range(len(q_ids))]),
+    )
+    cand = indexed.join(F.broadcast(probed), "_cell").filter(
+        F.col(id_col) != F.col("query_id")
+    ).withColumn("_qi", qidx[F.col("query_id")])
+
+    @pandas_udf("double")
+    def adc_pair(qi: pd.Series, code: pd.Series) -> pd.Series:
+        codes = np.vstack(code.to_numpy()).astype(np.int64)
+        qis = qi.to_numpy().astype(np.int64)
+        out = np.zeros(len(codes), dtype=np.float64)
+        for j in range(m):
+            out += tables[qis, j, codes[:, j]]
+        return pd.Series(out)
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col(id_col).asc()
+    )
+    return (
+        cand.withColumn("score", adc_pair(F.col("_qi"), F.col("code")))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", id_col, "score", F.col("rank").cast("int").alias("rank"))
+    )
+
+
 def pq_reconstruction_cosine(
     corpus: DataFrame,
     codebooks: np.ndarray,

@@ -173,3 +173,20 @@ def q_emb_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < N_QUERY_VECS)
     return pq_ann_end_to_end(emb, queries, k=TOP_K, m=8, codebook_k=64)
+
+
+@register(
+    "emb_ivf_pq_ann",
+    oracle=None,  # approximate — recall vs brute force asserted in tests
+    tags=("similarity", "llm", "ann", "pq"),
+)
+def q_emb_ivf_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ composition: coarse cells prune to ~nprobe/nlist of the
+    corpus, ADC scores only surviving M-byte codes — the billion-scale
+    index layout (cell + code = M+4 bytes/vector after the float
+    embedding is dropped)."""
+    from procurement_data_pipeline_spark.llm_ops.pq import ivf_pq_ann
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERY_VECS)
+    return ivf_pq_ann(emb, queries, k=TOP_K, nlist=16, nprobe=8, m=8, codebook_k=64)

@@ -401,3 +401,23 @@ def test_pq_reconstruction_quality(spark, sf_dir):
     # 8×64 codebooks on 64-dim data should reconstruct well on average
     assert stats["mean"] > 0.8, stats
     assert stats["lo"] > 0.0, stats
+
+
+def test_ivf_pq_recall_vs_bruteforce(spark, sf_dir):
+    from procurement_data_pipeline_spark.llm_ops.pq import ivf_pq_ann
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    exact = {
+        (r.query_id, r.vec_id)
+        for r in knn_bruteforce(emb, queries, k=10, quantized=False).collect()
+    }
+    approx = {
+        (r.query_id, r.vec_id)
+        for r in ivf_pq_ann(
+            emb, queries, k=10, nlist=16, nprobe=8, m=8, codebook_k=64
+        ).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.3, f"IVF-PQ recall collapsed: {recall}"
+    assert all(q != v for q, v in approx)
