@@ -174,3 +174,85 @@ def test_mrp_matches_python_model_and_invariants(spark, w):
         assert float(d.total_estimated_cost) == round(
             sum(float(i.total_cost) for i in d.items), 2
         )
+
+
+# --- as-of / range join vs naive formulations --------------------------------
+#
+# Hypothesis generates random (key, time) worlds; the operators' windowed /
+# bucketed plans must match a brute-force pure-Python evaluation exactly.
+
+joins_world = st.fixed_dictionaries(
+    {
+        # left side: (key, ts) events
+        "left": st.lists(
+            st.tuples(st.integers(1, 3), st.integers(0, 100)), max_size=15
+        ),
+        # right side: (key, ts, payload) events
+        "right": st.lists(
+            st.tuples(
+                st.integers(1, 3), st.integers(0, 100), st.integers(0, 999)
+            ),
+            max_size=15,
+        ),
+    }
+)
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(w=joins_world)
+def test_asof_join_matches_naive_model(spark, w):
+    from procurement_data_pipeline_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(i, k, float(t)) for i, (k, t) in enumerate(w["left"])],
+        "lid int, k int, ts double",
+    )
+    right = spark.createDataFrame(
+        [(k, float(t), v) for (k, t, v) in w["right"]],
+        "k int, ts double, v int",
+    )
+    got = {
+        r.lid: r.ts_asof
+        for r in asof_join(left, right, on="k", ts_col="ts").collect()
+    }
+    for i, (k, t) in enumerate(w["left"]):
+        prior = [rt for (rk, rt, _) in w["right"] if rk == k and rt <= t]
+        want = float(max(prior)) if prior else None
+        assert got[i] == want, (i, k, t, got[i], want)
+    assert len(got) == len(w["left"])  # every left row survives
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(w=joins_world, width=st.sampled_from([1, 7, 50, 1000]))
+def test_range_join_matches_naive_model(spark, w, width):
+    from procurement_data_pipeline_spark.operators.rangejoin import range_join
+
+    # intervals: [ts, ts+10] around each left event
+    intervals = spark.createDataFrame(
+        [(i, k, float(t), float(t + 10)) for i, (k, t) in enumerate(w["left"])],
+        "iid int, k int, s double, e double",
+    )
+    points = spark.createDataFrame(
+        [(k, float(t)) for (k, t, _) in w["right"]], "k int, t double"
+    )
+    got = sorted(
+        (r.iid, r.t)
+        for r in range_join(
+            intervals, points, ["k"], "s", "e", "t", bucket_seconds=width
+        ).collect()
+    )
+    want = sorted(
+        (i, float(rt))
+        for i, (k, t) in enumerate(w["left"])
+        for (rk, rt, _) in w["right"]
+        if rk == k and t <= rt <= t + 10
+    )
+    assert got == want
