@@ -20,6 +20,8 @@ from pyspark.sql.window import Window
 
 from procurement_data_pipeline_spark.llm_ops.text import (
     fingerprint,
+    kgram_hashes,
+    winnow_mins,
     word_ngrams,
     words,
 )
@@ -294,6 +296,60 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Da
         sum(bits[1:], start=bits[0]).alias("simhash"),
     )
     return out
+
+
+def winnow_neardup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    w: int = 4,
+    min_shared: int = 2,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Near-dup pairs by shared winnowed rolling-hash fingerprints
+    (``text.winnow_fingerprints`` — the MOSS scheme). Catches COPIED
+    PASSAGES (any shared run ≥ k+w−1 chars leaves a shared fingerprint),
+    which set-similarity measures dilute away on long documents — the
+    contamination/plagiarism detector complementing Jaccard/MinHash.
+
+    Same inverted-index shape as the shingle pipeline: explode fingerprints,
+    self-join on the hash, count shared per pair. Candidate volume tracks
+    fingerprint-collision density (winnowing keeps ~2/(w+1) of the k-gram
+    hashes), not corpus². On boilerplate-heavy corpora, fingerprints shared
+    by huge doc sets make the join quadratic anyway — ``max_df`` drops any
+    fingerprint appearing in more than that many docs (template/boilerplate
+    runs carry no dedup signal; the flood-control analogue of the Jaccard
+    pipeline's prefix filter). Pick ``k`` near the run length that counts
+    as "copied" (MOSS uses ~25-50 chars for text). Output:
+    (doc_a, doc_b, n_shared), doc_a < doc_b, n_shared ≥ ``min_shared``.
+    """
+    fps = (
+        # staged: the k-gram hash array materializes once per row before
+        # the window-min pass (single-expression nesting re-evaluates the
+        # array per window position — O(n²) per doc; see kgram_hashes)
+        df.select(F.col(id_col).alias("_id"), kgram_hashes(text_col, k).alias("_h"))
+        .select("_id", F.explode(winnow_mins("_h", w)).alias("fp"))
+        .distinct()
+    )
+    if max_df is not None:
+        keep = (
+            fps.groupBy("fp")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") <= max_df)
+            .select("fp")
+        )
+        fps = fps.join(keep, "fp", "left_semi")
+    fps = fps.persist()  # feeds both sides of the pair join
+    a = fps.select(F.col("_id").alias("doc_a"), "fp")
+    b = fps.select(F.col("_id").alias("doc_b"), "fp")
+    return (
+        a.join(b, "fp")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
 
 
 def connected_components(

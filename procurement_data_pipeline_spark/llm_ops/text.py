@@ -132,3 +132,60 @@ def pii_scrub(
         counts[name] = F.regexp_count(scrubbed, F.lit(pat)).cast("int")
         scrubbed = F.regexp_replace(scrubbed, pat, f"[{name.upper()}]")
     return scrubbed, counts
+
+
+def winnow_fingerprints(
+    col: str | Column, k: int = 8, w: int = 4
+) -> Column:
+    """Winnowed rolling-hash fingerprints (the MOSS scheme): hash every
+    char k-gram, slide a w-wide window over the hash sequence, keep each
+    window's minimum — a deterministic, position-robust signature set.
+    Guarantees: any shared substring of length ≥ k + w − 1 yields at least
+    one shared fingerprint, and edits only perturb fingerprints within
+    w + k chars of the edit (unlike a whole-doc hash, where one byte flips
+    everything).
+
+    Pure JVM expressions — char k-grams via substring over a sequence,
+    window minima via array_min over slices, distinct via array_distinct;
+    no UDF. Docs shorter than k chars yield an empty array.
+
+    This combined form nests the hash-array expression inside the window
+    pass, which re-evaluates it per window position — fine for short
+    fields, O(n²)-per-doc on real documents. Corpus-scale callers MUST
+    stage: ``withColumn("_h", kgram_hashes(..)).select(winnow_mins("_h", w))``
+    (what ``dedup.winnow_neardup_pairs`` does).
+    """
+    return winnow_mins(kgram_hashes(col, k), w)
+
+
+def kgram_hashes(col: str | Column, k: int) -> Column:
+    """Rolling char k-gram hash sequence (xxhash64 per position). Docs
+    shorter than ``k`` chars yield an empty array.
+
+    IMPORTANT staging note: materialize this as its own column
+    (``withColumn``) before applying :func:`winnow_mins` — referencing the
+    transform expression inside another transform's lambda re-evaluates
+    the WHOLE hash array per window position (O(n²) per document)."""
+    txt = normalize_text(col)
+    n = F.length(txt)
+    grams = F.transform(
+        F.sequence(F.lit(1), n - k + 1),
+        lambda i: F.xxhash64(F.substring(txt, i, F.lit(k))),
+    )
+    return F.when(n >= k, grams).otherwise(F.array().cast("array<bigint>"))
+
+
+def winnow_mins(hashes: str | Column, w: int) -> Column:
+    """Select each w-window's minimum from a (materialized) hash-sequence
+    column, distinct — the winnowing step."""
+    h = _c(hashes)
+    nh = F.size(h)
+    mins = F.transform(
+        F.sequence(F.lit(1), nh - w + 1),
+        lambda i: F.array_min(F.slice(h, i, w)),
+    )
+    return (
+        F.when(nh == 0, F.array().cast("array<bigint>"))
+        .when(nh < w, F.array(F.array_min(h)))  # one short window
+        .otherwise(F.array_distinct(mins))
+    )

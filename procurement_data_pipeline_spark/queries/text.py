@@ -427,3 +427,24 @@ def q_docs_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return simhash_neardup_pairs(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "docs_winnow_neardup",
+    oracle=None,  # xxhash64-based fingerprints — recall asserted in pytest
+    tags=("text", "llm", "dedup", "rolling-hash"),
+)
+def q_docs_winnow_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Copied-passage detection by winnowed rolling-hash fingerprints
+    (MOSS): any shared run >= k+w-1 chars leaves a shared fingerprint —
+    the contamination detector that set-similarity dedup dilutes away on
+    long documents. Inverted-index join on fingerprints, no pairwise scan."""
+    from procurement_data_pipeline_spark.llm_ops.dedup import winnow_neardup_pairs
+
+    return winnow_neardup_pairs(
+        load_table(spark, sf_dir, "documents"),
+        k=24,  # ~4 words must match verbatim to count as a copied run
+        w=8,
+        min_shared=3,
+        max_df=20,  # template boilerplate shared corpus-wide carries no signal
+    ).orderBy("doc_a", "doc_b")

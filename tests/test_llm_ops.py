@@ -421,3 +421,47 @@ def test_ivf_pq_recall_vs_bruteforce(spark, sf_dir):
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.3, f"IVF-PQ recall collapsed: {recall}"
     assert all(q != v for q, v in approx)
+
+
+def test_winnow_fingerprints_guarantee_and_edit_locality(spark):
+    from procurement_data_pipeline_spark.llm_ops.dedup import winnow_neardup_pairs
+    from procurement_data_pipeline_spark.llm_ops.text import winnow_fingerprints
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [
+        (1, base),
+        (2, "PREFIX INSERTED HERE " + base),       # shifted copy
+        (3, base.replace("lazy", "hazy")),          # one local edit
+        (4, "completely different content with no overlap whatsoever x"),
+        (5, "tiny"),                                # shorter than k
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    fps = {
+        r.doc_id: set(r.f)
+        for r in df.select(
+            "doc_id", winnow_fingerprints("text", k=8, w=4).alias("f")
+        ).collect()
+    }
+    assert fps[5] == set()  # sub-k doc → empty
+    # position robustness: a shifted copy keeps (almost) all fingerprints
+    assert len(fps[1] & fps[2]) >= len(fps[1]) - 1 and len(fps[1]) > 3
+    # edit locality: one word edit leaves most fingerprints shared
+    assert len(fps[1] & fps[3]) >= len(fps[1]) // 2
+    # unrelated docs share nothing
+    assert not (fps[1] & fps[4])
+
+    pairs = {
+        (r.doc_a, r.doc_b): r.n_shared
+        for r in winnow_neardup_pairs(df, k=8, w=4, min_shared=2).collect()
+    }
+    assert (1, 2) in pairs and (1, 3) in pairs
+    assert not any(4 in p or 5 in p for p in pairs)
+
+    # determinism
+    again = {
+        r.doc_id: set(r.f)
+        for r in df.select(
+            "doc_id", winnow_fingerprints("text", k=8, w=4).alias("f")
+        ).collect()
+    }
+    assert again == fps
