@@ -189,3 +189,42 @@ def q_supplier_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(count(y96.subtract(y97), "churned"))
         .unionByName(count(y97.subtract(y96), "new"))
     )
+
+
+@register(
+    "events_funnel",
+    oracle="""
+WITH s1 AS (
+  SELECT user_id, MIN(ts) AS t FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+), s2 AS (
+  SELECT e.user_id, MIN(e.ts) AS t
+  FROM events e JOIN s1 ON e.user_id = s1.user_id
+  WHERE e.event_type = 'click' AND e.ts > s1.t
+  GROUP BY e.user_id
+), s3 AS (
+  SELECT e.user_id, MIN(e.ts) AS t
+  FROM events e JOIN s2 ON e.user_id = s2.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > s2.t
+  GROUP BY e.user_id
+)
+SELECT * FROM (
+  SELECT 1 AS stage, 'view' AS stage_name, COUNT(*) AS n_users FROM s1
+  UNION ALL
+  SELECT 2, 'click', COUNT(*) FROM s2
+  UNION ALL
+  SELECT 3, 'purchase', COUNT(*) FROM s3
+) WHERE n_users > 0
+""",
+    tags=("events", "funnel"),
+)
+def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """view -> click -> purchase conversion funnel in ONE pass: per-user
+    sorted event arrays walked by a single aggregate lambda carrying
+    (stage, time) state (operators/funnel.py) — the oracle is the N-stage
+    MIN-cascade the walk provably equals; N more stages cost zero extra
+    passes on the Spark side but one more self-join in SQL."""
+    from procurement_data_pipeline_spark.operators.funnel import funnel_stages
+
+    ev = load_table(spark, sf_dir, "events")
+    return funnel_stages(ev, ["view", "click", "purchase"])

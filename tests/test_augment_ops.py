@@ -193,3 +193,37 @@ def test_set_op_cohorts_partition_supplier_space(spark, sf_dir):
     )
     # retained + churned + new partitions the two-year supplier universe
     assert got["retained"] + got["churned"] + got["new"] == union_both_years
+
+
+def test_funnel_walk_order_and_tie_semantics(spark):
+    from procurement_data_pipeline_spark.operators.funnel import funnel_stages
+
+    t = lambda s: dt.datetime.fromisoformat(f"2026-01-01T{s}")  # noqa: E731
+    rows = [
+        # u1: full funnel in order
+        (1, "view", t("10:00:00")),
+        (1, "click", t("10:05:00")),
+        (1, "purchase", t("10:10:00")),
+        # u2: click BEFORE view — click must not count; no second click
+        (2, "click", t("09:00:00")),
+        (2, "view", t("09:30:00")),
+        # u3: equal-ts click with the view — strict ordering rejects it
+        (3, "view", t("11:00:00")),
+        (3, "click", t("11:00:00")),
+        # u4: no funnel events at all
+        (4, "error", t("12:00:00")),
+        # u5: view then click (no purchase)
+        (5, "view", t("08:00:00")),
+        (5, "click", t("08:01:00")),
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, event_type string, ts timestamp")
+    got = {
+        r.stage: (r.stage_name, r.n_users)
+        for r in funnel_stages(ev, ["view", "click", "purchase"]).collect()
+    }
+    # stage 1: u1, u2, u3, u5; stage 2: u1, u5; stage 3: u1
+    assert got == {
+        1: ("view", 4),
+        2: ("click", 2),
+        3: ("purchase", 1),
+    }
