@@ -126,6 +126,57 @@ def extract_image_features(media: DataFrame, fake: bool = False) -> DataFrame:
     )
 
 
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("payload", T.BinaryType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+    ]
+)
+
+
+def resize_images(
+    media: DataFrame, width: int, height: int, fake: bool = False
+) -> DataFrame:
+    """Resize plumbing via mapInPandas: payload in, resized payload +
+    dimensions out — the batch-transform shape a PIL/opencv-backed resize
+    uses (bytes cross the Arrow boundary once per batch).
+
+    No codecs in this container: ``fake=True`` substitutes a deterministic
+    stand-in whose output size scales with the target area (payload bytes
+    repeated/truncated to width×height — clearly marked, replace the inner
+    function with a real decoder+resampler in deployment)."""
+    if not fake:
+        raise NotImplementedError(
+            "no media codecs in this environment — call with fake=True for the "
+            "deterministic test double, or plug a real resizer here"
+        )
+    target = int(width) * int(height)
+
+    def resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # DETERMINISTIC FAKE resample: bytes tiled/truncated to the target
+        # area, so output size is exactly width*height regardless of input.
+        def _fake_resize(payload: bytes) -> bytes:
+            src = payload or b"\x00"
+            reps = -(-target // len(src))
+            return (src * reps)[:target]
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "payload": [_fake_resize(p) for p in pdf["payload"]],
+                    "width": width,
+                    "height": height,
+                }
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        resize_batches, RESIZED_SCHEMA
+    )
+
+
 def sample_frames(
     media: DataFrame, every_n_bytes: int = 1024, max_frames: int = 8
 ) -> DataFrame:

@@ -220,3 +220,25 @@ def test_stream_to_warehouse_exactly_once_across_restarts(
         dedup_events(read_event_stream(spark, events_dir)), out, ckpt
     )
     assert spark.read.parquet(out).count() == n_distinct
+
+
+def test_resize_images_requires_explicit_fake_and_is_deterministic(spark, sf_dir):
+    import pytest as _pytest
+
+    from procurement_data_pipeline_spark.llm_ops.multimodal import (
+        documents_as_media,
+        resize_images,
+    )
+
+    media = documents_as_media(
+        load_table(spark, sf_dir, "documents").limit(20)
+    )
+    with _pytest.raises(NotImplementedError):
+        resize_images(media, 32, 32).collect()
+
+    out = resize_images(media, 32, 32, fake=True).collect()
+    assert len(out) == 20
+    assert all(len(r.payload) == 32 * 32 for r in out)
+    assert all((r.width, r.height) == (32, 32) for r in out)
+    again = resize_images(media, 32, 32, fake=True).collect()
+    assert sorted(r.payload for r in again) == sorted(r.payload for r in out)
