@@ -216,3 +216,40 @@ def write_sorted_layout(
         .write.mode(mode)
         .parquet(path)
     )
+
+
+def merge_upsert(
+    spark: SparkSession,
+    path: str,
+    updates: DataFrame,
+    key_cols: list[str],
+) -> None:
+    """MERGE INTO for plain parquet: upsert ``updates`` into the table at
+    ``path`` by key (matched rows replaced, new keys appended).
+
+    Plain parquet has no transactional MERGE (that's a table-format
+    feature); the scalable rewrite is anti-join the existing table against
+    the update keys, union the updates, and swap directories atomically-ish
+    (write to a temp dir, rename — same pattern as ``compact_dir``). Cost
+    is one table rewrite per merge: right for daily dimension refreshes,
+    wrong for high-frequency point updates (use a real table format there).
+    Idempotent: re-merging the same batch yields an identical table."""
+    import shutil
+
+    if os.path.isdir(path) and any(
+        f.endswith(".parquet")
+        for _, _, fs in os.walk(path)
+        for f in fs
+    ):
+        existing = spark.read.parquet(path)
+        kept = existing.join(
+            updates.select(*key_cols).distinct(), key_cols, "left_anti"
+        )
+        merged = kept.unionByName(updates.select(*existing.columns))
+    else:
+        merged = updates
+    tmp = path.rstrip("/") + "__merging"
+    merged.write.mode("overwrite").parquet(tmp)
+    if os.path.isdir(path):
+        shutil.rmtree(path)
+    os.rename(tmp, path)

@@ -340,3 +340,23 @@ def test_rerun_same_day_is_idempotent(spark, tmp_path):
     wh, r2 = run_daily(spark, root, "2026-02-01", seed=11)
     assert spark.read.parquet(wh.path("raw/orders")).count() == n_orders_1
     assert spark.read.parquet(wh.path("processed/net_demand")).count() == nd_1
+
+
+def test_merge_upsert_updates_inserts_idempotent(spark, tmp_path):
+    from procurement_data_pipeline_spark.catalog import merge_upsert
+
+    path = str(tmp_path / "dim")
+    base = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30)], "k int, name string, v int"
+    )
+    merge_upsert(spark, path, base, ["k"])
+    updates = spark.createDataFrame(
+        [(2, "b2", 21), (4, "d", 40)], "k int, name string, v int"
+    )
+    merge_upsert(spark, path, updates, ["k"])
+    got = {r.k: (r.name, r.v) for r in spark.read.parquet(path).collect()}
+    assert got == {1: ("a", 10), 2: ("b2", 21), 3: ("c", 30), 4: ("d", 40)}
+    # idempotent re-merge of the same batch
+    merge_upsert(spark, path, updates, ["k"])
+    again = {r.k: (r.name, r.v) for r in spark.read.parquet(path).collect()}
+    assert again == got
