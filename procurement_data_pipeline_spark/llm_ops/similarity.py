@@ -251,21 +251,25 @@ def lsh_ann(
         "_qn",
         F.posexplode(sig_udf(F.col("_qvec"))).alias("_table", "_sig"),
     )
-    cand = (
+    # Score each collision row, THEN dedupe multi-table collisions with a
+    # groupBy on the (query, id) integer keys — the same pair scores
+    # identically in every table, and shuffling (int, int, double) beats a
+    # distinct() that would shuffle both full float vectors per candidate.
+    scored = (
         c.join(F.broadcast(q), ["_table", "_sig"])
         .filter(F.col(id_col) != F.col("query_id"))
-        .select("query_id", "_qvec", "_qn", id_col, vec_col, "_cn")
-        .distinct()
+        .withColumn(
+            "score",
+            dot(F.col(vec_col), F.col("_qvec")) / (F.col("_cn") * F.col("_qn")),
+        )
+        .groupBy("query_id", id_col)
+        .agg(F.min("score").alias("score"))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("score").desc(), F.col(id_col).asc()
     )
     return (
-        cand.withColumn(
-            "score",
-            dot(F.col(vec_col), F.col("_qvec")) / (F.col("_cn") * F.col("_qn")),
-        )
-        .withColumn("rank", F.row_number().over(w))
+        scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", id_col, "score", F.col("rank").cast("int").alias("rank"))
     )
