@@ -21,12 +21,22 @@ from pyspark.sql.window import Window
 _PREFIX_LEN = 8  # hex chars compared; 16^8 = 2^32 buckets
 
 
+NULL_KEY_SENTINEL = "<null>"
+
+
 def hash_key(col: str | Column, salt: str = "") -> Column:
     """md5(value ‖ salt) hex digest — the portable sampling key.
 
-    (DuckDB side: ``md5(CAST(x AS VARCHAR) || salt)``.)"""
+    NULL keys hash via a sentinel instead of propagating NULL (a NULL hash
+    fails every comparison, which would silently drop NULL-key rows from
+    BOTH sides of a split — breaking the exhaustiveness contract).
+    (DuckDB side: ``md5(COALESCE(CAST(x AS VARCHAR), '<null>') || salt)``.)"""
     c = F.col(col) if isinstance(col, str) else col
-    return F.md5(F.concat(c.cast("string"), F.lit(salt)))
+    return F.md5(
+        F.concat(
+            F.coalesce(c.cast("string"), F.lit(NULL_KEY_SENTINEL)), F.lit(salt)
+        )
+    )
 
 
 def fraction_threshold(fraction: float) -> str:

@@ -42,11 +42,14 @@ def funnel_stages(
     )
 
     # state = (stage reached, time it was reached); one pass, carrying the
-    # strict t > state.t requirement between consecutive stages
+    # strict t > state.t requirement between consecutive stages. The init
+    # time is a typed NULL so any orderable ts type works (timestamp,
+    # epoch double/long, date); it is never compared — the stage==0 arm
+    # of the OR admits the first stage unconditionally.
     expected = F.array(*[F.lit(s) for s in stages])
     init = F.struct(
         F.lit(0).alias("stage"),
-        F.lit("1900-01-01 00:00:00").cast("timestamp").alias("t"),
+        F.lit(None).cast(events.schema[ts_col].dataType).alias("t"),
     )
     walk = F.aggregate(
         F.col("_seq"),
@@ -64,7 +67,6 @@ def funnel_stages(
         F.col("_reached") > 0
     )
     # count users at each stage ≤ reached (map-side Expand, one shuffle)
-    stage_names = F.array(*[F.lit(s) for s in stages])
     return (
         reached.select(
             F.explode(F.sequence(F.lit(1), F.col("_reached"))).alias("stage")
@@ -73,7 +75,7 @@ def funnel_stages(
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_users"))
         .select(
             F.col("stage").cast("int").alias("stage"),
-            F.element_at(stage_names, F.col("stage")).alias("stage_name"),
+            F.element_at(expected, F.col("stage")).alias("stage_name"),
             "n_users",
         )
     )

@@ -46,7 +46,12 @@ def range_join(
     if how not in ("inner", "left"):
         raise ValueError(f"how must be inner|left, got {how}")
     w = float(bucket_seconds)
-    ie = intervals.withColumn(
+    # Inverted intervals (end < start) are unsatisfiable — and if allowed
+    # into sequence() they'd step DOWNWARD, exploding one corrupt row into
+    # ~start/w bucket rows (the same descending-sequence blow-up word_ngrams
+    # guards against). Filter them out before the explode; under how='left'
+    # they resurface from the anti-join with NULL point columns.
+    ie = intervals.filter(F.col(end_col) >= F.col(start_col)).withColumn(
         "_b",
         F.explode(
             F.sequence(

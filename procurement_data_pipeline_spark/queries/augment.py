@@ -30,7 +30,8 @@ from procurement_data_pipeline_spark.sources.tables import load_table
     oracle=f"""
 SELECT doc_id, source, lang, n_chars
 FROM documents
-WHERE SUBSTR(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '{fraction_threshold(0.1)}'
+WHERE SUBSTR(md5(COALESCE(CAST(doc_id AS VARCHAR), '<null>')), 1, 8)
+      < '{fraction_threshold(0.1)}'
 """,
     tags=("llm", "sampling"),
 )
@@ -51,7 +52,7 @@ FROM (
   SELECT doc_id, lang,
          ROW_NUMBER() OVER (
            PARTITION BY lang
-           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+           ORDER BY md5(COALESCE(CAST(doc_id AS VARCHAR), '<null>')), doc_id
          ) AS rk
   FROM documents
 )
