@@ -24,6 +24,23 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _bucket_axis(df: DataFrame, col_name: str):
+    """Numeric (seconds) view of a bound column, for bucket arithmetic.
+
+    Timestamp columns go through epoch micros — ``CAST(ts AS DOUBLE)`` is
+    legal for TIMESTAMP_LTZ but not TIMESTAMP_NTZ, so routing through
+    ``unix_micros`` makes the operator encoding-agnostic (NTZ→LTZ is
+    interpreted in the session timezone, pinned UTC by the session factory).
+    Numeric columns cast straight to double, so ``bucket_seconds`` doubles
+    as a plain bucket width for non-time axes.
+    """
+    dt = dict(df.dtypes)[col_name]
+    c = F.col(col_name)
+    if dt in ("timestamp", "timestamp_ntz"):
+        return F.unix_micros(c.cast("timestamp")) / F.lit(1e6)
+    return c.cast("double")
+
+
 def range_join(
     intervals: DataFrame,
     points: DataFrame,
@@ -55,13 +72,13 @@ def range_join(
         "_b",
         F.explode(
             F.sequence(
-                F.floor(F.col(start_col).cast("double") / w).cast("long"),
-                F.floor(F.col(end_col).cast("double") / w).cast("long"),
+                F.floor(_bucket_axis(intervals, start_col) / w).cast("long"),
+                F.floor(_bucket_axis(intervals, end_col) / w).cast("long"),
             )
         ),
     )
     pe = points.withColumn(
-        "_b", F.floor(F.col(ts_col).cast("double") / w).cast("long")
+        "_b", F.floor(_bucket_axis(points, ts_col) / w).cast("long")
     )
     inner = (
         ie.join(pe, [*on, "_b"])

@@ -34,15 +34,26 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     configure_runtime(spark)
     if name == "events":
-        # events.parquet carries TIMESTAMP(NANOS) which the vectorized reader
-        # rejects; read nanos as long and truncate to microseconds (exactly
-        # what DuckDB's reader does, so oracle comparisons agree).
+        # The corpus has shipped `ts` under three encodings across driver
+        # regenerations: TIMESTAMP(NANOS) (vectorized reader rejects it →
+        # read nanos as long), timestamp[us] with no timezone (Spark reads
+        # TIMESTAMP_NTZ), and plain TIMESTAMP_LTZ. Normalize ALL of them to
+        # TIMESTAMP_LTZ here, at the load boundary, so every downstream
+        # expression (unix_micros, window ranges, date casts) sees one type.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-        if dict(df.dtypes).get("ts") == "bigint":
-            from pyspark.sql import functions as F
+        ts_type = dict(df.dtypes).get("ts")
+        from pyspark.sql import functions as F
 
+        if ts_type == "bigint":
+            # nanos-as-long → truncate to micros (DuckDB's reader truncates
+            # identically, so oracle comparisons agree).
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_type == "timestamp_ntz":
+            # NTZ→LTZ cast interprets the naive value in the session
+            # timezone; configure_runtime pins it to UTC, matching DuckDB's
+            # naive-as-UTC read, so epoch-based oracles stay hash-identical.
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         return df
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
