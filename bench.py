@@ -33,38 +33,59 @@ def main() -> None:
     bench_specs = {n: s for n, s in sorted(specs.items()) if s.bench}
 
     spark = get_session("bench")
+
+    def run_once(name: str) -> float | None:
+        """Execute one query through the noop sink; None on failure.
+
+        Per-query isolation: one broken query must not zero the round's
+        performance evidence for the other N-1 (round 3 lost its entire
+        bench to a single analysis error in warm-up).
+        """
+        try:
+            t0 = time.perf_counter()
+            bench_specs[name].builder(spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            return time.perf_counter() - t0
+        except Exception as e:  # noqa: BLE001 — report, keep benching
+            errors.setdefault(name, f"{type(e).__name__}: {e}".split("\n")[0][:300])
+            return None
+
+    errors: dict[str, str] = {}
     # Warm-up execution of every query (codegen compile, parquet footers,
-    # noop-sink init) so the timed pass measures steady-state plan execution
+    # noop-sink init) so the timed passes measure steady-state plan execution
     # — the quantity that extrapolates to cluster scale — not constant
     # first-touch JVM costs.
     for name in bench_specs:
-        bench_specs[name].builder(spark, sf_dir).write.format("noop").mode(
-            "overwrite"
-        ).save()
+        run_once(name)
 
-    # Two timed passes, report the min: the container shares cores with
+    # Three timed passes, report the min: the container shares cores with
     # other tenants, and min-of-N is the standard estimator for the
-    # machine-independent cost under intermittent external load.
-    timings: dict[str, float] = {}
-    for _ in range(2):
-        for name, spec in bench_specs.items():
-            t0 = time.perf_counter()
-            spec.builder(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            elapsed = round(time.perf_counter() - t0, 4)
-            timings[name] = min(timings.get(name, elapsed), elapsed)
+    # machine-independent cost under intermittent external load. All passes
+    # are kept so the spread (co-tenant noise) is measurable per query.
+    passes: dict[str, list[float]] = {}
+    for _ in range(3):
+        for name in bench_specs:
+            if name in errors:
+                continue
+            elapsed = run_once(name)
+            if elapsed is not None:
+                passes.setdefault(name, []).append(round(elapsed, 4))
 
+    timings = {name: min(ts) for name, ts in passes.items()}
     total = round(sum(timings.values()), 4)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
-    )
+    out = {
+        "metric": "headline_queries_total_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    if passes:
+        out["passes"] = passes  # raw per-pass timings → variance is auditable
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
