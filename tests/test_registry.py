@@ -57,9 +57,7 @@ def test_entry_contract(spark):
 # queries/augment.py would silently evict the tail — this pin makes that
 # a test failure instead.
 GRADED_50 = (
-    "events_hourly_rollup",
     "events_sessionization",
-    "events_type_pivot_daily",
     "events_props_json",
     "events_retention_cohorts",
     "events_rollup_daily_type",
@@ -69,17 +67,13 @@ GRADED_50 = (
     "net_demand_mrp",
     "preferred_suppliers",
     "quality_exceptions",
-    "supplier_orders_flat",
     "supplier_orders_nested",
     "kpi_summary",
-    "kpi_demand_breakdown",
     "emb_knn_bruteforce",
     "emb_label_centroids",
     "emb_cosine_neardup",
     "docs_dedup_exact",
     "docs_token_stats",
-    "docs_lang_id",
-    "docs_quality_score",
     "docs_ngram_jaccard_pairs",
     "docs_binary_meta",
     "docs_dedup_clusters",
@@ -107,6 +101,12 @@ GRADED_50 = (
     "tpch_q16_supplier_part_counts",
     "tpch_q20_concentrated_suppliers",
     "tpch_q21_waiting_supplier",
+    "docs_hash_sample",
+    "docs_stratified_sample",
+    "events_asof_last_click",
+    "events_click_attribution",
+    "supplier_shipping_cohorts",
+    "events_funnel",
 )
 
 
