@@ -185,46 +185,111 @@ def pq_ann_end_to_end(
     return pq_ann(enc, queries, cb, k, id_col, vec_col)
 
 
-def ivf_pq_ann(
+class IvfPqIndex:
+    """Driver-side metadata of a trained IVF-PQ index: the coarse-quantizer
+    centroids (nlist × dim) and the PQ codebooks (m × k × dim/m). The
+    per-vector state — (id, code, _cell), M+4 bytes each — stays a
+    DataFrame and is persisted as plain parquet, so at 100 TB the index
+    build is paid ONCE and every query session reads only the compact
+    codes; the float embeddings never need to be rescanned."""
+
+    def __init__(self, centroids: np.ndarray, codebooks: np.ndarray):
+        self.centroids = centroids
+        self.codebooks = codebooks
+
+
+def build_ivf_pq_index(
     corpus: DataFrame,
-    queries: DataFrame,
-    k: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     nlist: int = 32,
-    nprobe: int = 8,
     m: int = 8,
     codebook_k: int = 256,
     sample_size: int = 2048,
     seed: int = 42,
-) -> DataFrame:
-    """IVF-PQ: the billion-scale index layout — IVF cells prune the corpus
-    to ~nprobe/nlist, then ADC scores only the surviving PQ codes.
-
-    Composition of the existing tiers: :func:`similarity.train_ivf_centroids`
-    + cell assignment buckets the ENCODED corpus (code + cell: M+4 bytes per
-    vector — the float embedding is dropped after indexing), query probes
-    explode to their nprobe cells, the cell equi-join yields candidates,
-    and one Arrow-batched UDF turns (query-index, code) pairs into ADC
-    scores. Exact top-k per query by window rank over candidates.
-    """
-    from pyspark.sql.functions import pandas_udf
-
+) -> tuple[IvfPqIndex, DataFrame]:
+    """Train coarse centroids + PQ codebooks (bounded driver-side samples),
+    then encode the full corpus in one distributed pass → (index metadata,
+    encoded DataFrame with columns (id, code, _cell))."""
     from procurement_data_pipeline_spark.llm_ops.similarity import (
         _cell_udfs,
         train_ivf_centroids,
     )
 
     cents = train_ivf_centroids(corpus, vec_col, nlist, sample_size, seed)
-    cell_udf, probes_udf = _cell_udfs(cents, nprobe)
     codebooks = train_pq_codebooks(
         corpus, vec_col, m, codebook_k, sample_size, seed
     )
-    sub = codebooks.shape[2]
-
-    indexed = pq_encode(corpus, codebooks, id_col, vec_col).join(
+    cell_udf, _ = _cell_udfs(cents, nprobe=1)
+    encoded = pq_encode(corpus, codebooks, id_col, vec_col).join(
         corpus.select(id_col, cell_udf(F.col(vec_col)).alias("_cell")), id_col
     )
+    return IvfPqIndex(cents, codebooks), encoded
+
+
+def save_ivf_pq_index(index: IvfPqIndex, encoded: DataFrame, path: str) -> None:
+    """Persist the index: codes to ``path/codes`` partitioned by cell (a
+    probe reads only its nprobe/nlist fraction of files — partition pruning
+    does the IVF pruning at the STORAGE layer), metadata (centroids +
+    codebooks as flattened rows) to ``path/meta``."""
+    spark = encoded.sparkSession
+    encoded.write.mode("overwrite").partitionBy("_cell").parquet(f"{path}/codes")
+    meta_rows = [
+        ("centroid", int(i), 0, [float(v) for v in c])
+        for i, c in enumerate(index.centroids)
+    ] + [
+        ("codebook", int(j), int(c), [float(v) for v in vec])
+        for j in range(index.codebooks.shape[0])
+        for c, vec in enumerate(index.codebooks[j])
+    ]
+    spark.createDataFrame(
+        meta_rows, "kind string, i int, j int, vec array<double>"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
+
+
+def load_ivf_pq_index(spark, path: str) -> tuple[IvfPqIndex, DataFrame]:
+    """Rehydrate (index metadata, encoded codes DataFrame) from parquet.
+    Metadata is tiny (nlist + m·k rows) — a bounded driver collect; the
+    codes stay distributed."""
+    meta = spark.read.parquet(f"{path}/meta").collect()
+    cents = np.array(
+        [r["vec"] for r in sorted(
+            (r for r in meta if r["kind"] == "centroid"), key=lambda r: r["i"]
+        )]
+    )
+    cb_rows = sorted(
+        (r for r in meta if r["kind"] == "codebook"),
+        key=lambda r: (r["i"], r["j"]),
+    )
+    m = 1 + max(r["i"] for r in cb_rows)
+    k = 1 + max(r["j"] for r in cb_rows)
+    codebooks = np.array([r["vec"] for r in cb_rows]).reshape(m, k, -1)
+    return IvfPqIndex(cents, codebooks), spark.read.parquet(f"{path}/codes")
+
+
+def ivf_pq_search(
+    index: IvfPqIndex,
+    encoded: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    nprobe: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ADC search over a PREBUILT index — IVF cells prune the corpus to
+    ~nprobe/nlist, then ADC scores only the surviving PQ codes.
+
+    Query probes explode to their nprobe cells, the broadcast cell
+    equi-join yields candidates (with partitioned codes, cell pruning
+    reaches the file scan), and one Arrow-batched UDF turns (query-index,
+    code) pairs into ADC scores. Exact top-k per query by window rank."""
+    from pyspark.sql.functions import pandas_udf
+
+    from procurement_data_pipeline_spark.llm_ops.similarity import _cell_udfs
+
+    codebooks = index.codebooks
+    m, _, sub = codebooks.shape
+    _, probes_udf = _cell_udfs(index.centroids, nprobe)
 
     q_rows = queries.select(id_col, vec_col).collect()
     q_ids = [r[0] for r in q_rows]
@@ -243,7 +308,7 @@ def ivf_pq_ann(
         F.array(*[F.lit(q) for q in q_ids]),
         F.array(*[F.lit(i) for i in range(len(q_ids))]),
     )
-    cand = indexed.join(F.broadcast(probed), "_cell").filter(
+    cand = encoded.join(F.broadcast(probed), "_cell").filter(
         F.col(id_col) != F.col("query_id")
     ).withColumn("_qi", qidx[F.col("query_id")])
 
@@ -265,6 +330,29 @@ def ivf_pq_ann(
         .filter(F.col("rank") <= k)
         .select("query_id", id_col, "score", F.col("rank").cast("int").alias("rank"))
     )
+
+
+def ivf_pq_ann(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    nlist: int = 32,
+    nprobe: int = 8,
+    m: int = 8,
+    codebook_k: int = 256,
+    sample_size: int = 2048,
+    seed: int = 42,
+) -> DataFrame:
+    """Build-then-search convenience for the declared query and tests.
+    Production trains once via :func:`build_ivf_pq_index`, persists with
+    :func:`save_ivf_pq_index`, and serves every query session from
+    :func:`load_ivf_pq_index` + :func:`ivf_pq_search`."""
+    index, encoded = build_ivf_pq_index(
+        corpus, id_col, vec_col, nlist, m, codebook_k, sample_size, seed
+    )
+    return ivf_pq_search(index, encoded, queries, k, nprobe, id_col, vec_col)
 
 
 def pq_reconstruction_cosine(
@@ -299,5 +387,11 @@ __all__ = [
     "pq_encode",
     "pq_ann",
     "pq_ann_end_to_end",
+    "IvfPqIndex",
+    "build_ivf_pq_index",
+    "save_ivf_pq_index",
+    "load_ivf_pq_index",
+    "ivf_pq_search",
+    "ivf_pq_ann",
     "pq_reconstruction_cosine",
 ]

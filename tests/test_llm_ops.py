@@ -4,6 +4,7 @@ from __future__ import annotations
 
 import math
 
+import numpy as np
 import pytest
 from pyspark.sql import functions as F
 
@@ -421,6 +422,40 @@ def test_ivf_pq_recall_vs_bruteforce(spark, sf_dir):
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.3, f"IVF-PQ recall collapsed: {recall}"
     assert all(q != v for q, v in approx)
+
+
+def test_ivf_pq_persisted_index_roundtrip(spark, sf_dir, tmp_path):
+    """Build the index ONCE, persist to parquet, serve the search from the
+    loaded index — results must match the in-memory build exactly (same
+    seeds → same centroids/codebooks → same codes → same ADC scores)."""
+    from procurement_data_pipeline_spark.llm_ops.pq import (
+        build_ivf_pq_index,
+        ivf_pq_search,
+        load_ivf_pq_index,
+        save_ivf_pq_index,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    index, encoded = build_ivf_pq_index(emb, nlist=16, m=8, codebook_k=64)
+    fresh = {
+        (r.query_id, r.vec_id, r.rank)
+        for r in ivf_pq_search(index, encoded, queries, k=10, nprobe=8).collect()
+    }
+
+    path = str(tmp_path / "ivfpq_index")
+    save_ivf_pq_index(index, encoded, path)
+    index2, encoded2 = load_ivf_pq_index(spark, path)
+    assert np.allclose(index.centroids, index2.centroids)
+    assert np.allclose(index.codebooks, index2.codebooks)
+    served = {
+        (r.query_id, r.vec_id, r.rank)
+        for r in ivf_pq_search(index2, encoded2, queries, k=10, nprobe=8).collect()
+    }
+    assert served == fresh
+    # The persisted layout is cell-partitioned so probes prune at the
+    # storage layer — assert the partition dirs exist.
+    assert any(p.name.startswith("_cell=") for p in (tmp_path / "ivfpq_index" / "codes").iterdir())
 
 
 def test_winnow_fingerprints_guarantee_and_edit_locality(spark):
