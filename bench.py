@@ -20,6 +20,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from procurement_data_pipeline_spark.caching import release_cached
 from procurement_data_pipeline_spark.registry import load_all
 from procurement_data_pipeline_spark.session import get_session
 
@@ -50,6 +51,11 @@ def main() -> None:
         except Exception as e:  # noqa: BLE001 — report, keep benching
             errors.setdefault(name, f"{type(e).__name__}: {e}".split("\n")[0][:300])
             return None
+        finally:
+            # Scoped-persist caller contract: drop any MEMORY_AND_DISK
+            # blocks a query pinned for its internal reuse, so the next
+            # query benches against a clean executor-memory slate.
+            release_cached()
 
     errors: dict[str, str] = {}
     # Warm-up execution of every query (codegen compile, parquet footers,

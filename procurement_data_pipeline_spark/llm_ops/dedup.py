@@ -18,6 +18,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from procurement_data_pipeline_spark.caching import scoped_persist
+
 from procurement_data_pipeline_spark.llm_ops.text import (
     fingerprint,
     kgram_hashes,
@@ -105,11 +107,11 @@ def ngram_jaccard_pairs(
     at 100 TB re-tokenizing per consumer would dominate the runtime, and
     persist (unlike checkpoint) keeps lineage for fault recovery.
     """
-    sh = _doc_shingles(df, text_col, id_col, n).persist()
+    sh = scoped_persist(_doc_shingles(df, text_col, id_col, n))
     dfreq = sh.groupBy("w").agg(F.count(F.lit(1)).alias("_df"))
-    arrs = sh.groupBy("_id").agg(
-        F.sort_array(F.collect_list("w")).alias("_toks")
-    ).persist()
+    arrs = scoped_persist(
+        sh.groupBy("_id").agg(F.sort_array(F.collect_list("w")).alias("_toks"))
+    )
     rank_w = Window.partitionBy("_id").orderBy(
         F.col("_df").asc(), F.col("w").asc()
     )
@@ -122,8 +124,8 @@ def ngram_jaccard_pairs(
             <= F.col("_sz") - F.ceil(F.lit(threshold) * F.col("_sz")) + 1
         )
         .select("_id", "w")
-        .persist()  # feeds BOTH sides of the candidate self-join
     )
+    prefix = scoped_persist(prefix)  # feeds BOTH sides of the candidate self-join
     cand = (
         prefix.select(F.col("_id").alias("doc_a"), "w")
         .join(prefix.select(F.col("_id").alias("doc_b"), "w"), "w")
@@ -246,8 +248,8 @@ def minhash_dedup_pairs(
     the verification join, and the signature relation self-joins in the
     banding step — both persist so tokenization and the minhash aggregate
     each run once, not 4-6× (the dominant cost at corpus scale)."""
-    sh = _doc_shingles(df, text_col, id_col, n).persist()
-    sigs = _minhash_from_shingles(sh, id_col, num_hashes).persist()
+    sh = scoped_persist(_doc_shingles(df, text_col, id_col, n))
+    sigs = scoped_persist(_minhash_from_shingles(sh, id_col, num_hashes))
     cand = minhash_lsh_candidates(sigs, id_col, bands)
     sizes = sh.groupBy("_id").agg(F.count(F.lit(1)).alias("_sz"))
     inter = (
@@ -340,7 +342,7 @@ def winnow_neardup_pairs(
             .select("fp")
         )
         fps = fps.join(keep, "fp", "left_semi")
-    fps = fps.persist()  # feeds both sides of the pair join
+    fps = scoped_persist(fps)  # feeds both sides of the pair join
     a = fps.select(F.col("_id").alias("doc_a"), "fp")
     b = fps.select(F.col("_id").alias("doc_b"), "fp")
     return (
@@ -452,7 +454,7 @@ def simhash_neardup_pairs(
     bands = max_hamming + 1
     width = 64 // bands
     sig = (
-        simhash(df, text_col, id_col).withColumnRenamed(id_col, "_id").persist()
+        scoped_persist(simhash(df, text_col, id_col).withColumnRenamed(id_col, "_id"))
     )
     banded = sig.select(
         "_id",

@@ -12,6 +12,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from procurement_data_pipeline_spark.caching import scoped_persist
+
 
 def _latest(df: DataFrame, date_col: str) -> DataFrame:
     latest = df.agg(F.max(date_col).alias(date_col))
@@ -146,8 +148,8 @@ def demand_breakdown(net_demand: DataFrame) -> DataFrame:
             F.col("_d.dim_name").alias("dim_name"),
         )
         .agg(F.sum("net_demand").cast("bigint").alias("total_demand"))
-        .persist()
     )
+    by_date = scoped_persist(by_date)
     return (
         _latest(by_date, "calculation_date")
         .select("dim_type", "dim_name", "total_demand")

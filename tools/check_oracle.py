@@ -34,6 +34,7 @@ import duckdb
 import numpy as np
 import pandas as pd
 
+from procurement_data_pipeline_spark.caching import release_cached
 from procurement_data_pipeline_spark.registry import load_all
 from procurement_data_pipeline_spark.session import get_session
 from procurement_data_pipeline_spark.sources.tables import TABLES
@@ -109,6 +110,8 @@ def main() -> int:
             failures.append(name)
             print(f"FAIL  {name}: spark error: {e}")
             continue
+        finally:
+            release_cached()  # scoped-persist contract: free per-query blocks
         if spec.oracle is None:
             # Driver still canonicalizes rows-only outputs; replicate that.
             try:
