@@ -16,6 +16,7 @@ the declared per-supplier boundary).
 
 from __future__ import annotations
 
+import os
 import shutil
 from typing import Any
 
@@ -125,6 +126,14 @@ def build_daily_pipeline(
         src = wh.path(OUTPUT_SUPPLIER_ORDERS, order_date)
         dst = wh.path(PROCESSED, "supplier_orders", order_date)
         shutil.copytree(src, dst, dirs_exist_ok=True)
+        # Exceptions-log parity (procurement_dag.py:293-306): the daily
+        # exceptions JSON is archived under processed/logs_exceptions/<date>
+        # exactly as the reference uploads it to /logs/exceptions/<date>.
+        log_src = wh.path(LOGS_EXCEPTIONS, f"exceptions_{exec_date}.json")
+        if os.path.exists(log_src):
+            log_dst = wh.path(PROCESSED, "logs_exceptions", exec_date)
+            os.makedirs(log_dst, exist_ok=True)
+            shutil.copy2(log_src, log_dst)
         return dst
 
     return pipe

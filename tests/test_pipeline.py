@@ -63,8 +63,12 @@ def test_daily_pipeline_end_to_end(spark, tmp_path):
     assert exc["date"] == EXEC_DATE
     assert exc["exception_count"] == len(exc["exceptions"]) == 0  # clean seed data
 
-    # archive copied
+    # archive copied — supplier orders AND the exceptions log
+    # (procurement_dag.py:293-306 uploads both)
     assert os.path.isdir(wh.path("processed/supplier_orders", "2026-01-15"))
+    assert os.path.isfile(
+        wh.path("processed/logs_exceptions", EXEC_DATE, f"exceptions_{EXEC_DATE}.json")
+    )
 
 
 def test_pipeline_net_demand_matches_direct_mrp(spark, tmp_path):
