@@ -1,0 +1,225 @@
+"""Corpus curation operators for training-data pipelines.
+
+Four operators a large-scale LLM data pipeline runs between raw crawl and
+tokenizer, all expressed as declarative DataFrame plans (no UDFs — every
+expression is JVM-side and whole-stage-codegen'd):
+
+* :func:`corpus_mix` — re-weight the source mixture to target proportions
+  (the "data recipe" step: N parts web, M parts code, ...).
+* :func:`decontaminate` — flag training documents sharing any word n-gram
+  with an evaluation/benchmark set (leakage scrub).
+* :func:`pack_sequences` — assign documents to fixed-token-budget training
+  sequences (greedy concat-then-chop packing, the GPT-style batcher).
+* :func:`repetition_metrics` — Gopher-style repetition quality signals
+  (duplicate-word fraction, top-word fraction).
+
+All decisions key on the portable md5 content hash (see
+:mod:`procurement_data_pipeline_spark.llm_ops.sampling`) so every output is
+deterministic across engines, retries, and corpus growth — and therefore
+oracle-checkable in DuckDB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from procurement_data_pipeline_spark.llm_ops.sampling import hash_key
+from procurement_data_pipeline_spark.llm_ops.text import words
+
+_PREFIX_LEN = 8
+_HEX = "0123456789abcdef"
+
+
+def corpus_mix(
+    df: DataFrame,
+    weights: DataFrame,
+    source_col: str = "source",
+    key_col: str = "doc_id",
+    salt: str = "mix",
+) -> DataFrame:
+    """Downsample each source so the output matches the target mixture.
+
+    ``weights`` is a tiny (source, weight) relation — the data recipe. With
+    n_s docs in source s and target weight w_s, the keep-rate is
+    ``min(1, C·w_s/n_s)`` where ``C = min_s(n_s/w_s)``: the output hits the
+    target proportions exactly while keeping ALL of the scarcest source (the
+    max-size solution with no upsampling). Per-row keep/drop is the md5-hash
+    filter, so the sampled subset is deterministic and engine-portable.
+
+    Scale: one tiny per-source count (shuffled on ~#sources keys), a 1-row
+    global min broadcast, a broadcast join of rates onto the corpus, then a
+    pure filter — the 100 TB cost is one scan.
+    """
+    counts = df.groupBy(source_col).agg(F.count(F.lit(1)).alias("_n"))
+    rated = counts.join(F.broadcast(weights), source_col)
+    scale = rated.agg(
+        F.min(F.col("_n").cast("double") / F.col("weight")).alias("_c")
+    )
+    rates = (
+        rated.crossJoin(F.broadcast(scale))  # 1-row scalar broadcast
+        .select(
+            source_col,
+            F.least(
+                F.lit(1.0),
+                F.col("_c") * F.col("weight") / F.col("_n").cast("double"),
+            ).alias("keep_rate"),
+        )
+    )
+    # Threshold hex string per source: floor(rate · 2^32) as %08x. rate=1
+    # would need 9 hex chars, so full-keep sources short-circuit the filter.
+    thresh = F.format_string(
+        "%08x", F.floor(F.col("keep_rate") * F.lit(4294967296.0)).cast("bigint")
+    )
+    return (
+        df.join(F.broadcast(rates), source_col)
+        .filter(
+            (F.col("keep_rate") >= 1.0)
+            | (F.substring(hash_key(key_col, salt), 1, _PREFIX_LEN) < thresh)
+        )
+        .select(*df.columns)  # sampled subset, schema untouched
+    )
+
+
+def decontaminate(
+    train: DataFrame,
+    eval_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+) -> DataFrame:
+    """Per train document: how many of its distinct word ``n``-grams appear
+    anywhere in the evaluation set (0 → clean). The standard benchmark
+    decontamination scrub — eval text must not leak into training data.
+
+    Plan shape: both sides explode to DISTINCT (doc, gram) inverted-index
+    rows, equi-join on the gram, count per train doc, left-join the counts
+    back so clean docs keep an explicit 0. Never a cross join; skew is
+    bounded by the gram document-frequency, and the eval side is typically
+    the small side (AQE broadcasts it when it fits).
+    """
+    from procurement_data_pipeline_spark.llm_ops.dedup import _doc_shingles
+
+    tr = _doc_shingles(train, text_col, id_col, n)
+    ev = _doc_shingles(eval_df, text_col, id_col, n).select("w").distinct()
+    hits = (
+        tr.join(ev, "w")
+        .groupBy("_id")
+        .agg(F.count(F.lit(1)).alias("n_contaminated_ngrams"))
+    )
+    return (
+        train.select(F.col(id_col))
+        .join(hits.withColumnRenamed("_id", id_col), id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_contaminated_ngrams", F.lit(0))
+            .cast("bigint")
+            .alias("n_contaminated_ngrams"),
+        )
+        .withColumn("contaminated", F.col("n_contaminated_ngrams") > 0)
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seq_len: int = 512,
+    n_buckets: int = 16,
+    salt: str = "pack",
+) -> DataFrame:
+    """Assign each document to a fixed-token-budget training sequence:
+    deterministically order documents, concatenate, chop every ``seq_len``
+    tokens (greedy concat-then-chop packing). Output per document: its
+    packing bucket, the sequence index its first token lands in, its token
+    count, and its start offset within that sequence.
+
+    Distribution: a single global ordering would serialize the window, so
+    documents first hash-route to ``n_buckets`` independent packing streams
+    (bucket = first md5 hex char's index — engine-portable), and the running
+    token sum is a window per bucket. At 100 TB, n_buckets scales with the
+    cluster (each bucket's window is one sorted partition); determinism is
+    preserved because both the routing and the intra-bucket order are pure
+    functions of the content hash.
+    """
+    h = hash_key(id_col, salt)
+    tok = F.size(words(text_col))
+    bucketed = df.select(
+        F.col(id_col),
+        (F.instr(F.lit(_HEX), F.substring(h, 1, 1)) - 1).alias("bucket"),
+        h.alias("_h"),
+        tok.cast("bigint").alias("tok_count"),
+    )
+    w = Window.partitionBy("bucket").orderBy("_h", id_col)
+    cum = F.sum("tok_count").over(w)
+    start = (cum - F.col("tok_count")).alias("_start")
+    return bucketed.select(
+        id_col,
+        "bucket",
+        "tok_count",
+        F.floor((cum - F.col("tok_count")) / F.lit(seq_len))
+        .cast("bigint")
+        .alias("seq_index"),
+        ((cum - F.col("tok_count")) % F.lit(seq_len))
+        .cast("bigint")
+        .alias("seq_offset"),
+    )
+
+
+def repetition_metrics(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    dup_threshold: float = 0.8,
+    top_threshold: float = 0.3,
+) -> DataFrame:
+    """Gopher-style repetition signals per document:
+
+    * ``dup_word_frac`` — fraction of word occurrences that are repeats of
+      an earlier word (1 − distinct/total). Array expressions only — no
+      explode, no shuffle.
+    * ``top_word_frac`` — the most frequent word's share of the document.
+      Needs a per-(doc, word) count → one explode + two aggregations,
+      shuffled on the doc id (bounded by document length, never corpus
+      size).
+    * ``repetitive`` — either signal past its threshold (the filterable
+      quality flag).
+    """
+    ws = words(text_col)
+    base = df.select(
+        F.col(id_col),
+        F.size(ws).cast("double").alias("_total"),
+        F.size(F.array_distinct(ws)).cast("double").alias("_distinct"),
+        F.explode(ws).alias("_w"),
+    )
+    per_word = base.groupBy(id_col, "_total", "_distinct", "_w").agg(
+        F.count(F.lit(1)).alias("_wc")
+    )
+    return (
+        per_word.groupBy(id_col, "_total", "_distinct")
+        .agg(F.max("_wc").cast("double").alias("_top"))
+        .select(
+            id_col,
+            # Raw IEEE doubles, not rounded: both engines run the identical
+            # division on identical ints, so the bits (and the driver's
+            # repr-based value hash) match exactly.
+            (F.lit(1.0) - F.col("_distinct") / F.col("_total")).alias(
+                "dup_word_frac"
+            ),
+            (F.col("_top") / F.col("_total")).alias("top_word_frac"),
+        )
+        .withColumn(
+            "repetitive",
+            (F.col("dup_word_frac") > dup_threshold)
+            | (F.col("top_word_frac") > top_threshold),
+        )
+    )
+
+
+__all__ = [
+    "corpus_mix",
+    "decontaminate",
+    "pack_sequences",
+    "repetition_metrics",
+]

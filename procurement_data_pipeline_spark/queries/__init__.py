@@ -8,4 +8,5 @@ from procurement_data_pipeline_spark.queries import (  # noqa: F401
     tpch,
     tpch_advanced,
     augment,
+    curation,
 )

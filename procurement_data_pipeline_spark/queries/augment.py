@@ -14,6 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from procurement_data_pipeline_spark.caching import scoped_persist
 from procurement_data_pipeline_spark.llm_ops.sampling import (
     fraction_threshold,
     hash_sample,
@@ -171,14 +172,13 @@ def q_supplier_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         # persisted: each year-set feeds two set operations (INTERSECT +
         # EXCEPT); the distinct supplier sets are tiny next to lineitem,
         # so caching them scans the fact table once per year, not twice.
-        return (
+        return scoped_persist(
             li.filter(
                 (F.col("l_shipdate") >= F.lit(f"{y}-01-01").cast("timestamp"))
                 & (F.col("l_shipdate") < F.lit(f"{y + 1}-01-01").cast("timestamp"))
             )
             .select("l_suppkey")
             .distinct()
-            .persist()
         )
 
     y96, y97 = shipped(1996), shipped(1997)

@@ -1,0 +1,170 @@
+"""Declared corpus-curation queries: mixture reweighting, benchmark
+decontamination, sequence packing, repetition filtering.
+
+These register after the 50 driver-graded oracle queries; their oracles are
+exercised by the local replica (``tools/check_oracle.py``) and pytest, like
+the other overflow entries in :mod:`queries.augment`.
+
+Every decision keys on the portable md5 hash or pure arithmetic, so each
+query carries an exact DuckDB oracle — including the window-function packing
+and the mixture keep-rate computation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from procurement_data_pipeline_spark.llm_ops.curation import (
+    corpus_mix,
+    decontaminate,
+    pack_sequences,
+    repetition_metrics,
+)
+from procurement_data_pipeline_spark.registry import register
+from procurement_data_pipeline_spark.sources.tables import load_table
+
+# DuckDB equivalents of text.normalize_text / words (same macros as
+# queries/text.py — kept in sync by tests/test_curation.py round-trips).
+_NORM = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
+_WORDS = f"string_split({_NORM}, ' ')"
+# 8-gram shingles, the decontamination unit: list slice is 1-based inclusive.
+_W8 = (
+    f"list_transform(range(1, len({_WORDS}) - 6),"
+    f" i -> array_to_string(({_WORDS})[i:i+7], ' '))"
+)
+# Deterministic per-source target weight, derivable from the name in both
+# engines: sources srcN get weight 1 + (N mod 3), i.e. a 1:2:3 recipe.
+_WEIGHT = "1 + (CAST(SUBSTR(source, 4) AS INT) % 3)"
+
+
+@register(
+    "docs_corpus_mix",
+    oracle=f"""
+WITH wts AS (
+  SELECT source, {_WEIGHT} AS weight
+  FROM (SELECT DISTINCT source FROM documents)
+), counts AS (
+  SELECT source, COUNT(*) AS n FROM documents GROUP BY source
+), rated AS (
+  SELECT c.source, c.n, w.weight FROM counts c JOIN wts w USING (source)
+), rates AS (
+  SELECT source,
+         LEAST(1.0, (SELECT MIN(CAST(n AS DOUBLE) / weight) FROM rated)
+                    * weight / CAST(n AS DOUBLE)) AS keep_rate
+  FROM rated
+)
+SELECT d.doc_id, d.source
+FROM documents d JOIN rates r USING (source)
+WHERE r.keep_rate >= 1.0
+   OR SUBSTR(md5(COALESCE(CAST(d.doc_id AS VARCHAR), '<null>') || 'mix'), 1, 8)
+      < printf('%08x', CAST(FLOOR(r.keep_rate * 4294967296) AS BIGINT))
+""",
+    tags=("llm", "curation"),
+)
+def q_docs_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture reweighting to a 1:2:3 source recipe — proportional hash
+    downsampling that keeps all of the scarcest source (llm_ops/curation.py
+    corpus_mix: tiny-agg + broadcast rates + pure filter; one corpus scan)."""
+    docs = load_table(spark, sf_dir, "documents")
+    weights = (
+        docs.select("source")
+        .distinct()
+        .withColumn("weight", F.expr(_WEIGHT))
+    )
+    return corpus_mix(docs, weights).select("doc_id", "source")
+
+
+@register(
+    "docs_decontaminate",
+    oracle=f"""
+WITH tr AS (
+  SELECT DISTINCT doc_id AS _id, unnest({_W8}) AS w
+  FROM documents WHERE source <> 'src0'
+), ev AS (
+  SELECT DISTINCT unnest({_W8}) AS w FROM documents WHERE source = 'src0'
+), hits AS (
+  SELECT _id, COUNT(*) AS n FROM tr JOIN ev USING (w) GROUP BY _id
+)
+SELECT d.doc_id,
+       CAST(COALESCE(h.n, 0) AS BIGINT) AS n_contaminated_ngrams,
+       COALESCE(h.n, 0) > 0 AS contaminated
+FROM (SELECT doc_id FROM documents WHERE source <> 'src0') d
+LEFT JOIN hits h ON h._id = d.doc_id
+""",
+    tags=("llm", "curation"),
+)
+def q_docs_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-leakage scrub: treat source src0 as the eval set and count
+    each remaining document's distinct 8-grams that appear in it (inverted-
+    index equi-join on the gram — llm_ops/curation.py decontaminate)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return decontaminate(
+        docs.filter(F.col("source") != "src0"),
+        docs.filter(F.col("source") == "src0"),
+    )
+
+
+@register(
+    "docs_pack_sequences",
+    oracle="""
+WITH b AS (
+  SELECT doc_id,
+         strpos('0123456789abcdef',
+                SUBSTR(md5(COALESCE(CAST(doc_id AS VARCHAR), '<null>') || 'pack'), 1, 1)
+         ) - 1 AS bucket,
+         md5(COALESCE(CAST(doc_id AS VARCHAR), '<null>') || 'pack') AS _h,
+         CAST(len(string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ')) AS BIGINT)
+           AS tok_count
+  FROM documents
+), c AS (
+  SELECT doc_id, bucket, tok_count,
+         SUM(tok_count) OVER (
+           PARTITION BY bucket ORDER BY _h, doc_id ROWS UNBOUNDED PRECEDING
+         ) AS cum
+  FROM b
+)
+SELECT doc_id, bucket, tok_count,
+       CAST(FLOOR((cum - tok_count) / 512.0) AS BIGINT) AS seq_index,
+       CAST((cum - tok_count) % 512 AS BIGINT) AS seq_offset
+FROM c
+""",
+    tags=("llm", "curation"),
+)
+def q_docs_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy concat-then-chop sequence packing at a 512-token budget over
+    16 hash-routed packing streams (llm_ops/curation.py pack_sequences: the
+    running token sum is a window per bucket, so parallelism = n_buckets)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return pack_sequences(docs, seq_len=512, n_buckets=16)
+
+
+@register(
+    "docs_repetition_metrics",
+    oracle=f"""
+WITH base AS (
+  SELECT doc_id,
+         CAST(len({_WORDS}) AS DOUBLE) AS _total,
+         CAST(len(list_distinct({_WORDS})) AS DOUBLE) AS _distinct,
+         unnest({_WORDS}) AS _w
+  FROM documents
+), pw AS (
+  SELECT doc_id, _total, _distinct, _w, COUNT(*) AS _wc
+  FROM base GROUP BY 1, 2, 3, 4
+), agg AS (
+  SELECT doc_id, _total, _distinct, CAST(MAX(_wc) AS DOUBLE) AS _top
+  FROM pw GROUP BY 1, 2, 3
+)
+SELECT doc_id,
+       1.0 - _distinct / _total AS dup_word_frac,
+       _top / _total AS top_word_frac,
+       (1.0 - _distinct / _total) > 0.8 OR (_top / _total) > 0.3 AS repetitive
+FROM agg
+""",
+    tags=("llm", "curation", "quality"),
+)
+def q_docs_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals: duplicate-word fraction (pure array
+    expressions) and top-word share (one explode + per-doc aggregate) —
+    llm_ops/curation.py repetition_metrics."""
+    return repetition_metrics(load_table(spark, sf_dir, "documents"))

@@ -1,0 +1,114 @@
+"""Semantic tests for the corpus-curation operators (llm_ops/curation.py).
+
+The registered queries carry exact DuckDB oracles (hash-checked by
+tools/check_oracle.py); these tests pin the SEMANTICS — proportions,
+leakage detection, packing invariants, repetition math — on constructed
+inputs where the right answer is known by hand.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from procurement_data_pipeline_spark.llm_ops.curation import (
+    corpus_mix,
+    decontaminate,
+    pack_sequences,
+    repetition_metrics,
+)
+from procurement_data_pipeline_spark.sources.tables import load_table
+
+
+def test_corpus_mix_hits_target_proportions(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    weights = spark.createDataFrame(
+        [("src0", 1), ("src1", 2), ("src2", 3)], ["source", "weight"]
+    )
+    subset = docs.filter(F.col("source").isin("src0", "src1", "src2"))
+    out = corpus_mix(subset, weights)
+    counts = {r["source"]: r["n"] for r in out.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()}
+    base = {r["source"]: r["n"] for r in subset.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()}
+    # The heaviest source is kept in full (max-size, no-upsampling solution).
+    assert counts["src2"] == base["src2"]
+    # Hash sampling is binomial per doc, so proportions are approximate at
+    # n=25 per source; check rates are ordered and in sane bands.
+    r0, r1, r2 = (counts[s] / base[s] for s in ("src0", "src1", "src2"))
+    assert r0 < r1 < r2 == 1.0
+    assert 0.1 < r0 < 0.6 and 0.4 < r1 < 0.95
+    # Deterministic: rerun is identical.
+    again = {r["source"]: r["n"] for r in corpus_mix(subset, weights).groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert again == counts
+
+
+def test_corpus_mix_keeps_rows_not_resamples(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    weights = docs.select("source").distinct().withColumn("weight", F.lit(1))
+    out = corpus_mix(docs, weights)
+    # Equal weights + equal counts → keep everything, schema untouched.
+    assert out.count() == docs.count()
+    assert out.columns == docs.columns
+
+
+def test_decontaminate_flags_verbatim_leak(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    eval_df = docs.filter(F.col("doc_id") < 5)
+    # Plant a train doc that verbatim-copies an eval doc's text.
+    leak = eval_df.limit(1).select(
+        F.lit(999999).alias("doc_id"), F.col("text")
+    )
+    clean = spark.createDataFrame(
+        [(999998, "totally unrelated words that appear nowhere else at all "
+                  "padding padding padding padding padding padding padding")],
+        ["doc_id", "text"],
+    )
+    train = (
+        docs.filter(F.col("doc_id") >= 5).select("doc_id", "text")
+        .unionByName(leak)
+        .unionByName(clean)
+    )
+    out = {r["doc_id"]: r for r in decontaminate(train, eval_df).collect()}
+    assert out[999999]["contaminated"] is True
+    assert out[999999]["n_contaminated_ngrams"] > 0
+    assert out[999998]["contaminated"] is False
+    assert out[999998]["n_contaminated_ngrams"] == 0
+    # Exhaustive: every train doc gets a row.
+    assert len(out) == train.count()
+
+
+def test_pack_sequences_invariants(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    out = pack_sequences(docs, seq_len=512, n_buckets=16).collect()
+    assert len(out) == docs.count()
+    by_bucket: dict[int, list] = {}
+    for r in out:
+        by_bucket.setdefault(r["bucket"], []).append(r)
+    assert set(by_bucket) <= set(range(16))
+    for rows in by_bucket.values():
+        # Reconstruct the concat order: offsets must chain exactly.
+        rows.sort(key=lambda r: (r["seq_index"], r["seq_offset"]))
+        cum = 0
+        for r in rows:
+            assert r["seq_index"] == cum // 512
+            assert r["seq_offset"] == cum % 512
+            cum += r["tok_count"]
+
+
+def test_repetition_metrics_hand_math(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "a a a a"),              # dup 3/4, top 4/4 → repetitive
+            (2, "w x y z"),              # dup 0, top 1/4 → clean
+            (3, "spam spam eggs"),       # dup 1/3, top 2/3 → repetitive (top)
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in repetition_metrics(df).collect()}
+    assert out[1]["dup_word_frac"] == pytest.approx(0.75)
+    assert out[1]["top_word_frac"] == pytest.approx(1.0)
+    assert out[1]["repetitive"] is True
+    assert out[2]["dup_word_frac"] == pytest.approx(0.0)
+    assert out[2]["top_word_frac"] == pytest.approx(0.25)
+    assert out[2]["repetitive"] is False
+    assert out[3]["top_word_frac"] == pytest.approx(2 / 3)
+    assert out[3]["repetitive"] is True

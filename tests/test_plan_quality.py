@@ -33,6 +33,7 @@ BNLJ_ALLOWED = {
     "kpi_demand_breakdown",
     "tpch_q11_important_parts",  # broadcast single-row global-sum scalar
     "tpch_q22_dormant_customers",  # broadcast single-row avg-balance scalar
+    "docs_corpus_mix",  # broadcast single-row mixture-scale scalar
 }
 
 SF_DIR = "/root/testdata/sf0.001"
