@@ -7,12 +7,18 @@ explicit decode/feature step, and that step is an Arrow-batched
 ``mapInPandas`` so bytes cross the JVM↔Python boundary once per batch, not
 per row.
 
-The container ships no media codecs, so the actual decoders are STUBBED:
-``decode_image`` raises ``NotImplementedError`` unless given
-``fake=True``, in which case a clearly-marked deterministic fake (derived
-from the payload's md5) stands in. Everything around the stub — schemas,
-batch iteration, partitioning, UDF signatures — is the real plumbing and is
-tested.
+Two tiers of "real" here:
+
+* REAL, codec-free, JVM-side: magic-byte MIME sniffing
+  (:func:`detect_media_type`) and PNG/GIF header dimension parsing
+  (:func:`image_dimensions`) — pure binary/hex expressions, tested against
+  byte-exact format headers.
+* STUBBED (container ships no codecs): pixel decode / feature extraction /
+  resampling raise ``NotImplementedError`` unless given ``fake=True``, in
+  which case a clearly-marked deterministic fake (derived from the
+  payload's md5) stands in. Everything around the stub — schemas, batch
+  iteration, partitioning, UDF signatures — is the real plumbing and is
+  tested.
 """
 
 from __future__ import annotations
@@ -21,7 +27,7 @@ import hashlib
 from collections.abc import Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -85,6 +91,69 @@ def documents_as_media(docs: DataFrame) -> DataFrame:
         F.col("source"),
     )
     return attach_payload_meta(base).select("media_id", "payload", "meta")
+
+
+def detect_media_type(payload_col: str = "payload") -> Column:
+    """Container-format sniffing from magic bytes — REAL, not stubbed:
+    pure JVM expressions (binary substring + hex compare), whole-stage
+    codegen'd, no Python and no codec needed. This is how a 100 TB media
+    lake routes payloads to per-format decode stages without trusting a
+    user-supplied mime column.
+
+    Recognizes PNG, JPEG, GIF, WEBP, WAV, and falls back to
+    'application/octet-stream'.
+    """
+    p = F.col(payload_col)
+    head = lambda pos, n: F.hex(F.substring(p, pos, n))  # noqa: E731
+    return (
+        F.when(head(1, 8) == "89504E470D0A1A0A", F.lit("image/png"))
+        .when(head(1, 3) == "FFD8FF", F.lit("image/jpeg"))
+        .when(head(1, 6).isin("474946383761", "474946383961"), F.lit("image/gif"))
+        .when(
+            (head(1, 4) == "52494646") & (head(9, 4) == "57454250"),
+            F.lit("image/webp"),
+        )
+        .when(
+            (head(1, 4) == "52494646") & (head(9, 4) == "57415645"),
+            F.lit("audio/wav"),
+        )
+        .otherwise(F.lit("application/octet-stream"))
+    )
+
+
+def image_dimensions(payload_col: str = "payload") -> Column:
+    """(width, height) struct parsed straight from the header bytes —
+    REAL for PNG (big-endian u32 at IHDR offsets 17/21) and GIF
+    (little-endian u16 at offsets 7/9); NULLs for other formats (JPEG
+    dimensions live in a variable-offset SOF segment — that needs the
+    decode stage). All JVM-side: binary substring → hex → base-16 conv.
+    """
+    p = F.col(payload_col)
+    be32 = lambda pos: F.conv(F.hex(F.substring(p, pos, 4)), 16, 10).cast(  # noqa: E731
+        "int"
+    )
+    le16 = lambda pos: F.conv(  # noqa: E731
+        F.concat(F.hex(F.substring(p, pos + 1, 1)), F.hex(F.substring(p, pos, 1))),
+        16,
+        10,
+    ).cast("int")
+    mime = detect_media_type(payload_col)
+    return (
+        F.when(
+            mime == "image/png",
+            F.struct(be32(17).alias("width"), be32(21).alias("height")),
+        )
+        .when(
+            mime == "image/gif",
+            F.struct(le16(7).alias("width"), le16(9).alias("height")),
+        )
+        .otherwise(
+            F.struct(
+                F.lit(None).cast("int").alias("width"),
+                F.lit(None).cast("int").alias("height"),
+            )
+        )
+    )
 
 
 def extract_image_features(media: DataFrame, fake: bool = False) -> DataFrame:

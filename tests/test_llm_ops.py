@@ -460,18 +460,24 @@ def test_ivf_pq_persisted_index_roundtrip(spark, sf_dir, tmp_path):
 
 def test_scoped_persist_releases_all_blocks(spark, sf_dir):
     """Shared-session hygiene: after a persist-heavy query materializes and
-    the caller invokes release_cached(), NO pinned RDD blocks remain."""
+    the caller invokes release_cached(), the pinned-RDD count returns to its
+    pre-query baseline (baseline-relative, because OTHER components in a
+    shared session legitimately hold blocks — e.g. localCheckpoint RDDs from
+    earlier tests awaiting ContextCleaner GC)."""
     from procurement_data_pipeline_spark.caching import release_cached
     from procurement_data_pipeline_spark.llm_ops.dedup import ngram_jaccard_pairs
 
-    release_cached()  # clean slate (earlier tests may not have released)
+    release_cached(blocking=True)  # drain any untracked leftovers of ours
+    jsc = spark.sparkContext._jsc.sc()
+    baseline = jsc.getPersistentRDDs().size()
     docs = load_table(spark, sf_dir, "documents")
     ngram_jaccard_pairs(docs, threshold=0.6).count()
-    jsc = spark.sparkContext._jsc.sc()
-    assert jsc.getPersistentRDDs().size() > 0, "query should have pinned blocks"
+    assert jsc.getPersistentRDDs().size() > baseline, "query should pin blocks"
     released = release_cached(blocking=True)
     assert released >= 3  # shingles, per-doc arrays, prefix rows
-    assert jsc.getPersistentRDDs().size() == 0, "blocks still pinned after release"
+    assert jsc.getPersistentRDDs().size() == baseline, (
+        "blocks still pinned after release"
+    )
 
 
 def test_winnow_fingerprints_guarantee_and_edit_locality(spark):

@@ -242,3 +242,50 @@ def test_resize_images_requires_explicit_fake_and_is_deterministic(spark, sf_dir
     assert all((r.width, r.height) == (32, 32) for r in out)
     again = resize_images(media, 32, 32, fake=True).collect()
     assert sorted(r.payload for r in again) == sorted(r.payload for r in out)
+
+
+def test_detect_media_type_and_dimensions_from_real_headers(spark):
+    """Magic-byte sniffing and header dimension parsing against REAL format
+    headers built byte-for-byte to spec (PNG sig+IHDR, GIF89a logical screen
+    descriptor, JPEG SOI, RIFF/WAVE, RIFF/WEBP) — this path needs no codec
+    and must be exact."""
+    import struct
+
+    from procurement_data_pipeline_spark.llm_ops.multimodal import (
+        detect_media_type,
+        image_dimensions,
+    )
+
+    png = (
+        b"\x89PNG\r\n\x1a\n"                      # signature
+        + struct.pack(">I", 13) + b"IHDR"          # IHDR length + tag
+        + struct.pack(">II", 640, 480)             # width, height (BE u32)
+        + b"\x08\x02\x00\x00\x00" + b"\x00" * 4    # bit depth.. + crc pad
+    )
+    gif = b"GIF89a" + struct.pack("<HH", 320, 200) + b"\x00" * 6
+    jpeg = b"\xff\xd8\xff\xe0" + b"\x00" * 16
+    wav = b"RIFF" + struct.pack("<I", 36) + b"WAVE" + b"\x00" * 8
+    webp = b"RIFF" + struct.pack("<I", 20) + b"WEBP" + b"\x00" * 8
+    blob = b"\x00\x01\x02\x03unstructured"
+
+    df = spark.createDataFrame(
+        [(1, png), (2, gif), (3, jpeg), (4, wav), (5, webp), (6, blob)],
+        ["media_id", "payload"],
+    )
+    rows = {
+        r["media_id"]: r
+        for r in df.select(
+            "media_id",
+            detect_media_type().alias("mime"),
+            image_dimensions().alias("dims"),
+        ).collect()
+    }
+    assert rows[1]["mime"] == "image/png"
+    assert (rows[1]["dims"]["width"], rows[1]["dims"]["height"]) == (640, 480)
+    assert rows[2]["mime"] == "image/gif"
+    assert (rows[2]["dims"]["width"], rows[2]["dims"]["height"]) == (320, 200)
+    assert rows[3]["mime"] == "image/jpeg"
+    assert rows[3]["dims"]["width"] is None  # SOF segment needs the decoder
+    assert rows[4]["mime"] == "audio/wav"
+    assert rows[5]["mime"] == "image/webp"
+    assert rows[6]["mime"] == "application/octet-stream"
