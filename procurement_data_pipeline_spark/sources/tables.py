@@ -31,31 +31,47 @@ TABLES = (
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+# Timestamp-bearing columns per table. The corpus has shipped `events.ts`
+# under three encodings across driver regenerations — TIMESTAMP(NANOS)
+# (the vectorized reader rejects it outright → read nanos as long),
+# timestamp[us] with no timezone (read as TIMESTAMP_NTZ), and plain
+# TIMESTAMP_LTZ — so the load boundary defends every listed column:
+#
+# * bigint (nanos-as-long) → truncate to micros and build a TIMESTAMP_LTZ
+#   (DuckDB's reader truncates nanos identically, so oracles agree).
+# * events.ts NTZ → LTZ via cast("timestamp"): the cast interprets the
+#   naive value in the session timezone, which configure_runtime pins to
+#   UTC — matching DuckDB's naive-as-UTC read, so epoch-based oracles stay
+#   hash-identical. unix_micros/window-range expressions need LTZ.
+# * orders/lineitem date columns stay NTZ when they arrive NTZ: every
+#   consumer only date-casts or compares them to literals (NTZ-legal), and
+#   leaving the bare attribute un-wrapped keeps the date filters pushed
+#   down to the parquet scan (a cast would block PushedFilters).
+_TS_COLS: dict[str, tuple[str, ...]] = {
+    "events": ("ts",),
+    "orders": ("o_orderdate",),
+    "lineitem": ("l_shipdate",),
+}
+_NTZ_TO_LTZ: dict[str, tuple[str, ...]] = {"events": ("ts",)}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     configure_runtime(spark)
-    if name == "events":
-        # The corpus has shipped `ts` under three encodings across driver
-        # regenerations: TIMESTAMP(NANOS) (vectorized reader rejects it →
-        # read nanos as long), timestamp[us] with no timezone (Spark reads
-        # TIMESTAMP_NTZ), and plain TIMESTAMP_LTZ. Normalize ALL of them to
-        # TIMESTAMP_LTZ here, at the load boundary, so every downstream
-        # expression (unix_micros, window ranges, date casts) sees one type.
+    ts_cols = _TS_COLS.get(name)
+    if ts_cols:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-        ts_type = dict(df.dtypes).get("ts")
-        from pyspark.sql import functions as F
-
-        if ts_type == "bigint":
-            # nanos-as-long → truncate to micros (DuckDB's reader truncates
-            # identically, so oracle comparisons agree).
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        elif ts_type == "timestamp_ntz":
-            # NTZ→LTZ cast interprets the naive value in the session
-            # timezone; configure_runtime pins it to UTC, matching DuckDB's
-            # naive-as-UTC read, so epoch-based oracles stay hash-identical.
-            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if not ts_cols:
         return df
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    from pyspark.sql import functions as F
+
+    dtypes = dict(df.dtypes)
+    for col in ts_cols:
+        if dtypes.get(col) == "bigint":
+            df = df.withColumn(col, F.timestamp_micros(F.expr(f"{col} div 1000")))
+        elif dtypes.get(col) == "timestamp_ntz" and col in _NTZ_TO_LTZ.get(name, ()):
+            df = df.withColumn(col, F.col(col).cast("timestamp"))
+    return df
 
 
 def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> tuple[DataFrame, ...]:

@@ -116,3 +116,37 @@ def test_events_ts_supports_epoch_functions(spark, sf_dir):
     assert 1_577_836_800_000_000 < row["lo"] <= row["hi"] < 2_051_222_400_000_000, (
         f"events.ts epoch range implausible: {row['lo']}..{row['hi']}"
     )
+
+
+def test_loader_survives_nanos_encoding_drift(spark, tmp_path):
+    """Simulate the round-3 drift on the OTHER timestamp tables: write
+    orders/lineitem/events files whose timestamp column is TIMESTAMP(NANOS)
+    (which Spark's vectorized reader rejects outright) and assert the loader
+    still delivers a usable timestamp column."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    cases = {
+        "orders": ("o_orderdate", {"o_orderkey": [1, 2]}),
+        "lineitem": ("l_shipdate", {"l_orderkey": [1, 2]}),
+        "events": ("ts", {"event_id": [1, 2]}),
+    }
+    base_ns = 1_704_067_200_000_000_000  # 2024-01-01T00:00:00Z in nanos
+    for table, (ts_col, extra) in cases.items():
+        cols = dict(extra)
+        cols[ts_col] = pa.array(
+            [base_ns, base_ns + 86_400_000_000_000],
+            type=pa.timestamp("ns"),
+        )
+        pq.write_table(pa.table(cols), str(tmp_path / f"{table}.parquet"))
+
+    for table, (ts_col, _) in cases.items():
+        df = load_table(spark, str(tmp_path), table)
+        assert dict(df.dtypes)[ts_col] == "timestamp", (
+            f"{table}.{ts_col} not normalized from nanos"
+        )
+        days = sorted(
+            r[0]
+            for r in df.select(F.col(ts_col).cast("date").cast("string")).collect()
+        )
+        assert days == ["2024-01-01", "2024-01-02"]
