@@ -340,3 +340,26 @@ def q_events_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.percentile(vm, F.lit(0.5)) / F.lit(1000000.0)).alias("p50_value"),
         (F.percentile(vm, F.lit(0.95)) / F.lit(1000000.0)).alias("p95_value"),
     )
+
+
+@register(
+    "events_value_quantiles_approx",
+    oracle=None,  # approximate by contract — accuracy is pytest-bounded
+    tags=("events", "quantiles", "sketch"),
+)
+def q_events_quantiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB form of events_value_quantiles: approx_percentile builds
+    mergeable Greenwald-Khanna sketches map-side — one pass, fixed memory
+    per group, no full sort — where the exact percentile must buffer each
+    group's values. Accuracy 1/10000 ≈ exact at sf0.1 while staying a
+    sketch; tests bound the error against the exact query."""
+    ev = load_table(spark, sf_dir, "events")
+    vm = F.floor(F.col("value") * 1000000).cast("long")
+    return ev.groupBy("event_type").agg(
+        (
+            F.approx_percentile(vm, F.lit(0.5), F.lit(10000)) / F.lit(1000000.0)
+        ).alias("p50_value"),
+        (
+            F.approx_percentile(vm, F.lit(0.95), F.lit(10000)) / F.lit(1000000.0)
+        ).alias("p95_value"),
+    )

@@ -112,3 +112,33 @@ def test_repetition_metrics_hand_math(spark):
     assert out[2]["repetitive"] is False
     assert out[3]["top_word_frac"] == pytest.approx(2 / 3)
     assert out[3]["repetitive"] is True
+
+
+def test_approx_quantiles_track_exact(spark, sf_dir):
+    """The sketch-based scale path must track the exact per-type quantiles.
+
+    The two differ by DEFINITION, not just sketch error: percentile()
+    interpolates between order statistics (continuous quantile) while
+    approx_percentile returns an actual data element — so on the tiny
+    sf0.001 groups the p95 gap can be the spacing between adjacent order
+    statistics (a few percent). The bound here covers definitional gap +
+    sketch error; at 1/10000 accuracy the sketch contributes ~0."""
+    from procurement_data_pipeline_spark.registry import load_all
+
+    specs = load_all()
+    exact = {
+        r["event_type"]: r
+        for r in specs["events_value_quantiles"].builder(spark, sf_dir).collect()
+    }
+    approx = {
+        r["event_type"]: r
+        for r in specs["events_value_quantiles_approx"].builder(spark, sf_dir).collect()
+    }
+    assert set(exact) == set(approx)
+    for et, e in exact.items():
+        a = approx[et]
+        for col in ("p50_value", "p95_value"):
+            denom = max(abs(e[col]), 1e-9)
+            assert abs(a[col] - e[col]) / denom < 0.10, (
+                f"{et}.{col}: approx {a[col]} vs exact {e[col]}"
+            )
