@@ -168,3 +168,47 @@ def q_docs_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     expressions) and top-word share (one explode + per-doc aggregate) —
     llm_ops/curation.py repetition_metrics."""
     return repetition_metrics(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "docs_vocab_topk",
+    oracle=f"""
+SELECT w AS word, CAST(COUNT(*) AS BIGINT) AS n_occurrences
+FROM (SELECT unnest({_WORDS}) AS w FROM documents)
+GROUP BY w
+ORDER BY n_occurrences DESC, word ASC
+LIMIT 30
+""",
+    tags=("llm", "curation", "vocab"),
+)
+def q_docs_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary building: exact top-30 words by occurrence (explode +
+    count + TakeOrderedAndProject; deterministic word tie-break). The
+    unbounded-domain scale path is llm_ops/sketch.frequent_items (space-
+    saving heavy hitters: shuffle = partitions x capacity, not domain)."""
+    from procurement_data_pipeline_spark.llm_ops.text import words
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(words("text")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .orderBy(F.col("n_occurrences").desc(), F.col("word").asc())
+        .limit(30)
+    )
+
+
+@register(
+    "docs_vocab_topk_sketch",
+    oracle=None,  # approximate by contract — guarantee is pytest-verified
+    tags=("llm", "curation", "vocab", "sketch"),
+)
+def q_docs_vocab_topk_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Space-saving heavy hitters over the exploded word stream — the
+    bounded-shuffle form of docs_vocab_topk for unbounded domains."""
+    from procurement_data_pipeline_spark.llm_ops.sketch import frequent_items
+    from procurement_data_pipeline_spark.llm_ops.text import words
+
+    docs = load_table(spark, sf_dir, "documents")
+    stream = docs.select(F.explode(words("text")).alias("word"))
+    return frequent_items(stream, "word", k=30, capacity=512)

@@ -142,3 +142,51 @@ def test_approx_quantiles_track_exact(spark, sf_dir):
             assert abs(a[col] - e[col]) / denom < 0.10, (
                 f"{et}.{col}: approx {a[col]} vs exact {e[col]}"
             )
+
+
+def test_frequent_items_sketch_guarantees(spark):
+    """Space-saving contract on a skewed stream with capacity FAR below the
+    domain (forces evictions): every true heavy hitter (freq > n/capacity)
+    surfaces, and count_lo <= true <= count_hi for each reported item."""
+    from procurement_data_pipeline_spark.llm_ops.sketch import frequent_items
+
+    # Zipf-ish synthetic: item_i appears ~1000/i times, i in 1..200.
+    rows = [(f"item_{i:03d}",) for i in range(1, 201) for _ in range(1000 // i)]
+    df = spark.createDataFrame(rows, ["tok"]).repartition(8)
+    true_counts = {}
+    for (v,) in rows:
+        true_counts[v] = true_counts.get(v, 0) + 1
+    n = len(rows)
+    capacity = 64
+
+    out = frequent_items(df, "tok", k=20, capacity=capacity).collect()
+    reported = {r["item"]: (r["count_lo"], r["count_hi"]) for r in out}
+
+    # Bounds hold for every reported item.
+    for item, (lo, hi) in reported.items():
+        assert lo <= true_counts[item] <= hi, (item, lo, true_counts[item], hi)
+    # Guarantee: items above the n/capacity threshold are all present
+    # (restricted to the k reported — the top-20 true items all qualify).
+    top_true = sorted(true_counts, key=lambda x: (-true_counts[x], x))[:20]
+    heavy = [x for x in top_true if true_counts[x] > n / capacity]
+    missing = [x for x in heavy if x not in reported]
+    assert not missing, f"space-saving missed heavy hitters: {missing}"
+
+
+def test_vocab_sketch_equals_exact_on_bounded_vocab(spark, sf_dir):
+    """On the corpus (vocab << capacity, no evictions) the sketch top-k is
+    exactly the exact top-k with tight bounds (count_lo == count_hi)."""
+    from procurement_data_pipeline_spark.registry import load_all
+
+    specs = load_all()
+    exact = {
+        r["word"]: r["n_occurrences"]
+        for r in specs["docs_vocab_topk"].builder(spark, sf_dir).collect()
+    }
+    sketch = {
+        r["item"]: (r["count_lo"], r["count_hi"])
+        for r in specs["docs_vocab_topk_sketch"].builder(spark, sf_dir).collect()
+    }
+    assert set(sketch) == set(exact)
+    for w, n in exact.items():
+        assert sketch[w] == (n, n)

@@ -34,6 +34,7 @@ BNLJ_ALLOWED = {
     "tpch_q11_important_parts",  # broadcast single-row global-sum scalar
     "tpch_q22_dormant_customers",  # broadcast single-row avg-balance scalar
     "docs_corpus_mix",  # broadcast single-row mixture-scale scalar
+    "docs_vocab_topk_sketch",  # broadcast single-row Σpmin merge scalar
 }
 
 SF_DIR = "/root/testdata/sf0.001"
