@@ -174,46 +174,57 @@ def repetition_metrics(
     dup_threshold: float = 0.8,
     top_threshold: float = 0.3,
 ) -> DataFrame:
-    """Gopher-style repetition signals per document:
+    """Gopher-style repetition signals per document — ZERO shuffles:
 
     * ``dup_word_frac`` — fraction of word occurrences that are repeats of
-      an earlier word (1 − distinct/total). Array expressions only — no
-      explode, no shuffle.
+      an earlier word (1 − distinct/total); plain array expressions.
     * ``top_word_frac`` — the most frequent word's share of the document.
-      Needs a per-(doc, word) count → one explode + two aggregations,
-      shuffled on the doc id (bounded by document length, never corpus
-      size).
+      The obvious plan (explode → per-(doc, word) count → per-doc max)
+      shuffles the ENTIRE token stream twice; instead, the max frequency is
+      the longest run in the SORTED token array, computed by one
+      ``F.aggregate`` lambda carrying (prev, run, best) state — per-row
+      JVM work proportional to document length, nothing leaves the row.
     * ``repetitive`` — either signal past its threshold (the filterable
       quality flag).
+
+    The whole operator is a narrow projection: at 100 TB it pipelines with
+    the scan, where the explode form would shuffle ~the corpus token count.
     """
     ws = words(text_col)
-    base = df.select(
+    sorted_ws = F.sort_array(ws)
+    run_state = F.aggregate(
+        sorted_ws,
+        F.struct(
+            F.lit(None).cast("string").alias("prev"),
+            F.lit(0).alias("run"),
+            F.lit(0).alias("best"),
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)).alias("run"),
+            F.greatest(
+                acc["best"],
+                F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)),
+            ).alias("best"),
+        ),
+        lambda acc: acc["best"],
+    )
+    return df.select(
         F.col(id_col),
         F.size(ws).cast("double").alias("_total"),
         F.size(F.array_distinct(ws)).cast("double").alias("_distinct"),
-        F.explode(ws).alias("_w"),
-    )
-    per_word = base.groupBy(id_col, "_total", "_distinct", "_w").agg(
-        F.count(F.lit(1)).alias("_wc")
-    )
-    return (
-        per_word.groupBy(id_col, "_total", "_distinct")
-        .agg(F.max("_wc").cast("double").alias("_top"))
-        .select(
-            id_col,
-            # Raw IEEE doubles, not rounded: both engines run the identical
-            # division on identical ints, so the bits (and the driver's
-            # repr-based value hash) match exactly.
-            (F.lit(1.0) - F.col("_distinct") / F.col("_total")).alias(
-                "dup_word_frac"
-            ),
-            (F.col("_top") / F.col("_total")).alias("top_word_frac"),
-        )
-        .withColumn(
-            "repetitive",
-            (F.col("dup_word_frac") > dup_threshold)
-            | (F.col("top_word_frac") > top_threshold),
-        )
+        run_state.cast("double").alias("_top"),
+    ).select(
+        id_col,
+        # Raw IEEE doubles, not rounded: both engines run the identical
+        # division on identical ints, so the bits (and the driver's
+        # repr-based value hash) match exactly.
+        (F.lit(1.0) - F.col("_distinct") / F.col("_total")).alias("dup_word_frac"),
+        (F.col("_top") / F.col("_total")).alias("top_word_frac"),
+    ).withColumn(
+        "repetitive",
+        (F.col("dup_word_frac") > dup_threshold)
+        | (F.col("top_word_frac") > top_threshold),
     )
 
 
