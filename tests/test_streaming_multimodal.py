@@ -289,3 +289,60 @@ def test_detect_media_type_and_dimensions_from_real_headers(spark):
     assert rows[4]["mime"] == "audio/wav"
     assert rows[5]["mime"] == "image/webp"
     assert rows[6]["mime"] == "application/octet-stream"
+
+
+def test_stream_corpus_quality_gate_matches_batch(spark, sf_dir, tmp_path):
+    """The curation tier composes with Structured Streaming: the
+    (now shuffle-free) repetition metrics are a narrow projection, so the
+    quality gate runs stateless in append mode and must admit exactly the
+    same documents as the batch gate. Streaming exact-dedup rides
+    dropDuplicates on the content fingerprint in the same query."""
+    from procurement_data_pipeline_spark.llm_ops.curation import repetition_metrics
+    from procurement_data_pipeline_spark.llm_ops.text import fingerprint
+    from procurement_data_pipeline_spark.streaming.pipeline import run_to_completion
+
+    docs_dir = str(tmp_path / "docs_src")
+    load_table(spark, sf_dir, "documents").repartition(4).write.mode(
+        "overwrite"
+    ).parquet(docs_dir)
+    schema = spark.read.parquet(docs_dir).schema
+
+    def gate(df):
+        return (
+            repetition_metrics(df, top_threshold=0.15)
+            .filter(~F.col("repetitive"))
+            .select("doc_id", "dup_word_frac", "top_word_frac")
+        )
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(docs_dir)
+    )
+    got = run_to_completion(
+        gate(stream), str(tmp_path / "ckpt_gate"), query_name="quality_gate"
+    )
+    batch = gate(spark.read.parquet(docs_dir)).collect()
+    assert {tuple(r) for r in got} == {tuple(r) for r in batch}
+    assert 0 < len(batch) < spark.read.parquet(docs_dir).count()
+
+    # Streaming exact dedup: one survivor per content fingerprint (which
+    # survivor is trigger-order-dependent — assert the invariant, not rows).
+    stream2 = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(docs_dir)
+    )
+    deduped = run_to_completion(
+        stream2.withColumn("fp", fingerprint("text")).dropDuplicates(["fp"]),
+        str(tmp_path / "ckpt_dedup"),
+        query_name="stream_dedup",
+    )
+    n_distinct = (
+        spark.read.parquet(docs_dir)
+        .select(fingerprint("text").alias("fp"))
+        .distinct()
+        .count()
+    )
+    assert len(deduped) == n_distinct
+    assert len({r["fp"] for r in deduped}) == n_distinct
