@@ -364,3 +364,23 @@ def test_merge_upsert_updates_inserts_idempotent(spark, tmp_path):
     merge_upsert(spark, path, updates, ["k"])
     again = {r.k: (r.name, r.v) for r in spark.read.parquet(path).collect()}
     assert again == got
+
+
+def test_cli_run_daily_and_run_query(spark, tmp_path, capsys):
+    """CLI surface: run-daily produces the warehouse artifacts, run-query
+    executes a declared query, list-queries enumerates the registry."""
+    from procurement_data_pipeline_spark.__main__ import main
+
+    rc = main(
+        ["run-daily", "--date", EXEC_DATE, "--warehouse", str(tmp_path / "whcli")]
+    )
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "aggregate_orders" in out
+    assert os.path.isdir(str(tmp_path / "whcli" / "processed" / "supplier_orders"))
+
+    assert main(["list-queries"]) == 0
+    listed = capsys.readouterr().out
+    assert "net_demand_mrp\toracle" in listed
+
+    assert main(["run-query", "nope_not_a_query"]) == 2
