@@ -61,16 +61,18 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if ts_cols:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    if not ts_cols:
-        return df
     from pyspark.sql import functions as F
 
     dtypes = dict(df.dtypes)
-    for col in ts_cols:
+    for col in ts_cols or ():
         if dtypes.get(col) == "bigint":
             df = df.withColumn(col, F.timestamp_micros(F.expr(f"{col} div 1000")))
         elif dtypes.get(col) == "timestamp_ntz" and col in _NTZ_TO_LTZ.get(name, ()):
             df = df.withColumn(col, F.col(col).cast("timestamp"))
+    if name == "embeddings" and dtypes.get("embedding") == "array<double>":
+        # Same drift defense as the timestamp columns: the similarity/PQ
+        # operators assume float vectors (4 B/dim — the storage contract).
+        df = df.withColumn("embedding", F.col("embedding").cast("array<float>"))
     return df
 
 

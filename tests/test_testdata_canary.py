@@ -150,3 +150,24 @@ def test_loader_survives_nanos_encoding_drift(spark, tmp_path):
             for r in df.select(F.col(ts_col).cast("date").cast("string")).collect()
         )
         assert days == ["2024-01-01", "2024-01-02"]
+
+
+def test_loader_normalizes_double_embeddings(spark, tmp_path):
+    """Embedding dtype drift: an array<double> embeddings file must load as
+    array<float> (the similarity/PQ storage contract)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    t = pa.table(
+        {
+            "vec_id": pa.array([1, 2], type=pa.int64()),
+            "embedding": pa.array(
+                [[0.1, 0.2], [0.3, 0.4]], type=pa.list_(pa.float64())
+            ),
+            "label": pa.array([0, 1], type=pa.int32()),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "embeddings.parquet"))
+    df = load_table(spark, str(tmp_path), "embeddings")
+    assert dict(df.dtypes)["embedding"] == "array<float>"
+    assert df.count() == 2
