@@ -256,3 +256,69 @@ def test_range_join_matches_naive_model(spark, w, width):
         if rk == k and t <= rt <= t + 10
     )
     assert got == want
+
+
+# --- curation-operator properties ------------------------------------------
+
+_doc_texts = st.lists(
+    st.text(alphabet="ab ", min_size=1, max_size=40).filter(str.strip),
+    min_size=1,
+    max_size=25,
+)
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(texts=_doc_texts, seq_len=st.integers(8, 64))
+def test_pack_sequences_conservation_property(spark, texts, seq_len):
+    """For ANY corpus and budget: every doc appears exactly once, offsets
+    chain per bucket with no gaps, and Σ tok_count is conserved."""
+    from procurement_data_pipeline_spark.llm_ops.curation import pack_sequences
+
+    df = spark.createDataFrame(list(enumerate(texts)), ["doc_id", "text"])
+    rows = pack_sequences(df, seq_len=seq_len, n_buckets=4).collect()
+    assert sorted(r["doc_id"] for r in rows) == sorted(range(len(texts)))
+    by_bucket: dict[int, list] = {}
+    for r in rows:
+        by_bucket.setdefault(r["bucket"], []).append(r)
+    total = 0
+    for brows in by_bucket.values():
+        brows.sort(key=lambda r: (r["seq_index"], r["seq_offset"]))
+        cum = 0
+        for r in brows:
+            assert r["seq_index"] == cum // seq_len
+            assert r["seq_offset"] == cum % seq_len
+            cum += r["tok_count"]
+        total += cum
+    assert total == sum(r["tok_count"] for r in rows)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    counts=st.dictionaries(
+        st.text(alphabet="xyz", min_size=1, max_size=3),
+        st.integers(1, 40),
+        min_size=1,
+        max_size=30,
+    ),
+    capacity=st.integers(4, 16),
+)
+def test_frequent_items_bounds_property(spark, counts, capacity):
+    """For ANY stream and capacity: count_lo <= true <= count_hi for every
+    reported item (the mergeable space-saving contract)."""
+    from procurement_data_pipeline_spark.llm_ops.sketch import frequent_items
+
+    rows = [(item,) for item, n in counts.items() for _ in range(n)]
+    df = spark.createDataFrame(rows, ["tok"]).repartition(3)
+    out = frequent_items(df, "tok", k=min(capacity, 4), capacity=capacity)
+    for r in out.collect():
+        assert r["count_lo"] <= counts[r["item"]] <= r["count_hi"], (
+            r["item"], r["count_lo"], counts[r["item"]], r["count_hi"],
+        )
