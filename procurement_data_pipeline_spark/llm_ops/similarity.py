@@ -485,3 +485,43 @@ def ivf_ann(
         .filter(F.col("rank") <= k)
         .select("query_id", id_col, "score", F.col("rank").cast("int").alias("rank"))
     )
+
+
+def random_projection(
+    corpus: DataFrame,
+    out_dim: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 42,
+    normalize: bool = True,
+) -> DataFrame:
+    """Johnson-Lindenstrauss dimensionality reduction: project every vector
+    through a seed-deterministic Gaussian matrix scaled by 1/sqrt(out_dim)
+    (pairwise distances/angles preserved within ~1/sqrt(out_dim) — the JL
+    guarantee, bounded in tests).
+
+    The training-data use: shrink stored embeddings (e.g. 64 -> 16 dims =
+    4x the vectors per shuffle byte) before brute-force or IVF stages whose
+    cost is linear in dimension. One Arrow-batched matmul pass — a narrow
+    projection, NO shuffle; the matrix rides the pandas_udf closure exactly
+    like the LSH hyperplane tables (deterministic from the seed, so reruns
+    and retries emit identical projections).
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    rng = np.random.default_rng(seed)
+    first = corpus.select(vec_col).first()
+    in_dim = len(first[0])
+    mat = rng.standard_normal((in_dim, out_dim)) / np.sqrt(out_dim)
+
+    @pandas_udf("array<float>")
+    def project(emb: pd.Series) -> pd.Series:
+        x = np.vstack(emb.to_numpy()).astype(np.float64)
+        y = x @ mat
+        if normalize:
+            y /= np.maximum(np.linalg.norm(y, axis=1, keepdims=True), 1e-12)
+        return pd.Series(list(y.astype(np.float32)))
+
+    return corpus.select(
+        F.col(id_col), project(F.col(vec_col)).alias(vec_col)
+    )

@@ -190,3 +190,22 @@ def q_emb_ivf_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < N_QUERY_VECS)
     return ivf_pq_ann(emb, queries, k=TOP_K, nlist=16, nprobe=8, m=8, codebook_k=64)
+
+
+@register(
+    "emb_random_projection",
+    oracle=None,  # driver-side Gaussian matrix — JL guarantee pytest-bounded
+    tags=("embeddings", "llm", "projection"),
+)
+def q_emb_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JL random projection 64 -> 16 dims (4x density for downstream ANN
+    stages; llm_ops/similarity.random_projection — one matmul pass, no
+    shuffle, seed-deterministic). Emitted as exploded (vec_id, pos, value)
+    scalars: the driver's row canonicalizer cannot hash array cells."""
+    from procurement_data_pipeline_spark.llm_ops.similarity import random_projection
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    proj = random_projection(emb, out_dim=16)
+    return proj.select(
+        "vec_id", F.posexplode("embedding").alias("pos", "value")
+    )

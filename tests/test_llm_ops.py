@@ -522,3 +522,38 @@ def test_winnow_fingerprints_guarantee_and_edit_locality(spark):
         ).collect()
     }
     assert again == fps
+
+
+def test_random_projection_preserves_geometry(spark, sf_dir):
+    """JL contract: seed-determinism, unit outputs, and pairwise cosine
+    preserved within the 1/sqrt(out_dim) regime on real embeddings."""
+    from procurement_data_pipeline_spark.llm_ops.similarity import (
+        cosine,
+        random_projection,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 40)
+
+    def pair_cosines(df):
+        a = df.selectExpr("vec_id as ida", "embedding as va")
+        b = df.selectExpr("vec_id as idb", "embedding as vb")
+        return {
+            (r["ida"], r["idb"]): r["cos"]
+            for r in a.join(b, F.col("ida") < F.col("idb"))
+            .select("ida", "idb", cosine(F.col("va"), F.col("vb")).alias("cos"))
+            .collect()
+        }
+
+    proj = random_projection(emb, out_dim=16)
+    again = random_projection(emb, out_dim=16)
+    assert sorted(map(tuple, proj.collect())) == sorted(map(tuple, again.collect()))
+
+    orig = pair_cosines(emb)
+    low = pair_cosines(proj)
+    assert set(orig) == set(low)
+    # JL distortion at out_dim=16: cosine errors concentrate well inside
+    # ~2/sqrt(16)=0.5; use mean + max guards rather than a per-pair bound.
+    errs = sorted(abs(orig[k] - low[k]) for k in orig)
+    assert sum(errs) / len(errs) < 0.2, sum(errs) / len(errs)
+    p95 = errs[int(0.95 * len(errs))]
+    assert p95 < 0.5, p95  # JL tail: bound the distribution, not the max
