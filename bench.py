@@ -78,7 +78,12 @@ def main() -> None:
             if elapsed is not None:
                 passes.setdefault(name, []).append(round(elapsed, 4))
 
-    timings = {name: min(ts) for name, ts in passes.items()}
+    # A query that errored in ANY pass is evidence-incomplete: report it
+    # only under "errors", never in timings/total (a partial min would
+    # silently change the estimator from min-of-3 to min-of-fewer).
+    timings = {
+        name: min(ts) for name, ts in passes.items() if name not in errors
+    }
     total = round(sum(timings.values()), 4)
     out = {
         "metric": "headline_queries_total_sec",

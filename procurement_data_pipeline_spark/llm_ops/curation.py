@@ -38,6 +38,7 @@ def corpus_mix(
     source_col: str = "source",
     key_col: str = "doc_id",
     salt: str = "mix",
+    on_missing: str = "error",
 ) -> DataFrame:
     """Downsample each source so the output matches the target mixture.
 
@@ -48,11 +49,31 @@ def corpus_mix(
     max-size solution with no upsampling). Per-row keep/drop is the md5-hash
     filter, so the sampled subset is deterministic and engine-portable.
 
+    A source present in the corpus but absent from the recipe is a curation
+    decision someone must make, not a silent drop: ``on_missing='error'``
+    (default) raises listing the unlisted sources (one tiny driver-side
+    aggregate at build time — same bounded contract as the ANN trainers);
+    ``on_missing='drop'`` excludes them knowingly.
+
     Scale: one tiny per-source count (shuffled on ~#sources keys), a 1-row
     global min broadcast, a broadcast join of rates onto the corpus, then a
     pure filter — the 100 TB cost is one scan.
     """
+    if on_missing not in ("error", "drop"):
+        raise ValueError(f"on_missing must be error|drop, got {on_missing}")
     counts = df.groupBy(source_col).agg(F.count(F.lit(1)).alias("_n"))
+    if on_missing == "error":
+        unlisted = [
+            r[0]
+            for r in counts.join(weights, source_col, "left_anti")
+            .select(source_col)
+            .collect()
+        ]
+        if unlisted:
+            raise ValueError(
+                f"corpus sources missing from the weights recipe: "
+                f"{sorted(unlisted)} — add them or pass on_missing='drop'"
+            )
     rated = counts.join(F.broadcast(weights), source_col)
     scale = rated.agg(
         F.min(F.col("_n").cast("double") / F.col("weight")).alias("_c")
@@ -143,27 +164,30 @@ def pack_sequences(
     preserved because both the routing and the intra-bucket order are pure
     functions of the content hash.
     """
+    if not 1 <= n_buckets <= 256:
+        raise ValueError(f"n_buckets must be in [1, 256], got {n_buckets}")
     h = hash_key(id_col, salt)
     tok = F.size(words(text_col))
+    # Engine-portable bucket: first two md5 hex chars → 0..255, mod
+    # n_buckets (strpos/instr of each char in the hex alphabet — both
+    # engines agree; no hex→int cast needed).
+    hexval = (F.instr(F.lit(_HEX), F.substring(h, 1, 1)) - 1) * 16 + (
+        F.instr(F.lit(_HEX), F.substring(h, 2, 1)) - 1
+    )
     bucketed = df.select(
         F.col(id_col),
-        (F.instr(F.lit(_HEX), F.substring(h, 1, 1)) - 1).alias("bucket"),
+        (hexval % n_buckets).alias("bucket"),
         h.alias("_h"),
         tok.cast("bigint").alias("tok_count"),
     )
     w = Window.partitionBy("bucket").orderBy("_h", id_col)
-    cum = F.sum("tok_count").over(w)
-    start = (cum - F.col("tok_count")).alias("_start")
+    start = F.sum("tok_count").over(w) - F.col("tok_count")
     return bucketed.select(
         id_col,
         "bucket",
         "tok_count",
-        F.floor((cum - F.col("tok_count")) / F.lit(seq_len))
-        .cast("bigint")
-        .alias("seq_index"),
-        ((cum - F.col("tok_count")) % F.lit(seq_len))
-        .cast("bigint")
-        .alias("seq_offset"),
+        F.floor(start / F.lit(seq_len)).cast("bigint").alias("seq_index"),
+        (start % F.lit(seq_len)).cast("bigint").alias("seq_offset"),
     )
 
 

@@ -494,6 +494,7 @@ def random_projection(
     id_col: str = "vec_id",
     seed: int = 42,
     normalize: bool = True,
+    in_dim: int | None = None,
 ) -> DataFrame:
     """Johnson-Lindenstrauss dimensionality reduction: project every vector
     through a seed-deterministic Gaussian matrix scaled by 1/sqrt(out_dim)
@@ -510,8 +511,16 @@ def random_projection(
     from pyspark.sql.functions import pandas_udf
 
     rng = np.random.default_rng(seed)
-    first = corpus.select(vec_col).first()
-    in_dim = len(first[0])
+    if in_dim is None:
+        # Probe the dimension with a 1-row job at build time (same bounded
+        # driver-work contract as the IVF/PQ trainers); pass in_dim
+        # explicitly to keep plan construction job-free.
+        first = corpus.select(vec_col).first()
+        if first is None or first[0] is None:
+            raise ValueError(
+                "cannot infer in_dim from an empty corpus — pass in_dim explicitly"
+            )
+        in_dim = len(first[0])
     mat = rng.standard_normal((in_dim, out_dim)) / np.sqrt(out_dim)
 
     @pandas_udf("array<float>")

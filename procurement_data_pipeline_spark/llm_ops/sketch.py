@@ -91,8 +91,16 @@ def frequent_items(
                 }
             )
 
-    partials = df.select(F.col(col).cast("string").alias(col)).mapInPandas(
-        space_saving, "pid string, item string, cnt long, err long, pmin long"
+    from procurement_data_pipeline_spark.caching import scoped_persist
+
+    # The partials feed TWO consumers (the Σpmin scalar and the per-item
+    # merge); persist so the full-input space-saving pass runs ONCE — and so
+    # both consumers see the SAME partition outputs, which the count_hi
+    # bound's Σpmin bookkeeping relies on.
+    partials = scoped_persist(
+        df.select(F.col(col).cast("string").alias(col)).mapInPandas(
+            space_saving, "pid string, item string, cnt long, err long, pmin long"
+        )
     )
     # Σ pmin over ALL partitions — a 1-row scalar broadcast (the allowlisted
     # pattern), joined onto the per-item merge to price absent partitions.

@@ -47,6 +47,9 @@ def incremental_refresh(
     already exists pre-aggregation). The write uses dynamic partition
     overwrite: partitions NOT in ``dates`` are untouched.
     """
+    import os
+    import shutil
+
     src = fact_date_col or partition_col
     affected = facts.filter(
         F.col(src).cast("date").cast("string").isin(dates)
@@ -58,6 +61,20 @@ def incremental_refresh(
         .partitionBy(partition_col)
         .parquet(rollup_path)
     )
+    # Dynamic overwrite only replaces partitions PRESENT in the write: a
+    # refreshed date whose facts have vanished (bad-load rollback) produces
+    # no rows and would silently keep its stale partition. Drop those
+    # partitions explicitly so "refresh date D" always means "the rollup
+    # now reflects D's current facts", including absence.
+    present = {
+        str(r[0])
+        for r in rows.select(F.col(partition_col).cast("string")).distinct().collect()
+    }
+    for d in dates:
+        if d not in present:
+            stale = os.path.join(rollup_path, f"{partition_col}={d}")
+            if os.path.isdir(stale):
+                shutil.rmtree(stale)
     return spark.read.parquet(rollup_path)
 
 
@@ -72,7 +89,14 @@ def verify_incremental(
 ) -> DataFrame:
     """Audit: rows where the stored rollup disagrees with a fresh recompute
     (either direction), optionally restricted to ``dates``. Empty ⇒ the
-    incremental maintenance converged to the full-recompute answer."""
+    incremental maintenance converged to the full-recompute answer.
+
+    The comparison is EXACT set equality (``exceptAll``), so ``rollup_fn``
+    must emit comparison-stable values: keep floating-point aggregates
+    rounded (or in integer/decimal units, as the engine's money math does)
+    — a raw ``SUM(double)`` can differ in the last ulp between runs with
+    different partition merge orders and would flag a converged partition.
+    """
     stored = spark.read.parquet(rollup_path)
     if dates is not None and fact_date_col:
         # Prune the recompute to the audited dates at the fact scan.

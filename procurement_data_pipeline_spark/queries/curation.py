@@ -110,9 +110,12 @@ def q_docs_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH b AS (
   SELECT doc_id,
-         strpos('0123456789abcdef',
-                SUBSTR(md5(COALESCE(CAST(doc_id AS VARCHAR), '<null>') || 'pack'), 1, 1)
-         ) - 1 AS bucket,
+         ((strpos('0123456789abcdef',
+                  SUBSTR(md5(COALESCE(CAST(doc_id AS VARCHAR), '<null>') || 'pack'), 1, 1)
+           ) - 1) * 16
+          + strpos('0123456789abcdef',
+                   SUBSTR(md5(COALESCE(CAST(doc_id AS VARCHAR), '<null>') || 'pack'), 2, 1)
+            ) - 1) % 16 AS bucket,
          md5(COALESCE(CAST(doc_id AS VARCHAR), '<null>') || 'pack') AS _h,
          CAST(len(string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ')) AS BIGINT)
            AS tok_count

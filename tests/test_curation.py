@@ -190,3 +190,19 @@ def test_vocab_sketch_equals_exact_on_bounded_vocab(spark, sf_dir):
     assert set(sketch) == set(exact)
     for w, n in exact.items():
         assert sketch[w] == (n, n)
+
+
+def test_corpus_mix_unlisted_source_is_loud(spark, sf_dir):
+    """A corpus source absent from the recipe must raise (silent data loss
+    is not a curation decision) unless the caller opts into dropping."""
+    docs = load_table(spark, sf_dir, "documents")
+    partial = spark.createDataFrame(
+        [("src0", 1), ("src1", 1)], ["source", "weight"]
+    )
+    with pytest.raises(ValueError, match="missing from the weights recipe"):
+        corpus_mix(docs, partial)
+    dropped = corpus_mix(docs, partial, on_missing="drop")
+    assert {r["source"] for r in dropped.select("source").distinct().collect()} == {
+        "src0",
+        "src1",
+    }

@@ -91,3 +91,46 @@ def test_verify_incremental_catches_drift(spark, sf_dir, tmp_path):
     assert rows, "audit missed the corrupted partition"
     assert {r["d"] for r in rows} == {dates[0]}
     assert {r["_side"] for r in rows} == {"missing_from_rollup", "extra_in_rollup"}
+
+
+def test_refresh_drops_partition_when_facts_vanish(spark, sf_dir, tmp_path):
+    """A refreshed date whose facts no longer exist must lose its rollup
+    partition (dynamic overwrite alone would silently keep it stale)."""
+    orders = load_table(spark, sf_dir, "orders")
+    path = str(tmp_path / "rollup")
+    dates = [
+        r["d"]
+        for r in orders.select(
+            F.col("o_orderdate").cast("date").cast("string").alias("d")
+        )
+        .distinct()
+        .orderBy("d")
+        .limit(2)
+        .collect()
+    ]
+    incremental_refresh(
+        spark, orders, _daily_rollup, path, "d", dates, fact_date_col="o_orderdate"
+    )
+    # Roll back day 0: refresh it against a fact table where it is absent.
+    remaining = orders.filter(
+        F.col("o_orderdate").cast("date").cast("string") != dates[0]
+    )
+    incremental_refresh(
+        spark, remaining, _daily_rollup, path, "d", dates[:1],
+        fact_date_col="o_orderdate",
+    )
+    stored = {
+        r["d"]
+        for r in spark.read.parquet(path)
+        .select(F.col("d").cast("string"))
+        .distinct()
+        .collect()
+    }
+    assert stored == {dates[1]}
+    assert (
+        verify_incremental(
+            spark, remaining, _daily_rollup, path, "d", dates,
+            fact_date_col="o_orderdate",
+        ).count()
+        == 0
+    )

@@ -281,6 +281,7 @@ def test_pack_sequences_conservation_property(spark, texts, seq_len):
     df = spark.createDataFrame(list(enumerate(texts)), ["doc_id", "text"])
     rows = pack_sequences(df, seq_len=seq_len, n_buckets=4).collect()
     assert sorted(r["doc_id"] for r in rows) == sorted(range(len(texts)))
+    assert {r["bucket"] for r in rows} <= set(range(4))  # n_buckets honored
     by_bucket: dict[int, list] = {}
     for r in rows:
         by_bucket.setdefault(r["bucket"], []).append(r)
