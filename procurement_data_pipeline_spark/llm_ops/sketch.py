@@ -57,13 +57,21 @@ def frequent_items(
         errs: dict = {}
         filled = False
         for pdf in batches:
-            for v in pdf[col]:
-                if v is None:
-                    continue
+            # Pre-aggregate the Arrow batch (C-speed hash count) and apply
+            # WEIGHTED space-saving updates over distinct values only — the
+            # Python loop runs O(distinct-per-batch) times, not O(rows).
+            # Weighted updates preserve the classic bounds: an inserted
+            # item's true-so-far count is ≥ its batch weight w
+            # (= cnt − err) and ≤ inherited_min + w (= cnt).
+            vc = pdf[col].value_counts()  # dropna=True skips NULLs
+            # Heaviest first shrinks eviction churn; (−w, value) ordering
+            # keeps the eviction sequence deterministic under ties.
+            for v, w in sorted(vc.items(), key=lambda kv: (-kv[1], kv[0])):
+                w = int(w)
                 if v in counts:
-                    counts[v] += 1
+                    counts[v] += w
                 elif len(counts) < capacity:
-                    counts[v] = 1
+                    counts[v] = w
                     errs[v] = 0
                 else:
                     # evict the minimum counter; the newcomer inherits its
@@ -72,7 +80,7 @@ def frequent_items(
                     evict = min(counts, key=lambda x: (counts[x], str(x)))
                     inherited = counts.pop(evict)
                     errs.pop(evict)
-                    counts[v] = inherited + 1
+                    counts[v] = inherited + w
                     errs[v] = inherited
         if counts:
             # pmin: upper bound on any ABSENT item's local count — the
