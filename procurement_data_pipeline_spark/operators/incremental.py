@@ -47,9 +47,6 @@ def incremental_refresh(
     already exists pre-aggregation). The write uses dynamic partition
     overwrite: partitions NOT in ``dates`` are untouched.
     """
-    import os
-    import shutil
-
     src = fact_date_col or partition_col
     affected = facts.filter(
         F.col(src).cast("date").cast("string").isin(dates)
@@ -70,11 +67,18 @@ def incremental_refresh(
         str(r[0])
         for r in rows.select(F.col(partition_col).cast("string")).distinct().collect()
     }
+    # Go through the Hadoop FileSystem API (not os/shutil) so the drop works
+    # on whatever filesystem the rollup actually lives on — local file://,
+    # hdfs://, s3a:// — matching the writer above, which also resolves
+    # rollup_path through Hadoop.
+    jvm = spark._jvm
+    root = jvm.org.apache.hadoop.fs.Path(rollup_path)
+    fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
     for d in dates:
         if d not in present:
-            stale = os.path.join(rollup_path, f"{partition_col}={d}")
-            if os.path.isdir(stale):
-                shutil.rmtree(stale)
+            stale = jvm.org.apache.hadoop.fs.Path(root, f"{partition_col}={d}")
+            if fs.exists(stale):
+                fs.delete(stale, True)  # recursive
     return spark.read.parquet(rollup_path)
 
 
