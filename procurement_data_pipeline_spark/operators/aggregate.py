@@ -29,23 +29,33 @@ def aggregate_orders(
     )
 
 
-def demand_window(orders: DataFrame, date_from: str, date_to: str) -> DataFrame:
+def demand_window(
+    orders: DataFrame,
+    date_from: str,
+    date_to: str,
+    include_order_count: bool = True,
+) -> DataFrame:
     """Window-total demand per product (the net-demand chain's first CTE,
 
     reference docker/dags/sql/net_demand.sql:4-12 with a range instead of a
     single-day equality — same partition-pruning shape).
+
+    ``include_order_count=False`` drops the ``COUNT(DISTINCT order_id)``
+    column. The reference CTE declares it (net_demand.sql:8) but nothing
+    downstream reads it (only total_ordered is joined, net_demand.sql:50-54),
+    and Catalyst cannot prune an unused distinct aggregate once
+    RewriteDistinctAggregates has expanded it — keeping it costs the chain
+    an extra (product, order)-grain shuffle plus two aggregate passes.
+    Callers that materialize the daily table keep the default.
     """
-    return (
-        orders.filter(
-            (F.col("order_date") >= F.lit(date_from).cast("date"))
-            & (F.col("order_date") < F.lit(date_to).cast("date"))
-        )
-        .groupBy("product_id")
-        .agg(
-            F.sum("quantity").cast("int").alias("total_demand"),
-            F.countDistinct("order_id").cast("int").alias("order_count"),
-        )
+    df = orders.filter(
+        (F.col("order_date") >= F.lit(date_from).cast("date"))
+        & (F.col("order_date") < F.lit(date_to).cast("date"))
     )
+    aggs = [F.sum("quantity").cast("int").alias("total_demand")]
+    if include_order_count:
+        aggs.append(F.countDistinct("order_id").cast("int").alias("order_count"))
+    return df.groupBy("product_id").agg(*aggs)
 
 
 def zero_if_null(col: str | Column) -> Column:

@@ -79,7 +79,11 @@ def net_demand(
     estimated_cost is pinned to DECIMAL(18,2) as net_demand_insert.sql:66
     pins its insert cast.
     """
-    daily = demand_window(orders, date_from, date_to)
+    # order_count is declared by the reference CTE but never consumed by the
+    # chain (net_demand.sql:8 vs :50-54) — skip its COUNT(DISTINCT) so the
+    # demand branch is one partial-aggregated shuffle, not a two-phase
+    # distinct at (product, order) grain.
+    daily = demand_window(orders, date_from, date_to, include_order_count=False)
     inv = rollup_inventory(inventory)
     ranked = preferred_suppliers(product_suppliers)
 
