@@ -63,6 +63,10 @@ def corpus_mix(
         raise ValueError(f"on_missing must be error|drop, got {on_missing}")
     counts = df.groupBy(source_col).agg(F.count(F.lit(1)).alias("_n"))
     if on_missing == "error":
+        # A NULL source can never match the inner rate join below (SQL null
+        # semantics), so it MUST surface here too — groupBy keeps the NULL
+        # group and the anti-join flags it unlisted; sort with key=str so a
+        # None among strings still renders the intended error.
         unlisted = [
             r[0]
             for r in counts.join(weights, source_col, "left_anti")
@@ -72,7 +76,9 @@ def corpus_mix(
         if unlisted:
             raise ValueError(
                 f"corpus sources missing from the weights recipe: "
-                f"{sorted(unlisted)} — add them or pass on_missing='drop'"
+                f"{sorted(unlisted, key=lambda s: (s is None, str(s)))} — "
+                f"add them or pass on_missing='drop' "
+                f"(NULL source rows always count as unlisted)"
             )
     rated = counts.join(F.broadcast(weights), source_col)
     scale = rated.agg(
@@ -162,25 +168,42 @@ def pack_sequences(
     token sum is a window per bucket. At 100 TB, n_buckets scales with the
     cluster (each bucket's window is one sorted partition); determinism is
     preserved because both the routing and the intra-bucket order are pure
-    functions of the content hash.
+    functions of the content hash. Up to 65,536 buckets are supported (a
+    4-hex-char route); at ~1.5 GB of window state per bucket that covers
+    ~100 TB of text before a two-level (bucket → sub-bucket with offset
+    stitching) scheme is needed.
     """
-    if not 1 <= n_buckets <= 256:
-        raise ValueError(f"n_buckets must be in [1, 256], got {n_buckets}")
+    if not 1 <= n_buckets <= 65536:
+        raise ValueError(f"n_buckets must be in [1, 65536], got {n_buckets}")
     h = hash_key(id_col, salt)
     tok = F.size(words(text_col))
-    # Engine-portable bucket: first two md5 hex chars → 0..255, mod
-    # n_buckets (strpos/instr of each char in the hex alphabet — both
-    # engines agree; no hex→int cast needed).
-    hexval = (F.instr(F.lit(_HEX), F.substring(h, 1, 1)) - 1) * 16 + (
-        F.instr(F.lit(_HEX), F.substring(h, 2, 1)) - 1
-    )
+
+    # Engine-portable bucket: leading md5 hex chars, mod n_buckets
+    # (strpos/instr of each char in the hex alphabet — both engines agree;
+    # no hex→int cast needed). Two chars route ≤256 buckets — kept as its
+    # own arm so existing bucket assignments (and oracle hashes) are
+    # byte-stable at the defaults; four chars extend the route to 65,536.
+    def _hexval(n_chars: int):
+        val = F.lit(0)
+        for i in range(1, n_chars + 1):
+            val = val * 16 + (F.instr(F.lit(_HEX), F.substring(h, i, 1)) - 1)
+        return val
+
+    hexval = _hexval(2 if n_buckets <= 256 else 4)
     bucketed = df.select(
         F.col(id_col),
         (hexval % n_buckets).alias("bucket"),
         h.alias("_h"),
         tok.cast("bigint").alias("tok_count"),
     )
-    w = Window.partitionBy("bucket").orderBy("_h", id_col)
+    # Pin the ROWS frame explicitly: the default RANGE frame makes peer rows
+    # (possible if id_col ever repeats) share one cumulative sum, silently
+    # double-counting offsets — and diverging from the ROWS-framed oracle.
+    w = (
+        Window.partitionBy("bucket")
+        .orderBy("_h", id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
     start = F.sum("tok_count").over(w) - F.col("tok_count")
     return bucketed.select(
         id_col,

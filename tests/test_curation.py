@@ -206,3 +206,56 @@ def test_corpus_mix_unlisted_source_is_loud(spark, sf_dir):
         "src0",
         "src1",
     }
+
+
+def test_corpus_mix_null_source_is_loud(spark):
+    """NULL sources can never match the rate join (SQL null semantics), so
+    error mode must name them — not TypeError on sorting None against str,
+    and never a silent drop."""
+    docs = spark.createDataFrame(
+        [(1, "srcA"), (2, None), (3, "srcB")], ["doc_id", "source"]
+    )
+    wts = spark.createDataFrame([("srcA", 1), ("srcB", 1)], ["source", "weight"])
+    with pytest.raises(ValueError, match="NULL source"):
+        corpus_mix(docs, wts)
+    # drop mode excludes them knowingly
+    kept = corpus_mix(docs, wts, on_missing="drop")
+    assert sorted(r["doc_id"] for r in kept.collect()) == [1, 3]
+
+
+def test_pack_sequences_duplicate_key_rows_frame(spark):
+    """Duplicate id_col values make the window order tie; the explicit ROWS
+    frame must still chain offsets (RANGE would give both peers the same
+    cumulative sum and double-count)."""
+    from procurement_data_pipeline_spark.llm_ops.curation import pack_sequences
+
+    df = spark.createDataFrame(
+        [(7, "a b c"), (7, "d e"), (8, "f")], ["doc_id", "text"]
+    )
+    rows = pack_sequences(df, seq_len=4, n_buckets=1).collect()
+    rows.sort(key=lambda r: (r["seq_index"], r["seq_offset"], -r["tok_count"]))
+    cum = 0
+    starts = set()
+    for r in rows:
+        start = r["seq_index"] * 4 + r["seq_offset"]
+        assert start not in starts, "peer rows shared a cumulative sum"
+        starts.add(start)
+        cum += r["tok_count"]
+    assert cum == 6  # Σ tok_count conserved
+
+
+def test_pack_sequences_wide_bucket_route(spark):
+    """n_buckets past the 2-hex-char ceiling routes via 4 chars; ≤256 keeps
+    the original 2-char assignment byte-stable (oracle compatibility)."""
+    from procurement_data_pipeline_spark.llm_ops.curation import pack_sequences
+
+    df = spark.createDataFrame(
+        [(i, "w " * (i % 5 + 1)) for i in range(50)], ["doc_id", "text"]
+    )
+    wide = pack_sequences(df, seq_len=8, n_buckets=1024).collect()
+    assert sorted(r["doc_id"] for r in wide) == list(range(50))
+    assert all(0 <= r["bucket"] < 1024 for r in wide)
+    with pytest.raises(ValueError, match="n_buckets"):
+        pack_sequences(df, n_buckets=0)
+    with pytest.raises(ValueError, match="n_buckets"):
+        pack_sequences(df, n_buckets=65537)

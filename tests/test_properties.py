@@ -272,16 +272,21 @@ _doc_texts = st.lists(
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
-@given(texts=_doc_texts, seq_len=st.integers(8, 64))
-def test_pack_sequences_conservation_property(spark, texts, seq_len):
-    """For ANY corpus and budget: every doc appears exactly once, offsets
-    chain per bucket with no gaps, and Σ tok_count is conserved."""
+@given(
+    texts=_doc_texts,
+    seq_len=st.integers(8, 64),
+    n_buckets=st.sampled_from([1, 4, 4096]),
+)
+def test_pack_sequences_conservation_property(spark, texts, seq_len, n_buckets):
+    """For ANY corpus, budget, and bucket count (including past the old
+    256 ceiling): every doc appears exactly once, offsets chain per bucket
+    with no gaps, and Σ tok_count is conserved."""
     from procurement_data_pipeline_spark.llm_ops.curation import pack_sequences
 
     df = spark.createDataFrame(list(enumerate(texts)), ["doc_id", "text"])
-    rows = pack_sequences(df, seq_len=seq_len, n_buckets=4).collect()
+    rows = pack_sequences(df, seq_len=seq_len, n_buckets=n_buckets).collect()
     assert sorted(r["doc_id"] for r in rows) == sorted(range(len(texts)))
-    assert {r["bucket"] for r in rows} <= set(range(4))  # n_buckets honored
+    assert {r["bucket"] for r in rows} <= set(range(n_buckets))  # honored
     by_bucket: dict[int, list] = {}
     for r in rows:
         by_bucket.setdefault(r["bucket"], []).append(r)
@@ -323,3 +328,102 @@ def test_frequent_items_bounds_property(spark, counts, capacity):
         assert r["count_lo"] <= counts[r["item"]] <= r["count_hi"], (
             r["item"], r["count_lo"], counts[r["item"]], r["count_hi"],
         )
+
+
+def _norm_words(text: str) -> list[str]:
+    """Python mirror of llm_ops.text.words: collapse whitespace, trim,
+    lower, split on single space."""
+    import re
+
+    return re.sub(r"\s+", " ", text).strip().lower().split(" ")
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    train=st.lists(
+        st.lists(st.sampled_from("abcdefgh"), min_size=2, max_size=12).map(
+            " ".join
+        ),
+        min_size=1,
+        max_size=15,
+    ),
+    evals=st.lists(
+        st.lists(st.sampled_from("abcdefgh"), min_size=2, max_size=12).map(
+            " ".join
+        ),
+        min_size=1,
+        max_size=5,
+    ),
+)
+def test_decontaminate_exact_mirror_property(spark, train, evals):
+    """For ANY train/eval corpora: the per-doc contaminated-gram count
+    equals a direct Python recomputation — zero missed leaks (recall 1.0)
+    and zero false hits, including planted verbatim overlaps (the small
+    shared alphabet forces them)."""
+    from procurement_data_pipeline_spark.llm_ops.curation import decontaminate
+
+    n = 2
+    tdf = spark.createDataFrame(list(enumerate(train)), ["doc_id", "text"])
+    edf = spark.createDataFrame(
+        [(1000 + i, t) for i, t in enumerate(evals)], ["doc_id", "text"]
+    )
+    got = {
+        r["doc_id"]: r["n_contaminated_ngrams"]
+        for r in decontaminate(tdf, edf, n=n).collect()
+    }
+
+    def grams(text):
+        ws = _norm_words(text)
+        return {" ".join(ws[i : i + n]) for i in range(len(ws) - n + 1)}
+
+    eval_grams = set().union(*(grams(t) for t in evals))
+    for i, t in enumerate(train):
+        want = len(grams(t) & eval_grams)
+        assert got[i] == want, (i, t, got[i], want)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    spec=st.dictionaries(
+        st.text(alphabet="pqr", min_size=1, max_size=2),
+        st.tuples(st.integers(30, 300), st.integers(1, 4)),
+        min_size=2,
+        max_size=5,
+    )
+)
+def test_corpus_mix_proportions_property(spark, spec):
+    """For ANY source skew and integer recipe: the scarcest-relative source
+    is kept in full, every source's kept count tracks C*w_s within hash-
+    sampling noise, and no row is fabricated."""
+    from procurement_data_pipeline_spark.llm_ops.curation import corpus_mix
+
+    rows, next_id = [], 0
+    for src, (cnt, _w) in sorted(spec.items()):
+        for _ in range(cnt):
+            rows.append((next_id, src))
+            next_id += 1
+    df = spark.createDataFrame(rows, ["doc_id", "source"])
+    wts = spark.createDataFrame(
+        [(src, w) for src, (_c, w) in sorted(spec.items())], ["source", "weight"]
+    )
+    kept = corpus_mix(df, wts).groupBy("source").count().collect()
+    kept_by_src = {r["source"]: r["count"] for r in kept}
+
+    c = min(cnt / w for cnt, w in spec.values())
+    argmin = min(spec, key=lambda s: spec[s][0] / spec[s][1])
+    assert kept_by_src.get(argmin) == spec[argmin][0]  # scarcest kept fully
+    for src, (cnt, w) in spec.items():
+        target = min(cnt, c * w)
+        got = kept_by_src.get(src, 0)
+        assert got <= cnt  # never upsample
+        # md5-prefix sampling ≈ binomial: allow 4.5σ + integer slack
+        tol = 4.5 * (target * max(0.0, 1 - target / cnt)) ** 0.5 + 3
+        assert abs(got - target) <= tol, (src, got, target, tol)
