@@ -55,12 +55,38 @@ _TS_COLS: dict[str, tuple[str, ...]] = {
 _NTZ_TO_LTZ: dict[str, tuple[str, ...]] = {"events": ("ts",)}
 
 
+_NANOS_CONF = "spark.sql.legacy.parquet.nanosAsLong"
+
+
+def _read_nanos_tolerant(spark: SparkSession, path: str) -> DataFrame:
+    """Read parquet, enabling nanos-as-long ONLY if the footer demands it —
+    and only for the duration of the read call. The conf is consulted at
+    analysis time (verified: a DataFrame read under the conf collects fine
+    after reset), so scoping it here means a nanos column appearing on any
+    table OUTSIDE the _TS_COLS allowlist still fails loudly with
+    PARQUET_TYPE_ILLEGAL instead of silently arriving as bigint."""
+    try:
+        return spark.read.parquet(path)
+    except Exception as e:  # noqa: BLE001 — dispatch on the parquet error
+        msg = str(e)
+        if "PARQUET_TYPE_ILLEGAL" not in msg and "TIMESTAMP(NANOS" not in msg:
+            raise
+        prev = spark.conf.get(_NANOS_CONF, None)
+        spark.conf.set(_NANOS_CONF, "true")
+        try:
+            return spark.read.parquet(path)
+        finally:
+            if prev is None:
+                spark.conf.unset(_NANOS_CONF)
+            else:
+                spark.conf.set(_NANOS_CONF, prev)
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     configure_runtime(spark)
     ts_cols = _TS_COLS.get(name)
-    if ts_cols:
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    df = _read_nanos_tolerant(spark, path) if ts_cols else spark.read.parquet(path)
     from pyspark.sql import functions as F
 
     dtypes = dict(df.dtypes)

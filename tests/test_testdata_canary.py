@@ -171,3 +171,33 @@ def test_loader_normalizes_double_embeddings(spark, tmp_path):
     df = load_table(spark, str(tmp_path), "embeddings")
     assert dict(df.dtypes)["embedding"] == "array<float>"
     assert df.count() == 2
+
+
+def test_nanos_conf_stays_scoped_to_the_read(spark, tmp_path):
+    """The legacy nanosAsLong conf must not leak session-globally: after
+    loading a nanos-encoded allowlisted table, (a) the session conf is back
+    to unset, and (b) a nanos column on a table OUTSIDE the _TS_COLS
+    allowlist fails loudly instead of silently arriving as bigint."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    base_ns = 1_704_067_200_000_000_000
+    ns_arr = pa.array([base_ns, base_ns + 1_000_000_000], type=pa.timestamp("ns"))
+    pq.write_table(
+        pa.table({"event_id": [1, 2], "ts": ns_arr}),
+        str(tmp_path / "events.parquet"),
+    )
+    pq.write_table(
+        pa.table({"doc_id": [1, 2], "created": ns_arr, "text": ["a", "b"]}),
+        str(tmp_path / "documents.parquet"),
+    )
+
+    df = load_table(spark, str(tmp_path), "events")
+    assert dict(df.dtypes)["ts"] == "timestamp"
+    assert df.count() == 2
+    assert (
+        spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", None) is None
+    ), "nanosAsLong leaked into the session"
+
+    with pytest.raises(Exception, match="PARQUET_TYPE_ILLEGAL|TIMESTAMP\\(NANOS"):
+        load_table(spark, str(tmp_path), "documents").collect()
