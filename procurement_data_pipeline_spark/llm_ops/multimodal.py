@@ -7,18 +7,21 @@ explicit decode/feature step, and that step is an Arrow-batched
 ``mapInPandas`` so bytes cross the JVM↔Python boundary once per batch, not
 per row.
 
-Two tiers of "real" here:
+Three tiers of "real" here:
 
 * REAL, codec-free, JVM-side: magic-byte MIME sniffing
   (:func:`detect_media_type`) and PNG/GIF header dimension parsing
   (:func:`image_dimensions`) — pure binary/hex expressions, tested against
   byte-exact format headers.
-* STUBBED (container ships no codecs): pixel decode / feature extraction /
-  resampling raise ``NotImplementedError`` unless given ``fake=True``, in
-  which case a clearly-marked deterministic fake (derived from the
-  payload's md5) stands in. Everything around the stub — schemas, batch
-  iteration, partitioning, UDF signatures — is the real plumbing and is
-  tested.
+* REAL, stdlib-codec, Python-side (capability probe 2026-08-14: PIL/
+  imageio/opencv all absent in this container, but PNG and WAV need only
+  zlib/wave — :mod:`.codecs`): pixel decode, luma features, nearest-
+  neighbor resize + re-encode for PNG payloads, and PCM sample decode for
+  WAV — all inside the same Arrow-batched ``mapInPandas`` stages.
+* STUBBED: formats whose decoders genuinely need an external codec
+  (JPEG/WEBP/video) raise ``NotImplementedError`` from the decode stage
+  unless given ``fake=True``, in which case a clearly-marked deterministic
+  fake (derived from the payload's md5) stands in for ALL payloads.
 """
 
 from __future__ import annotations
@@ -159,27 +162,40 @@ def image_dimensions(payload_col: str = "payload") -> Column:
 def extract_image_features(media: DataFrame, fake: bool = False) -> DataFrame:
     """Decode + feature-extract via mapInPandas (Arrow batches).
 
-    Real decoders are unavailable in this container; pass ``fake=True`` to
-    use the deterministic stand-in. The mapInPandas shape (batch iterator in,
-    batch iterator out, explicit output schema) is production-real.
+    The real path decodes PNG payloads with the stdlib codec
+    (:mod:`.codecs` — zlib inflate + filter reversal) and emits true
+    (width, height, channels, Rec.601 mean luma). Payloads in formats with
+    no shipped decoder (JPEG/WEBP/…) raise ``NotImplementedError`` from the
+    worker, naming the format — pass ``fake=True`` for the deterministic
+    md5-derived stand-in (applied to every payload, as before).
     """
-    if not fake:
-        raise NotImplementedError(
-            "no media codecs in this environment — call with fake=True for the "
-            "deterministic test double, or plug a real decoder here"
-        )
 
     def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        # DETERMINISTIC FAKE decode (no codec in container): dimensions/luma
-        # derived from the payload digest. Replace with PIL/ffmpeg in a real
-        # deployment. Defined inside the closure so cloudpickle ships it by
-        # value — workers need no import of this package.
+        from procurement_data_pipeline_spark.llm_ops.codecs import (
+            PNG_MAGIC,
+            decode_png,
+            luma,
+        )
+
+        def _real_decode(payload: bytes) -> tuple[int, int, int, float]:
+            if payload and bytes(payload).startswith(PNG_MAGIC):
+                img = decode_png(bytes(payload))
+                return img.shape[1], img.shape[0], img.shape[2], luma(img)
+            head = bytes(payload or b"")[:8]
+            raise NotImplementedError(
+                f"no shipped decoder for payload starting {head!r} — PNG "
+                f"decodes for real; use fake=True for other formats"
+            )
+
+        # DETERMINISTIC FAKE decode: dimensions/luma derived from the
+        # payload digest — the stand-in for codec-requiring formats.
         def _fake_decode(payload: bytes) -> tuple[int, int, int, float]:
             d = hashlib.md5(payload or b"").digest()
             return 64 + d[0] % 192, 64 + d[1] % 192, 1 + d[2] % 3, d[3] / 255.0
 
+        decode = _fake_decode if fake else _real_decode
         for pdf in batches:
-            feats = [_fake_decode(p) for p in pdf["payload"]]
+            feats = [decode(p) for p in pdf["payload"]]
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
@@ -192,6 +208,43 @@ def extract_image_features(media: DataFrame, fake: bool = False) -> DataFrame:
 
     return media.select("media_id", "payload").mapInPandas(
         decode_batches, IMAGE_FEATURES_SCHEMA
+    )
+
+
+AUDIO_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("n_channels", T.IntegerType()),
+        T.StructField("duration_s", T.DoubleType()),
+        T.StructField("rms", T.DoubleType()),
+    ]
+)
+
+
+def extract_audio_features(media: DataFrame) -> DataFrame:
+    """REAL audio decode for WAV payloads (stdlib ``wave`` — PCM frames →
+    rate/channels/duration/RMS amplitude), same Arrow-batched mapInPandas
+    shape as the image stage. Non-WAV payloads raise from the worker (no
+    fake tier: WAV is the only audio container in detect_media_type)."""
+
+    def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from procurement_data_pipeline_spark.llm_ops.codecs import decode_wav
+
+        for pdf in batches:
+            feats = [decode_wav(bytes(p)) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "sample_rate": [f["sample_rate"] for f in feats],
+                    "n_channels": [f["n_channels"] for f in feats],
+                    "duration_s": [f["duration_s"] for f in feats],
+                    "rms": [f["rms"] for f in feats],
+                }
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        decode_batches, AUDIO_FEATURES_SCHEMA
     )
 
 
@@ -212,18 +265,31 @@ def resize_images(
     dimensions out — the batch-transform shape a PIL/opencv-backed resize
     uses (bytes cross the Arrow boundary once per batch).
 
-    No codecs in this container: ``fake=True`` substitutes a deterministic
-    stand-in whose output size scales with the target area (payload bytes
-    repeated/truncated to width×height — clearly marked, replace the inner
-    function with a real decoder+resampler in deployment)."""
-    if not fake:
-        raise NotImplementedError(
-            "no media codecs in this environment — call with fake=True for the "
-            "deterministic test double, or plug a real resizer here"
-        )
+    The real path decodes PNG payloads, nearest-neighbor resamples, and
+    re-encodes a valid PNG of the target size (all stdlib — :mod:`.codecs`);
+    other formats raise from the worker. ``fake=True`` substitutes the
+    deterministic stand-in for every payload (bytes tiled/truncated to
+    width×height — clearly marked)."""
     target = int(width) * int(height)
 
     def resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from procurement_data_pipeline_spark.llm_ops.codecs import (
+            PNG_MAGIC,
+            decode_png,
+            encode_png,
+            resize_nearest,
+        )
+
+        def _real_resize(payload: bytes) -> bytes:
+            if payload and bytes(payload).startswith(PNG_MAGIC):
+                img = decode_png(bytes(payload))
+                return encode_png(resize_nearest(img, int(width), int(height)))
+            head = bytes(payload or b"")[:8]
+            raise NotImplementedError(
+                f"no shipped resampler for payload starting {head!r} — PNG "
+                f"resizes for real; use fake=True for other formats"
+            )
+
         # DETERMINISTIC FAKE resample: bytes tiled/truncated to the target
         # area, so output size is exactly width*height regardless of input.
         def _fake_resize(payload: bytes) -> bytes:
@@ -231,11 +297,12 @@ def resize_images(
             reps = -(-target // len(src))
             return (src * reps)[:target]
 
+        resize = _fake_resize if fake else _real_resize
         for pdf in batches:
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
-                    "payload": [_fake_resize(p) for p in pdf["payload"]],
+                    "payload": [resize(p) for p in pdf["payload"]],
                     "width": width,
                     "height": height,
                 }

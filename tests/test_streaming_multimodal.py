@@ -122,10 +122,88 @@ def test_documents_as_media_schema(spark, sf_dir):
     assert row.meta.mime == "text/plain"
 
 
-def test_extract_image_features_requires_explicit_fake(spark, sf_dir):
-    media = documents_as_media(load_table(spark, sf_dir, "documents"))
-    with pytest.raises(NotImplementedError):
-        extract_image_features(media)
+def test_extract_image_features_real_path_rejects_undecodable(spark, sf_dir):
+    """Without fake=True the decode stage is REAL: text payloads have no
+    shipped decoder and must raise (worker-side) rather than fabricate."""
+    media = documents_as_media(load_table(spark, sf_dir, "documents")).limit(3)
+    with pytest.raises(Exception, match="no shipped decoder"):
+        extract_image_features(media).collect()
+
+
+def test_extract_image_features_real_png_decode(spark):
+    """Real pixel decode: handcraft PNGs with known pixel content via the
+    stdlib codec, run them through the Spark decode stage, and check exact
+    dimensions/channels and the Rec.601 luma."""
+    import numpy as np
+
+    from procurement_data_pipeline_spark.llm_ops.codecs import encode_png
+
+    white = np.full((8, 6, 3), 255, dtype=np.uint8)
+    black = np.zeros((4, 4, 1), dtype=np.uint8)
+    half = np.zeros((10, 10, 3), dtype=np.uint8)
+    half[:5] = 255  # top half white -> luma 0.5
+    df = spark.createDataFrame(
+        [(1, bytearray(encode_png(white))),
+         (2, bytearray(encode_png(black))),
+         (3, bytearray(encode_png(half)))],
+        "media_id long, payload binary",
+    )
+    rows = {r.media_id: r for r in extract_image_features(df).collect()}
+    assert (rows[1].width, rows[1].height, rows[1].n_channels) == (6, 8, 3)
+    assert abs(rows[1].mean_luma - 1.0) < 1e-9
+    assert (rows[2].width, rows[2].height, rows[2].n_channels) == (4, 4, 1)
+    assert rows[2].mean_luma == 0.0
+    assert abs(rows[3].mean_luma - 0.5) < 1e-9
+
+
+def test_resize_images_real_png_roundtrip(spark):
+    """Real resize: PNG in, smaller valid PNG out, pixels = nearest-neighbor
+    of the source (verified by decoding the output payload)."""
+    import numpy as np
+
+    from procurement_data_pipeline_spark.llm_ops.codecs import decode_png, encode_png
+    from procurement_data_pipeline_spark.llm_ops.multimodal import resize_images
+
+    src = np.zeros((4, 4, 3), dtype=np.uint8)
+    src[:, 2:] = 255  # left black / right white
+    df = spark.createDataFrame(
+        [(1, bytearray(encode_png(src)))], "media_id long, payload binary"
+    )
+    out = resize_images(df, 2, 2).collect()
+    assert len(out) == 1 and (out[0].width, out[0].height) == (2, 2)
+    img = decode_png(bytes(out[0].payload))
+    assert img.shape == (2, 2, 3)
+    assert img[0, 0, 0] == 0 and img[0, 1, 0] == 255
+
+
+def test_extract_audio_features_real_wav(spark):
+    """Real WAV decode via stdlib wave: a generated 440 Hz half-amplitude
+    sine must come back with exact rate/duration and RMS ~ 0.5/sqrt(2)."""
+    import io
+    import wave as wave_mod
+
+    import numpy as np
+
+    from procurement_data_pipeline_spark.llm_ops.multimodal import (
+        extract_audio_features,
+    )
+
+    buf = io.BytesIO()
+    with wave_mod.open(buf, "wb") as wv:
+        wv.setnchannels(1)
+        wv.setsampwidth(2)
+        wv.setframerate(8000)
+        t = np.arange(8000)
+        wv.writeframes(
+            (np.sin(2 * np.pi * 440 * t / 8000) * 16384).astype("<i2").tobytes()
+        )
+    df = spark.createDataFrame(
+        [(1, bytearray(buf.getvalue()))], "media_id long, payload binary"
+    )
+    row = extract_audio_features(df).collect()[0]
+    assert row.sample_rate == 8000 and row.n_channels == 1
+    assert abs(row.duration_s - 1.0) < 1e-9
+    assert abs(row.rms - 0.5 / 2**0.5) < 0.01
 
 
 def test_extract_image_features_fake_deterministic(spark, sf_dir):
@@ -233,7 +311,8 @@ def test_resize_images_requires_explicit_fake_and_is_deterministic(spark, sf_dir
     media = documents_as_media(
         load_table(spark, sf_dir, "documents").limit(20)
     )
-    with _pytest.raises(NotImplementedError):
+    # real path: text payloads have no shipped resampler
+    with _pytest.raises(Exception, match="no shipped resampler"):
         resize_images(media, 32, 32).collect()
 
     out = resize_images(media, 32, 32, fake=True).collect()
