@@ -2,7 +2,13 @@
 
 Prints ONE JSON line:
   {"metric": "...", "value": <total sec>, "unit": "sec",
-   "queries": {"q": sec, ...}, "sf": <sf>}
+   "queries": {"q": sec, ...}, "sf": <sf>,
+   "extended": {"total_sec": ..., "queries": {...}}}
+
+The headline set (specs registered with bench=True) is FROZEN for
+round-over-round comparability — "value" always means the same 19 queries.
+The curation/sketch/ANN tier is timed separately under "extended" so new
+operators get performance evidence without moving the headline metric.
 
 Each query is built lazily and executed via a count-style full materialization
 (``df.write.format("noop")`` — runs the whole plan, no driver collect cost,
@@ -32,10 +38,24 @@ def main() -> None:
 
     specs = load_all()
     bench_specs = {n: s for n, s in sorted(specs.items()) if s.bench}
+    # Non-headline tier timed under "extended" (names, not a bench flag, so
+    # the headline membership cannot drift by accident). Every name must be
+    # a declared query; unknown names report as errors rather than KeyError.
+    extended_names = [
+        "docs_corpus_mix",
+        "docs_decontaminate",
+        "docs_pack_sequences",
+        "docs_repetition_metrics",
+        "docs_vocab_topk",
+        "docs_vocab_topk_sketch",
+        "emb_random_projection",
+        "events_value_quantiles_approx",
+    ]
+    extended_specs = {n: specs[n] for n in extended_names if n in specs}
 
     spark = get_session("bench")
 
-    def run_once(name: str) -> float | None:
+    def run_once(name: str, group: dict) -> float | None:
         """Execute one query through the noop sink; None on failure.
 
         Per-query isolation: one broken query must not zero the round's
@@ -44,7 +64,7 @@ def main() -> None:
         """
         try:
             t0 = time.perf_counter()
-            bench_specs[name].builder(spark, sf_dir).write.format("noop").mode(
+            group[name].builder(spark, sf_dir).write.format("noop").mode(
                 "overwrite"
             ).save()
             return time.perf_counter() - t0
@@ -58,25 +78,30 @@ def main() -> None:
             release_cached()
 
     errors: dict[str, str] = {}
-    # Warm-up execution of every query (codegen compile, parquet footers,
-    # noop-sink init) so the timed passes measure steady-state plan execution
-    # — the quantity that extrapolates to cluster scale — not constant
-    # first-touch JVM costs.
-    for name in bench_specs:
-        run_once(name)
 
-    # Three timed passes, report the min: the container shares cores with
-    # other tenants, and min-of-N is the standard estimator for the
-    # machine-independent cost under intermittent external load. All passes
-    # are kept so the spread (co-tenant noise) is measurable per query.
-    passes: dict[str, list[float]] = {}
-    for _ in range(3):
-        for name in bench_specs:
-            if name in errors:
-                continue
-            elapsed = run_once(name)
-            if elapsed is not None:
-                passes.setdefault(name, []).append(round(elapsed, 4))
+    def bench_group(group: dict, n_passes: int) -> dict[str, list[float]]:
+        # Warm-up execution of every query (codegen compile, parquet
+        # footers, noop-sink init) so the timed passes measure steady-state
+        # plan execution — the quantity that extrapolates to cluster scale
+        # — not constant first-touch JVM costs.
+        for name in group:
+            run_once(name, group)
+        # N timed passes, report the min: the container shares cores with
+        # other tenants, and min-of-N is the standard estimator for the
+        # machine-independent cost under intermittent external load. All
+        # passes are kept so the spread (co-tenant noise) is auditable.
+        passes: dict[str, list[float]] = {}
+        for _ in range(n_passes):
+            for name in group:
+                if name in errors:
+                    continue
+                elapsed = run_once(name, group)
+                if elapsed is not None:
+                    passes.setdefault(name, []).append(round(elapsed, 4))
+        return passes
+
+    passes = bench_group(bench_specs, 3)
+    ext_passes = bench_group(extended_specs, 2)
 
     # A query that errored in ANY pass is evidence-incomplete: report it
     # only under "errors", never in timings/total (a partial min would
@@ -85,12 +110,20 @@ def main() -> None:
         name: min(ts) for name, ts in passes.items() if name not in errors
     }
     total = round(sum(timings.values()), 4)
+    ext_timings = {
+        name: min(ts) for name, ts in ext_passes.items() if name not in errors
+    }
     out = {
         "metric": "headline_queries_total_sec",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        "extended": {
+            "total_sec": round(sum(ext_timings.values()), 4),
+            "queries": ext_timings,
+            "passes": ext_passes,
+        },
     }
     if passes:
         out["passes"] = passes  # raw per-pass timings → variance is auditable
