@@ -125,11 +125,29 @@ def decontaminate(
     back so clean docs keep an explicit 0. Never a cross join; skew is
     bounded by the gram document-frequency, and the eval side is typically
     the small side (AQE broadcasts it when it fits).
-    """
-    from procurement_data_pipeline_spark.llm_ops.dedup import _doc_shingles
 
-    tr = _doc_shingles(train, text_col, id_col, n)
-    ev = _doc_shingles(eval_df, text_col, id_col, n).select("w").distinct()
+    The join key is a 16-hex-char md5 prefix of the gram, not the raw
+    ``n``-word string: the distinct + join shuffles then carry 16 bytes per
+    gram instead of ~8 words (~4× less shuffle traffic at this n). md5 is
+    bit-identical across engines, so an oracle applying the same prefix
+    agrees EXACTLY — including on the ~2⁻⁶⁴-probability collisions.
+    """
+    from procurement_data_pipeline_spark.llm_ops.text import word_ngrams, words as _words
+
+    grams = word_ngrams(text_col, n) if n > 1 else _words(text_col)
+    # Hash inside the array BEFORE explode + distinct, so no shuffle ever
+    # carries a raw gram string.
+    hashed = F.explode(
+        F.transform(grams, lambda g: F.substring(F.md5(g), 1, 16))
+    )
+
+    def _hashed(df_side: DataFrame) -> DataFrame:
+        return df_side.select(
+            F.col(id_col).alias("_id"), hashed.alias("w")
+        ).distinct()
+
+    tr = _hashed(train)
+    ev = _hashed(eval_df).select("w").distinct()
     hits = (
         tr.join(ev, "w")
         .groupBy("_id")

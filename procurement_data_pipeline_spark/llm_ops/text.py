@@ -90,16 +90,30 @@ def word_ngrams(col: str | Column, n: int) -> Column:
     """Array of word n-grams (space-joined), built with JVM array lambdas —
     no UDF, no explode blow-up before it's needed.
 
+    The word array is LET-BOUND via a single-element ``transform`` before
+    the gram lambdas touch it: referencing ``words(col)`` directly inside
+    the per-index lambda makes codegen re-run the normalize-regex + split
+    once per gram (no common-subexpression elimination across lambda
+    scopes) — measured 5× slower at sf0.1. Binding it to a lambda variable
+    evaluates it once per row.
+
     Docs shorter than ``n`` words yield an empty array: ``sequence(0, size-n)``
     would otherwise step DOWNWARD to ``[0, -1, ...]`` and make ``slice`` throw
     INVALID_PARAMETER_VALUE.START, so the gram build is gated on
-    ``size(ws) >= n`` (matching DuckDB's ``range()``, which returns empty)."""
-    ws = words(col)
-    grams = F.transform(
-        F.sequence(F.lit(0), F.size(ws) - n),
-        lambda i: F.concat_ws(" ", F.slice(ws, i + 1, n)),
+    ``size(arr) >= n`` (matching DuckDB's ``range()``, which returns empty)."""
+    return F.element_at(
+        F.transform(
+            F.array(words(col)),
+            lambda arr: F.when(
+                F.size(arr) >= n,
+                F.transform(
+                    F.sequence(F.lit(0), F.size(arr) - n),
+                    lambda i: F.concat_ws(" ", F.slice(arr, i + 1, n)),
+                ),
+            ).otherwise(F.slice(arr, 1, 0)),
+        ),
+        1,
     )
-    return F.when(F.size(ws) >= n, grams).otherwise(F.slice(ws, 1, 0))
 
 
 # PII patterns kept deliberately simple and portable (same semantics in

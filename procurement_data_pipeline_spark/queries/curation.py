@@ -77,12 +77,17 @@ def q_docs_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "docs_decontaminate",
+    # Join key = 16-hex md5 prefix of each gram (same expression the Spark
+    # side computes before its distinct), so both engines shuffle/compare
+    # identical hashed keys — bit-identical even on hash collisions.
     oracle=f"""
 WITH tr AS (
-  SELECT DISTINCT doc_id AS _id, unnest({_W8}) AS w
+  SELECT DISTINCT doc_id AS _id,
+         unnest(list_transform({_W8}, g -> SUBSTR(md5(g), 1, 16))) AS w
   FROM documents WHERE source <> 'src0'
 ), ev AS (
-  SELECT DISTINCT unnest({_W8}) AS w FROM documents WHERE source = 'src0'
+  SELECT DISTINCT unnest(list_transform({_W8}, g -> SUBSTR(md5(g), 1, 16))) AS w
+  FROM documents WHERE source = 'src0'
 ), hits AS (
   SELECT _id, COUNT(*) AS n FROM tr JOIN ev USING (w) GROUP BY _id
 )
