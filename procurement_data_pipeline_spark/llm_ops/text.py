@@ -176,30 +176,42 @@ def kgram_hashes(col: str | Column, k: int) -> Column:
     """Rolling char k-gram hash sequence (xxhash64 per position). Docs
     shorter than ``k`` chars yield an empty array.
 
-    IMPORTANT staging note: materialize this as its own column
-    (``withColumn``) before applying :func:`winnow_mins` — referencing the
-    transform expression inside another transform's lambda re-evaluates
-    the WHOLE hash array per window position (O(n²) per document)."""
-    txt = normalize_text(col)
-    n = F.length(txt)
-    grams = F.transform(
-        F.sequence(F.lit(1), n - k + 1),
-        lambda i: F.xxhash64(F.substring(txt, i, F.lit(k))),
+    The normalized text is let-bound (single-element ``transform``) before
+    the per-position lambda touches it — a direct reference would re-run
+    the normalize regex once per character position (O(n²) per document;
+    same class of bug fixed in :func:`word_ngrams`)."""
+    return F.element_at(
+        F.transform(
+            F.array(normalize_text(col)),
+            lambda txt: F.when(
+                F.length(txt) >= k,
+                F.transform(
+                    F.sequence(F.lit(1), F.length(txt) - k + 1),
+                    lambda i: F.xxhash64(F.substring(txt, i, F.lit(k))),
+                ),
+            ).otherwise(F.array().cast("array<bigint>")),
+        ),
+        1,
     )
-    return F.when(n >= k, grams).otherwise(F.array().cast("array<bigint>"))
 
 
 def winnow_mins(hashes: str | Column, w: int) -> Column:
-    """Select each w-window's minimum from a (materialized) hash-sequence
-    column, distinct — the winnowing step."""
-    h = _c(hashes)
-    nh = F.size(h)
-    mins = F.transform(
-        F.sequence(F.lit(1), nh - w + 1),
-        lambda i: F.array_min(F.slice(h, i, w)),
-    )
-    return (
-        F.when(nh == 0, F.array().cast("array<bigint>"))
-        .when(nh < w, F.array(F.array_min(h)))  # one short window
-        .otherwise(F.array_distinct(mins))
+    """Select each w-window's minimum from a hash-sequence column, distinct
+    — the winnowing step. The input array is let-bound, so passing an
+    unmaterialized expression no longer re-evaluates it per window."""
+    return F.element_at(
+        F.transform(
+            F.array(_c(hashes)),
+            lambda h: F.when(F.size(h) == 0, F.array().cast("array<bigint>"))
+            .when(F.size(h) < w, F.array(F.array_min(h)))  # one short window
+            .otherwise(
+                F.array_distinct(
+                    F.transform(
+                        F.sequence(F.lit(1), F.size(h) - w + 1),
+                        lambda i: F.array_min(F.slice(h, i, w)),
+                    )
+                )
+            ),
+        ),
+        1,
     )
