@@ -42,11 +42,14 @@ def demand_window(
 
     ``include_order_count=False`` drops the ``COUNT(DISTINCT order_id)``
     column. The reference CTE declares it (net_demand.sql:8) but nothing
-    downstream reads it (only total_ordered is joined, net_demand.sql:50-54),
-    and Catalyst cannot prune an unused distinct aggregate once
-    RewriteDistinctAggregates has expanded it — keeping it costs the chain
-    an extra (product, order)-grain shuffle plus two aggregate passes.
-    Callers that materialize the daily table keep the default.
+    downstream reads it (only total_ordered is joined, net_demand.sql:50-54).
+    Catalyst's column pruning does elide the unused distinct in the chain
+    queries today (verified by plan diff — pruning runs before
+    RewriteDistinctAggregates); the flag makes that contract explicit in
+    the logical plan instead of leaning on optimizer behavior, and protects
+    any future consumer that projects the aggregate through an
+    optimization barrier. Callers that materialize the daily table keep
+    the default.
     """
     df = orders.filter(
         (F.col("order_date") >= F.lit(date_from).cast("date"))

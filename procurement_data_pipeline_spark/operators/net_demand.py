@@ -80,9 +80,9 @@ def net_demand(
     pins its insert cast.
     """
     # order_count is declared by the reference CTE but never consumed by the
-    # chain (net_demand.sql:8 vs :50-54) — skip its COUNT(DISTINCT) so the
-    # demand branch is one partial-aggregated shuffle, not a two-phase
-    # distinct at (product, order) grain.
+    # chain (net_demand.sql:8 vs :50-54) — request only total_demand so the
+    # one-shuffle demand branch is guaranteed by the logical plan itself,
+    # not by the optimizer's pruning (see demand_window docstring).
     daily = demand_window(orders, date_from, date_to, include_order_count=False)
     inv = rollup_inventory(inventory)
     ranked = preferred_suppliers(product_suppliers)
