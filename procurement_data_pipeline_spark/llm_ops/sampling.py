@@ -95,3 +95,31 @@ def split_train_eval(
     t = fraction_threshold(eval_fraction)
     in_eval = F.substring(hash_key(key_col, salt), 1, _PREFIX_LEN) < F.lit(t)
     return df.filter(~in_eval), df.filter(in_eval)
+
+
+def cluster_safe_split(
+    clustered: DataFrame,
+    cluster_col: str = "cluster_id",
+    eval_fraction: float = 0.2,
+    salt: str = "split",
+) -> DataFrame:
+    """Leakage-safe split at CLUSTER granularity: every member of a
+    near-duplicate cluster lands on the same side, so the eval set can
+    never contain a near-copy of a training document (the failure mode a
+    plain per-document hash split cannot prevent — two 0.95-Jaccard docs
+    hash independently and straddle the boundary).
+
+    Input is any relation carrying ``cluster_col`` (e.g. the output of
+    :func:`~procurement_data_pipeline_spark.llm_ops.dedup.dedup_clusters`);
+    output appends a ``split`` column ('train' | 'eval'). The decision is
+    the same portable md5-threshold used everywhere else, applied to the
+    cluster id — a pure projection, no shuffle beyond what produced the
+    clusters. Eval mass tracks ``eval_fraction`` in clusters (not
+    documents); heavy-tailed cluster sizes shift document mass, which is
+    inherent to any group-level split.
+    """
+    t = fraction_threshold(eval_fraction)
+    in_eval = F.substring(hash_key(cluster_col, salt), 1, _PREFIX_LEN) < F.lit(t)
+    return clustered.withColumn(
+        "split", F.when(in_eval, F.lit("eval")).otherwise(F.lit("train"))
+    )

@@ -220,3 +220,87 @@ def q_docs_vocab_topk_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     stream = docs.select(F.explode(words("text")).alias("word"))
     return frequent_items(stream, "word", k=30, capacity=512)
+
+
+# 3-gram shingles for the near-dup clustering step (same macro as
+# queries/text.py's dedup oracles — kept textually identical).
+_W3 = (
+    f"list_transform(range(1, len({_WORDS}) - 1),"
+    f" i -> list_extract({_WORDS}, i) || ' ' || list_extract({_WORDS}, i + 1)"
+    f" || ' ' || list_extract({_WORDS}, i + 2))"
+)
+
+
+@register(
+    "docs_cluster_safe_split",
+    # Near-dup clusters (exact Jaccard >= 0.8 on 3-grams -> connected
+    # components, the docs_dedup_clusters derivation verbatim), then the
+    # portable md5-threshold split applied to the CLUSTER id: members of a
+    # cluster always land on the same side. 0.2 * 2^32 = 858993459 -> the
+    # '33333333' prefix threshold, floor semantics on both engines.
+    oracle=f"""
+WITH RECURSIVE sh AS (
+  SELECT DISTINCT doc_id AS _id, unnest({_W3}) AS w
+  FROM documents
+),
+sizes AS (
+  SELECT _id, COUNT(*) AS _sz FROM sh GROUP BY _id
+),
+inter AS (
+  SELECT a._id AS doc_a, b._id AS doc_b, COUNT(*) AS _inter
+  FROM sh a JOIN sh b ON a.w = b.w AND a._id < b._id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT doc_a, doc_b
+  FROM inter
+  JOIN sizes sa ON doc_a = sa._id
+  JOIN sizes sb ON doc_b = sb._id
+  WHERE CAST(_inter AS DOUBLE) / CAST(sa._sz + sb._sz - _inter AS DOUBLE) >= 0.8
+),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION
+  SELECT doc_b AS src, doc_a AS dst FROM pairs
+),
+reach AS (
+  SELECT src AS id, src AS label FROM edges
+  UNION
+  SELECT e.dst AS id, r.label
+  FROM edges e JOIN reach r ON e.src = r.id
+),
+comp AS (
+  SELECT id, MIN(label) AS component FROM reach GROUP BY id
+),
+clustered AS (
+  SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS cluster_id
+  FROM documents d LEFT JOIN comp c ON d.doc_id = c.id
+)
+SELECT doc_id, cluster_id,
+       CASE WHEN SUBSTR(md5(COALESCE(CAST(cluster_id AS VARCHAR), '<null>')
+                            || 'split'), 1, 8)
+                 < printf('%08x', CAST(FLOOR(0.2 * 4294967296) AS BIGINT))
+            THEN 'eval' ELSE 'train' END AS split
+FROM clustered
+""",
+    tags=("llm", "curation", "sampling", "dedup"),
+)
+def q_docs_cluster_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe holdout at near-dup-cluster granularity: exact Jaccard
+    pairs (theta=0.8, 3-grams) -> connected components -> md5-threshold
+    split on the CLUSTER id, so no near-duplicate pair ever straddles
+    train/eval (llm_ops/sampling.cluster_safe_split). The per-document
+    hash split (docs_hash_sample / split_train_eval) cannot give this
+    guarantee — two 0.95-Jaccard docs hash independently."""
+    from procurement_data_pipeline_spark.llm_ops.dedup import (
+        dedup_clusters,
+        ngram_jaccard_pairs,
+    )
+    from procurement_data_pipeline_spark.llm_ops.sampling import cluster_safe_split
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, n=3, threshold=0.8)
+    clusters = dedup_clusters(docs, pairs)
+    return cluster_safe_split(
+        clusters.select("doc_id", "cluster_id"), eval_fraction=0.2
+    )

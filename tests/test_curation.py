@@ -259,3 +259,36 @@ def test_pack_sequences_wide_bucket_route(spark):
         pack_sequences(df, n_buckets=0)
     with pytest.raises(ValueError, match="n_buckets"):
         pack_sequences(df, n_buckets=65537)
+
+
+def test_cluster_safe_split_never_straddles_neardup_pairs(spark, sf_dir):
+    """THE guarantee: for every Jaccard>=0.8 pair, both docs get the same
+    split side (a per-doc hash split cannot promise this); the split is
+    exhaustive, disjoint by construction, and deterministic."""
+    from procurement_data_pipeline_spark.llm_ops.dedup import (
+        dedup_clusters,
+        ngram_jaccard_pairs,
+    )
+    from procurement_data_pipeline_spark.llm_ops.sampling import cluster_safe_split
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, n=3, threshold=0.8)
+    clusters = dedup_clusters(docs, pairs)
+    out = cluster_safe_split(clusters.select("doc_id", "cluster_id"))
+    side = {r["doc_id"]: r["split"] for r in out.collect()}
+    assert len(side) == docs.count()  # exhaustive
+    assert set(side.values()) <= {"train", "eval"}
+    straddles = [
+        (r["doc_a"], r["doc_b"])
+        for r in pairs.collect()
+        if side[r["doc_a"]] != side[r["doc_b"]]
+    ]
+    assert straddles == []
+    # determinism: rerun gives identical assignment
+    again = {
+        r["doc_id"]: r["split"]
+        for r in cluster_safe_split(
+            clusters.select("doc_id", "cluster_id")
+        ).collect()
+    }
+    assert again == side
