@@ -52,6 +52,7 @@ def main() -> None:
         "events_value_quantiles_approx",
     ]
     extended_specs = {n: specs[n] for n in extended_names if n in specs}
+    unknown_extended = [n for n in extended_names if n not in specs]
 
     spark = get_session("bench")
 
@@ -78,6 +79,8 @@ def main() -> None:
             release_cached()
 
     errors: dict[str, str] = {}
+    for n in unknown_extended:
+        errors[n] = "unknown query name in extended_names (renamed or typo?)"
 
     def bench_group(group: dict, n_passes: int) -> dict[str, list[float]]:
         # Warm-up execution of every query (codegen compile, parquet

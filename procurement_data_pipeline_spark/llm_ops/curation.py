@@ -217,9 +217,12 @@ def pack_sequences(
     # Pin the ROWS frame explicitly: the default RANGE frame makes peer rows
     # (possible if id_col ever repeats) share one cumulative sum, silently
     # double-counting offsets — and diverging from the ROWS-framed oracle.
+    # tok_count joins the sort so duplicate-id rows order deterministically
+    # too: any rows still tied after it are byte-identical outputs, so the
+    # assignment is reproducible for EVERY input, not just unique-id ones.
     w = (
         Window.partitionBy("bucket")
-        .orderBy("_h", id_col)
+        .orderBy("_h", id_col, "tok_count")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     start = F.sum("tok_count").over(w) - F.col("tok_count")

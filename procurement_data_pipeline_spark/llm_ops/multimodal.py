@@ -232,7 +232,10 @@ def extract_audio_features(media: DataFrame) -> DataFrame:
         from procurement_data_pipeline_spark.llm_ops.codecs import decode_wav
 
         for pdf in batches:
-            feats = [decode_wav(bytes(p)) for p in pdf["payload"]]
+            # NULL payloads coerce to b"" so wave raises its named
+            # "does not start with RIFF id" error, not a bytes(None)
+            # TypeError (payload is nullable in MEDIA_SCHEMA).
+            feats = [decode_wav(bytes(p or b"")) for p in pdf["payload"]]
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],

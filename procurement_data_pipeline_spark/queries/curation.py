@@ -128,7 +128,8 @@ WITH b AS (
 ), c AS (
   SELECT doc_id, bucket, tok_count,
          SUM(tok_count) OVER (
-           PARTITION BY bucket ORDER BY _h, doc_id ROWS UNBOUNDED PRECEDING
+           PARTITION BY bucket ORDER BY _h, doc_id, tok_count
+           ROWS UNBOUNDED PRECEDING
          ) AS cum
   FROM b
 )
@@ -222,13 +223,10 @@ def q_docs_vocab_topk_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frequent_items(stream, "word", k=30, capacity=512)
 
 
-# 3-gram shingles for the near-dup clustering step (same macro as
-# queries/text.py's dedup oracles — kept textually identical).
-_W3 = (
-    f"list_transform(range(1, len({_WORDS}) - 1),"
-    f" i -> list_extract({_WORDS}, i) || ' ' || list_extract({_WORDS}, i + 1)"
-    f" || ' ' || list_extract({_WORDS}, i + 2))"
-)
+# 3-gram shingles for the near-dup clustering step — IMPORTED from
+# queries/text.py (not copied) so this oracle's clustering can never drift
+# from the docs_dedup_clusters derivation it must mirror verbatim.
+from procurement_data_pipeline_spark.queries.text import _W3  # noqa: E402
 
 
 @register(

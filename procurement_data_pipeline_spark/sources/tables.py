@@ -58,19 +58,35 @@ _NTZ_TO_LTZ: dict[str, tuple[str, ...]] = {"events": ("ts",)}
 _NANOS_CONF = "spark.sql.legacy.parquet.nanosAsLong"
 
 
+def _footer_has_nanos(path: str) -> bool:
+    """Cheap local footer probe: does any column carry timestamp[ns]?
+    Falls back to False on non-local / unreadable paths (the tolerant read
+    below then handles it via its exception arm)."""
+    try:
+        import pyarrow.parquet as pq
+
+        return any("timestamp[ns" in str(f.type) for f in pq.read_schema(path))
+    except Exception:  # noqa: BLE001 — probe is best-effort
+        return False
+
+
 def _read_nanos_tolerant(spark: SparkSession, path: str) -> DataFrame:
     """Read parquet, enabling nanos-as-long ONLY if the footer demands it —
     and only for the duration of the read call. The conf is consulted at
     analysis time (verified: a DataFrame read under the conf collects fine
     after reset), so scoping it here means a nanos column appearing on any
     table OUTSIDE the _TS_COLS allowlist still fails loudly with
-    PARQUET_TYPE_ILLEGAL instead of silently arriving as bigint."""
-    try:
-        return spark.read.parquet(path)
-    except Exception as e:  # noqa: BLE001 — dispatch on the parquet error
-        msg = str(e)
-        if "PARQUET_TYPE_ILLEGAL" not in msg and "TIMESTAMP(NANOS" not in msg:
-            raise
+    PARQUET_TYPE_ILLEGAL instead of silently arriving as bigint.
+
+    The pyarrow footer probe decides the common case without a throwaway
+    failed analysis; the exception arm remains for paths pyarrow cannot
+    probe. CAVEAT: Spark confs are session-global, so during the brief
+    nanos-read window a CONCURRENT read in another thread would also see
+    the conf — the loader assumes single-threaded table loading (true for
+    bench/check_oracle/driver); don't call load_table from parallel threads
+    while loading a nanos-encoded table."""
+
+    def _read_with_conf() -> DataFrame:
         prev = spark.conf.get(_NANOS_CONF, None)
         spark.conf.set(_NANOS_CONF, "true")
         try:
@@ -80,6 +96,16 @@ def _read_nanos_tolerant(spark: SparkSession, path: str) -> DataFrame:
                 spark.conf.unset(_NANOS_CONF)
             else:
                 spark.conf.set(_NANOS_CONF, prev)
+
+    if _footer_has_nanos(path):
+        return _read_with_conf()
+    try:
+        return spark.read.parquet(path)
+    except Exception as e:  # noqa: BLE001 — dispatch on the parquet error
+        msg = str(e)
+        if "PARQUET_TYPE_ILLEGAL" not in msg and "TIMESTAMP(NANOS" not in msg:
+            raise
+        return _read_with_conf()
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
