@@ -50,6 +50,7 @@ def main() -> None:
         "docs_vocab_topk_sketch",
         "emb_random_projection",
         "events_value_quantiles_approx",
+        "docs_cluster_safe_split",
     ]
     extended_specs = {n: specs[n] for n in extended_names if n in specs}
     unknown_extended = [n for n in extended_names if n not in specs]
