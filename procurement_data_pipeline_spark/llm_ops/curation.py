@@ -235,6 +235,85 @@ def pack_sequences(
     )
 
 
+def pack_sequences_two_level(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seq_len: int = 512,
+    n_buckets: int = 16,
+    n_sub: int = 16,
+    salt: str = "pack",
+) -> DataFrame:
+    """Sequence packing whose longest serial step is O(n_buckets·n_sub)
+    rows — the 100 TB form of :func:`pack_sequences`.
+
+    One-level packing sorts each bucket in a single window task, so a
+    bucket's whole token stream must fit one task. Here each bucket splits
+    into ``n_sub`` independent sub-streams (next two md5 hex chars):
+
+    1. a window per (bucket, sub) computes the LOCAL running token sum —
+       n_buckets·n_sub concurrent sorts, each 1/(b·s) of the corpus;
+    2. per-(bucket, sub) token totals (a tiny aggregate) take an exclusive
+       prefix sum over ``sub`` within the bucket — b·s rows, broadcast back;
+    3. a document's global start = its sub-stream's base offset + its local
+       start. seq_index/seq_offset derive from the global start as before.
+
+    The stitched result is EXACTLY the one-level packing under the total
+    order (sub, _h, id, tok) — concatenating sub-streams in sub order IS
+    that cumulative sum — which is what the DuckDB oracle checks with a
+    single window. Determinism: routing and order are pure md5 functions.
+    """
+    if not 1 <= n_buckets <= 65536:
+        raise ValueError(f"n_buckets must be in [1, 65536], got {n_buckets}")
+    if not 1 <= n_sub <= 256:
+        raise ValueError(f"n_sub must be in [1, 256], got {n_sub}")
+    h = hash_key(id_col, salt)
+    tok = F.size(words(text_col))
+
+    def _hexval(start: int, n_chars: int):
+        val = F.lit(0)
+        for i in range(start, start + n_chars):
+            val = val * 16 + (F.instr(F.lit(_HEX), F.substring(h, i, 1)) - 1)
+        return val
+
+    bucketed = df.select(
+        F.col(id_col),
+        (_hexval(1, 2 if n_buckets <= 256 else 4) % n_buckets).alias("bucket"),
+        (_hexval(5, 2) % n_sub).alias("sub"),
+        h.alias("_h"),
+        tok.cast("bigint").alias("tok_count"),
+    )
+    local_w = (
+        Window.partitionBy("bucket", "sub")
+        .orderBy("_h", id_col, "tok_count")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = bucketed.withColumn(
+        "_local_start", F.sum("tok_count").over(local_w) - F.col("tok_count")
+    )
+    # Tiny relation: one row per (bucket, sub). The exclusive prefix over
+    # sub within each bucket is the stitching offset.
+    base_w = (
+        Window.partitionBy("bucket")
+        .orderBy("sub")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    bases = (
+        bucketed.groupBy("bucket", "sub")
+        .agg(F.sum("tok_count").alias("_sub_tok"))
+        .withColumn("_base", F.sum("_sub_tok").over(base_w) - F.col("_sub_tok"))
+        .select("bucket", "sub", "_base")
+    )
+    start = F.col("_base") + F.col("_local_start")
+    return local.join(F.broadcast(bases), ["bucket", "sub"]).select(
+        id_col,
+        "bucket",
+        "tok_count",
+        F.floor(start / F.lit(seq_len)).cast("bigint").alias("seq_index"),
+        (start % F.lit(seq_len)).cast("bigint").alias("seq_offset"),
+    )
+
+
 def repetition_metrics(
     df: DataFrame,
     text_col: str = "text",
@@ -300,5 +379,6 @@ __all__ = [
     "corpus_mix",
     "decontaminate",
     "pack_sequences",
+    "pack_sequences_two_level",
     "repetition_metrics",
 ]

@@ -302,3 +302,55 @@ def q_docs_cluster_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cluster_safe_split(
         clusters.select("doc_id", "cluster_id"), eval_fraction=0.2
     )
+
+
+# Shared md5-key expression for the packing oracles.
+_PACK_H = "md5(COALESCE(CAST(doc_id AS VARCHAR), '<null>') || 'pack')"
+_HEXPOS = lambda i: f"(strpos('0123456789abcdef', SUBSTR({_PACK_H}, {i}, 1)) - 1)"  # noqa: E731
+
+
+@register(
+    "docs_pack_sequences_2level",
+    # The two-level stitched packing equals ONE window over the total order
+    # (sub, _h, doc_id, tok_count) within each bucket — concatenating
+    # sub-streams in sub order IS that cumulative sum — so the oracle needs
+    # no stitching arithmetic at all: it checks the distributed form
+    # against the mathematically-equivalent single-window definition.
+    oracle=f"""
+WITH b AS (
+  SELECT doc_id,
+         ({_HEXPOS(1)} * 16 + {_HEXPOS(2)}) % 16 AS bucket,
+         ({_HEXPOS(5)} * 16 + {_HEXPOS(6)}) % 16 AS sub,
+         {_PACK_H} AS _h,
+         CAST(len(string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ')) AS BIGINT)
+           AS tok_count
+  FROM documents
+), c AS (
+  SELECT doc_id, bucket, tok_count,
+         SUM(tok_count) OVER (
+           PARTITION BY bucket ORDER BY sub, _h, doc_id, tok_count
+           ROWS UNBOUNDED PRECEDING
+         ) AS cum
+  FROM b
+)
+SELECT doc_id, bucket, tok_count,
+       CAST(FLOOR((cum - tok_count) / 512.0) AS BIGINT) AS seq_index,
+       CAST((cum - tok_count) % 512 AS BIGINT) AS seq_offset
+FROM c
+""",
+    tags=("llm", "curation", "scale"),
+)
+def q_docs_pack_sequences_2level(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-level sequence packing (llm_ops/curation.pack_sequences_two_level):
+    16 buckets x 16 sub-streams pack independently, then per-sub-stream
+    token totals stitch via an exclusive prefix over a 256-row relation —
+    the longest serial step at ANY corpus size is that tiny prefix, where
+    one-level packing must sort a whole bucket in one task."""
+    from procurement_data_pipeline_spark.llm_ops.curation import (
+        pack_sequences_two_level,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return pack_sequences_two_level(
+        docs, seq_len=512, n_buckets=16, n_sub=16
+    )

@@ -297,3 +297,53 @@ def test_cluster_safe_split_never_straddles_neardup_pairs(spark, sf_dir):
         ).collect()
     }
     assert again == side
+
+
+def test_pack_two_level_equals_single_window_reference(spark, sf_dir):
+    """The stitched two-level packing must EQUAL one window over the total
+    order (sub, _h, id, tok) per bucket — computed here independently in
+    Spark — row for row. Plus the usual conservation invariants."""
+    from pyspark.sql.window import Window
+
+    from procurement_data_pipeline_spark.llm_ops.curation import (
+        _HEX,
+        pack_sequences_two_level,
+    )
+    from procurement_data_pipeline_spark.llm_ops.sampling import hash_key
+    from procurement_data_pipeline_spark.llm_ops.text import words
+
+    docs = load_table(spark, sf_dir, "documents")
+    got = {
+        r["doc_id"]: (r["bucket"], r["tok_count"], r["seq_index"], r["seq_offset"])
+        for r in pack_sequences_two_level(
+            docs, seq_len=512, n_buckets=16, n_sub=16
+        ).collect()
+    }
+
+    h = hash_key("doc_id", "pack")
+    hx = lambda i: F.instr(F.lit(_HEX), F.substring(h, i, 1)) - 1  # noqa: E731
+    b = docs.select(
+        "doc_id",
+        ((hx(1) * 16 + hx(2)) % 16).alias("bucket"),
+        ((hx(5) * 16 + hx(6)) % 16).alias("sub"),
+        h.alias("_h"),
+        F.size(words("text")).cast("bigint").alias("tok_count"),
+    )
+    w = (
+        Window.partitionBy("bucket")
+        .orderBy("sub", "_h", "doc_id", "tok_count")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    start = F.sum("tok_count").over(w) - F.col("tok_count")
+    want = {
+        r["doc_id"]: (r["bucket"], r["tok_count"], r["seq_index"], r["seq_offset"])
+        for r in b.select(
+            "doc_id",
+            "bucket",
+            "tok_count",
+            F.floor(start / F.lit(512)).cast("bigint").alias("seq_index"),
+            (start % F.lit(512)).cast("bigint").alias("seq_offset"),
+        ).collect()
+    }
+    assert got == want
+    assert len(got) == docs.count()  # exhaustive, exactly once
