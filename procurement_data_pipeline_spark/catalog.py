@@ -163,21 +163,27 @@ def compact_dir(
     then pay per-file open cost and lose row-group locality). Compaction =
     read → repartition to ceil(bytes/target) → atomic-ish rewrite via a
     temp dir. Returns the new file count.
-    """
-    import shutil
 
+    Size measurement and the swap go through the Hadoop FileSystem API
+    (same reasoning as ``operators/incremental.py``'s partition drop): the
+    operator's pitch is long-running ingests, which live on hdfs://
+    or object storage where ``os.walk``/``shutil`` silently see nothing.
+    """
     df = spark.read.parquet(path)
-    size = sum(
-        os.path.getsize(os.path.join(root, f))
-        for root, _, files in os.walk(path)
-        for f in files
-        if f.endswith(".parquet")
-    )
+    jvm = spark._jvm
+    root = jvm.org.apache.hadoop.fs.Path(path)
+    fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
+    size = 0
+    it = fs.listFiles(root, True)  # recursive
+    while it.hasNext():
+        status = it.next()
+        if status.getPath().getName().endswith(".parquet"):
+            size += status.getLen()
     n_files = max(1, -(-size // target_file_bytes))
-    tmp = path.rstrip("/") + "__compacting"
-    df.repartition(n_files).write.mode("overwrite").parquet(tmp)
-    shutil.rmtree(path)
-    os.rename(tmp, path)
+    tmp_str = path.rstrip("/") + "__compacting"
+    df.repartition(n_files).write.mode("overwrite").parquet(tmp_str)
+    fs.delete(root, True)
+    fs.rename(jvm.org.apache.hadoop.fs.Path(tmp_str), root)
     return n_files
 
 
@@ -233,14 +239,24 @@ def merge_upsert(
     (write to a temp dir, rename — same pattern as ``compact_dir``). Cost
     is one table rewrite per merge: right for daily dimension refreshes,
     wrong for high-frequency point updates (use a real table format there).
-    Idempotent: re-merging the same batch yields an identical table."""
-    import shutil
+    Idempotent: re-merging the same batch yields an identical table.
 
-    if os.path.isdir(path) and any(
-        f.endswith(".parquet")
-        for _, _, fs in os.walk(path)
-        for f in fs
-    ):
+    Existence probe and the swap use the Hadoop FileSystem API so the
+    upsert works wherever the table lives (file://, hdfs://, s3a://)."""
+    jvm = spark._jvm
+    root = jvm.org.apache.hadoop.fs.Path(path)
+    fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
+
+    def _has_parquet() -> bool:
+        if not fs.exists(root):
+            return False
+        it = fs.listFiles(root, True)
+        while it.hasNext():
+            if it.next().getPath().getName().endswith(".parquet"):
+                return True
+        return False
+
+    if _has_parquet():
         existing = spark.read.parquet(path)
         kept = existing.join(
             updates.select(*key_cols).distinct(), key_cols, "left_anti"
@@ -248,8 +264,8 @@ def merge_upsert(
         merged = kept.unionByName(updates.select(*existing.columns))
     else:
         merged = updates
-    tmp = path.rstrip("/") + "__merging"
-    merged.write.mode("overwrite").parquet(tmp)
-    if os.path.isdir(path):
-        shutil.rmtree(path)
-    os.rename(tmp, path)
+    tmp_str = path.rstrip("/") + "__merging"
+    merged.write.mode("overwrite").parquet(tmp_str)
+    if fs.exists(root):
+        fs.delete(root, True)
+    fs.rename(jvm.org.apache.hadoop.fs.Path(tmp_str), root)
