@@ -14,7 +14,6 @@ oracle-stable hashing of nested output).
 from __future__ import annotations
 
 import json
-import os
 from datetime import datetime, timezone
 
 from pyspark.sql import DataFrame
@@ -55,6 +54,23 @@ def supplier_orders(net_demand: DataFrame, order_date: str, data_date: str) -> D
     )
 
 
+def _write_text_hadoop(spark, path_str: str, text: str) -> None:
+    """Create/overwrite a small text file through the Hadoop FileSystem API
+    (parents auto-created), so the JSON sinks work wherever the warehouse
+    lives — file://, hdfs://, s3a:// — like every other warehouse write."""
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path_str)
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    # No .crc sidecars for the JSON exports: consumers list the directory
+    # and expect exactly the supplier_*.json files the reference writes.
+    fs.setWriteChecksum(False)
+    out = fs.create(p, True)
+    try:
+        out.write(bytearray(text.encode("utf-8")))
+    finally:
+        out.close()
+
+
 def write_supplier_json(
     supplier_orders_df: DataFrame, out_dir: str, generated_at: str | None = None
 ) -> list[str]:
@@ -65,7 +81,7 @@ def write_supplier_json(
     XCom hop, not a scalability bug.
     """
     generated_at = generated_at or datetime.now(timezone.utc).isoformat()
-    os.makedirs(out_dir, exist_ok=True)
+    spark = supplier_orders_df.sparkSession
     paths = []
     for row in supplier_orders_df.collect():
         doc = {
@@ -86,9 +102,8 @@ def write_supplier_json(
             ],
             "total_estimated_cost": round(float(row["total_estimated_cost"]), 2),
         }
-        path = os.path.join(out_dir, f"supplier_{doc['supplier_id']}.json")
-        with open(path, "w") as f:
-            json.dump(doc, f, indent=2)
+        path = out_dir.rstrip("/") + f"/supplier_{doc['supplier_id']}.json"
+        _write_text_hadoop(spark, path, json.dumps(doc, indent=2))
         paths.append(path)
     return paths
 
@@ -101,11 +116,12 @@ def write_exceptions_json(exceptions_df: DataFrame, out_path: str, date: str) ->
         {"type": r["type"], "severity": r["severity"], "product_id": int(r["product_id"])}
         for r in exceptions_df.collect()
     ]
-    os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
-    with open(out_path, "w") as f:
-        json.dump(
+    _write_text_hadoop(
+        exceptions_df.sparkSession,
+        out_path,
+        json.dumps(
             {"date": date, "exception_count": len(records), "exceptions": records},
-            f,
             indent=2,
-        )
+        ),
+    )
     return out_path
