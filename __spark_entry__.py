@@ -82,6 +82,21 @@ GRADE_DEMOTED = frozenset(
     }
 )
 
+# New oracle-backed queries added AFTER the round-5 window was pinned.
+# They register in modules that import before queries/curation.py, so
+# without this set they would silently displace the round-4 tier from the
+# graded first-50 prefix (exactly what test_registry's pin guards
+# against). Listing them here sorts them past the window: still declared,
+# still oracle-backed, locally checked via tools/check_oracle.py —
+# candidates for a future deliberate rotation, never an accidental one.
+GRADE_OVERFLOW = frozenset(
+    {
+        "docs_tfidf_topterms",
+        "events_user_state_scd2",
+        "emb_kmeans",
+    }
+)
+
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Oracle-backed queries first (registration order, minus the demoted
@@ -93,7 +108,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     specs = load_all()
     ordered = sorted(
         specs.items(),
-        key=lambda kv: (kv[1].oracle is None, kv[0] in GRADE_DEMOTED),
+        key=lambda kv: (
+            kv[1].oracle is None,
+            kv[0] in GRADE_DEMOTED or kv[0] in GRADE_OVERFLOW,
+        ),
     )  # stable sort: registration order preserved within each group
     return {name: spec.builder for name, spec in ordered}
 

@@ -534,3 +534,92 @@ def random_projection(
     return corpus.select(
         F.col(id_col), project(F.col(vec_col)).alias(vec_col)
     )
+
+
+def kmeans_assign(
+    embeddings: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Distributed Lloyd's k-means: ``iters`` assignment rounds over the full
+    corpus, returning each point's final cluster id.
+
+    Engine-portable exactness contract (so a DuckDB oracle can replay it):
+      * points are micro-quantized (FLOOR(x*1e6) per component, bigint);
+      * squared distances are pure integer sums — with |component| <= ~2e3
+        micros max ~2e9, (p-c)^2 <= ~1.6e13 and a 64-dim sum <= ~1e15,
+        comfortably inside int64;
+      * updated centroids re-quantize via FLOOR(SUM(p_i)/n) — the division
+        is one exactly-rounded double op on integers < 2^53, so both
+        engines floor the same value;
+      * argmin ties break toward the smallest cluster id (struct ordering).
+
+    Plan shape per iteration (the textbook scalable form):
+      * assignment: centroids are LITERAL arrays baked into a projection —
+        zero shuffle, zero join, whole-stage codegen over the scan;
+      * update: posexplode -> groupBy(cluster, pos) -> floor-mean — one
+        shuffle of n*d skinny rows with map-side partial aggregation.
+    Driver state between rounds is the k x d centroid table (a few KB) —
+    the same bounded-collect contract as the IVF/PQ trainers. Clusters that
+    lose every member simply drop out of the next round (both engines).
+    """
+    pts = embeddings.select(
+        F.col(id_col), _micro(F.col(vec_col)).alias("_p")
+    )
+    # Deterministic seeding: the k lowest-id vectors are centroids 0..k-1.
+    seeds = (
+        pts.orderBy(F.col(id_col).asc())
+        .limit(k)
+        .select(F.col(id_col), F.col("_p"))
+        .collect()
+    )
+    ordered = sorted(seeds, key=lambda r: r[0])
+    centroids = [(j, list(r[1])) for j, r in enumerate(ordered)]
+
+    assigned = None
+    for it in range(iters):
+        dist_structs = [
+            F.struct(
+                F.aggregate(
+                    F.zip_with(
+                        F.col("_p"),
+                        F.array(*[F.lit(v).cast("long") for v in cvec]),
+                        lambda x, y: (x - y) * (x - y),
+                    ),
+                    F.lit(0).cast("long"),
+                    lambda acc, v: acc + v,
+                ).alias("dist"),
+                F.lit(j).cast("int").alias("cluster"),
+            )
+            for j, cvec in centroids
+        ]
+        assigned = pts.withColumn(
+            "cluster", F.array_min(F.array(*dist_structs)).getField("cluster")
+        )
+        if it == iters - 1:
+            break  # last round is assignment-only; an update would be dead work
+        update = (
+            assigned.select(
+                "cluster", F.posexplode(F.col("_p")).alias("pos", "v")
+            )
+            .groupBy("cluster", "pos")
+            .agg(
+                F.floor(
+                    F.sum("v").cast("double") / F.count(F.lit(1))
+                )
+                .cast("long")
+                .alias("cv")
+            )
+            .collect()
+        )
+        by_cluster: dict[int, dict[int, int]] = {}
+        for row in update:
+            by_cluster.setdefault(row["cluster"], {})[row["pos"]] = row["cv"]
+        centroids = [
+            (j, [dims[p] for p in sorted(dims)])
+            for j, dims in sorted(by_cluster.items())
+        ]
+
+    return assigned.select(F.col(id_col), F.col("cluster"))

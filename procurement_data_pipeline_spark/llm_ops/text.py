@@ -215,3 +215,22 @@ def winnow_mins(hashes: str | Column, w: int) -> Column:
         ),
         1,
     )
+
+
+def tfidf_log_idf(tf: Column, df: Column, n_docs: Column) -> Column:
+    """Production TF-IDF weight: tf * (ln((1 + N) / (1 + df)) + 1)
+    (the smoothed form that never zeroes a term present in every doc).
+
+    The oracle-graded docs_tfidf_topterms uses the raw-idf ratio
+    tf * N / df instead, because ln()'s last-ulp behavior differs between
+    libm (DuckDB) and the JVM (Spark) so a log-based score cannot be
+    hash-compared across engines. The two agree on direction (both
+    strictly increase in tf and strictly decrease in df) but NOT on the
+    full ranking when tf and df vary together: the log form compresses
+    the df axis, so a high-tf/medium-df term can outrank a low-tf/rare
+    term under log-idf and not under raw-idf. Monotonicity in each
+    argument is the pytest-asserted contract."""
+    return tf.cast("double") * (
+        F.log((F.lit(1.0) + n_docs.cast("double")) / (F.lit(1.0) + df.cast("double")))
+        + F.lit(1.0)
+    )

@@ -363,3 +363,143 @@ def q_events_quantiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.approx_percentile(vm, F.lit(0.95), F.lit(10000)) / F.lit(1000000.0)
         ).alias("p95_value"),
     )
+
+
+@register(
+    "events_user_state_scd2",
+    # SCD Type-2 history compaction: collapse each user's event stream into
+    # [valid_from, valid_to) intervals of constant event_type. Timestamps
+    # are emitted as epoch micros (BIGINT) so the comparison is exact and
+    # timezone-free on both engines.
+    oracle="""
+WITH base AS (
+  SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us FROM events
+),
+flagged AS (
+  SELECT user_id, event_id, event_type, ts_us,
+         CASE WHEN LAG(event_type) OVER w IS NULL
+                OR LAG(event_type) OVER w <> event_type
+              THEN 1 ELSE 0 END AS is_change
+  FROM base
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+),
+versioned AS (
+  SELECT user_id, event_type, ts_us,
+         SUM(is_change) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS version
+  FROM flagged
+),
+runs AS (
+  SELECT user_id, CAST(version AS INTEGER) AS version, event_type,
+         MIN(ts_us) AS valid_from_us,
+         CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM versioned
+  GROUP BY user_id, version, event_type
+)
+SELECT user_id, version, event_type, valid_from_us,
+       LEAD(valid_from_us) OVER (PARTITION BY user_id ORDER BY version)
+         AS valid_to_us,
+       n_events,
+       CAST(CASE WHEN LEAD(valid_from_us) OVER (PARTITION BY user_id
+                                                ORDER BY version) IS NULL
+                 THEN 1 ELSE 0 END AS INTEGER) AS is_current
+FROM runs
+""",
+    tags=("events", "scd2", "warehouse"),
+)
+def q_events_user_state_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension Type-2 builder: each user's stream of
+    event_type values becomes versioned [valid_from, valid_to) intervals
+    (consecutive equal values collapse into one row; the open interval is
+    flagged is_current) — the standard dimension-history pattern a
+    procurement warehouse needs for supplier/product attribute tracking.
+
+    ONE shuffle on user_id serves every step: the lag window, the running
+    version sum, the per-run aggregate, and the lead window all reuse the
+    same hash partitioning, so Catalyst plans a single Exchange."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.unix_micros(F.col("ts")).alias("ts_us"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    flagged = ev.withColumn(
+        "is_change",
+        F.when(
+            F.lag("event_type").over(w).isNull()
+            | (F.lag("event_type").over(w) != F.col("event_type")),
+            1,
+        ).otherwise(0),
+    )
+    versioned = flagged.withColumn(
+        "version",
+        F.sum("is_change")
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("int"),
+    )
+    runs = versioned.groupBy("user_id", "version", "event_type").agg(
+        F.min("ts_us").alias("valid_from_us"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    wv = Window.partitionBy("user_id").orderBy("version")
+    return runs.select(
+        "user_id",
+        "version",
+        "event_type",
+        "valid_from_us",
+        F.lead("valid_from_us").over(wv).alias("valid_to_us"),
+        "n_events",
+        F.when(F.lead("valid_from_us").over(wv).isNull(), 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("is_current"),
+    )
+
+
+@register(
+    "events_distinct_users_hll",
+    oracle=None,  # approximate by contract — error is pytest-bounded
+    tags=("events", "sketch", "hll"),
+)
+def q_events_distinct_users_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate distinct users per event type via Datasketches HLL
+    (lgConfigK=12 -> ~1.6% relative standard error, ~2.5 KB per sketch).
+
+    The 100 TB form of COUNT(DISTINCT user_id): exact distinct must
+    shuffle every distinct (event_type, user_id) pair; the HLL sketch is
+    a fixed-size mergeable summary built map-side, so the shuffle carries
+    kilobytes per group regardless of cardinality. Mergeability (the part
+    that matters for incremental rollups) is pytest-proven: daily partial
+    sketches unioned with hll_union_agg give EXACTLY the same estimate as
+    one direct pass — see test_hll_merge_equals_direct."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.hll_sketch_estimate(
+            F.hll_sketch_agg(F.col("user_id"), F.lit(12))
+        ).alias("approx_users")
+    )
+
+
+@register(
+    "events_distinct_users_hll_rollup",
+    oracle=None,  # equality to the direct sketch is pytest-asserted
+    tags=("events", "sketch", "hll", "incremental"),
+)
+def q_events_distinct_users_hll_rollup(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Two-level sketch rollup: per-(day, event_type) HLL partials unioned
+    into per-event_type totals — the incremental-maintenance shape, where
+    each new day only builds its own partial and the total is a cheap
+    union of stored sketches instead of a recount over all history."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.to_date(F.col("ts")).alias("day"), "event_type"
+    ).agg(F.hll_sketch_agg(F.col("user_id"), F.lit(12)).alias("sketch"))
+    return daily.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_union_agg(F.col("sketch"))).alias(
+            "approx_users"
+        )
+    )

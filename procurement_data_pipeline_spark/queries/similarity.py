@@ -209,3 +209,71 @@ def q_emb_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     return proj.select(
         "vec_id", F.posexplode("embedding").alias("pos", "value")
     )
+
+
+@register(
+    "emb_kmeans",
+    # Two Lloyd rounds, exact integer-arithmetic contract (see
+    # llm_ops/similarity.kmeans_assign): micro-quantized points, integer
+    # squared distances, floor-quantized centroid updates — every step is
+    # bit-portable, so the full iterative algorithm replays in SQL. Seeds =
+    # the 8 lowest vec_ids as clusters 0..7.
+    oracle="""
+WITH pts AS (
+  SELECT vec_id,
+         list_transform(embedding,
+                        v -> CAST(FLOOR(CAST(v AS DOUBLE) * 1000000) AS BIGINT)) AS p
+  FROM embeddings
+),
+pe AS (
+  SELECT vec_id, generate_subscripts(p, 1) AS pos, unnest(p) AS v FROM pts
+),
+seeds AS (
+  SELECT vec_id, CAST(ROW_NUMBER() OVER (ORDER BY vec_id ASC) - 1 AS INTEGER)
+           AS cluster
+  FROM pts ORDER BY vec_id ASC LIMIT 8
+),
+c0 AS (
+  SELECT s.cluster, pe.pos, pe.v FROM seeds s JOIN pe USING (vec_id)
+),
+d1 AS (
+  SELECT pe.vec_id, c.cluster, SUM((pe.v - c.v) * (pe.v - c.v)) AS dist
+  FROM pe JOIN c0 c ON pe.pos = c.pos
+  GROUP BY pe.vec_id, c.cluster
+),
+a1 AS (
+  SELECT vec_id, cluster FROM (
+    SELECT vec_id, cluster,
+           ROW_NUMBER() OVER (PARTITION BY vec_id
+                              ORDER BY dist ASC, cluster ASC) AS rn
+    FROM d1
+  ) WHERE rn = 1
+),
+c1 AS (
+  SELECT a1.cluster, pe.pos,
+         CAST(FLOOR(CAST(SUM(pe.v) AS DOUBLE) / COUNT(*)) AS BIGINT) AS v
+  FROM a1 JOIN pe USING (vec_id)
+  GROUP BY a1.cluster, pe.pos
+),
+d2 AS (
+  SELECT pe.vec_id, c.cluster, SUM((pe.v - c.v) * (pe.v - c.v)) AS dist
+  FROM pe JOIN c1 c ON pe.pos = c.pos
+  GROUP BY pe.vec_id, c.cluster
+)
+SELECT vec_id, cluster FROM (
+  SELECT vec_id, cluster,
+         ROW_NUMBER() OVER (PARTITION BY vec_id
+                            ORDER BY dist ASC, cluster ASC) AS rn
+  FROM d2
+) WHERE rn = 1
+""",
+    tags=("similarity", "llm", "clustering"),
+)
+def q_emb_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed k-means (k=8, 2 Lloyd rounds) over the embedding corpus:
+    semantic clustering for corpus bucketing / diversity sampling. The
+    assignment pass is a shuffle-free literal-centroid projection; the
+    update pass is one skinny posexplode aggregation per round."""
+    from procurement_data_pipeline_spark.llm_ops.similarity import kmeans_assign
+
+    return kmeans_assign(load_table(spark, sf_dir, "embeddings"), k=8, iters=2)

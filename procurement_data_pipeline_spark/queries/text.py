@@ -4,6 +4,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from procurement_data_pipeline_spark.llm_ops.dedup import (
     dedup_exact,
@@ -448,3 +449,83 @@ def q_docs_winnow_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         min_shared=3,
         max_df=20,  # template boilerplate shared corpus-wide carries no signal
     ).orderBy("doc_a", "doc_b")
+
+
+@register(
+    "docs_tfidf_topterms",
+    # Raw-idf form (tf * N / df, no logarithm) so the only floating-point
+    # step is one exactly-rounded BIGINT multiply + divide — bit-identical
+    # across engines, unlike ln()/log() whose libm vs JVM last-ulp behavior
+    # is not portable. The production log-idf form is
+    # llm_ops/text.tfidf_log_idf (pytest-checked monotonicity contract).
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_WORDS}) AS word FROM documents
+),
+tf AS (
+  SELECT doc_id, word, COUNT(*) AS tf FROM tok GROUP BY doc_id, word
+),
+df AS (
+  SELECT word, COUNT(*) AS df FROM tf GROUP BY word
+),
+n AS (
+  SELECT COUNT(*) AS n_docs FROM documents
+),
+scored AS (
+  SELECT tf.doc_id, tf.word, CAST(tf.tf AS BIGINT) AS tf,
+         CAST(df.df AS BIGINT) AS df,
+         CAST(tf.tf * n.n_docs AS DOUBLE) / df.df AS tfidf
+  FROM tf JOIN df USING (word) CROSS JOIN n
+),
+ranked AS (
+  SELECT doc_id, word, tf, df, tfidf,
+         CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+                                 ORDER BY tfidf DESC, word ASC) AS INTEGER) AS rank
+  FROM scored
+)
+SELECT doc_id, word, tf, df, tfidf, rank FROM ranked WHERE rank <= 5
+""",
+    tags=("text", "llm", "tfidf"),
+)
+def q_docs_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF keyword extraction: top-5 most characteristic terms per
+    document (term frequency weighted by inverse document frequency).
+
+    Plan shape (all bounded-key shuffles, 100 TB-safe):
+      1. explode + groupBy(doc_id, word) -> tf            [shuffle 1]
+      2. tf is already one row per distinct (doc, word), so df is a
+         groupBy(word) over tf -- no second explode        [shuffle 2]
+      3. tf |><| df on word (AQE picks broadcast when the vocabulary is
+         small; shuffle-hash when it is not)               [shuffle 3*]
+      4. per-doc top-5 window (InferWindowGroupLimit)      [shuffle 4]
+    The corpus size N is a 1-row broadcast (allowlisted scalar pattern).
+    """
+    from procurement_data_pipeline_spark.llm_ops.text import words
+
+    docs = load_table(spark, sf_dir, "documents")
+    tf = (
+        docs.select("doc_id", F.explode(words("text")).alias("word"))
+        .groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(df, "word")
+        .join(F.broadcast(n))
+        .select(
+            "doc_id",
+            "word",
+            "tf",
+            "df",
+            ((F.col("tf") * F.col("n_docs")).cast("double") / F.col("df")).alias(
+                "tfidf"
+            ),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("word").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= 5)
+        .select("doc_id", "word", "tf", "df", "tfidf", "rank")
+    )

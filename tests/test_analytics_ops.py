@@ -1,0 +1,206 @@
+"""Tests for the round-5 analytics additions: TF-IDF, SCD Type-2 interval
+compaction, distributed k-means, and HLL distinct-count sketches."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from procurement_data_pipeline_spark.llm_ops.similarity import kmeans_assign
+from procurement_data_pipeline_spark.llm_ops.text import tfidf_log_idf
+from procurement_data_pipeline_spark.registry import load_all
+from procurement_data_pipeline_spark.sources.tables import load_table
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+# ---------------------------------------------------------------- TF-IDF
+
+
+def test_tfidf_topterms_hand_fixture(spark):
+    """Three tiny docs with a known characteristic term each: the term
+    unique to a document must outrank the corpus-wide filler words."""
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat"),
+            (2, "the dog sat on the rug"),
+            (3, "the fox ran past the barn quickly"),
+        ],
+        ["doc_id", "text"],
+    )
+    # The registered builder reads the documents table, so recompute inline
+    # with the same contract: tf * N / df, ties by word.
+    from procurement_data_pipeline_spark.llm_ops.text import words
+
+    tf = (
+        docs.select("doc_id", F.explode(words("text")).alias("word"))
+        .groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
+    n = docs.count()
+    scored = tf.join(df, "word").withColumn(
+        "tfidf", (F.col("tf") * F.lit(n)).cast("double") / F.col("df")
+    )
+    rows = {
+        (r["doc_id"], r["word"]): r["tfidf"] for r in scored.collect()
+    }
+    # "cat" appears once in doc 1 only: tfidf = 1*3/1 = 3.0
+    assert rows[(1, "cat")] == 3.0
+    # "the" appears in every doc (df=3): per-occurrence weight 1.0; doc 3 has
+    # it twice -> 2.0, still below its unique terms at 3.0
+    assert rows[(3, "the")] == 2.0
+    assert rows[(3, "fox")] == 3.0
+    # unique terms strictly outrank corpus-wide filler within each doc
+    assert rows[(1, "cat")] > rows[(1, "the")]
+
+
+def test_tfidf_log_idf_monotone(spark):
+    """The production log-idf weight strictly increases in tf and strictly
+    decreases in df (the contract that replaces cross-engine hashability)."""
+    grid = spark.createDataFrame(
+        [(tf, df) for tf in (1, 2, 5, 10) for df in (1, 2, 10, 100)],
+        ["tf", "df"],
+    ).withColumn(
+        "w", tfidf_log_idf(F.col("tf"), F.col("df"), F.lit(1000))
+    )
+    rows = {(r["tf"], r["df"]): r["w"] for r in grid.collect()}
+    for df in (1, 2, 10, 100):
+        assert rows[(1, df)] < rows[(2, df)] < rows[(5, df)] < rows[(10, df)]
+    for tf in (1, 2, 5, 10):
+        assert rows[(tf, 1)] > rows[(tf, 2)] > rows[(tf, 10)] > rows[(tf, 100)]
+    # spot value: tf=1, df=1, N=1000 -> ln(1001/2) + 1
+    assert math.isclose(rows[(1, 1)], math.log(1001 / 2) + 1, rel_tol=1e-12)
+
+
+# ---------------------------------------------------------------- SCD2
+
+
+def _scd2(spark):
+    return load_all()["events_user_state_scd2"].builder(spark, SF_DIR)
+
+
+def test_scd2_intervals_partition_history(spark):
+    """Per user: versions are 1..n_runs dense, intervals chain exactly
+    (valid_to == next valid_from), exactly one open current row, and no
+    two consecutive runs carry the same event_type (maximal compaction)."""
+    out = _scd2(spark).collect()
+    by_user: dict[int, list] = {}
+    for r in out:
+        by_user.setdefault(r["user_id"], []).append(r)
+    assert by_user, "no SCD2 output"
+    for user, rows in by_user.items():
+        rows.sort(key=lambda r: r["version"])
+        assert [r["version"] for r in rows] == list(range(1, len(rows) + 1))
+        currents = [r for r in rows if r["is_current"] == 1]
+        assert len(currents) == 1 and currents[0] is rows[-1]
+        for a, b in zip(rows, rows[1:]):
+            assert a["valid_to_us"] == b["valid_from_us"], "interval gap"
+            assert a["event_type"] != b["event_type"], "uncompacted run"
+        assert rows[-1]["valid_to_us"] is None
+
+
+def test_scd2_event_counts_cover_stream(spark):
+    """The n_events across a user's runs sum to their event count — no
+    event lost or double-assigned by the run compaction."""
+    ev = load_table(spark, SF_DIR, "events")
+    expected = {
+        r["user_id"]: r["n"]
+        for r in ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    got: dict[int, int] = {}
+    for r in _scd2(spark).collect():
+        got[r["user_id"]] = got.get(r["user_id"], 0) + r["n_events"]
+    assert got == expected
+
+
+# ---------------------------------------------------------------- k-means
+
+
+def test_kmeans_assignment_is_nearest_seeded_centroid(spark):
+    """iters=1 degenerates to nearest-seed assignment — verify against an
+    independent numpy recomputation of the quantized distances."""
+    import numpy as np
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    out = {r["vec_id"]: r["cluster"] for r in kmeans_assign(emb, k=4, iters=1).collect()}
+    rows = emb.select("vec_id", "embedding").collect()
+    vecs = {r["vec_id"]: np.floor(np.array(r["embedding"], dtype=np.float64) * 1e6) for r in rows}
+    seed_ids = sorted(vecs)[:4]
+    seeds = [vecs[i] for i in seed_ids]
+    for vid, p in vecs.items():
+        dists = [int(((p - c) ** 2).sum()) for c in seeds]
+        best = min(range(4), key=lambda j: (dists[j], j))
+        assert out[vid] == best, f"vec {vid}: {out[vid]} != {best}"
+
+
+def test_kmeans_deterministic_and_total(spark):
+    emb = load_table(spark, SF_DIR, "embeddings")
+    a = kmeans_assign(emb, k=8, iters=2).collect()
+    b = kmeans_assign(emb, k=8, iters=2).collect()
+    assert sorted((r["vec_id"], r["cluster"]) for r in a) == sorted(
+        (r["vec_id"], r["cluster"]) for r in b
+    )
+    assert len(a) == emb.count()
+    assert {r["cluster"] for r in a} <= set(range(8))
+
+
+def test_kmeans_iterations_do_not_increase_inertia(spark):
+    """Lloyd's update never increases total squared distance to the
+    assigned (floor-quantized) centroids — checked via numpy replay."""
+    import numpy as np
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    rows = emb.select("vec_id", "embedding").collect()
+    vecs = {r["vec_id"]: np.floor(np.array(r["embedding"], dtype=np.float64) * 1e6) for r in rows}
+
+    def inertia(assign: dict[int, int]) -> float:
+        groups: dict[int, list] = {}
+        for vid, c in assign.items():
+            groups.setdefault(c, []).append(vecs[vid])
+        cents = {c: np.floor(np.mean(np.vstack(g), axis=0)) for c, g in groups.items()}
+        return sum(float(((vecs[v] - cents[c]) ** 2).sum()) for v, c in assign.items())
+
+    a1 = {r["vec_id"]: r["cluster"] for r in kmeans_assign(emb, k=8, iters=1).collect()}
+    a2 = {r["vec_id"]: r["cluster"] for r in kmeans_assign(emb, k=8, iters=2).collect()}
+    assert inertia(a2) <= inertia(a1) + 1e-6
+
+
+# ---------------------------------------------------------------- HLL
+
+
+def test_hll_estimate_within_error_bound(spark):
+    """lgConfigK=12 gives ~1.6% RSE; assert the per-type estimate is within
+    5% (≈3 sigma) of the exact distinct count."""
+    ev = load_table(spark, SF_DIR, "events")
+    exact = {
+        r["event_type"]: r["n"]
+        for r in ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    approx = {
+        r["event_type"]: r["approx_users"]
+        for r in load_all()["events_distinct_users_hll"].builder(spark, SF_DIR).collect()
+    }
+    assert set(approx) == set(exact)
+    for t, n in exact.items():
+        assert abs(approx[t] - n) <= max(0.05 * n, 2), (t, approx[t], n)
+
+
+def test_hll_merge_equals_direct(spark):
+    """Union of daily partial sketches estimates EXACTLY what one direct
+    pass estimates — the mergeability property that makes HLL the right
+    incremental-rollup form (partials can be stored and re-unioned)."""
+    direct = {
+        r["event_type"]: r["approx_users"]
+        for r in load_all()["events_distinct_users_hll"].builder(spark, SF_DIR).collect()
+    }
+    merged = {
+        r["event_type"]: r["approx_users"]
+        for r in load_all()["events_distinct_users_hll_rollup"]
+        .builder(spark, SF_DIR)
+        .collect()
+    }
+    assert merged == direct
