@@ -1,0 +1,91 @@
+"""Z-order layout: per-file min/max envelopes must be narrow in EVERY
+z-ordered dimension, where a linear sort is narrow in one and spans the
+full domain in the rest. The per-file envelope is exactly what parquet
+footer stats expose to the scanner, so this is a direct measurement of
+prunability at 100 TB — no flaky IO counters involved."""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import functions as F
+
+from procurement_data_pipeline_spark.catalog import (
+    write_sorted_layout,
+    z_order_write,
+)
+
+
+def _mean_file_ranges(spark, path, dims):
+    df = spark.read.parquet(path).withColumn("_f", F.input_file_name())
+    aggs = []
+    for c in dims:
+        aggs += [F.min(c).alias(f"min_{c}"), F.max(c).alias(f"max_{c}")]
+    per_file = df.groupBy("_f").agg(*aggs).collect()
+    assert len(per_file) > 1, "layout collapsed to a single file"
+    out = {}
+    for c in dims:
+        spans = [r[f"max_{c}"] - r[f"min_{c}"] for r in per_file]
+        out[c] = sum(spans) / len(spans) / 63.0  # domain is [0, 63]
+    return out, len(per_file)
+
+
+def test_z_order_files_are_narrow_in_both_dims(spark, tmp_path):
+    rng = random.Random(7)
+    pts = [(i, i % 64, i // 64) for i in range(64 * 64)]
+    rng.shuffle(pts)
+    df = spark.createDataFrame(pts, ["row_id", "x", "y"]).repartition(8)
+
+    linear = str(tmp_path / "linear")
+    zord = str(tmp_path / "zorder")
+    write_sorted_layout(df, linear, "x", num_files=16)
+    z_order_write(df, zord, ["x", "y"], num_files=16)
+
+    lin_ranges, lin_files = _mean_file_ranges(spark, linear, ["x", "y"])
+    z_ranges, z_files = _mean_file_ranges(spark, zord, ["x", "y"])
+
+    # Linear layout: razor-thin on the sort column, full-domain on the other.
+    assert lin_ranges["x"] < 0.15
+    assert lin_ranges["y"] > 0.9
+    # Z-order: both dims simultaneously narrow — ~sqrt(1/16)=1/4 of the
+    # domain per file for 16 files over 2 dims (0.5 leaves headroom for
+    # range-boundary sampling slack).
+    assert z_ranges["x"] < 0.5, z_ranges
+    assert z_ranges["y"] < 0.5, z_ranges
+    # A point/range filter on y alone: count files whose [min,max] envelope
+    # (what footer stats expose) admits y=10. Linear cannot skip any file.
+    def files_admitting(path, col, val):
+        df2 = spark.read.parquet(path).withColumn("_f", F.input_file_name())
+        per = (
+            df2.groupBy("_f")
+            .agg(F.min(col).alias("lo"), F.max(col).alias("hi"))
+            .collect()
+        )
+        return sum(1 for r in per if r["lo"] <= val <= r["hi"]), len(per)
+
+    lin_hit, lin_total = files_admitting(linear, "y", 10)
+    z_hit, z_total = files_admitting(zord, "y", 10)
+    assert lin_hit == lin_total  # linear prunes nothing on y
+    assert z_hit <= z_total // 2, (z_hit, z_total)  # z-order skips most files
+
+
+def test_z_order_roundtrip_preserves_rows(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(i, float(i % 10), float(i % 7)) for i in range(1000)],
+        ["row_id", "a", "b"],
+    )
+    path = str(tmp_path / "z")
+    z_order_write(df, path, ["a", "b"], num_files=4)
+    back = spark.read.parquet(path)
+    assert back.columns == ["row_id", "a", "b"]
+    assert sorted(r["row_id"] for r in back.collect()) == list(range(1000))
+
+
+def test_z_order_handles_nulls_and_constant_columns(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(i, None if i % 5 == 0 else i, 1.0) for i in range(100)],
+        ["row_id", "a", "b"],
+    )
+    path = str(tmp_path / "z")
+    z_order_write(df, path, ["a", "b"], num_files=2)
+    assert spark.read.parquet(path).count() == 100
