@@ -1,0 +1,114 @@
+"""File-skipping index: parquet footer statistics as a queryable DataFrame.
+
+Engines like Delta/Iceberg keep per-file column min/max in their metadata
+layer and prune scans against it before any data IO. Plain-parquet Spark
+only prunes row groups AFTER opening each file — at 100 TB with millions of
+files, the per-file open cost dominates selective scans. These helpers
+recover the metadata-layer behavior for plain parquet directories:
+
+* :func:`footer_stats` — per-file (path, rows, min, max per column) from
+  parquet FOOTERS only. The file listing comes from the Hadoop FileSystem
+  API (works on hdfs:// and s3a://, same contract as catalog/incremental),
+  and the footer reads are a distributed job: paths are parallelized and
+  each executor reads footers with pyarrow — no data pages are touched, so
+  cost is O(files), not O(bytes).
+* :func:`prune_files` — the file paths whose [min, max] envelope intersects
+  a predicate range; feed them back to ``spark.read.parquet(*files)`` for
+  a scan that never opens a prunable file.
+
+Materialize ``footer_stats`` output as a small parquet table and you have a
+poor-man's table-format manifest: refresh it per ingest batch, query it
+instead of listing+opening the data files.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+
+
+def _list_parquet_files(spark: SparkSession, path: str) -> list[str]:
+    jvm = spark._jvm
+    root = jvm.org.apache.hadoop.fs.Path(path)
+    fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
+    out: list[str] = []
+    it = fs.listFiles(root, True)  # recursive
+    while it.hasNext():
+        status = it.next()
+        p = status.getPath()
+        if p.getName().endswith(".parquet"):
+            out.append(p.toString())
+    return out
+
+
+def footer_stats(spark: SparkSession, path: str, cols: list[str]) -> DataFrame:
+    """Per-file min/max/row-count for ``cols``, reading only parquet footers.
+
+    Output schema: ``file string, n_rows long`` plus ``min_<c>, max_<c>``
+    (double) per requested column. A column chunk without statistics yields
+    NULL bounds — :func:`prune_files` treats NULL as "cannot prune", never
+    as "skip", so missing stats degrade to a full scan, not wrong results.
+    """
+    files = _list_parquet_files(spark, path)
+    schema = "file string, n_rows long, " + ", ".join(
+        f"min_{c} double, max_{c} double" for c in cols
+    )
+
+    def read_footers(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pyarrow.parquet as pq
+
+        for pdf in batches:
+            rows = []
+            for uri in pdf["file"]:
+                local = uri[len("file:") :] if uri.startswith("file:") else uri
+                meta = pq.ParquetFile(local).metadata
+                names = {meta.schema.column(i).name: i for i in range(meta.num_columns)}
+                rec = {"file": uri, "n_rows": meta.num_rows}
+                for c in cols:
+                    lo, hi = None, None
+                    idx = names.get(c)
+                    if idx is not None:
+                        for rg in range(meta.num_row_groups):
+                            st = meta.row_group(rg).column(idx).statistics
+                            if st is None or not st.has_min_max:
+                                lo, hi = None, None
+                                break
+                            lo = st.min if lo is None else min(lo, st.min)
+                            hi = st.max if hi is None else max(hi, st.max)
+                    rec[f"min_{c}"] = None if lo is None else float(lo)
+                    rec[f"max_{c}"] = None if hi is None else float(hi)
+                rows.append(rec)
+            yield pd.DataFrame(
+                rows,
+                columns=["file", "n_rows"]
+                + [f"{m}_{c}" for c in cols for m in ("min", "max")],
+            )
+
+    paths_df = spark.createDataFrame(
+        [(f,) for f in files], "file string"
+    ).repartition(max(1, min(len(files), 64)))
+    return paths_df.mapInPandas(read_footers, schema=schema)
+
+
+def prune_files(
+    stats: DataFrame,
+    col: str,
+    lo: float | None = None,
+    hi: float | None = None,
+) -> list[str]:
+    """Files whose ``col`` envelope intersects [lo, hi] (either bound may be
+    open). Files with NULL stats are always kept — pruning must never drop
+    a file it cannot prove empty of matches."""
+    from pyspark.sql import functions as F
+
+    keep = F.lit(True)
+    if lo is not None:
+        keep = keep & (F.col(f"max_{col}").isNull() | (F.col(f"max_{col}") >= lo))
+    if hi is not None:
+        keep = keep & (F.col(f"min_{col}").isNull() | (F.col(f"min_{col}") <= hi))
+    return [r["file"] for r in stats.filter(keep).select("file").collect()]
+
+
+__all__ = ["footer_stats", "prune_files"]

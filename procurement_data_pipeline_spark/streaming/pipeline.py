@@ -175,3 +175,63 @@ def stream_to_warehouse(
     q = writer.start()
     q.awaitTermination(timeout_sec)
     q.stop()
+
+
+def stream_incremental_rollup(
+    spark: SparkSession,
+    fact_path: str,
+    rollup_fn,
+    rollup_path: str,
+    partition_col: str,
+    checkpoint_dir: str,
+    fact_date_col: str = "ts",
+    timeout_sec: int = 120,
+) -> None:
+    """Streaming-maintained rollup: watch the fact directory as a stream and
+    refresh ONLY the rollup partitions each microbatch touches.
+
+    Composition of the two incremental layers: the file-source stream +
+    checkpoint decide WHAT is new (exactly-once file tracking), and
+    ``operators/incremental.incremental_refresh`` decides HOW to fold it in
+    (recompute the affected dates from the fact store, dynamic-partition-
+    overwrite them). foreachBatch is at-least-once on retry — safe here by
+    construction, because the refresh recomputes affected dates from the
+    STORE, not from the batch: replaying a batch rewrites the same
+    partitions byte-for-byte instead of double-counting. Cost per trigger
+    is O(dates touched by the new files), never O(history).
+    """
+    from procurement_data_pipeline_spark.operators.incremental import (
+        incremental_refresh,
+    )
+
+    stream = read_event_stream(spark, fact_path)
+
+    def _refresh(batch_df: DataFrame, _batch_id: int) -> None:
+        dates = [
+            str(r[0])
+            for r in batch_df.select(
+                F.col(fact_date_col).cast("date").cast("string")
+            )
+            .distinct()
+            .collect()
+        ]
+        if not dates:
+            return
+        incremental_refresh(
+            spark,
+            spark.read.parquet(fact_path),
+            rollup_fn,
+            rollup_path,
+            partition_col,
+            sorted(dates),
+            fact_date_col=fact_date_col,
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(_refresh)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_sec)
+    q.stop()

@@ -89,3 +89,58 @@ def test_z_order_handles_nulls_and_constant_columns(spark, tmp_path):
     path = str(tmp_path / "z")
     z_order_write(df, path, ["a", "b"], num_files=2)
     assert spark.read.parquet(path).count() == 100
+
+
+# ------------------------------------------------------------- file index
+
+
+def test_footer_stats_prune_and_correctness(spark, tmp_path):
+    """Sorted layout + footer index: a narrow range scan opens a strict
+    subset of files and still returns exactly the full scan's rows."""
+    from procurement_data_pipeline_spark.operators.fileindex import (
+        footer_stats,
+        prune_files,
+    )
+
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(10_000)], ["row_id", "v"]
+    )
+    path = str(tmp_path / "facts")
+    write_sorted_layout(df, path, "v", num_files=10)
+
+    stats = footer_stats(spark, path, ["v"])
+    got = stats.collect()
+    assert sum(r["n_rows"] for r in got) == 10_000
+    all_files = [r["file"] for r in got]
+    assert len(all_files) == 10
+
+    kept = prune_files(stats, "v", lo=2000.0, hi=2999.0)
+    assert 0 < len(kept) <= 3, kept  # ~1/10 of the value domain
+
+    pruned_rows = (
+        spark.read.parquet(*kept)
+        .filter((F.col("v") >= 2000.0) & (F.col("v") <= 2999.0))
+        .count()
+    )
+    full_rows = (
+        spark.read.parquet(path)
+        .filter((F.col("v") >= 2000.0) & (F.col("v") <= 2999.0))
+        .count()
+    )
+    assert pruned_rows == full_rows == 1000
+
+
+def test_prune_files_keeps_null_stat_files(spark):
+    """NULL envelopes mean 'cannot prune' — the file must survive."""
+    from procurement_data_pipeline_spark.operators.fileindex import prune_files
+
+    stats = spark.createDataFrame(
+        [
+            ("a", 10, 0.0, 5.0),
+            ("b", 10, None, None),
+            ("c", 10, 100.0, 200.0),
+        ],
+        "file string, n_rows long, min_v double, max_v double",
+    )
+    kept = prune_files(stats, "v", lo=50.0, hi=60.0)
+    assert kept == ["b"]  # 'a' and 'c' provably miss; 'b' unknown -> kept
