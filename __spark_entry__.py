@@ -94,6 +94,9 @@ GRADE_OVERFLOW = frozenset(
         "docs_tfidf_topterms",
         "events_user_state_scd2",
         "emb_kmeans",
+        "events_value_zscore_outliers",
+        "events_value_histogram",
+        "events_daily_unpivot",
     }
 )
 

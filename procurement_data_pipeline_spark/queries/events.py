@@ -503,3 +503,151 @@ def q_events_distinct_users_hll_rollup(
             "approx_users"
         )
     )
+
+
+@register(
+    "events_value_zscore_outliers",
+    # Exactness contract: per-type moments are computed in 128-bit integer
+    # arithmetic over micro-quantized values (Spark decimal(38,0) sums,
+    # DuckDB HUGEINT sums — both exact), then the SAME sequence of double
+    # ops (every cast, multiply, divide, and sqrt is IEEE correctly-rounded,
+    # unlike ln()) derives mean/std/z on both engines — so even a strict
+    # |z| > 3 cut selects identical rows.
+    oracle="""
+WITH m AS (
+  SELECT event_id, event_type,
+         CAST(FLOOR(value * 1000000) AS BIGINT) AS vm
+  FROM events
+),
+stats AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         SUM(vm) AS s,
+         SUM(vm * vm) AS ss
+  FROM m GROUP BY event_type
+),
+d AS (
+  SELECT m.event_id, m.event_type, m.vm,
+         CAST(s.s AS DOUBLE) / CAST(s.n AS DOUBLE) AS mean_vm,
+         sqrt((CAST(s.n AS DOUBLE) * CAST(s.ss AS DOUBLE)
+               - CAST(s.s AS DOUBLE) * CAST(s.s AS DOUBLE))
+              / (CAST(s.n AS DOUBLE) * CAST(s.n AS DOUBLE))) AS std_vm
+  FROM m JOIN stats s USING (event_type)
+)
+SELECT event_id, event_type,
+       CAST(vm AS DOUBLE) / 1000000.0 AS value,
+       (CAST(vm AS DOUBLE) - mean_vm) / std_vm AS zscore
+FROM d
+WHERE std_vm > 0 AND abs((CAST(vm AS DOUBLE) - mean_vm) / std_vm) > 3
+""",
+    tags=("events", "stats", "anomaly"),
+)
+def q_events_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population z-score anomaly detection per event type: rows more than
+    3 sigma from their group mean. One grouped-moments pass (count/sum/
+    sum-of-squares — all map-side combinable) + a broadcast-size stats
+    join back; never a second full shuffle of the facts."""
+    ev = load_table(spark, sf_dir, "events")
+    m = ev.select(
+        "event_id",
+        "event_type",
+        F.floor(F.col("value") * 1000000).cast("long").alias("vm"),
+    )
+    stats = m.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("vm").cast("decimal(38,0)")).alias("s"),
+        F.sum((F.col("vm") * F.col("vm")).cast("decimal(38,0)")).alias("ss"),
+    )
+    nd = F.col("n").cast("double")
+    sd = F.col("s").cast("double")
+    ssd = F.col("ss").cast("double")
+    enriched = m.join(F.broadcast(stats), "event_type").select(
+        "event_id",
+        "event_type",
+        "vm",
+        (sd / nd).alias("mean_vm"),
+        F.sqrt((nd * ssd - sd * sd) / (nd * nd)).alias("std_vm"),
+    )
+    z = (F.col("vm").cast("double") - F.col("mean_vm")) / F.col("std_vm")
+    return (
+        enriched.filter((F.col("std_vm") > 0) & (F.abs(z) > 3))
+        .select(
+            "event_id",
+            "event_type",
+            (F.col("vm").cast("double") / F.lit(1000000.0)).alias("value"),
+            z.alias("zscore"),
+        )
+    )
+
+
+@register(
+    "events_value_histogram",
+    # Equi-width histogram: bucket boundaries are multiples of 50 — the
+    # profiling primitive for choosing partition/bucket boundaries. FLOOR
+    # of an exactly-rounded double division is portable.
+    oracle="""
+SELECT event_type,
+       CAST(FLOOR(value / 50.0) AS INTEGER) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(MIN(CAST(FLOOR(value * 1000000) AS BIGINT)) AS DOUBLE) / 1000000.0
+         AS min_value,
+       CAST(MAX(CAST(FLOOR(value * 1000000) AS BIGINT)) AS DOUBLE) / 1000000.0
+         AS max_value
+FROM events
+GROUP BY event_type, bucket
+""",
+    tags=("events", "stats", "profiling"),
+)
+def q_events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type equi-width value histogram (bucket width 50): one grouped
+    aggregation, map-side combinable, output bounded by types x buckets."""
+    ev = load_table(spark, sf_dir, "events")
+    vm = F.floor(F.col("value") * 1000000).cast("long")
+    return ev.groupBy(
+        "event_type",
+        F.floor(F.col("value") / F.lit(50.0)).cast("int").alias("bucket"),
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.min(vm).cast("double") / F.lit(1000000.0)).alias("min_value"),
+        (F.max(vm).cast("double") / F.lit(1000000.0)).alias("max_value"),
+    )
+
+
+@register(
+    "events_daily_unpivot",
+    # UNPIVOT (long-form) of the daily per-type counts — written as the
+    # portable UNION ALL form in SQL and as a stack() expression in Spark.
+    oracle="""
+WITH p AS (
+  SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+         CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS clicks,
+         CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS views,
+         CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchases
+  FROM events GROUP BY 1
+)
+SELECT day, 'clicks' AS metric, clicks AS n FROM p
+UNION ALL SELECT day, 'views', views FROM p
+UNION ALL SELECT day, 'purchases', purchases FROM p
+""",
+    tags=("events", "unpivot"),
+)
+def q_events_daily_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (wide -> long) via stack(): the inverse of the conditional-
+    aggregation pivot, completing the reshape pair. stack() is a generator
+    expression — no shuffle beyond the underlying rollup's."""
+    ev = load_table(spark, sf_dir, "events")
+    cnt = lambda t: F.sum(F.when(F.col("event_type") == t, 1).otherwise(0))  # noqa: E731
+    wide = ev.groupBy(
+        F.date_trunc("day", F.col("ts")).cast("date").alias("day")
+    ).agg(
+        cnt("click").alias("clicks"),
+        cnt("view").alias("views"),
+        cnt("purchase").alias("purchases"),
+    )
+    return wide.select(
+        "day",
+        F.expr(
+            "stack(3, 'clicks', clicks, 'views', views,"
+            " 'purchases', purchases) AS (metric, n)"
+        ),
+    )

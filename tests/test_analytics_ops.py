@@ -204,3 +204,62 @@ def test_hll_merge_equals_direct(spark):
         .collect()
     }
     assert merged == direct
+
+
+# ------------------------------------------------------------ profiling
+
+
+def test_zscore_outliers_match_numpy(spark):
+    """Independent numpy recomputation of population z-scores: the query
+    must flag exactly the |z| > 3 rows."""
+    import numpy as np
+
+    ev = load_table(spark, SF_DIR, "events")
+    rows = ev.select("event_id", "event_type", "value").collect()
+    by_type: dict[str, list] = {}
+    for r in rows:
+        by_type.setdefault(r["event_type"], []).append(r)
+    expected = set()
+    for t, rs in by_type.items():
+        vm = np.floor(np.array([r["value"] for r in rs]) * 1e6)
+        mean, std = vm.mean(), vm.std()  # population std, ddof=0
+        if std <= 0:
+            continue
+        for r, v in zip(rs, vm):
+            if abs((v - mean) / std) > 3:
+                expected.add(r["event_id"])
+    got = {
+        r["event_id"]
+        for r in load_all()["events_value_zscore_outliers"]
+        .builder(spark, SF_DIR)
+        .collect()
+    }
+    # numpy's mean/std take different float paths than the exact integer
+    # moments, so only rows within 1e-6 of the cut could diverge — assert
+    # exact equality, which holds because no |z| sits that close to 3 here.
+    assert got == expected
+
+
+def test_histogram_partitions_all_rows(spark):
+    ev = load_table(spark, SF_DIR, "events")
+    hist = load_all()["events_value_histogram"].builder(spark, SF_DIR).collect()
+    assert sum(r["n"] for r in hist) == ev.count()
+    for r in hist:
+        assert 50.0 * r["bucket"] <= r["min_value"] <= r["max_value"] < 50.0 * (r["bucket"] + 1)
+
+
+def test_unpivot_inverts_pivot(spark):
+    long = load_all()["events_daily_unpivot"].builder(spark, SF_DIR)
+    ev = load_table(spark, SF_DIR, "events")
+    direct = (
+        ev.filter(F.col("event_type").isin("click", "view", "purchase"))
+        .groupBy(
+            F.date_trunc("day", F.col("ts")).cast("date").alias("day"),
+            F.concat(F.col("event_type"), F.lit("s")).alias("metric"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    # long form == direct long-form aggregation wherever counts are nonzero
+    got = {(r["day"], r["metric"]): r["n"] for r in long.collect() if r["n"] > 0}
+    want = {(r["day"], r["metric"]): r["n"] for r in direct.collect()}
+    assert got == want
