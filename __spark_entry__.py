@@ -97,6 +97,9 @@ GRADE_OVERFLOW = frozenset(
         "events_value_zscore_outliers",
         "events_value_histogram",
         "events_daily_unpivot",
+        "events_value_trailing_1h",
+        "events_value_deciles",
+        "events_cube_day_type",
     }
 )
 

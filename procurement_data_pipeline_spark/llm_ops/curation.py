@@ -382,3 +382,28 @@ __all__ = [
     "pack_sequences_two_level",
     "repetition_metrics",
 ]
+
+
+def temperature_weights(
+    df: DataFrame,
+    source_col: str = "source",
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Data-recipe weights from the corpus itself: ``weight_s = n_s ** alpha``
+    (unnormalized — :func:`corpus_mix` normalizes via its keep-rate scale).
+
+    alpha < 1 flattens the natural source distribution toward uniform — the
+    exponentiated-smoothing / temperature sampling used for multilingual and
+    multi-domain training mixes (alpha = 1/T). The default alpha=0.5 is
+    square-root sampling, computed with sqrt() — IEEE correctly-rounded on
+    every engine, so the downstream hash thresholds are bit-portable and the
+    whole mix stays oracle-checkable. Other alphas go through pow(), whose
+    last-ulp behavior is libm-specific: fine for production, excluded from
+    hash-graded oracles.
+
+    Cost: one tiny per-source aggregate (#sources rows) — the corpus scan
+    itself happens later, inside corpus_mix.
+    """
+    n = F.count(F.lit(1)).cast("double")
+    w = F.sqrt(n) if alpha == 0.5 else F.pow(n, F.lit(alpha))
+    return df.groupBy(source_col).agg(w.alias("weight"))

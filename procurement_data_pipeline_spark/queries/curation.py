@@ -354,3 +354,45 @@ def q_docs_pack_sequences_2level(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_sequences_two_level(
         docs, seq_len=512, n_buckets=16, n_sub=16
     )
+
+
+@register(
+    "docs_corpus_mix_temperature",
+    # Square-root (T=2) temperature mix: weights derive from the observed
+    # per-source counts as sqrt(n) — IEEE-exact on both engines — then the
+    # same keep-rate + md5-threshold machinery as docs_corpus_mix. The
+    # scarcest source keeps rate 1 exactly (C = min(sqrt(n))).
+    oracle="""
+WITH counts AS (
+  SELECT source, COUNT(*) AS n FROM documents GROUP BY source
+), rated AS (
+  SELECT source, n, sqrt(CAST(n AS DOUBLE)) AS weight FROM counts
+), rates AS (
+  SELECT source,
+         LEAST(1.0, (SELECT MIN(CAST(n AS DOUBLE) / weight) FROM rated)
+                    * weight / CAST(n AS DOUBLE)) AS keep_rate
+  FROM rated
+)
+SELECT d.doc_id, d.source
+FROM documents d JOIN rates r USING (source)
+WHERE r.keep_rate >= 1.0
+   OR SUBSTR(md5(COALESCE(CAST(d.doc_id AS VARCHAR), '<null>') || 'mix'), 1, 8)
+      < printf('%08x', CAST(FLOOR(r.keep_rate * 4294967296) AS BIGINT))
+""",
+    tags=("llm", "curation", "temperature"),
+)
+def q_docs_corpus_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-sampled source mixture (alpha=0.5 square-root sampling):
+    the recipe is DERIVED from the corpus (weight = sqrt(n_s)) instead of
+    hand-written, flattening the natural skew toward uniform — the standard
+    multilingual/multi-domain rebalancing step. Same one-scan cost as
+    docs_corpus_mix."""
+    from procurement_data_pipeline_spark.llm_ops.curation import (
+        corpus_mix,
+        temperature_weights,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return corpus_mix(docs, temperature_weights(docs, alpha=0.5)).select(
+        "doc_id", "source"
+    )

@@ -651,3 +651,125 @@ def q_events_daily_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
             " 'purchases', purchases) AS (metric, n)"
         ),
     )
+
+
+@register(
+    "events_value_trailing_1h",
+    # RANGE interval frame (event-time window, not row-count): per user,
+    # the trailing-1-hour sum/count at each event. Completes the frame
+    # coverage next to events_value_moving_avg's ROWS frame. Sums are
+    # micro-quantized; the frame bound is exact integer micros.
+    oracle="""
+WITH m AS (
+  SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+         CAST(FLOOR(value * 1000000) AS BIGINT) AS vm
+  FROM events
+)
+SELECT event_id, user_id, ts_us,
+       CAST(SUM(vm) OVER w AS BIGINT) AS trailing_sum_micros,
+       CAST(COUNT(*) OVER w AS BIGINT) AS trailing_n
+FROM m
+WINDOW w AS (PARTITION BY user_id ORDER BY ts_us
+             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+""",
+    tags=("events", "window", "range-frame"),
+)
+def q_events_trailing_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing one-hour per-user running totals via a RANGE (event-time)
+    frame — the time-decayed-feature primitive; peers at the same ts_us
+    share a frame by RANGE semantics, identically on both engines. One
+    shuffle on user_id."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.unix_micros(F.col("ts")).alias("ts_us"),
+        F.floor(F.col("value") * 1000000).cast("long").alias("vm"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us")
+        .rangeBetween(-3_600_000_000, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts_us",
+        F.sum("vm").over(w).cast("long").alias("trailing_sum_micros"),
+        F.count(F.lit(1)).over(w).cast("long").alias("trailing_n"),
+    )
+
+
+@register(
+    "events_value_deciles",
+    # ntile + cume_dist over a TOTAL order (value micros, event_id
+    # tie-break) — deterministic on both engines; emits the per-decile
+    # boundaries, i.e. an exact equi-depth histogram.
+    oracle="""
+WITH m AS (
+  SELECT event_id, CAST(FLOOR(value * 1000000) AS BIGINT) AS vm FROM events
+),
+t AS (
+  SELECT event_id, vm,
+         NTILE(10) OVER (ORDER BY vm, event_id) AS decile
+  FROM m
+)
+SELECT CAST(decile AS INTEGER) AS decile,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(MIN(vm) AS DOUBLE) / 1000000.0 AS lo_value,
+       CAST(MAX(vm) AS DOUBLE) / 1000000.0 AS hi_value
+FROM t
+GROUP BY decile
+""",
+    tags=("events", "window", "ntile"),
+)
+def q_events_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact equi-depth deciles of event value (ntile over a total order).
+    The global-order window is the documented cost: ONE single-partition
+    sort of (vm, event_id) pairs — acceptable because only two skinny
+    columns shuffle, and the scale path for full-width rows is
+    events_value_quantiles_approx's mergeable sketches."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", F.floor(F.col("value") * 1000000).cast("long").alias("vm")
+    )
+    t = ev.withColumn(
+        "decile", F.ntile(10).over(Window.orderBy("vm", "event_id"))
+    )
+    return t.groupBy(F.col("decile").cast("int").alias("decile")).agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.min("vm").cast("double") / F.lit(1000000.0)).alias("lo_value"),
+        (F.max("vm").cast("double") / F.lit(1000000.0)).alias("hi_value"),
+    )
+
+
+@register(
+    "events_cube_day_type",
+    # CUBE grouping: all four aggregation grains (day x type, day, type,
+    # grand total) in one pass, with grouping() flags labelling each row —
+    # completes the grouping-sets coverage next to the ROLLUP query.
+    oracle="""
+SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+       event_type,
+       CAST(GROUPING(date_trunc('day', ts)) AS INTEGER) AS is_day_total,
+       CAST(GROUPING(event_type) AS INTEGER) AS is_type_total,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM events
+GROUP BY CUBE (date_trunc('day', ts), event_type)
+""",
+    tags=("events", "cube", "grouping-sets"),
+)
+def q_events_cube_day_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (day, event_type): the dashboard's four grains in one
+    Expand + aggregate — each input row fans into its 4 grouping-set
+    memberships map-side, so one shuffle serves all grains."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.date_trunc("day", F.col("ts")).cast("date").alias("day"), "event_type"
+    )
+    return (
+        ev.cube("day", "event_type")
+        .agg(
+            F.grouping("day").cast("int").alias("is_day_total"),
+            F.grouping("event_type").cast("int").alias("is_type_total"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select("day", "event_type", "is_day_total", "is_type_total", "n_events")
+    )

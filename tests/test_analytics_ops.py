@@ -263,3 +263,37 @@ def test_unpivot_inverts_pivot(spark):
     got = {(r["day"], r["metric"]): r["n"] for r in long.collect() if r["n"] > 0}
     want = {(r["day"], r["metric"]): r["n"] for r in direct.collect()}
     assert got == want
+
+
+def test_temperature_mix_flattens_toward_uniform(spark):
+    """Square-root sampling: output proportions sit between the natural
+    skew and uniform, and the scarcest source is kept in full."""
+    docs = load_table(spark, SF_DIR, "documents")
+    from procurement_data_pipeline_spark.llm_ops.curation import (
+        corpus_mix,
+        temperature_weights,
+    )
+
+    before = {
+        r["source"]: r["n"]
+        for r in docs.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    out = corpus_mix(docs, temperature_weights(docs, alpha=0.5))
+    after = {
+        r["source"]: r["n"]
+        for r in out.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    scarcest = min(before, key=lambda s: before[s])
+    assert after[scarcest] == before[scarcest]  # kept whole
+    # expected kept count per source: n * min(sqrt)/sqrt(n) = sqrt(n*n_min)
+    import math
+
+    n_min = before[scarcest]
+    for s, n in before.items():
+        expect = math.sqrt(n * n_min)
+        # binomial-ish tolerance on the hash filter
+        assert abs(after[s] - expect) <= 4 * math.sqrt(expect) + 2, (
+            s,
+            after[s],
+            expect,
+        )
