@@ -500,10 +500,14 @@ def q_docs_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
       4. per-doc top-5 window (InferWindowGroupLimit)      [shuffle 4]
     The corpus size N is a 1-row broadcast (allowlisted scalar pattern).
     """
+    from procurement_data_pipeline_spark.caching import scoped_persist
     from procurement_data_pipeline_spark.llm_ops.text import words
 
     docs = load_table(spark, sf_dir, "documents")
-    tf = (
+    # tf feeds BOTH the df aggregation and the final scoring join; without a
+    # persist Catalyst re-derives the explode+groupBy per consumer (the plan
+    # audit showed 3 scans) — at scale that doubles the heaviest stage.
+    tf = scoped_persist(
         docs.select("doc_id", F.explode(words("text")).alias("word"))
         .groupBy("doc_id", "word")
         .agg(F.count(F.lit(1)).alias("tf"))

@@ -35,6 +35,8 @@ BNLJ_ALLOWED = {
     "tpch_q22_dormant_customers",  # broadcast single-row avg-balance scalar
     "docs_corpus_mix",  # broadcast single-row mixture-scale scalar
     "docs_vocab_topk_sketch",  # broadcast single-row Σpmin merge scalar
+    "docs_corpus_mix_temperature",  # same mixture-scale scalar broadcast
+    "docs_tfidf_topterms",  # broadcast single-row corpus-size (N) scalar
 }
 
 SF_DIR = "/root/testdata/sf0.001"
@@ -125,3 +127,28 @@ def test_q21_single_lineitem_pass(audits):
     # lineitem scan and at most 2 shuffles (join + final top-k agg).
     s = audits["tpch_q21_waiting_supplier"]
     assert s["scans"] <= 4 and s["exchanges"] <= 2, s
+
+
+def test_scd2_single_exchange(audits):
+    # The SCD2 builder's windows and aggregate all reuse the user_id hash
+    # partitioning — exactly one Exchange, no join of any kind.
+    s = audits["events_user_state_scd2"]
+    assert s["exchanges"] == 1, s
+    assert s["broadcast_joins"] == 0 and s["smj"] == 0 and s["bnlj"] == 0, s
+
+
+def test_kmeans_assignment_is_shuffle_free(audits):
+    # Assignment bakes centroids in as literals: a pure projection over the
+    # scan — no shuffle, no join. (The between-rounds centroid updates run
+    # at build time as separate bounded jobs; this pins the output plan.)
+    s = audits["emb_kmeans"]
+    assert s["exchanges"] == 0, s
+    assert s["broadcast_joins"] == 0 and s["smj"] == 0 and s["bnlj"] == 0, s
+
+
+def test_zscore_single_moments_pass(audits):
+    # One grouped-moments shuffle + broadcast join back: the fact table is
+    # never shuffled a second time.
+    s = audits["events_value_zscore_outliers"]
+    assert s["exchanges"] <= 1, s
+    assert s["bnlj"] == 0 and s["smj"] == 0, s
