@@ -100,6 +100,8 @@ GRADE_OVERFLOW = frozenset(
         "events_value_trailing_1h",
         "events_value_deciles",
         "events_cube_day_type",
+        "emb_semantic_decontaminate",
+        "events_user_state_cdc",
     }
 )
 

@@ -623,3 +623,53 @@ def kmeans_assign(
         ]
 
     return assigned.select(F.col(id_col), F.col("cluster"))
+
+
+def semantic_decontaminate(
+    corpus: DataFrame,
+    eval_df: DataFrame,
+    threshold: float = 0.8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-level benchmark decontamination: for every corpus vector,
+    its max cosine similarity to ANY evaluation vector, flagged when it
+    crosses ``threshold`` — the semantic complement of the n-gram
+    ``decontaminate`` scrub (a paraphrased eval question shares no 8-gram
+    but sits next to its source in embedding space).
+
+    Shape: broadcast the (small) eval set against the corpus — one scan,
+    no shuffle of the corpus, a per-id max over |eval| candidate scores
+    computed inside the projection (aggregate over a collected struct
+    array would be overkill; the groupBy on id is a bounded |corpus| keys
+    aggregation). Scores use the quantized-dot exactness contract so the
+    flag is engine-portable. For an eval set too large to broadcast, route
+    through lsh_ann instead (bucketed candidates, then this same rerank).
+    """
+    e = eval_df.select(
+        F.col(id_col).alias("_eid"),
+        F.col(vec_col).alias("_evec"),
+        F.sqrt(quantized_norm_sq(F.col(vec_col)).cast("double")).alias("_en"),
+    )
+    c = corpus.select(
+        id_col,
+        vec_col,
+        F.sqrt(quantized_norm_sq(F.col(vec_col)).cast("double")).alias("_cn"),
+    )
+    score = quantized_dot(F.col(vec_col), F.col("_evec")).cast("double") / (
+        F.col("_cn") * F.col("_en")
+    )
+    return (
+        c.join(F.broadcast(e))
+        .select(id_col, score.alias("_s"))
+        .groupBy(id_col)
+        .agg(F.max("_s").alias("max_eval_cos"))
+        .select(
+            id_col,
+            "max_eval_cos",
+            F.when(F.col("max_eval_cos") >= threshold, 1)
+            .otherwise(0)
+            .cast("int")
+            .alias("contaminated"),
+        )
+    )

@@ -773,3 +773,80 @@ def q_events_cube_day_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("day", "event_type", "is_day_total", "is_type_total", "n_events")
     )
+
+
+@register(
+    "events_user_state_cdc",
+    # Snapshot-diff changelog: per-user latest event_type at the stream's
+    # midpoint vs at the end. Both snapshots pick their row via a total
+    # order (ts_us DESC, event_id DESC), the midpoint is exact integer
+    # arithmetic, and change classification is null-safe — all portable.
+    # Append-only data means no deletes here; the operator's delete arm is
+    # pytest-covered on a synthetic fixture.
+    oracle="""
+WITH m AS (
+  SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us FROM events
+),
+mid AS (
+  SELECT (MIN(ts_us) + MAX(ts_us)) // 2 AS mid_us FROM m
+),
+old_state AS (
+  SELECT user_id, event_type AS old_state FROM (
+    SELECT user_id, event_type,
+           ROW_NUMBER() OVER (PARTITION BY user_id
+                              ORDER BY ts_us DESC, event_id DESC) AS rn
+    FROM m, mid WHERE ts_us <= mid_us
+  ) WHERE rn = 1
+),
+new_state AS (
+  SELECT user_id, event_type AS new_state FROM (
+    SELECT user_id, event_type,
+           ROW_NUMBER() OVER (PARTITION BY user_id
+                              ORDER BY ts_us DESC, event_id DESC) AS rn
+    FROM m
+  ) WHERE rn = 1
+)
+SELECT COALESCE(o.user_id, n.user_id) AS user_id,
+       o.old_state, n.new_state,
+       CASE WHEN o.user_id IS NULL THEN 'insert'
+            WHEN n.user_id IS NULL THEN 'delete'
+            WHEN o.old_state <> n.new_state THEN 'update'
+       END AS change_type
+FROM old_state o FULL OUTER JOIN new_state n USING (user_id)
+WHERE CASE WHEN o.user_id IS NULL THEN 'insert'
+           WHEN n.user_id IS NULL THEN 'delete'
+           WHEN o.old_state <> n.new_state THEN 'update'
+      END IS NOT NULL
+""",
+    tags=("events", "cdc", "warehouse"),
+)
+def q_events_user_state_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC changelog between two dimension snapshots (user state at the
+    stream midpoint vs now) via operators/cdc.snapshot_diff: one full
+    outer join on the key, null-safe column comparison, unchanged rows
+    dropped. The midpoint is a bounded 1-row aggregate collected at build
+    time (same contract as the k-means seeds)."""
+    from procurement_data_pipeline_spark.operators.cdc import snapshot_diff
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.unix_micros(F.col("ts")).alias("ts_us"),
+    )
+    lo, hi = ev.agg(F.min("ts_us"), F.max("ts_us")).collect()[0]
+    mid_us = (lo + hi) // 2
+
+    def latest_state(df):
+        w = Window.partitionBy("user_id").orderBy(
+            F.col("ts_us").desc(), F.col("event_id").desc()
+        )
+        return (
+            df.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("user_id", F.col("event_type").alias("state"))
+        )
+
+    old = latest_state(ev.filter(F.col("ts_us") <= mid_us))
+    new = latest_state(ev)
+    return snapshot_diff(old, new, ["user_id"], ["state"])

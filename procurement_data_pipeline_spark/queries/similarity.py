@@ -277,3 +277,47 @@ def q_emb_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     from procurement_data_pipeline_spark.llm_ops.similarity import kmeans_assign
 
     return kmeans_assign(load_table(spark, sf_dir, "embeddings"), k=8, iters=2)
+
+
+@register(
+    "emb_semantic_decontaminate",
+    # Eval set = the 10 lowest vec_ids; corpus = the rest. Max-cosine per
+    # corpus vector against the broadcast eval set, flag at >= 0.8. Scores
+    # ride the same quantized-dot contract as emb_knn_bruteforce, so MAX
+    # and the threshold cut agree bit-exactly across engines.
+    oracle=f"""
+WITH ev AS (
+  SELECT vec_id AS _eid, embedding AS _evec,
+         sqrt(CAST({_QDOT.format(a='embedding', b='embedding')} AS DOUBLE)) AS _en
+  FROM embeddings WHERE vec_id < 10
+),
+scored AS (
+  SELECT c.vec_id,
+         CAST({_QDOT.format(a='c.embedding', b='ev._evec')} AS DOUBLE)
+         / (sqrt(CAST({_QDOT.format(a='c.embedding', b='c.embedding')} AS DOUBLE))
+            * ev._en) AS _s
+  FROM embeddings c CROSS JOIN ev
+  WHERE c.vec_id >= 10
+)
+SELECT vec_id, MAX(_s) AS max_eval_cos,
+       CAST(CASE WHEN MAX(_s) >= 0.8 THEN 1 ELSE 0 END AS INTEGER)
+         AS contaminated
+FROM scored GROUP BY vec_id
+""",
+    tags=("similarity", "llm", "decontamination"),
+)
+def q_emb_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic decontamination: max cosine of each corpus embedding to the
+    (broadcast) eval set, flagged at 0.8 — catches paraphrased leakage the
+    8-gram scrub misses. Broadcast-eval pattern; corpus never shuffles
+    except the bounded per-id max."""
+    from procurement_data_pipeline_spark.llm_ops.similarity import (
+        semantic_decontaminate,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return semantic_decontaminate(
+        emb.filter(F.col("vec_id") >= 10),
+        emb.filter(F.col("vec_id") < 10),
+        threshold=0.8,
+    )

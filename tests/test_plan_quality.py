@@ -37,6 +37,7 @@ BNLJ_ALLOWED = {
     "docs_vocab_topk_sketch",  # broadcast single-row Σpmin merge scalar
     "docs_corpus_mix_temperature",  # same mixture-scale scalar broadcast
     "docs_tfidf_topterms",  # broadcast single-row corpus-size (N) scalar
+    "emb_semantic_decontaminate",  # corpus × broadcast eval set by design
 }
 
 SF_DIR = "/root/testdata/sf0.001"
@@ -152,3 +153,11 @@ def test_zscore_single_moments_pass(audits):
     s = audits["events_value_zscore_outliers"]
     assert s["exchanges"] <= 1, s
     assert s["bnlj"] == 0 and s["smj"] == 0, s
+
+
+def test_cdc_diff_joins_on_the_key(audits):
+    # The snapshot diff must plan as a keyed join (SMJ/BHJ), never a
+    # nested loop — and both snapshot windows share one shuffle each.
+    s = audits["events_user_state_cdc"]
+    assert s["bnlj"] == 0 and s["cartesian"] == 0, s
+    assert s["exchanges"] <= 2, s
