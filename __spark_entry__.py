@@ -102,6 +102,7 @@ GRADE_OVERFLOW = frozenset(
         "events_cube_day_type",
         "emb_semantic_decontaminate",
         "events_user_state_cdc",
+        "events_rolling_distinct_users",
     }
 )
 

@@ -1,0 +1,120 @@
+"""Declarative data-quality expectations with quarantine routing.
+
+The reference hard-codes two quality checks (orphan products, missing
+inventory — operators/quality.py carries that parity). Real pipelines need
+the generic form: declare column expectations once, evaluate them ALL in a
+single pass, and split the input into clean rows vs quarantined rows with
+per-row violation labels — Great-Expectations-style checks as pure Spark
+expressions (no UDFs, one scan, map-side only until the summary).
+
+Expectations (each a named constructor returning a Column predicate):
+
+* ``not_null(col)``
+* ``unique(col)`` — the one non-row-local check; counts per key via a
+  window on the key (one shuffle) and flags every row of a duplicated key
+* ``in_range(col, lo, hi)``
+* ``isin(col, values)``
+* ``matches(col, regex)``
+
+``check`` returns (clean_df, quarantine_df, summary_df): quarantine rows
+carry ``_violations`` (array of failed expectation names); the summary is
+one row per expectation with its violation count — the audit artifact a
+scheduler gates on.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+@dataclass(frozen=True)
+class Expectation:
+    name: str
+    # Thunk, not a Column: expression construction needs an active session,
+    # and expectation suites are typically declared at module import time.
+    predicate: Callable[[], Column]  # () -> True ⇒ row passes
+    needs_key_count: str | None = None  # column name for uniqueness checks
+
+
+def not_null(col: str) -> Expectation:
+    return Expectation(f"not_null({col})", lambda: F.col(col).isNotNull())
+
+
+def in_range(col: str, lo, hi) -> Expectation:
+    return Expectation(
+        f"in_range({col},{lo},{hi})",
+        lambda: F.col(col).isNotNull() & (F.col(col) >= lo) & (F.col(col) <= hi),
+    )
+
+
+def isin(col: str, values: list) -> Expectation:
+    return Expectation(
+        f"isin({col})", lambda: F.col(col).isNotNull() & F.col(col).isin(values)
+    )
+
+
+def matches(col: str, regex: str) -> Expectation:
+    return Expectation(
+        f"matches({col})",
+        lambda: F.col(col).isNotNull() & F.col(col).rlike(regex),
+    )
+
+
+def unique(col: str) -> Expectation:
+    # Predicate placeholder; check() swaps in the windowed per-key count.
+    return Expectation(f"unique({col})", lambda: F.lit(True), needs_key_count=col)
+
+
+def check(
+    df: DataFrame, expectations: list[Expectation]
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Evaluate every expectation in one pass; see module docstring.
+
+    Row-local expectations are pure projections; each ``unique`` adds one
+    count-over-key window (a shuffle on that key). The clean/quarantine
+    split and the summary all derive from the same labeled relation, so
+    callers persisting it pay the scan once.
+    """
+    if not expectations:
+        raise ValueError("no expectations declared")
+    names = [e.name for e in expectations]
+    if len(set(names)) != len(names):
+        raise ValueError(f"duplicate expectation names: {names}")
+
+    labeled = df
+    flags = []
+    for e in expectations:
+        if e.needs_key_count is not None:
+            w = Window.partitionBy(e.needs_key_count)
+            pred = F.count(F.lit(1)).over(w) == 1
+        else:
+            pred = e.predicate()
+        flags.append(F.when(~pred, F.lit(e.name)))
+    labeled = labeled.withColumn(
+        "_violations",
+        F.array_compact(F.array(*flags)),
+    )
+    clean = labeled.filter(F.size("_violations") == 0).drop("_violations")
+    quarantine = labeled.filter(F.size("_violations") > 0)
+    summary = (
+        quarantine.select(F.explode("_violations").alias("expectation"))
+        .groupBy("expectation")
+        .agg(F.count(F.lit(1)).alias("n_violations"))
+        .unionByName(
+            # expectations with zero violations still appear in the audit
+            labeled.sparkSession.createDataFrame(
+                [(n,) for n in names], "expectation string"
+            ).withColumn("n_violations", F.lit(0).cast("long"))
+        )
+        .groupBy("expectation")
+        .agg(F.max("n_violations").alias("n_violations"))
+    )
+    return clean, quarantine, summary
+
+
+__all__ = ["Expectation", "check", "not_null", "unique", "in_range", "isin", "matches"]

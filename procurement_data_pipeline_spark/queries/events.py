@@ -850,3 +850,78 @@ def q_events_user_state_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     old = latest_state(ev.filter(F.col("ts_us") <= mid_us))
     new = latest_state(ev)
     return snapshot_diff(old, new, ["user_id"], ["state"])
+
+
+@register(
+    "events_rolling_distinct_users",
+    # Exact trailing-7-day distinct users per day. COUNT(DISTINCT) does not
+    # decompose over sliding windows (yesterday's count tells you nothing
+    # about today's overlap), so the exact form expands each distinct
+    # (day, user) pair into the <=7 window-days it serves and counts
+    # distinct users per window — correct, but payload x7; the sketch twin
+    # below is the 100 TB form.
+    oracle="""
+WITH pairs AS (
+  SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS day, user_id
+  FROM events
+),
+days AS (
+  SELECT DISTINCT day FROM pairs
+),
+expanded AS (
+  SELECT d.day, p.user_id
+  FROM days d JOIN pairs p
+    ON p.day <= d.day AND p.day >= d.day - INTERVAL 6 DAY
+)
+SELECT day, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users_7d
+FROM expanded GROUP BY day
+""",
+    tags=("events", "sliding-window", "distinct"),
+)
+def q_events_rolling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day distinct users per day, exact. Dedup to (day, user)
+    pairs FIRST (one shuffle), then a bounded 7-way day-range expansion
+    (calendar join on <=366*7 key pairs — broadcast), then the distinct
+    count. The expansion multiplies only the deduped pairs, never raw
+    events."""
+    ev = load_table(spark, sf_dir, "events")
+    pairs = ev.select(
+        F.date_trunc("day", F.col("ts")).cast("date").alias("day"), "user_id"
+    ).distinct()
+    days = pairs.select("day").distinct().select(F.col("day").alias("win_day"))
+    expanded = pairs.join(
+        F.broadcast(days),
+        (F.col("day") <= F.col("win_day"))
+        & (F.col("day") >= F.date_sub(F.col("win_day"), 6)),
+    )
+    return expanded.groupBy(F.col("win_day").alias("day")).agg(
+        F.countDistinct("user_id").alias("n_users_7d")
+    )
+
+
+@register(
+    "events_rolling_distinct_users_hll",
+    oracle=None,  # sketch twin — equality/error bounds pytest-asserted
+    tags=("events", "sliding-window", "distinct", "sketch", "hll"),
+)
+def q_events_rolling_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB form of the trailing-7-day distinct count: ONE daily HLL
+    partial per day (fixed KB), then each window unions its <=7 partial
+    sketches — the fact table is scanned once and the sliding expansion
+    happens over #days sketch rows instead of x7 the distinct pairs.
+    Stored daily partials make the next day's refresh O(1) new sketches."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.date_trunc("day", F.col("ts")).cast("date").alias("day")
+    ).agg(F.hll_sketch_agg(F.col("user_id"), F.lit(12)).alias("sketch"))
+    days = daily.select(F.col("day").alias("win_day"))
+    expanded = daily.join(
+        F.broadcast(days),
+        (F.col("day") <= F.col("win_day"))
+        & (F.col("day") >= F.date_sub(F.col("win_day"), 6)),
+    )
+    return expanded.groupBy(F.col("win_day").alias("day")).agg(
+        F.hll_sketch_estimate(F.hll_union_agg(F.col("sketch"))).alias(
+            "n_users_7d_approx"
+        )
+    )

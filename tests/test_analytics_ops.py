@@ -297,3 +297,23 @@ def test_temperature_mix_flattens_toward_uniform(spark):
             after[s],
             expect,
         )
+
+
+def test_rolling_distinct_hll_tracks_exact(spark):
+    """The sliding-window sketch union must track the exact trailing-7-day
+    distinct counts within HLL error (lgK=12 → assert 5%)."""
+    exact = {
+        r["day"]: r["n_users_7d"]
+        for r in load_all()["events_rolling_distinct_users"]
+        .builder(spark, SF_DIR)
+        .collect()
+    }
+    approx = {
+        r["day"]: r["n_users_7d_approx"]
+        for r in load_all()["events_rolling_distinct_users_hll"]
+        .builder(spark, SF_DIR)
+        .collect()
+    }
+    assert set(approx) == set(exact)
+    for d, n in exact.items():
+        assert abs(approx[d] - n) <= max(0.05 * n, 2), (d, approx[d], n)

@@ -17,6 +17,7 @@ from decimal import Decimal
 
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from procurement_data_pipeline_spark.operators.export import supplier_orders
@@ -427,3 +428,108 @@ def test_corpus_mix_proportions_property(spark, spec):
         # md5-prefix sampling ≈ binomial: allow 4.5σ + integer slack
         tol = 4.5 * (target * max(0.0, 1 - target / cnt)) ** 0.5 + 3
         assert abs(got - target) <= tol, (src, got, target, tol)
+
+
+# ---------------------------------------------------- SCD2 / CDC models
+
+_event_stream = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=5),  # user_id
+        st.integers(min_value=0, max_value=10_000),  # ts offset (dupes ok)
+        st.sampled_from(["a", "b", "c"]),  # state value
+    ),
+    min_size=1,
+    max_size=60,
+)
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(stream=_event_stream)
+def test_scd2_matches_itertools_model(spark, stream):
+    """Arbitrary streams (duplicate timestamps included): the distributed
+    SCD2 run-compaction must equal a pure-Python groupby model over the
+    same total order (ts, event_id)."""
+    import itertools
+
+    rows = [
+        (i, ts, uid, state)
+        for i, (uid, ts, state) in enumerate(stream)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts_us long, user_id long, event_type string"
+    )
+    from pyspark.sql.window import Window as W
+
+    w = W.partitionBy("user_id").orderBy("ts_us", "event_id")
+    flagged = df.withColumn(
+        "is_change",
+        F.when(
+            F.lag("event_type").over(w).isNull()
+            | (F.lag("event_type").over(w) != F.col("event_type")),
+            1,
+        ).otherwise(0),
+    ).withColumn(
+        "version",
+        F.sum("is_change").over(w.rowsBetween(W.unboundedPreceding, 0)).cast("int"),
+    )
+    got = {
+        (r["user_id"], r["version"]): (r["event_type"], r["n"])
+        for r in flagged.groupBy("user_id", "version", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    # Python model: sort per user by (ts, event_id), collapse runs.
+    by_user: dict[int, list] = {}
+    for eid, ts, uid, state in rows:
+        by_user.setdefault(uid, []).append((ts, eid, state))
+    want = {}
+    for uid, evs in by_user.items():
+        evs.sort()
+        for v, (state, grp) in enumerate(
+            itertools.groupby(evs, key=lambda e: e[2]), start=1
+        ):
+            want[(uid, v)] = (state, len(list(grp)))
+    assert got == want
+
+
+_snapshot = st.dictionaries(
+    st.integers(min_value=0, max_value=9),
+    st.one_of(st.none(), st.integers(min_value=0, max_value=3)),
+    max_size=10,
+)
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(old=_snapshot, new=_snapshot)
+def test_snapshot_diff_matches_dict_model(spark, old, new):
+    """snapshot_diff over arbitrary keyed snapshots (NULL values included)
+    equals the obvious dict-diff model."""
+    from procurement_data_pipeline_spark.operators.cdc import snapshot_diff
+
+    old_df = spark.createDataFrame(
+        [(k, v) for k, v in old.items()], "k long, v int"
+    )
+    new_df = spark.createDataFrame(
+        [(k, v) for k, v in new.items()], "k long, v int"
+    )
+    got = {
+        r["k"]: (r["change_type"], r["old_v"], r["new_v"])
+        for r in snapshot_diff(old_df, new_df, ["k"]).collect()
+    }
+    want = {}
+    for k in old.keys() | new.keys():
+        if k not in old:
+            want[k] = ("insert", None, new[k])
+        elif k not in new:
+            want[k] = ("delete", old[k], None)
+        elif old[k] != new[k]:
+            want[k] = ("update", old[k], new[k])
+    assert got == want
