@@ -51,6 +51,17 @@ def main() -> None:
         "emb_random_projection",
         "events_value_quantiles_approx",
         "docs_cluster_safe_split",
+        # Round-5 continuation tier:
+        "docs_tfidf_topterms",
+        "emb_kmeans",
+        "emb_semantic_decontaminate",
+        "events_user_state_scd2",
+        "events_user_state_cdc",
+        "events_value_zscore_outliers",
+        "events_rolling_distinct_users",
+        "events_rolling_distinct_users_hll",
+        "events_distinct_users_hll",
+        "docs_corpus_mix_temperature",
     ]
     extended_specs = {n: specs[n] for n in extended_names if n in specs}
     unknown_extended = [n for n in extended_names if n not in specs]
