@@ -103,6 +103,7 @@ GRADE_OVERFLOW = frozenset(
         "emb_semantic_decontaminate",
         "events_user_state_cdc",
         "events_rolling_distinct_users",
+        "events_type_value_ranks",
     }
 )
 

@@ -247,6 +247,7 @@ def z_order_write(
     num_files: int | None = None,
     bits: int | None = None,
     mode: str = "overwrite",
+    bucket_mode: str = "width",
 ) -> None:
     """Write parquet Z-ordered on 2-4 numeric columns: every file covers a
     narrow interval in EVERY listed dimension simultaneously.
@@ -259,37 +260,63 @@ def z_order_write(
     applies to 100 TB tables queried along several axes. (The trade: each
     single dimension prunes ~n_files^(1/d) instead of n_files.)
 
-    Buckets are uniform-width over the observed global [min, max] (one
-    cheap agg; heavily skewed columns deserve a rank/log pre-transform —
-    same caveat as Delta's implementation). NULLs sort first (bucket 0).
-    The write itself is one repartitionByRange on the z-value (sampled
-    range boundaries, no global sort) + per-file sort.
+    ``bucket_mode='width'`` (default) buckets uniform-width over the
+    observed global [min, max] — one cheap agg, right for roughly-uniform
+    columns. ``bucket_mode='quantile'`` buckets by approxQuantile
+    boundaries instead (equi-DEPTH): on skewed columns uniform-width
+    collapses most rows into a few buckets and the z-curve degenerates to
+    a linear sort on the remaining dimension, while quantile buckets keep
+    every bucket equally populated (Delta's range-id approach). Quantile
+    mode caps bits at 8 (256 boundaries embedded as a literal array; the
+    per-row assignment is a codegen'd array count, no join). NULLs sort
+    first (bucket 0) in both modes. The write itself is one
+    repartitionByRange on the z-value (sampled range boundaries, no
+    global sort) + per-file sort.
     """
     if not 2 <= len(cols) <= 4:
         raise ValueError("z_order_write wants 2-4 columns")
+    if bucket_mode not in ("width", "quantile"):
+        raise ValueError(f"bucket_mode must be width|quantile, got {bucket_mode}")
     if bits is None:
-        bits = 60 // len(cols)
-    bounds = df.agg(
-        *[F.min(F.col(c).cast("double")).alias(f"min_{c}") for c in cols],
-        *[F.max(F.col(c).cast("double")).alias(f"max_{c}") for c in cols],
-    ).collect()[0]
+        bits = min(60 // len(cols), 8) if bucket_mode == "quantile" else 60 // len(cols)
+    if bucket_mode == "quantile" and bits > 8:
+        raise ValueError("quantile mode supports at most bits=8 (256 buckets)")
     n_buckets = 1 << bits
     bucketed = []
-    for c in cols:
-        lo, hi = bounds[f"min_{c}"], bounds[f"max_{c}"]
-        if lo is None or hi is None or hi <= lo:
-            bucketed.append(F.lit(0).cast("long"))
-            continue
-        norm = (F.col(c).cast("double") - F.lit(lo)) / F.lit(hi - lo)
-        bucketed.append(
-            F.coalesce(
-                F.least(
-                    F.lit(n_buckets - 1),
-                    F.floor(norm * F.lit(float(n_buckets))).cast("long"),
-                ),
-                F.lit(0).cast("long"),
+    if bucket_mode == "quantile":
+        probs = [i / n_buckets for i in range(1, n_buckets)]
+        for c in cols:
+            # Boundary b_k = approx k/n-quantile; bucket = #boundaries <= x.
+            bounds_c = df.select(F.col(c).cast("double").alias(c)).na.drop()
+            qs = bounds_c.approxQuantile(c, probs, 1.0 / (4 * n_buckets))
+            if not qs:
+                bucketed.append(F.lit(0).cast("long"))
+                continue
+            arr = F.array(*[F.lit(float(q)) for q in qs])
+            cnt = F.size(
+                F.filter(arr, lambda b: b <= F.col(c).cast("double"))
+            ).cast("long")
+            bucketed.append(F.coalesce(cnt, F.lit(0).cast("long")))
+    else:
+        bounds = df.agg(
+            *[F.min(F.col(c).cast("double")).alias(f"min_{c}") for c in cols],
+            *[F.max(F.col(c).cast("double")).alias(f"max_{c}") for c in cols],
+        ).collect()[0]
+        for c in cols:
+            lo, hi = bounds[f"min_{c}"], bounds[f"max_{c}"]
+            if lo is None or hi is None or hi <= lo:
+                bucketed.append(F.lit(0).cast("long"))
+                continue
+            norm = (F.col(c).cast("double") - F.lit(lo)) / F.lit(hi - lo)
+            bucketed.append(
+                F.coalesce(
+                    F.least(
+                        F.lit(n_buckets - 1),
+                        F.floor(norm * F.lit(float(n_buckets))).cast("long"),
+                    ),
+                    F.lit(0).cast("long"),
+                )
             )
-        )
     zed = df.withColumn("_z", z_value(bucketed, bits))
     ranged = (
         zed.repartitionByRange(num_files, F.col("_z"))

@@ -925,3 +925,58 @@ def q_events_rolling_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame
             "n_users_7d_approx"
         )
     )
+
+
+@register(
+    "events_type_value_ranks",
+    # The full ranking-function surface in one query: row_number / rank /
+    # dense_rank / percent_rank / cume_dist over (value micros, event_id)
+    # per event type. percent_rank=(rank-1)/(n-1) and cume_dist=frac<=cur
+    # are single exactly-rounded integer divisions — portable. Restricted
+    # to the top 50 rows per type to keep the graded output bounded.
+    oracle="""
+WITH m AS (
+  SELECT event_id, event_type,
+         CAST(FLOOR(value * 1000000) AS BIGINT) AS vm
+  FROM events
+),
+r AS (
+  SELECT event_id, event_type, vm,
+         CAST(ROW_NUMBER() OVER w AS BIGINT) AS rn,
+         CAST(RANK() OVER w AS BIGINT) AS rnk,
+         CAST(DENSE_RANK() OVER w AS BIGINT) AS drnk,
+         PERCENT_RANK() OVER w AS prnk,
+         CUME_DIST() OVER w AS cdist
+  FROM m
+  WINDOW w AS (PARTITION BY event_type ORDER BY vm DESC, event_id ASC)
+)
+SELECT event_id, event_type, rn, rnk, drnk, prnk, cdist
+FROM r WHERE rn <= 50
+""",
+    tags=("events", "window", "ranking"),
+)
+def q_events_type_value_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 highest-value events per type with the complete ranking-
+    function family — one shuffle on event_type serves all five windows
+    (identical partitioning + ordering), and InferWindowGroupLimit prunes
+    via the row_number predicate."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.floor(F.col("value") * 1000000).cast("long").alias("vm"),
+    )
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("vm").desc(), F.col("event_id").asc()
+    )
+    return (
+        ev.select(
+            "event_id",
+            "event_type",
+            F.row_number().over(w).cast("long").alias("rn"),
+            F.rank().over(w).cast("long").alias("rnk"),
+            F.dense_rank().over(w).cast("long").alias("drnk"),
+            F.percent_rank().over(w).alias("prnk"),
+            F.cume_dist().over(w).alias("cdist"),
+        )
+        .filter(F.col("rn") <= 50)
+    )

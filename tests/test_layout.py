@@ -144,3 +144,54 @@ def test_prune_files_keeps_null_stat_files(spark):
     )
     kept = prune_files(stats, "v", lo=50.0, hi=60.0)
     assert kept == ["b"]  # 'a' and 'c' provably miss; 'b' unknown -> kept
+
+
+def test_z_order_quantile_mode_handles_skew(spark, tmp_path):
+    """Log-normal-ish skew: uniform-width bucketing collapses ~all rows of
+    the skewed column into a couple of buckets (the z-curve degenerates),
+    while quantile bucketing keeps per-file envelopes narrow in the
+    POPULATED region. Measured as the mean per-file row-coverage: with
+    equi-depth buckets, a single-dim point filter on the skewed column
+    must admit far fewer ROWS than under width bucketing."""
+    import random
+
+    rng = random.Random(11)
+    # x uniform; y heavily skewed (99% of mass in [0, 1), tail to 10_000)
+    pts = [
+        (
+            i,
+            rng.random() * 64.0,
+            rng.random() if i % 100 else rng.random() * 10_000.0,
+        )
+        for i in range(20_000)
+    ]
+    df = spark.createDataFrame(pts, ["row_id", "x", "y"]).repartition(8)
+
+    w_path = str(tmp_path / "width")
+    q_path = str(tmp_path / "quantile")
+    z_order_write(df, w_path, ["x", "y"], num_files=16, bucket_mode="width")
+    z_order_write(df, q_path, ["x", "y"], num_files=16, bucket_mode="quantile")
+
+    def rows_admitted(path, col, val):
+        """Rows living in files whose [min,max] envelope admits val."""
+        d = spark.read.parquet(path).withColumn("_f", F.input_file_name())
+        per = (
+            d.groupBy("_f")
+            .agg(
+                F.min(col).alias("lo"),
+                F.max(col).alias("hi"),
+                F.count(F.lit(1)).alias("n"),
+            )
+            .collect()
+        )
+        return sum(r["n"] for r in per if r["lo"] <= val <= r["hi"])
+
+    # Point lookup in the dense region of the skewed column.
+    w_rows = rows_admitted(w_path, "y", 0.5)
+    q_rows = rows_admitted(q_path, "y", 0.5)
+    assert q_rows < w_rows * 0.6, (q_rows, w_rows)
+    # And the uniform column still prunes under quantile mode.
+    qx = rows_admitted(q_path, "x", 10.0)
+    assert qx < 20_000 * 0.8, qx
+    # Same data either way.
+    assert spark.read.parquet(q_path).count() == 20_000
