@@ -104,6 +104,7 @@ GRADE_OVERFLOW = frozenset(
         "events_user_state_cdc",
         "events_rolling_distinct_users",
         "events_type_value_ranks",
+        "events_value_trend",
     }
 )
 

@@ -980,3 +980,84 @@ def q_events_type_value_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("rn") <= 50)
     )
+
+
+@register(
+    "events_value_trend",
+    # Distributed simple linear regression per group, exactly: slope and
+    # intercept derive from the moment sums (n, Σx, Σy, Σxy, Σx²) — x =
+    # day index (small int), y = value micros — accumulated in 128-bit
+    # integer arithmetic (decimal(38,0) / HUGEINT), then one identical
+    # chain of exactly-rounded double ops on both engines. The one-pass
+    # map-combinable form of OLS: no gradient loop, no second scan.
+    oracle="""
+WITH m AS (
+  SELECT event_type,
+         CAST(date_diff('day', DATE '2020-01-01',
+                        CAST(date_trunc('day', ts) AS DATE)) AS BIGINT) AS x,
+         CAST(FLOOR(value * 1000000) AS BIGINT) AS y
+  FROM events
+),
+s AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         SUM(x) AS sx, SUM(y) AS sy, SUM(x * y) AS sxy, SUM(x * x) AS sxx
+  FROM m GROUP BY event_type
+)
+SELECT event_type, n,
+       (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+       / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS slope_micros_per_day,
+       (CAST(sy AS DOUBLE)
+        - ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+            - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+           / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+          * CAST(sx AS DOUBLE))
+       / CAST(n AS DOUBLE) AS intercept_micros
+FROM s
+WHERE CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0
+""",
+    tags=("events", "stats", "regression"),
+)
+def q_events_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type value trend (OLS slope/intercept over day index): the
+    closed-form moments fit — ONE aggregation pass with map-side partials,
+    which is how regression runs at 100 TB (never iterative descent over
+    the raw data). Degenerate groups (single day) are excluded by the
+    variance guard."""
+    ev = load_table(spark, sf_dir, "events")
+    m = ev.select(
+        "event_type",
+        F.datediff(
+            F.date_trunc("day", F.col("ts")).cast("date"), F.lit("2020-01-01").cast("date")
+        )
+        .cast("long")
+        .alias("x"),
+        F.floor(F.col("value") * 1000000).cast("long").alias("y"),
+    )
+    s = m.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("x").cast("decimal(38,0)")).alias("sx"),
+        F.sum(F.col("y").cast("decimal(38,0)")).alias("sy"),
+        F.sum((F.col("x") * F.col("y")).cast("decimal(38,0)")).alias("sxy"),
+        F.sum((F.col("x") * F.col("x")).cast("decimal(38,0)")).alias("sxx"),
+    )
+    nd = F.col("n").cast("double")
+    sxd = F.col("sx").cast("double")
+    syd = F.col("sy").cast("double")
+    sxyd = F.col("sxy").cast("double")
+    sxxd = F.col("sxx").cast("double")
+    denom = nd * sxxd - sxd * sxd
+    slope = (nd * sxyd - sxd * syd) / denom
+    return (
+        s.filter(denom > 0)
+        .select(
+            "event_type",
+            "n",
+            slope.alias("slope_micros_per_day"),
+            ((syd - slope * sxd) / nd).alias("intercept_micros"),
+        )
+    )

@@ -97,3 +97,94 @@ def running_user_stats(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
     )
+
+
+SCD2_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("version", LongType()),
+        StructField("event_type", StringType()),
+        StructField("valid_from_us", LongType()),
+        StructField("valid_to_us", LongType()),
+        StructField("n_events", LongType()),
+    ]
+)
+
+_SCD2_STATE_SCHEMA = StructType(
+    [
+        StructField("cur_type", StringType()),
+        StructField("valid_from_us", LongType()),
+        StructField("n_events", LongType()),
+        StructField("version", LongType()),
+    ]
+)
+
+
+def _update_scd2(
+    key: tuple[Any, ...],
+    batches: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    (user_id,) = key
+    if state.hasTimedOut:
+        state.remove()
+        return
+    if state.exists:
+        cur_type, valid_from, n_events, version = state.get
+    else:
+        cur_type, valid_from, n_events, version = None, 0, 0, 0
+    closed: list[tuple] = []
+    pdf = pd.concat(list(batches), ignore_index=True)
+    pdf["ts_us"] = pdf["ts"].astype("int64") // 1000
+    pdf = pdf.sort_values(["ts_us", "event_id"])
+    for ts_us, etype in zip(pdf["ts_us"], pdf["event_type"]):
+        if cur_type is None:
+            cur_type, valid_from, n_events, version = str(etype), int(ts_us), 1, 1
+        elif str(etype) == cur_type:
+            n_events += 1
+        else:
+            closed.append(
+                (user_id, version, cur_type, valid_from, int(ts_us), n_events)
+            )
+            cur_type, valid_from, n_events = str(etype), int(ts_us), 1
+            version += 1
+    state.update((cur_type, valid_from, n_events, version))
+    state.setTimeoutDuration(3600 * 1000)
+    if closed:
+        yield pd.DataFrame(
+            closed,
+            columns=[
+                "user_id",
+                "version",
+                "event_type",
+                "valid_from_us",
+                "valid_to_us",
+                "n_events",
+            ],
+        )
+
+
+def streaming_scd2(events: DataFrame) -> DataFrame:
+    """Streaming SCD Type-2 run compaction: per-user state carries the OPEN
+    interval (current type, start, count, version) across microbatches and
+    emits each interval the moment a type change CLOSES it — append-mode
+    output, so every emitted row is final and warehouse-appendable.
+
+    Matches the batch ``events_user_state_scd2`` exactly on the closed
+    intervals (pytest-asserted across a forced multi-batch run) PROVIDED
+    each user's rows arrive in event-time order across triggers — true for
+    time-partitioned file ingest. Out-of-order arrivals within one
+    microbatch are repaired by the per-batch sort; across microbatches
+    they would mis-chain (the documented limit of append-final emission:
+    re-sequence late sources with the batch builder instead).
+
+    Scale: state is one tiny tuple per ACTIVE user (not per event), store-
+    partitioned by user_id; idle keys expire after 1 h processing time.
+    """
+    return events.groupBy("user_id").applyInPandasWithState(
+        _update_scd2,
+        outputStructType=SCD2_SCHEMA,
+        stateStructType=_SCD2_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )

@@ -67,3 +67,53 @@ def test_stream_incremental_rollup_converges_and_is_idempotent(spark, tmp_path):
     )
     after = sorted(map(tuple, spark.read.parquet(rollup_dir).collect()))
     assert after == before
+
+
+def test_streaming_scd2_closed_intervals_match_batch(spark, tmp_path):
+    """Two time-ordered microbatches through the stateful SCD2: every
+    CLOSED interval must equal the batch builder's non-current rows —
+    state carries open runs across the trigger boundary."""
+    from procurement_data_pipeline_spark.registry import load_all
+    from procurement_data_pipeline_spark.streaming.pipeline import (
+        read_event_stream,
+        run_to_completion,
+    )
+    from procurement_data_pipeline_spark.streaming.stateful import streaming_scd2
+
+    ev = load_table(spark, SF_DIR, "events")
+    mid = ev.agg(
+        (F.min(F.unix_micros("ts")) + F.max(F.unix_micros("ts"))) / 2
+    ).collect()[0][0]
+    src = str(tmp_path / "events_src")
+    # Two files, split by event time: per-user order holds across triggers.
+    ev.filter(F.unix_micros("ts") <= mid).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    ev.filter(F.unix_micros("ts") > mid).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+
+    stream = read_event_stream(spark, src, max_files_per_trigger=1)
+    got = run_to_completion(
+        streaming_scd2(stream),
+        str(tmp_path / "ckpt_scd2"),
+        query_name="scd2_stream",
+        output_mode="append",
+    )
+    got_closed = {
+        (r.user_id, r.version): (r.event_type, r.valid_from_us, r.valid_to_us, r.n_events)
+        for r in got
+    }
+    batch = load_all()["events_user_state_scd2"].builder(spark, SF_DIR)
+    want_closed = {
+        (r["user_id"], r["version"]): (
+            r["event_type"],
+            r["valid_from_us"],
+            r["valid_to_us"],
+            r["n_events"],
+        )
+        for r in batch.collect()
+        if r["is_current"] == 0
+    }
+    assert got_closed == want_closed
+    assert len(got_closed) > 0
