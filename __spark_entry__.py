@@ -105,6 +105,7 @@ GRADE_OVERFLOW = frozenset(
         "events_rolling_distinct_users",
         "events_type_value_ranks",
         "events_value_trend",
+        "events_type_cooccurrence",
     }
 )
 

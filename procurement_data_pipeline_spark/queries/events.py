@@ -889,11 +889,15 @@ def q_events_rolling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_trunc("day", F.col("ts")).cast("date").alias("day"), "user_id"
     ).distinct()
     days = pairs.select("day").distinct().select(F.col("day").alias("win_day"))
-    expanded = pairs.join(
-        F.broadcast(days),
-        (F.col("day") <= F.col("win_day"))
-        & (F.col("day") >= F.date_sub(F.col("win_day"), 6)),
-    )
+    # Equi-join form of the trailing window: each pair explodes into the
+    # <=7 window-days it serves (a generator, no join), then a broadcast
+    # SEMI join keeps only observed days — hash join, never a nested loop.
+    expanded = pairs.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.col("day"), F.date_add(F.col("day"), 6))
+        ).alias("win_day"),
+    ).join(F.broadcast(days), "win_day", "left_semi")
     return expanded.groupBy(F.col("win_day").alias("day")).agg(
         F.countDistinct("user_id").alias("n_users_7d")
     )
@@ -915,11 +919,13 @@ def q_events_rolling_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame
         F.date_trunc("day", F.col("ts")).cast("date").alias("day")
     ).agg(F.hll_sketch_agg(F.col("user_id"), F.lit(12)).alias("sketch"))
     days = daily.select(F.col("day").alias("win_day"))
-    expanded = daily.join(
-        F.broadcast(days),
-        (F.col("day") <= F.col("win_day"))
-        & (F.col("day") >= F.date_sub(F.col("win_day"), 6)),
-    )
+    # Same explode + broadcast-semi equi form as the exact twin.
+    expanded = daily.select(
+        "sketch",
+        F.explode(
+            F.sequence(F.col("day"), F.date_add(F.col("day"), 6))
+        ).alias("win_day"),
+    ).join(F.broadcast(days), "win_day", "left_semi")
     return expanded.groupBy(F.col("win_day").alias("day")).agg(
         F.hll_sketch_estimate(F.hll_union_agg(F.col("sketch"))).alias(
             "n_users_7d_approx"
@@ -1060,4 +1066,89 @@ def q_events_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             slope.alias("slope_micros_per_day"),
             ((syd - slope * sxd) / nd).alias("intercept_micros"),
         )
+    )
+
+
+@register(
+    "events_type_cooccurrence",
+    # Market-basket pair mining over sessions: which event types co-occur
+    # inside the same user session, with support counts. Sessions reuse
+    # the 30-min-gap derivation verbatim; pairs come from a self-join of
+    # the DISTINCT (session, type) relation (a < b dedup) — counts bounded
+    # by #types², the join bounded by per-session type sets, never raw
+    # events × events.
+    oracle=f"""
+WITH base AS (
+  SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us FROM events
+),
+flagged AS (
+  SELECT user_id, event_type, ts_us, event_id,
+         CASE WHEN ts_us - LAG(ts_us) OVER w > {SESSION_GAP_MIN} * 60 * 1000000
+              OR LAG(ts_us) OVER w IS NULL
+              THEN 1 ELSE 0 END AS is_new
+  FROM base
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+),
+sessions AS (
+  SELECT user_id, event_type,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS session_idx
+  FROM flagged
+),
+items AS (
+  SELECT DISTINCT user_id, session_idx, event_type FROM sessions
+)
+SELECT a.event_type AS type_a, b.event_type AS type_b,
+       CAST(COUNT(*) AS BIGINT) AS n_sessions
+FROM items a
+JOIN items b
+  ON a.user_id = b.user_id AND a.session_idx = b.session_idx
+ AND a.event_type < b.event_type
+GROUP BY type_a, type_b
+""",
+    tags=("events", "cooccurrence", "sessions"),
+)
+def q_events_type_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-level event-type co-occurrence (association-mining support
+    counts): sessionize (the engine's gap derivation), reduce to distinct
+    (session, type) items, self-join within session with an a<b dedup.
+    The one user_id shuffle serves sessionization, the distinct, AND both
+    join sides (co-partitioned self-join); output is bounded by types²."""
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "ts_us", F.unix_micros(F.col("ts"))
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    flagged = ev.withColumn(
+        "is_new",
+        F.when(
+            F.col("ts_us") - F.lag("ts_us").over(w)
+            > SESSION_GAP_MIN * 60 * 1_000_000,
+            1,
+        )
+        .when(F.lag("ts_us").over(w).isNull(), 1)
+        .otherwise(0),
+    )
+    items = (
+        flagged.withColumn(
+            "session_idx",
+            F.sum("is_new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .select("user_id", "session_idx", "event_type")
+        .distinct()
+    )
+    a = items.alias("a")
+    b = items.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.session_idx") == F.col("b.session_idx"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_sessions"))
     )
