@@ -106,6 +106,8 @@ GRADE_OVERFLOW = frozenset(
         "events_type_value_ranks",
         "events_value_trend",
         "events_type_cooccurrence",
+        "events_daily_dense",
+        "docs_dedup_keep_best",
     }
 )
 

@@ -407,3 +407,46 @@ def temperature_weights(
     n = F.count(F.lit(1)).cast("double")
     w = F.sqrt(n) if alpha == 0.5 else F.pow(n, F.lit(alpha))
     return df.groupBy(source_col).agg(w.alias("weight"))
+
+
+def quality_weighted_sample(
+    df: DataFrame,
+    score_col: str = "quality_score",
+    key_col: str = "doc_id",
+    tiers: list[tuple[float, float]] | None = None,
+    salt: str = "qsample",
+) -> DataFrame:
+    """Quality-weighted data selection: documents are kept with a
+    probability that steps by quality tier — the soft form of hard quality
+    filtering (a hard cutoff discards every mid-quality document; stepped
+    rates keep a deterministic, reproducible sample of each tier, the
+    DCLM/FineWeb-style recipe).
+
+    ``tiers`` is a descending list of (min_score, keep_rate); a row's rate
+    is the first tier whose threshold its score meets (default:
+    >=0.8 -> 1.0, >=0.5 -> 0.5, else 0.125). Per-row keep/drop is the
+    portable md5-hash filter on ``key_col`` — deterministic across
+    engines, retries, and corpus growth, and the rates are constants, so
+    the whole selection is oracle-checkable. Cost: one scan, zero
+    shuffles, zero joins (the score is a row-local expression).
+    """
+    if tiers is None:
+        tiers = [(0.8, 1.0), (0.5, 0.5), (0.0, 0.125)]
+    if sorted(tiers, key=lambda t: -t[0]) != tiers:
+        raise ValueError("tiers must be sorted by descending min_score")
+    rate = None
+    for min_score, keep_rate in tiers:
+        cond = F.col(score_col) >= F.lit(min_score)
+        rate = (
+            F.when(cond, F.lit(keep_rate))
+            if rate is None
+            else rate.when(cond, F.lit(keep_rate))
+        )
+    rate = rate.otherwise(F.lit(0.0))
+    thresh = F.format_string(
+        "%08x", F.floor(rate * F.lit(4294967296.0)).cast("bigint")
+    )
+    return df.filter(
+        (rate >= 1.0)
+        | (F.substring(hash_key(key_col, salt), 1, _PREFIX_LEN) < thresh)
+    )

@@ -226,7 +226,7 @@ def q_docs_vocab_topk_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
 # 3-gram shingles for the near-dup clustering step — IMPORTED from
 # queries/text.py (not copied) so this oracle's clustering can never drift
 # from the docs_dedup_clusters derivation it must mirror verbatim.
-from procurement_data_pipeline_spark.queries.text import _W3  # noqa: E402
+from procurement_data_pipeline_spark.queries.text import _EN, _W3  # noqa: E402
 
 
 @register(
@@ -395,4 +395,56 @@ def q_docs_corpus_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame
     docs = load_table(spark, sf_dir, "documents")
     return corpus_mix(docs, temperature_weights(docs, alpha=0.5)).select(
         "doc_id", "source"
+    )
+
+
+@register(
+    "docs_quality_weighted_sample",
+    # Stepped keep-rates by quality tier (>=0.8 keep all, >=0.5 keep 1/2,
+    # else keep 1/8) over the bit-stable quality score; md5 thresholds are
+    # constants, so the selection replays exactly.
+    oracle=f"""
+WITH feats AS (
+  SELECT doc_id, source,
+         CAST(len({_WORDS}) AS DOUBLE) AS wc,
+         CAST(len(list_filter({_WORDS}, w -> list_contains([{_EN}], w))) AS DOUBLE) AS sw,
+         CAST(length(text) AS DOUBLE) AS chars
+  FROM documents
+),
+scored AS (
+  SELECT doc_id, source,
+         LEAST(1.0, wc / 100.0) * 0.4
+         + LEAST(1.0, (sw / wc) * 4.0) * 0.3
+         + LEAST(1.0, (chars / wc) / 8.0) * 0.3 AS q
+  FROM feats
+),
+rated AS (
+  SELECT doc_id, source, q,
+         CASE WHEN q >= 0.8 THEN 1.0
+              WHEN q >= 0.5 THEN 0.5
+              ELSE 0.125 END AS keep_rate
+  FROM scored
+)
+SELECT doc_id, source, q AS quality_score
+FROM rated
+WHERE keep_rate >= 1.0
+   OR SUBSTR(md5(COALESCE(CAST(doc_id AS VARCHAR), '<null>') || 'qsample'), 1, 8)
+      < printf('%08x', CAST(FLOOR(keep_rate * 4294967296) AS BIGINT))
+""",
+    tags=("llm", "curation", "quality-sampling"),
+)
+def q_docs_quality_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Soft quality filtering: stepped deterministic keep-rates by quality
+    tier (llm_ops/curation.quality_weighted_sample) — one scan, zero
+    shuffles; the reproducible alternative to a hard cutoff."""
+    from procurement_data_pipeline_spark.llm_ops.curation import (
+        quality_weighted_sample,
+    )
+    from procurement_data_pipeline_spark.llm_ops.text import quality_score
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", quality_score("text").alias("quality_score")
+    )
+    return quality_weighted_sample(docs).select(
+        "doc_id", "source", "quality_score"
     )

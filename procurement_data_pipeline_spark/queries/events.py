@@ -1152,3 +1152,64 @@ def q_events_type_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("n_sessions"))
     )
+
+
+@register(
+    "events_daily_dense",
+    # Calendar densification: every (day, type) cell of the full observed
+    # date range, zero-filled where no events landed — reporting layers
+    # need dense series (a missing day must read as 0, not vanish).
+    oracle="""
+WITH obs AS (
+  SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type FROM events
+),
+bounds AS (
+  SELECT MIN(day) AS lo, MAX(day) AS hi FROM obs
+),
+days AS (
+  SELECT CAST(unnest(generate_series(CAST(lo AS TIMESTAMP),
+                                     CAST(hi AS TIMESTAMP),
+                                     INTERVAL 1 DAY)) AS DATE) AS day
+  FROM bounds
+),
+types AS (
+  SELECT DISTINCT event_type FROM obs
+),
+counts AS (
+  SELECT day, event_type, COUNT(*) AS n FROM obs GROUP BY day, event_type
+)
+SELECT d.day, t.event_type, CAST(COALESCE(c.n, 0) AS BIGINT) AS n_events
+FROM days d
+CROSS JOIN types t
+LEFT JOIN counts c ON c.day = d.day AND c.event_type = t.event_type
+""",
+    tags=("events", "densify", "calendar"),
+)
+def q_events_daily_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense (day x type) grid with zero-filled gaps. The calendar derives
+    from a 1-row bounds aggregate exploded into days; the grid is a
+    constant-key broadcast join of two tiny relations (#days x #types),
+    and only the final left join touches aggregated data — the fact table
+    is scanned once for counts, once for bounds/types (both count-only)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.date_trunc("day", F.col("ts")).cast("date").alias("day"),
+        "event_type",
+    )
+    counts = ev.groupBy("day", "event_type").agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    days = (
+        ev.agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
+        .select(F.explode(F.sequence(F.col("lo"), F.col("hi"))).alias("day"))
+    )
+    types = ev.select("event_type").distinct()
+    grid = (
+        days.withColumn("_k", F.lit(1))
+        .join(F.broadcast(types.withColumn("_k", F.lit(1))), "_k")
+        .drop("_k")
+    )
+    return grid.join(counts, ["day", "event_type"], "left").select(
+        "day",
+        "event_type",
+        F.coalesce(F.col("n_events"), F.lit(0)).cast("long").alias("n_events"),
+    )

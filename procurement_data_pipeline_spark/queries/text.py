@@ -533,3 +533,89 @@ def q_docs_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 5)
         .select("doc_id", "word", "tf", "df", "tfidf", "rank")
     )
+
+
+@register(
+    "docs_dedup_keep_best",
+    # Keep-BEST near-dedup: the same Jaccard-0.8 connected components as
+    # docs_dedup_clusters, but each cluster's survivor is its highest-
+    # QUALITY member (tie → lowest doc_id) instead of the lowest id — the
+    # curation-grade policy (min-id can keep the worst copy). Quality is
+    # the bit-stable heuristic score, so the argmax agrees cross-engine.
+    oracle=f"""
+WITH RECURSIVE sh AS (
+  SELECT DISTINCT doc_id AS _id, unnest({_W3}) AS w
+  FROM documents
+),
+sizes AS (
+  SELECT _id, COUNT(*) AS _sz FROM sh GROUP BY _id
+),
+inter AS (
+  SELECT a._id AS doc_a, b._id AS doc_b, COUNT(*) AS _inter
+  FROM sh a JOIN sh b ON a.w = b.w AND a._id < b._id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT doc_a, doc_b
+  FROM inter
+  JOIN sizes sa ON doc_a = sa._id
+  JOIN sizes sb ON doc_b = sb._id
+  WHERE CAST(_inter AS DOUBLE) / CAST(sa._sz + sb._sz - _inter AS DOUBLE) >= 0.8
+),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION
+  SELECT doc_b AS src, doc_a AS dst FROM pairs
+),
+reach AS (
+  SELECT src AS id, src AS label FROM edges
+  UNION
+  SELECT e.dst AS id, r.label
+  FROM edges e JOIN reach r ON e.src = r.id
+),
+comp AS (
+  SELECT id, MIN(label) AS component FROM reach GROUP BY id
+),
+scored AS (
+  SELECT doc_id,
+         COALESCE(c.component, doc_id) AS cluster_id,
+         LEAST(1.0, CAST(len({_WORDS}) AS DOUBLE) / 100.0) * 0.4
+         + LEAST(1.0, (CAST(len(list_filter({_WORDS},
+                            w -> list_contains([{_EN}], w))) AS DOUBLE)
+                       / CAST(len({_WORDS}) AS DOUBLE)) * 4.0) * 0.3
+         + LEAST(1.0, (CAST(length(text) AS DOUBLE)
+                       / CAST(len({_WORDS}) AS DOUBLE)) / 8.0) * 0.3
+           AS quality_score
+  FROM documents d
+  LEFT JOIN comp c ON d.doc_id = c.id
+)
+SELECT doc_id, cluster_id, quality_score FROM (
+  SELECT doc_id, cluster_id, quality_score,
+         ROW_NUMBER() OVER (PARTITION BY cluster_id
+                            ORDER BY quality_score DESC, doc_id ASC) AS rn
+  FROM scored
+) WHERE rn = 1
+""",
+    tags=("text", "llm", "dedup", "quality"),
+)
+def q_docs_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dedup keeping each cluster's highest-quality member — compose
+    the cluster derivation with the quality score and a per-cluster argmax
+    window. One extra shuffle (cluster_id) over docs_dedup_clusters."""
+    from procurement_data_pipeline_spark.llm_ops.dedup import dedup_clusters
+    from procurement_data_pipeline_spark.llm_ops.text import quality_score
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, n=3, threshold=0.8)
+    clusters = dedup_clusters(docs, pairs).select("doc_id", "cluster_id")
+    scored = docs.select(
+        "doc_id", quality_score("text").alias("quality_score")
+    ).join(clusters, "doc_id")
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("quality_score").desc(), F.col("doc_id").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "cluster_id", "quality_score")
+    )

@@ -317,3 +317,68 @@ def test_rolling_distinct_hll_tracks_exact(spark):
     assert set(approx) == set(exact)
     for d, n in exact.items():
         assert abs(approx[d] - n) <= max(0.05 * n, 2), (d, approx[d], n)
+
+
+def test_quality_weighted_sample_tier_rates(spark):
+    """Each tier's kept fraction sits near its declared rate, and the
+    top tier is kept in full."""
+    from procurement_data_pipeline_spark.llm_ops.curation import (
+        quality_weighted_sample,
+    )
+    from procurement_data_pipeline_spark.llm_ops.text import quality_score
+
+    docs = load_table(spark, "/root/testdata/sf0.01", "documents").select(
+        "doc_id", quality_score("text").alias("quality_score")
+    )
+    kept = quality_weighted_sample(docs)
+    import math
+
+    def tier(df, lo, hi):
+        return df.filter(
+            (F.col("quality_score") >= lo) & (F.col("quality_score") < hi)
+        ).count()
+
+    for lo, hi, rate in ((0.8, 10.0, 1.0), (0.5, 0.8, 0.5), (-1.0, 0.5, 0.125)):
+        n, k = tier(docs, lo, hi), tier(kept, lo, hi)
+        if n == 0:
+            continue
+        expect = n * rate
+        assert abs(k - expect) <= 4 * math.sqrt(max(expect, 1)) + 2, (
+            lo,
+            k,
+            expect,
+        )
+    # top tier exactly whole
+    assert tier(kept, 0.8, 10.0) == tier(docs, 0.8, 10.0)
+
+
+def test_dedup_keep_best_beats_min_id_quality(spark):
+    """keep-best must select, per multi-member cluster, a member whose
+    quality is >= the min-id member's — and exactly one survivor per
+    cluster."""
+    best = load_all()["docs_dedup_keep_best"].builder(spark, SF_DIR).collect()
+    clusters = load_all()["docs_dedup_clusters"].builder(spark, SF_DIR)
+    qual = {
+        r["doc_id"]: r["quality_score"]
+        for r in load_all()["docs_quality_score"].builder(spark, SF_DIR).collect()
+    }
+    members: dict[int, list[int]] = {}
+    for r in clusters.collect():
+        members.setdefault(r["cluster_id"], []).append(r["doc_id"])
+    by_cluster = {r["cluster_id"]: r["doc_id"] for r in best}
+    assert set(by_cluster) == set(members)  # one survivor per cluster
+    for cid, ms in members.items():
+        min_id = min(ms)
+        assert qual[by_cluster[cid]] >= qual[min_id] - 1e-12
+
+
+def test_daily_dense_zero_fills_gaps(spark):
+    dense = load_all()["events_daily_dense"].builder(spark, SF_DIR)
+    rows = dense.collect()
+    days = sorted({r["day"] for r in rows})
+    types = {r["event_type"] for r in rows}
+    # full grid: every (day, type) cell present exactly once
+    assert len(rows) == len(days) * len(types)
+    assert (days[-1] - days[0]).days + 1 == len(days)  # calendar-dense
+    ev = load_table(spark, SF_DIR, "events")
+    assert sum(r["n_events"] for r in rows) == ev.count()
