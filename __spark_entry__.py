@@ -108,6 +108,8 @@ GRADE_OVERFLOW = frozenset(
         "events_type_cooccurrence",
         "events_daily_dense",
         "docs_dedup_keep_best",
+        "abc_part_classification",
+        "supplier_scorecard",
     }
 )
 

@@ -565,3 +565,116 @@ def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("numwait").desc(), F.col("s_name"))
         .limit(100)
     )
+
+
+@register(
+    "abc_part_classification",
+    # ABC (Pareto) inventory classification — the procurement classic: rank
+    # parts by revenue, classify by cumulative share (A <= 80%, B <= 95%,
+    # C rest). Revenue accumulates in exact integer cents; shares are
+    # single exactly-rounded divisions of exact longs, so the class cuts
+    # agree bit-exactly. The global window runs over the PART-grain rollup
+    # (dimension-sized — #parts rows, not facts), the acceptable place for
+    # a single-partition sort.
+    oracle=f"""
+WITH rev AS (
+  SELECT l_partkey AS partkey, SUM({_REVENUE_SQL}) AS rev_cents
+  FROM lineitem GROUP BY l_partkey
+),
+ranked AS (
+  SELECT partkey, CAST(rev_cents AS BIGINT) AS rev_cents,
+         CAST(SUM(rev_cents) OVER (ORDER BY rev_cents DESC, partkey ASC
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND CURRENT ROW) AS DOUBLE)
+         / CAST(SUM(rev_cents) OVER () AS DOUBLE) AS cum_share
+  FROM rev
+)
+SELECT partkey, rev_cents, cum_share,
+       CASE WHEN cum_share <= 0.80 THEN 'A'
+            WHEN cum_share <= 0.95 THEN 'B'
+            ELSE 'C' END AS abc_class
+FROM ranked
+""",
+    tags=("procurement", "abc", "pareto"),
+)
+def q_abc_part_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC classification of parts by revenue contribution (cumulative
+    Pareto share over the part-grain rollup; both the running and the
+    total sum ride ONE window partition — no scalar-subquery join)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = li.groupBy(F.col("l_partkey").alias("partkey")).agg(
+        F.sum(_disc_price_cents()).alias("rev_cents")
+    )
+    w = Window.orderBy(F.col("rev_cents").desc(), F.col("partkey").asc())
+    cum = F.sum("rev_cents").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    total = F.sum("rev_cents").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    share = cum.cast("double") / total.cast("double")
+    return rev.select(
+        "partkey",
+        F.col("rev_cents").cast("long").alias("rev_cents"),
+        share.alias("cum_share"),
+        F.when(share <= 0.80, "A")
+        .when(share <= 0.95, "B")
+        .otherwise("C")
+        .alias("abc_class"),
+    )
+
+
+@register(
+    "supplier_scorecard",
+    # Per-supplier delivery/quality scorecard: volume, exact-cents revenue,
+    # return rate, and mean discount — the vendor-evaluation rollup behind
+    # the reference's preferred-supplier ranking. Rates are single
+    # divisions of exact integers.
+    oracle=f"""
+WITH s AS (
+  SELECT l_suppkey,
+         CAST(COUNT(*) AS BIGINT) AS n_lines,
+         CAST(SUM({_REVENUE_SQL}) AS BIGINT) AS revenue_cents,
+         CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_returned,
+         SUM(CAST(FLOOR(l_discount * 10000) AS BIGINT)) AS disc_bp_total
+  FROM lineitem GROUP BY l_suppkey
+)
+SELECT s.l_suppkey AS suppkey, sup.s_name,
+       n_lines, revenue_cents,
+       CAST(n_returned AS DOUBLE) / CAST(n_lines AS DOUBLE) AS return_rate,
+       CAST(disc_bp_total AS DOUBLE) / CAST(n_lines AS DOUBLE) AS avg_discount_bp
+FROM s JOIN supplier sup ON s.l_suppkey = sup.s_suppkey
+""",
+    tags=("procurement", "scorecard", "supplier"),
+)
+def q_supplier_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vendor scorecard: one fact aggregation (map-side partials) + a
+    broadcast dimension join for names — the at-scale rollup shape."""
+    li = load_table(spark, sf_dir, "lineitem")
+    sup = load_table(spark, sf_dir, "supplier")
+    s = li.groupBy("l_suppkey").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(_disc_price_cents()).cast("long").alias("revenue_cents"),
+        F.sum(
+            F.when(F.col("l_returnflag") == "R", 1).otherwise(0)
+        ).alias("n_returned"),
+        F.sum(F.floor(F.col("l_discount") * 10000).cast("long")).alias(
+            "disc_bp_total"
+        ),
+    )
+    return s.join(
+        F.broadcast(sup.select("s_suppkey", "s_name")),
+        F.col("l_suppkey") == F.col("s_suppkey"),
+    ).select(
+        F.col("l_suppkey").alias("suppkey"),
+        "s_name",
+        "n_lines",
+        "revenue_cents",
+        (F.col("n_returned").cast("double") / F.col("n_lines").cast("double")).alias(
+            "return_rate"
+        ),
+        (
+            F.col("disc_bp_total").cast("double") / F.col("n_lines").cast("double")
+        ).alias("avg_discount_bp"),
+    )
