@@ -110,6 +110,7 @@ GRADE_OVERFLOW = frozenset(
         "docs_dedup_keep_best",
         "abc_part_classification",
         "supplier_scorecard",
+        "events_value_robust_stats",
     }
 )
 

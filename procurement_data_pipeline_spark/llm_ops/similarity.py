@@ -646,21 +646,26 @@ def semantic_decontaminate(
     flag is engine-portable. For an eval set too large to broadcast, route
     through lsh_ann instead (bucketed candidates, then this same rerank).
     """
+    # Constant-key LEFT join (not a bare cross): an EMPTY eval set must
+    # yield contaminated=0 for every corpus row, not silently drop the
+    # corpus — and the constant equi-key lets Spark plan a broadcast HASH
+    # join instead of a nested loop.
     e = eval_df.select(
-        F.col(id_col).alias("_eid"),
+        F.lit(1).alias("_k"),
         F.col(vec_col).alias("_evec"),
         F.sqrt(quantized_norm_sq(F.col(vec_col)).cast("double")).alias("_en"),
     )
     c = corpus.select(
-        id_col,
-        vec_col,
+        F.col(id_col),
+        F.col(vec_col),
         F.sqrt(quantized_norm_sq(F.col(vec_col)).cast("double")).alias("_cn"),
+        F.lit(1).alias("_k"),
     )
     score = quantized_dot(F.col(vec_col), F.col("_evec")).cast("double") / (
         F.col("_cn") * F.col("_en")
     )
     return (
-        c.join(F.broadcast(e))
+        c.join(F.broadcast(e), "_k", "left")
         .select(id_col, score.alias("_s"))
         .groupBy(id_col)
         .agg(F.max("_s").alias("max_eval_cos"))

@@ -20,8 +20,12 @@ runner (per-task failure isolation, retries, context hand-off):
                   every stage's delta is attributable)
 
 Every stage is a pure DataFrame→DataFrame function, so the same DAG
-backfills batch or rides foreachBatch incrementally; stage boundaries are
-natural places to checkpoint to the warehouse at scale.
+backfills batch or rides foreachBatch incrementally. Stage outputs are
+scoped-persisted: downstream stages and the report read each boundary once
+instead of replaying the whole upstream lineage per consumer (the report
+alone counts six stages — unpersisted, that would recompute the dedup +
+decontamination chain six times). At warehouse scale, swap the persist for
+a parquet checkpoint per stage.
 """
 
 from __future__ import annotations
@@ -37,6 +41,7 @@ from procurement_data_pipeline_spark.llm_ops.curation import (
 )
 from procurement_data_pipeline_spark.llm_ops.dedup import drop_exact_duplicates
 from procurement_data_pipeline_spark.llm_ops.sampling import split_train_eval
+from procurement_data_pipeline_spark.caching import scoped_persist
 from procurement_data_pipeline_spark.operators.expectations import (
     check,
     in_range,
@@ -71,11 +76,11 @@ def build_training_data_pipeline(
         clean, quarantine, summary = check(documents, expectations)
         ctx["gate_quarantine"] = quarantine
         ctx["gate_summary"] = summary
-        return clean
+        return scoped_persist(clean)
 
     @pipe.task("dedup", deps=("gate",))
     def dedup(ctx):
-        return drop_exact_duplicates(ctx["gate"])
+        return scoped_persist(drop_exact_duplicates(ctx["gate"]))
 
     @pipe.task("decontaminate", deps=("dedup",))
     def decon(ctx):
@@ -83,18 +88,18 @@ def build_training_data_pipeline(
         eval_df = ctx["dedup"].filter(F.col("source") == eval_source)
         flags = decontaminate(train, eval_df)
         clean_ids = flags.filter(~F.col("contaminated")).select("doc_id")
-        return train.join(clean_ids, "doc_id", "left_semi")
+        return scoped_persist(train.join(clean_ids, "doc_id", "left_semi"))
 
     @pipe.task("mix", deps=("decontaminate",))
     def mix(ctx):
         d = ctx["decontaminate"]
-        return corpus_mix(d, temperature_weights(d, alpha=0.5))
+        return scoped_persist(corpus_mix(d, temperature_weights(d, alpha=0.5)))
 
     @pipe.task("split", deps=("mix",))
     def split(ctx):
         train, holdout = split_train_eval(ctx["mix"], "doc_id", eval_fraction)
         ctx["holdout"] = holdout
-        return train
+        return scoped_persist(train)
 
     @pipe.task("pack", deps=("split",))
     def pack(ctx):

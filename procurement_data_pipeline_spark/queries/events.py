@@ -1213,3 +1213,57 @@ def q_events_daily_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         F.coalesce(F.col("n_events"), F.lit(0)).cast("long").alias("n_events"),
     )
+
+
+@register(
+    "events_value_robust_stats",
+    # Median absolute deviation per type — the robust complement to the
+    # moment-based z-score stats (one extreme outlier corrupts mean/std
+    # but moves median/MAD by at most one rank). Both medians are the
+    # same continuous-quantile interpolation over exact integer micros
+    # (deviations are exact half-integer doubles), so the chain is
+    # engine-portable; robust_sigma = MAD * 1.4826 (the normal-consistency
+    # constant) is one more exactly-rounded multiply.
+    oracle="""
+WITH m AS (
+  SELECT event_type, CAST(FLOOR(value * 1000000) AS BIGINT) AS vm FROM events
+),
+med AS (
+  SELECT event_type, quantile_cont(vm, 0.5) AS med_vm
+  FROM m GROUP BY event_type
+),
+dev AS (
+  SELECT m.event_type, m.vm, med.med_vm,
+         abs(CAST(m.vm AS DOUBLE) - med.med_vm) AS d
+  FROM m JOIN med USING (event_type)
+)
+SELECT event_type,
+       MIN(med_vm) / 1000000.0 AS median_value,
+       quantile_cont(d, 0.5) / 1000000.0 AS mad_value,
+       quantile_cont(d, 0.5) * 1.4826 / 1000000.0 AS robust_sigma
+FROM dev GROUP BY event_type
+""",
+    tags=("events", "stats", "robust"),
+)
+def q_events_value_robust_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type median + MAD + normal-consistent robust sigma: two grouped
+    quantile passes with a broadcast median join between them (group count
+    is bounded, so the join side is tiny). At 100 TB swap percentile for
+    approx_percentile exactly as the quantiles pair does."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.floor(F.col("value") * 1000000).cast("long").alias("vm")
+    )
+    med = ev.groupBy("event_type").agg(
+        F.percentile(F.col("vm"), F.lit(0.5)).alias("med_vm")
+    )
+    dev = ev.join(F.broadcast(med), "event_type").select(
+        "event_type",
+        "med_vm",
+        F.abs(F.col("vm").cast("double") - F.col("med_vm")).alias("d"),
+    )
+    mad = F.percentile(F.col("d"), F.lit(0.5))
+    return dev.groupBy("event_type").agg(
+        (F.min("med_vm") / F.lit(1000000.0)).alias("median_value"),
+        (mad / F.lit(1000000.0)).alias("mad_value"),
+        (mad * F.lit(1.4826) / F.lit(1000000.0)).alias("robust_sigma"),
+    )

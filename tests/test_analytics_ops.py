@@ -382,3 +382,17 @@ def test_daily_dense_zero_fills_gaps(spark):
     assert (days[-1] - days[0]).days + 1 == len(days)  # calendar-dense
     ev = load_table(spark, SF_DIR, "events")
     assert sum(r["n_events"] for r in rows) == ev.count()
+
+
+def test_semantic_decontaminate_empty_eval_set_flags_nothing(spark):
+    """An empty eval set must mark every corpus row clean (max NULL,
+    contaminated 0) — not silently drop the corpus (regression: the bare
+    cross join did exactly that)."""
+    from procurement_data_pipeline_spark.llm_ops.similarity import (
+        semantic_decontaminate,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    out = semantic_decontaminate(emb, emb.filter(F.col("vec_id") < 0)).collect()
+    assert len(out) == emb.count()
+    assert all(r["contaminated"] == 0 and r["max_eval_cos"] is None for r in out)

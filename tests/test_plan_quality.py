@@ -38,6 +38,7 @@ BNLJ_ALLOWED = {
     "docs_corpus_mix_temperature",  # same mixture-scale scalar broadcast
     "docs_tfidf_topterms",  # broadcast single-row corpus-size (N) scalar
     "emb_semantic_decontaminate",  # corpus × broadcast eval set by design
+    "events_daily_dense",  # bounded #days × #types calendar grid build
 }
 
 SF_DIR = "/root/testdata/sf0.001"
