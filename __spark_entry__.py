@@ -111,6 +111,7 @@ GRADE_OVERFLOW = frozenset(
         "abc_part_classification",
         "supplier_scorecard",
         "events_value_robust_stats",
+        "events_funnel_latency",
     }
 )
 

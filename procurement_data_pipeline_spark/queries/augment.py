@@ -229,3 +229,76 @@ def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events")
     return funnel_stages(ev, ["view", "click", "purchase"])
+
+
+@register(
+    "events_funnel_latency",
+    # Conversion latency through the view->click->purchase funnel: the
+    # strict MIN-cascade (t1 = first view; t2 = first click AFTER t1;
+    # t3 = first purchase AFTER t2), then interpolated latency quantiles
+    # over exact micros differences — the "how fast do users convert"
+    # companion to the stage-count funnel.
+    oracle="""
+WITH m AS (
+  SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events
+),
+t1 AS (
+  SELECT user_id, MIN(ts_us) AS t1 FROM m WHERE event_type = 'view'
+  GROUP BY user_id
+),
+t2 AS (
+  SELECT m.user_id, MIN(m.ts_us) AS t2, MIN(t1.t1) AS t1
+  FROM m JOIN t1 ON m.user_id = t1.user_id
+  WHERE m.event_type = 'click' AND m.ts_us > t1.t1
+  GROUP BY m.user_id
+),
+t3 AS (
+  SELECT m.user_id, MIN(m.ts_us) AS t3, MIN(t2.t1) AS t1
+  FROM m JOIN t2 ON m.user_id = t2.user_id
+  WHERE m.event_type = 'purchase' AND m.ts_us > t2.t2
+  GROUP BY m.user_id
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_converted,
+       quantile_cont(t3 - t1, 0.5) / 1000000.0 AS p50_latency_sec,
+       quantile_cont(t3 - t1, 0.95) / 1000000.0 AS p95_latency_sec
+FROM t3
+""",
+    tags=("events", "funnel", "latency"),
+)
+def q_events_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end conversion latency quantiles for the strict funnel. Each
+    cascade step is a conditional-min aggregation joined forward on
+    user_id — the same hash partitioning reused three times, never a
+    per-event window."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.unix_micros(F.col("ts")).alias("ts_us")
+    )
+    t1 = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("t1"))
+    )
+    t2 = (
+        ev.filter(F.col("event_type") == "click")
+        .join(t1, "user_id")
+        .filter(F.col("ts_us") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("t2"), F.min("t1").alias("t1"))
+    )
+    t3 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(t2, "user_id")
+        .filter(F.col("ts_us") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("t3"), F.min("t1").alias("t1"))
+    )
+    lat = F.col("t3") - F.col("t1")
+    return t3.agg(
+        F.count(F.lit(1)).alias("n_converted"),
+        (F.percentile(lat, F.lit(0.5)) / F.lit(1000000.0)).alias(
+            "p50_latency_sec"
+        ),
+        (F.percentile(lat, F.lit(0.95)) / F.lit(1000000.0)).alias(
+            "p95_latency_sec"
+        ),
+    )

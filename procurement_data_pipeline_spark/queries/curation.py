@@ -448,3 +448,125 @@ def q_docs_quality_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFram
     return quality_weighted_sample(docs).select(
         "doc_id", "source", "quality_score"
     )
+
+
+@register(
+    "docs_oov_rate",
+    # Out-of-vocabulary analysis: build the corpus top-1000 vocabulary
+    # (deterministic count-then-word tie-break), then each document's
+    # fraction of word occurrences outside it — the coverage signal that
+    # drives tokenizer-vocabulary sizing. Rates are single divisions of
+    # exact counts.
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_WORDS}) AS word FROM documents
+),
+vocab AS (
+  SELECT word FROM (
+    SELECT word, COUNT(*) AS n FROM tok GROUP BY word
+    ORDER BY n DESC, word ASC LIMIT 1000
+  )
+),
+flags AS (
+  SELECT t.doc_id,
+         CASE WHEN v.word IS NULL THEN 1 ELSE 0 END AS oov
+  FROM tok t LEFT JOIN vocab v ON t.word = v.word
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_words,
+       CAST(SUM(oov) AS BIGINT) AS n_oov,
+       CAST(SUM(oov) AS DOUBLE) / COUNT(*) AS oov_rate
+FROM flags GROUP BY doc_id
+""",
+    tags=("llm", "curation", "vocab"),
+)
+def q_docs_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document out-of-vocabulary rate against the corpus top-1000
+    vocabulary. The vocabulary is a bounded TakeOrdered result broadcast
+    into a LEFT join over the token stream; per-doc counts are one
+    map-combinable aggregation."""
+    from procurement_data_pipeline_spark.llm_ops.text import words
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(words("text")).alias("word"))
+    vocab = (
+        tok.groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("word").asc())
+        .limit(1000)
+        .select("word", F.lit(1).alias("_in_vocab"))
+    )
+    flags = tok.join(F.broadcast(vocab), "word", "left")
+    return flags.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_words"),
+        F.sum(F.when(F.col("_in_vocab").isNull(), 1).otherwise(0)).alias(
+            "n_oov"
+        ),
+        (
+            F.sum(
+                F.when(F.col("_in_vocab").isNull(), 1).otherwise(0)
+            ).cast("double")
+            / F.count(F.lit(1))
+        ).alias("oov_rate"),
+    )
+
+
+@register(
+    "docs_length_buckets",
+    # Length-bucketed batching analysis: assign each document to a fixed
+    # power-of-two token-capacity bucket and measure the padding a
+    # batch-by-bucket trainer would waste — the signal behind bucketed
+    # batching (pad-to-longest within a bucket, not the corpus max).
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, len({_WORDS}) AS n_tokens FROM documents
+),
+b AS (
+  SELECT doc_id, n_tokens,
+         CASE WHEN n_tokens <= 64 THEN 64
+              WHEN n_tokens <= 128 THEN 128
+              WHEN n_tokens <= 256 THEN 256
+              WHEN n_tokens <= 512 THEN 512
+              WHEN n_tokens <= 1024 THEN 1024
+              ELSE 2048 END AS bucket_cap
+  FROM t
+)
+SELECT CAST(bucket_cap AS BIGINT) AS bucket_cap,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       CAST(SUM(bucket_cap - n_tokens) AS BIGINT) AS padding_tokens,
+       CAST(SUM(bucket_cap - n_tokens) AS DOUBLE)
+       / (CAST(COUNT(*) AS DOUBLE) * bucket_cap) AS waste_frac
+FROM b GROUP BY bucket_cap
+""",
+    tags=("llm", "curation", "batching"),
+)
+def q_docs_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Padding-waste profile of power-of-two length bucketing: one pure
+    projection (fixed CASE edges, engine-portable) + one tiny grouped
+    aggregation — the measurement that justifies (or kills) a bucketed
+    batching strategy for a given corpus."""
+    from procurement_data_pipeline_spark.llm_ops.text import word_count
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", word_count("text").cast("long").alias("n_tokens")
+    )
+    cap = (
+        F.when(F.col("n_tokens") <= 64, 64)
+        .when(F.col("n_tokens") <= 128, 128)
+        .when(F.col("n_tokens") <= 256, 256)
+        .when(F.col("n_tokens") <= 512, 512)
+        .when(F.col("n_tokens") <= 1024, 1024)
+        .otherwise(2048)
+        .cast("long")
+    )
+    b = docs.withColumn("bucket_cap", cap)
+    return b.groupBy("bucket_cap").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.sum(F.col("bucket_cap") - F.col("n_tokens")).alias("padding_tokens"),
+        (
+            F.sum(F.col("bucket_cap") - F.col("n_tokens")).cast("double")
+            / (F.count(F.lit(1)).cast("double") * F.col("bucket_cap"))
+        ).alias("waste_frac"),
+    )
