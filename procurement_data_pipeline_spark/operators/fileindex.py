@@ -111,4 +111,60 @@ def prune_files(
     return [r["file"] for r in stats.filter(keep).select("file").collect()]
 
 
-__all__ = ["footer_stats", "prune_files"]
+def quarantine_corrupt_files(
+    spark: SparkSession, path: str, quarantine_dir: str
+) -> list[str]:
+    """Move parquet files whose FOOTER fails to parse into a quarantine
+    directory, returning the moved paths.
+
+    The operational reality of long-running ingests: a crashed writer
+    leaves a truncated file and every later scan of the directory dies on
+    it (`ignoreCorruptFiles` hides the loss silently — acceptable for ad
+    hoc reads, not for a warehouse that must ACCOUNT for its data).
+    Footer probing reuses the distributed pyarrow pass (O(files), no data
+    pages); moves go through the Hadoop FileSystem API so the same code
+    quarantines on hdfs:// and s3a://. Re-run after restoring a file to
+    fold it back in manually — the move is rename-based, content
+    untouched.
+    """
+    files = _list_parquet_files(spark, path)
+    if not files:
+        return []
+
+    def probe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pyarrow.parquet as pq
+
+        for pdf in batches:
+            rows = []
+            for uri in pdf["file"]:
+                local = uri[len("file:") :] if uri.startswith("file:") else uri
+                try:
+                    pq.ParquetFile(local).metadata  # noqa: B018 — probe only
+                    ok = True
+                except Exception:  # noqa: BLE001 — any parse failure quarantines
+                    ok = False
+                rows.append({"file": uri, "ok": ok})
+            yield pd.DataFrame(rows, columns=["file", "ok"])
+
+    paths_df = spark.createDataFrame(
+        [(f,) for f in files], "file string"
+    ).repartition(max(1, min(len(files), 64)))
+    bad = [
+        r["file"]
+        for r in paths_df.mapInPandas(probe, "file string, ok boolean")
+        .filter("NOT ok")
+        .collect()
+    ]
+    if not bad:
+        return []
+    jvm = spark._jvm
+    qroot = jvm.org.apache.hadoop.fs.Path(quarantine_dir)
+    fs = qroot.getFileSystem(spark._jsc.hadoopConfiguration())
+    fs.mkdirs(qroot)
+    for uri in bad:
+        src = jvm.org.apache.hadoop.fs.Path(uri)
+        fs.rename(src, jvm.org.apache.hadoop.fs.Path(qroot, src.getName()))
+    return bad
+
+
+__all__ = ["footer_stats", "prune_files", "quarantine_corrupt_files"]

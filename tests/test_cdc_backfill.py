@@ -121,3 +121,52 @@ def test_backfill_failed_chunk_isolates_and_resumes(spark, tmp_path):
     assert all(r.status == "success" for r in results2.values())
     audit = verify_incremental(spark, ev, _rollup, rollup_dir, "day")
     assert audit.count() == 0
+
+
+# ------------------------------------------------------------ telemetry
+
+
+def test_observed_write_metrics_ride_the_write_job(spark, tmp_path):
+    """One action: the parquet write both materializes the data AND yields
+    the audit metrics — equal to recomputed truth, no second job."""
+    from procurement_data_pipeline_spark.plans.telemetry import (
+        with_observed_write,
+    )
+
+    ev = load_table(spark, SF_DIR, "events")
+    path = str(tmp_path / "out")
+    got = with_observed_write(
+        ev,
+        path,
+        metrics={
+            # DISTINCT aggregates are disallowed in observed metrics —
+            # approx_count_distinct is the observed-metrics-legal form.
+            "n_users": F.approx_count_distinct("user_id"),
+            "value_micros": F.sum(
+                F.floor(F.col("value") * 1000000).cast("long")
+            ),
+        },
+    )
+    assert got["n_rows"] == ev.count()
+    exact_users = ev.select("user_id").distinct().count()
+    assert abs(got["n_users"] - exact_users) <= max(0.05 * exact_users, 2)
+    assert got["value_micros"] == ev.agg(
+        F.sum(F.floor(F.col("value") * 1000000).cast("long"))
+    ).collect()[0][0]
+    assert spark.read.parquet(path).count() == got["n_rows"]
+
+
+def test_observed_write_rejects_reserved_name(spark, tmp_path):
+    from procurement_data_pipeline_spark.plans.telemetry import (
+        with_observed_write,
+    )
+
+    try:
+        with_observed_write(
+            load_table(spark, SF_DIR, "events"),
+            str(tmp_path / "x"),
+            metrics={"n_rows": F.count(F.lit(1))},
+        )
+        raise AssertionError("expected ValueError")
+    except ValueError as e:
+        assert "reserved" in str(e)

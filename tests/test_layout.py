@@ -195,3 +195,49 @@ def test_z_order_quantile_mode_handles_skew(spark, tmp_path):
     assert qx < 20_000 * 0.8, qx
     # Same data either way.
     assert spark.read.parquet(q_path).count() == 20_000
+
+
+def test_quarantine_corrupt_files_restores_scannability(spark, tmp_path):
+    """A truncated parquet file kills directory scans; quarantining it
+    restores the directory and accounts for the loss explicitly."""
+    import glob
+    import os
+
+    from procurement_data_pipeline_spark.operators.fileindex import (
+        quarantine_corrupt_files,
+    )
+
+    path = str(tmp_path / "facts")
+    spark.createDataFrame(
+        [(i, float(i)) for i in range(1000)], ["row_id", "v"]
+    ).repartition(4).write.parquet(path)
+    victim = sorted(glob.glob(os.path.join(path, "*.parquet")))[0]
+    with open(victim, "r+b") as f:
+        f.truncate(40)  # destroy the footer
+
+    moved = quarantine_corrupt_files(spark, path, str(tmp_path / "quarantine"))
+    assert len(moved) == 1 and moved[0].endswith(os.path.basename(victim))
+    assert not os.path.exists(victim)
+    assert os.path.exists(
+        os.path.join(str(tmp_path / "quarantine"), os.path.basename(victim))
+    )
+    # The directory scans again; surviving rows are intact.
+    n = spark.read.parquet(path).count()
+    assert 0 < n < 1000
+
+    # Clean directory: nothing moves.
+    assert quarantine_corrupt_files(spark, path, str(tmp_path / "q2")) == []
+
+
+def test_schema_evolution_merge_read(spark, tmp_path):
+    """Appends with a widened schema stay readable: mergeSchema unions the
+    columns and back-fills NULL for pre-evolution files."""
+    path = str(tmp_path / "evolving")
+    spark.createDataFrame([(1, "a")], "id long, s string").write.parquet(path)
+    spark.createDataFrame(
+        [(2, "b", 9.5)], "id long, s string, score double"
+    ).write.mode("append").parquet(path)
+    merged = spark.read.option("mergeSchema", True).parquet(path)
+    assert set(merged.columns) == {"id", "s", "score"}
+    rows = {r["id"]: r["score"] for r in merged.collect()}
+    assert rows[1] is None and rows[2] == 9.5
