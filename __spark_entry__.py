@@ -112,6 +112,7 @@ GRADE_OVERFLOW = frozenset(
         "supplier_scorecard",
         "events_value_robust_stats",
         "events_funnel_latency",
+        "emb_int8_quantize",
     }
 )
 

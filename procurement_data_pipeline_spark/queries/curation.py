@@ -570,3 +570,70 @@ def q_docs_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.count(F.lit(1)).cast("double") * F.col("bucket_cap"))
         ).alias("waste_frac"),
     )
+
+
+@register(
+    "docs_chunking",
+    # Overlapping-window document chunking (RAG / context-window prep):
+    # 100-word chunks with 20-word overlap -> stride 80; chunk k covers
+    # words [1 + 80k, 1 + 80k + 99]. Pure array expressions (sequence +
+    # slice), no UDF; word counts are exact ints so the chunk layout is
+    # engine-portable. Emits one row per chunk with its word span and a
+    # first-words fingerprint prefix.
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, {_WORDS} AS ws, len({_WORDS}) AS n FROM documents
+),
+chunks AS (
+  SELECT doc_id, n,
+         unnest(range(0, CASE WHEN n <= 100 THEN 1
+                              ELSE 1 + CAST(CEIL((n - 100) / 80.0) AS BIGINT)
+                         END)) AS chunk_idx,
+         ws
+  FROM t
+)
+SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+       CAST(1 + 80 * chunk_idx AS BIGINT) AS start_word,
+       CAST(LEAST(CAST(n AS BIGINT), 80 * chunk_idx + 100) - 80 * chunk_idx
+            AS BIGINT) AS n_words,
+       md5(array_to_string(ws[(1 + 80 * chunk_idx):(80 * chunk_idx + 100)], ' '))
+         AS chunk_md5
+FROM chunks
+""",
+    tags=("llm", "curation", "chunking"),
+)
+def q_docs_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping chunk layout per document (stride 80, window 100): the
+    retrieval/context-prep primitive. One projection with a bounded
+    per-doc sequence explode — no shuffle at all until a consumer
+    aggregates."""
+    from procurement_data_pipeline_spark.llm_ops.text import words
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", words("text").alias("ws")).withColumn(
+        "n", F.size("ws").cast("long")
+    )
+    n_chunks = F.when(F.col("n") <= 100, F.lit(1).cast("long")).otherwise(
+        1 + F.ceil((F.col("n") - 100) / F.lit(80.0)).cast("long")
+    )
+    chunks = t.select(
+        "doc_id",
+        "n",
+        "ws",
+        F.explode(F.sequence(F.lit(0).cast("long"), n_chunks - 1)).alias(
+            "chunk_idx"
+        ),
+    )
+    start = 1 + 80 * F.col("chunk_idx")
+    return chunks.select(
+        "doc_id",
+        "chunk_idx",
+        start.alias("start_word"),
+        (
+            F.least(F.col("n"), 80 * F.col("chunk_idx") + 100)
+            - 80 * F.col("chunk_idx")
+        ).alias("n_words"),
+        F.md5(
+            F.concat_ws(" ", F.slice(F.col("ws"), start.cast("int"), 100))
+        ).alias("chunk_md5"),
+    )

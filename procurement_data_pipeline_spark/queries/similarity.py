@@ -321,3 +321,62 @@ def q_emb_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb.filter(F.col("vec_id") < 10),
         threshold=0.8,
     )
+
+
+@register(
+    "emb_int8_quantize",
+    # Per-dimension min/max int8 quantization of the embedding corpus —
+    # the 4x storage/bandwidth compression an ANN serving tier applies
+    # before PQ. All arithmetic is exact: micro-quantized components,
+    # integer (v-min)*255, one exactly-rounded double division + floor.
+    # Constant dimensions (span 0) quantize to 0.
+    oracle="""
+WITH pts AS (
+  SELECT vec_id,
+         list_transform(embedding,
+                        x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS p
+  FROM embeddings
+),
+pe AS (
+  SELECT vec_id, generate_subscripts(p, 1) AS pos, unnest(p) AS v FROM pts
+),
+b AS (
+  SELECT pos, MIN(v) AS mn, MAX(v) AS mx FROM pe GROUP BY pos
+)
+SELECT pe.vec_id, CAST(pe.pos - 1 AS INTEGER) AS pos,
+       CAST(CASE WHEN b.mx > b.mn
+                 THEN FLOOR(CAST((pe.v - b.mn) * 255 AS DOUBLE)
+                            / CAST(b.mx - b.mn AS DOUBLE)) - 128
+                 ELSE 0 END AS INTEGER) AS q
+FROM pe JOIN b USING (pos)
+""",
+    tags=("similarity", "llm", "quantization"),
+)
+def q_emb_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus int8 quantization: one skinny posexplode pass computes the
+    per-dimension bounds (64 groups), a broadcast join maps every
+    component to its int8 code. At serving scale the codes re-pack to an
+    array<byte> column; the long-form rows here are the hash-gradeable
+    layout."""
+    from procurement_data_pipeline_spark.llm_ops.similarity import _micro
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pe = emb.select(
+        "vec_id", F.posexplode(_micro(F.col("embedding"))).alias("pos", "v")
+    )
+    b = pe.groupBy("pos").agg(F.min("v").alias("mn"), F.max("v").alias("mx"))
+    q = (
+        F.when(
+            F.col("mx") > F.col("mn"),
+            F.floor(
+                ((F.col("v") - F.col("mn")) * 255).cast("double")
+                / (F.col("mx") - F.col("mn")).cast("double")
+            )
+            - 128,
+        )
+        .otherwise(0)
+        .cast("int")
+    )
+    return pe.join(F.broadcast(b), "pos").select(
+        "vec_id", F.col("pos").cast("int").alias("pos"), q.alias("q")
+    )
