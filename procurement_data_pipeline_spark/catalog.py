@@ -285,10 +285,14 @@ def z_order_write(
     bucketed = []
     if bucket_mode == "quantile":
         probs = [i / n_buckets for i in range(1, n_buckets)]
-        for c in cols:
+        # ONE multi-column approxQuantile pass (it ignores nulls); the
+        # per-column form would scan the input once per z-order column.
+        doubled = df.select(
+            *[F.col(c).cast("double").alias(c) for c in cols]
+        )
+        all_qs = doubled.approxQuantile(list(cols), probs, 1.0 / (4 * n_buckets))
+        for c, qs in zip(cols, all_qs):
             # Boundary b_k = approx k/n-quantile; bucket = #boundaries <= x.
-            bounds_c = df.select(F.col(c).cast("double").alias(c)).na.drop()
-            qs = bounds_c.approxQuantile(c, probs, 1.0 / (4 * n_buckets))
             if not qs:
                 bucketed.append(F.lit(0).cast("long"))
                 continue
@@ -308,13 +312,15 @@ def z_order_write(
                 bucketed.append(F.lit(0).cast("long"))
                 continue
             norm = (F.col(c).cast("double") - F.lit(lo)) / F.lit(hi - lo)
+            # NULL guard must wrap the whole expression: F.least SKIPS
+            # nulls (least(k, NULL) = k), so a coalesce around it never
+            # fires and NULLs would land in the TOP bucket instead of 0.
             bucketed.append(
-                F.coalesce(
+                F.when(F.col(c).isNull(), F.lit(0).cast("long")).otherwise(
                     F.least(
                         F.lit(n_buckets - 1),
                         F.floor(norm * F.lit(float(n_buckets))).cast("long"),
-                    ),
-                    F.lit(0).cast("long"),
+                    )
                 )
             )
     zed = df.withColumn("_z", z_value(bucketed, bits))

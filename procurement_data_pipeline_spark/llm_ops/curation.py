@@ -381,6 +381,8 @@ __all__ = [
     "pack_sequences",
     "pack_sequences_two_level",
     "repetition_metrics",
+    "temperature_weights",
+    "quality_weighted_sample",
 ]
 
 
@@ -423,26 +425,34 @@ def quality_weighted_sample(
     DCLM/FineWeb-style recipe).
 
     ``tiers`` is a descending list of (min_score, keep_rate); a row's rate
-    is the first tier whose threshold its score meets (default:
-    >=0.8 -> 1.0, >=0.5 -> 0.5, else 0.125). Per-row keep/drop is the
-    portable md5-hash filter on ``key_col`` — deterministic across
-    engines, retries, and corpus growth, and the rates are constants, so
-    the whole selection is oracle-checkable. Cost: one scan, zero
-    shuffles, zero joins (the score is a row-local expression).
+    is the first tier whose threshold its score meets, and the FINAL tier
+    is the unconditional catch-all (its min_score is not evaluated): rows
+    below every listed threshold — including NULL scores, which no >=
+    comparison can admit — take the last tier's rate rather than being
+    silently dropped. This matches the SQL CASE ... ELSE form the oracle
+    uses. Default: >=0.8 -> 1.0, >=0.5 -> 0.5, else 0.125. Per-row
+    keep/drop is the portable md5-hash filter on ``key_col`` —
+    deterministic across engines, retries, and corpus growth, and the
+    rates are constants, so the whole selection is oracle-checkable.
+    Cost: one scan, zero shuffles, zero joins (the score is a row-local
+    expression).
     """
     if tiers is None:
         tiers = [(0.8, 1.0), (0.5, 0.5), (0.0, 0.125)]
+    if not tiers:
+        raise ValueError("at least one tier required")
     if sorted(tiers, key=lambda t: -t[0]) != tiers:
         raise ValueError("tiers must be sorted by descending min_score")
     rate = None
-    for min_score, keep_rate in tiers:
+    for min_score, keep_rate in tiers[:-1]:
         cond = F.col(score_col) >= F.lit(min_score)
         rate = (
             F.when(cond, F.lit(keep_rate))
             if rate is None
             else rate.when(cond, F.lit(keep_rate))
         )
-    rate = rate.otherwise(F.lit(0.0))
+    last_rate = F.lit(float(tiers[-1][1]))
+    rate = last_rate if rate is None else rate.otherwise(last_rate)
     thresh = F.format_string(
         "%08x", F.floor(rate * F.lit(4294967296.0)).cast("bigint")
     )

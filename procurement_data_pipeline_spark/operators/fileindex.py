@@ -7,11 +7,14 @@ files, the per-file open cost dominates selective scans. These helpers
 recover the metadata-layer behavior for plain parquet directories:
 
 * :func:`footer_stats` — per-file (path, rows, min, max per column) from
-  parquet FOOTERS only. The file listing comes from the Hadoop FileSystem
-  API (works on hdfs:// and s3a://, same contract as catalog/incremental),
-  and the footer reads are a distributed job: paths are parallelized and
-  each executor reads footers with pyarrow — no data pages are touched, so
-  cost is O(files), not O(bytes).
+  parquet FOOTERS only. The file listing goes through the Hadoop
+  FileSystem API; the footer reads are a distributed job: paths are
+  parallelized and each executor opens footers with pyarrow — no data
+  pages are touched, so cost is O(files), not O(bytes). Non-local URIs
+  resolve through ``pyarrow.fs.FileSystem.from_uri`` on the workers, so
+  schemes work exactly as far as the installed pyarrow build supports
+  them (S3 in stock wheels; hdfs needs libhdfs) — an unsupported scheme
+  fails the job loudly rather than misreporting.
 * :func:`prune_files` — the file paths whose [min, max] envelope intersects
   a predicate range; feed them back to ``spark.read.parquet(*files)`` for
   a scan that never opens a prunable file.
@@ -43,6 +46,22 @@ def _list_parquet_files(spark: SparkSession, path: str) -> list[str]:
     return out
 
 
+def _open_target(uri: str) -> tuple:
+    """(path, filesystem-or-None) for pyarrow.parquet.ParquetFile.
+
+    file: URIs strip to plain local paths; any other scheme resolves via
+    pyarrow.fs.FileSystem.from_uri, which raises for schemes the installed
+    pyarrow build does not support — a loud failure, never a misread."""
+    if uri.startswith("file:"):
+        return uri[len("file:") :], None
+    if "://" not in uri:
+        return uri, None
+    from pyarrow import fs as pafs
+
+    filesystem, path = pafs.FileSystem.from_uri(uri)
+    return path, filesystem
+
+
 def footer_stats(spark: SparkSession, path: str, cols: list[str]) -> DataFrame:
     """Per-file min/max/row-count for ``cols``, reading only parquet footers.
 
@@ -62,8 +81,8 @@ def footer_stats(spark: SparkSession, path: str, cols: list[str]) -> DataFrame:
         for pdf in batches:
             rows = []
             for uri in pdf["file"]:
-                local = uri[len("file:") :] if uri.startswith("file:") else uri
-                meta = pq.ParquetFile(local).metadata
+                target, pafs_fs = _open_target(uri)
+                meta = pq.ParquetFile(target, filesystem=pafs_fs).metadata
                 names = {meta.schema.column(i).name: i for i in range(meta.num_columns)}
                 rec = {"file": uri, "n_rows": meta.num_rows}
                 for c in cols:
@@ -134,14 +153,21 @@ def quarantine_corrupt_files(
     def probe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import pyarrow.parquet as pq
 
+        import pyarrow as pa
+
         for pdf in batches:
             rows = []
             for uri in pdf["file"]:
-                local = uri[len("file:") :] if uri.startswith("file:") else uri
+                target, pafs_fs = _open_target(uri)
                 try:
-                    pq.ParquetFile(local).metadata  # noqa: B018 — probe only
+                    pq.ParquetFile(target, filesystem=pafs_fs).metadata  # noqa: B018
                     ok = True
-                except Exception:  # noqa: BLE001 — any parse failure quarantines
+                except pa.ArrowException:
+                    # Footer fails to PARSE -> corrupt. Environmental
+                    # failures (missing file, permissions, unsupported
+                    # scheme) raise OSError/ValueError instead and fail
+                    # the job loudly — a healthy-but-unreadable file must
+                    # never be classified as corrupt and moved.
                     ok = False
                 rows.append({"file": uri, "ok": ok})
             yield pd.DataFrame(rows, columns=["file", "ok"])
@@ -163,7 +189,13 @@ def quarantine_corrupt_files(
     fs.mkdirs(qroot)
     for uri in bad:
         src = jvm.org.apache.hadoop.fs.Path(uri)
-        fs.rename(src, jvm.org.apache.hadoop.fs.Path(qroot, src.getName()))
+        dst = jvm.org.apache.hadoop.fs.Path(qroot, src.getName())
+        # Hadoop rename reports failure via its return value, not an
+        # exception (existing destination, cross-filesystem move) — a
+        # corrupt file we could not actually move must not be reported
+        # as repaired.
+        if not fs.rename(src, dst):
+            raise IOError(f"failed to quarantine {uri} -> {dst}")
     return bad
 
 

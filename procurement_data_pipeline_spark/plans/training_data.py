@@ -84,8 +84,14 @@ def build_training_data_pipeline(
 
     @pipe.task("decontaminate", deps=("dedup",))
     def decon(ctx):
-        train = ctx["dedup"].filter(F.col("source") != eval_source)
-        eval_df = ctx["dedup"].filter(F.col("source") == eval_source)
+        # eqNullSafe: a NULL source is NOT the eval source — plain != would
+        # evaluate to NULL and silently drop such docs from BOTH sides.
+        train = ctx["dedup"].filter(
+            ~F.col("source").eqNullSafe(F.lit(eval_source))
+        )
+        eval_df = ctx["dedup"].filter(
+            F.col("source").eqNullSafe(F.lit(eval_source))
+        )
         flags = decontaminate(train, eval_df)
         clean_ids = flags.filter(~F.col("contaminated")).select("doc_id")
         return scoped_persist(train.join(clean_ids, "doc_id", "left_semi"))

@@ -186,6 +186,7 @@ def stream_incremental_rollup(
     checkpoint_dir: str,
     fact_date_col: str = "ts",
     timeout_sec: int = 120,
+    schema: str = EVENTS_STREAM_SCHEMA,
 ) -> None:
     """Streaming-maintained rollup: watch the fact directory as a stream and
     refresh ONLY the rollup partitions each microbatch touches.
@@ -204,7 +205,12 @@ def stream_incremental_rollup(
         incremental_refresh,
     )
 
-    stream = read_event_stream(spark, fact_path)
+    # The file-source stream needs an explicit schema; pass the fact
+    # table's schema for non-events directories — an explicit-schema file
+    # source silently back-fills NULL for missing columns, so a schema
+    # mismatch would otherwise disable the refresh without an error.
+    configure_runtime(spark)
+    stream = spark.readStream.format("parquet").schema(schema).load(fact_path)
 
     def _refresh(batch_df: DataFrame, _batch_id: int) -> None:
         dates = [

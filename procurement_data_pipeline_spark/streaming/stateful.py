@@ -120,51 +120,59 @@ _SCD2_STATE_SCHEMA = StructType(
 )
 
 
-def _update_scd2(
-    key: tuple[Any, ...],
-    batches: Iterator[pd.DataFrame],
-    state: GroupState,
-) -> Iterator[pd.DataFrame]:
-    (user_id,) = key
-    if state.hasTimedOut:
-        state.remove()
-        return
-    if state.exists:
-        cur_type, valid_from, n_events, version = state.get
-    else:
-        cur_type, valid_from, n_events, version = None, 0, 0, 0
-    closed: list[tuple] = []
-    pdf = pd.concat(list(batches), ignore_index=True)
-    pdf["ts_us"] = pdf["ts"].astype("int64") // 1000
-    pdf = pdf.sort_values(["ts_us", "event_id"])
-    for ts_us, etype in zip(pdf["ts_us"], pdf["event_type"]):
-        if cur_type is None:
-            cur_type, valid_from, n_events, version = str(etype), int(ts_us), 1, 1
-        elif str(etype) == cur_type:
-            n_events += 1
+def _make_update_scd2(timeout_ms: int | None):
+    """Factory: the per-group update closure captures the timeout via
+    cloudpickle, so the configured value travels to the workers (a module
+    global would reset to its default when workers re-import)."""
+
+    def _update_scd2(
+        key: tuple[Any, ...],
+        batches: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        if state.hasTimedOut:
+            state.remove()
+            return
+        if state.exists:
+            cur_type, valid_from, n_events, version = state.get
         else:
-            closed.append(
-                (user_id, version, cur_type, valid_from, int(ts_us), n_events)
+            cur_type, valid_from, n_events, version = None, 0, 0, 0
+        closed: list[tuple] = []
+        pdf = pd.concat(list(batches), ignore_index=True)
+        pdf["ts_us"] = pdf["ts"].astype("int64") // 1000
+        pdf = pdf.sort_values(["ts_us", "event_id"])
+        for ts_us, etype in zip(pdf["ts_us"], pdf["event_type"]):
+            if cur_type is None:
+                cur_type, valid_from, n_events, version = str(etype), int(ts_us), 1, 1
+            elif str(etype) == cur_type:
+                n_events += 1
+            else:
+                closed.append(
+                    (user_id, version, cur_type, valid_from, int(ts_us), n_events)
+                )
+                cur_type, valid_from, n_events = str(etype), int(ts_us), 1
+                version += 1
+        state.update((cur_type, valid_from, n_events, version))
+        if timeout_ms is not None:
+            state.setTimeoutDuration(timeout_ms)
+        if closed:
+            yield pd.DataFrame(
+                closed,
+                columns=[
+                    "user_id",
+                    "version",
+                    "event_type",
+                    "valid_from_us",
+                    "valid_to_us",
+                    "n_events",
+                ],
             )
-            cur_type, valid_from, n_events = str(etype), int(ts_us), 1
-            version += 1
-    state.update((cur_type, valid_from, n_events, version))
-    state.setTimeoutDuration(3600 * 1000)
-    if closed:
-        yield pd.DataFrame(
-            closed,
-            columns=[
-                "user_id",
-                "version",
-                "event_type",
-                "valid_from_us",
-                "valid_to_us",
-                "n_events",
-            ],
-        )
+
+    return _update_scd2
 
 
-def streaming_scd2(events: DataFrame) -> DataFrame:
+def streaming_scd2(events: DataFrame, timeout_ms: int | None = None) -> DataFrame:
     """Streaming SCD Type-2 run compaction: per-user state carries the OPEN
     interval (current type, start, count, version) across microbatches and
     emits each interval the moment a type change CLOSES it — append-mode
@@ -178,13 +186,22 @@ def streaming_scd2(events: DataFrame) -> DataFrame:
     they would mis-chain (the documented limit of append-final emission:
     re-sequence late sources with the batch builder instead).
 
-    Scale: state is one tiny tuple per ACTIVE user (not per event), store-
-    partitioned by user_id; idle keys expire after 1 h processing time.
+    Scale: state is one tiny tuple per USER (not per event), store-
+    partitioned by user_id. By default state never expires — correct
+    versioning requires remembering every user's open run. Pass
+    ``timeout_ms`` to bound state for unbounded key spaces, accepting the
+    documented trade: an expired user's OPEN interval is dropped
+    unemitted and their versions restart at 1 on return, so downstream
+    must treat (user_id, version) as unique only within a state epoch.
     """
     return events.groupBy("user_id").applyInPandasWithState(
-        _update_scd2,
+        _make_update_scd2(timeout_ms),
         outputStructType=SCD2_SCHEMA,
         stateStructType=_SCD2_STATE_SCHEMA,
         outputMode="append",
-        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        timeoutConf=(
+            GroupStateTimeout.ProcessingTimeTimeout
+            if timeout_ms is not None
+            else GroupStateTimeout.NoTimeout
+        ),
     )

@@ -241,3 +241,30 @@ def test_schema_evolution_merge_read(spark, tmp_path):
     assert set(merged.columns) == {"id", "s", "score"}
     rows = {r["id"]: r["score"] for r in merged.collect()}
     assert rows[1] is None and rows[2] == 9.5
+
+
+def test_z_order_width_mode_nulls_bucket_low(spark, tmp_path):
+    """NULLs must co-locate with the LOW end in width mode (regression:
+    F.least skips nulls, which silently sent them to the top bucket)."""
+    # Constant second column: the z-value then depends only on 'a', so the
+    # bucket placement of NULLs is directly observable via file grouping
+    # (with a varying second dim, the z-curve can legitimately interleave
+    # NULL-a/high-b rows near top-a/low-b rows).
+    df = spark.createDataFrame(
+        [(i, None if i < 50 else float(i), 1.0) for i in range(1000)],
+        "row_id long, a double, b double",
+    )
+    path = str(tmp_path / "z")
+    z_order_write(df, path, ["a", "b"], num_files=4, bucket_mode="width")
+    back = spark.read.parquet(path).withColumn("_f", F.input_file_name())
+    null_files = {
+        r["_f"] for r in back.filter(F.col("a").isNull()).select("_f").collect()
+    }
+    top_files = {
+        r["_f"] for r in back.filter(F.col("a") > 900).select("_f").collect()
+    }
+    low_files = {
+        r["_f"] for r in back.filter(F.col("a") < 200).select("_f").collect()
+    }
+    assert null_files.isdisjoint(top_files), "NULLs co-located with max values"
+    assert null_files <= low_files  # bucket-0 placement: NULLs ride the low end
