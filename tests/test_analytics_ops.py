@@ -396,3 +396,56 @@ def test_semantic_decontaminate_empty_eval_set_flags_nothing(spark):
     out = semantic_decontaminate(emb, emb.filter(F.col("vec_id") < 0)).collect()
     assert len(out) == emb.count()
     assert all(r["contaminated"] == 0 and r["max_eval_cos"] is None for r in out)
+
+
+def test_chunking_covers_every_word_with_declared_overlap(spark):
+    """Chunk layout invariants: spans start at 1+80k, the final chunk ends
+    exactly at the doc's word count, consecutive chunks overlap by 20
+    words (when full), and every word index is covered."""
+    from procurement_data_pipeline_spark.llm_ops.text import word_count
+
+    chunks = load_all()["docs_chunking"].builder(spark, SF_DIR).collect()
+    n_words = {
+        r["doc_id"]: r["n"]
+        for r in load_table(spark, SF_DIR, "documents")
+        .select("doc_id", word_count("text").alias("n"))
+        .collect()
+    }
+    by_doc: dict[int, list] = {}
+    for r in chunks:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert set(by_doc) == set(n_words)
+    for doc, rs in by_doc.items():
+        rs.sort(key=lambda r: r["chunk_idx"])
+        assert [r["chunk_idx"] for r in rs] == list(range(len(rs)))
+        covered_end = 0
+        for r in rs:
+            assert r["start_word"] == 1 + 80 * r["chunk_idx"]
+            assert r["start_word"] <= covered_end + 1  # no gap
+            covered_end = max(covered_end, r["start_word"] + r["n_words"] - 1)
+        assert covered_end == n_words[doc], doc  # full coverage, exact end
+
+
+def test_int8_quantization_reconstruction_bound(spark):
+    """Dequantized codes sit within one quantization step of the original
+    micro component: |v - (mn + (q+128)*span/255)| <= span/255 + 1."""
+    q_rows = load_all()["emb_int8_quantize"].builder(spark, SF_DIR).collect()
+    emb = load_table(spark, SF_DIR, "embeddings").collect()
+    import math
+
+    micro = {
+        r["vec_id"]: [math.floor(x * 1e6) for x in r["embedding"]] for r in emb
+    }
+    dims = len(next(iter(micro.values())))
+    mn = [min(v[p] for v in micro.values()) for p in range(dims)]
+    mx = [max(v[p] for v in micro.values()) for p in range(dims)]
+    assert len(q_rows) == len(micro) * dims
+    for r in q_rows:
+        v = micro[r["vec_id"]][r["pos"]]
+        span = mx[r["pos"]] - mn[r["pos"]]
+        assert -128 <= r["q"] <= 127
+        if span == 0:
+            assert r["q"] == 0
+            continue
+        deq = mn[r["pos"]] + (r["q"] + 128) * span / 255.0
+        assert abs(v - deq) <= span / 255.0 + 1, (r, v, deq)
