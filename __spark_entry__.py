@@ -113,6 +113,8 @@ GRADE_OVERFLOW = frozenset(
         "events_value_robust_stats",
         "events_funnel_latency",
         "emb_int8_quantize",
+        "events_value_hour_correlation",
+        "events_type_share_daily",
     }
 )
 

@@ -1267,3 +1267,112 @@ def q_events_value_robust_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         (mad / F.lit(1000000.0)).alias("mad_value"),
         (mad * F.lit(1.4826) / F.lit(1000000.0)).alias("robust_sigma"),
     )
+
+
+@register(
+    "events_value_hour_correlation",
+    # Pearson correlation between event value and hour-of-day per type,
+    # exactly: all five moment sums accumulate in 128-bit integer
+    # arithmetic (x = hour 0-23, y = value micros), then one identical
+    # chain of exactly-rounded double ops (incl. sqrt) — the same
+    # portability contract as the z-score and OLS queries. One
+    # map-combinable pass.
+    oracle="""
+WITH m AS (
+  SELECT event_type,
+         CAST(EXTRACT(hour FROM ts) AS BIGINT) AS x,
+         CAST(FLOOR(value * 1000000) AS BIGINT) AS y
+  FROM events
+),
+s AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         SUM(x) AS sx, SUM(y) AS sy, SUM(x * y) AS sxy,
+         SUM(x * x) AS sxx, SUM(y * y) AS syy
+  FROM m GROUP BY event_type
+)
+SELECT event_type, n,
+       (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+       / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+          * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                 - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+         AS hour_value_corr
+FROM s
+WHERE (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+       - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) > 0
+  AND (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+       - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) > 0
+""",
+    tags=("events", "stats", "correlation"),
+)
+def q_events_value_hour_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-type Pearson correlation (value vs hour-of-day) from one
+    pass of integer moment sums — no second scan, no built-in corr()
+    (whose internal double accumulation order is not engine-portable)."""
+    ev = load_table(spark, sf_dir, "events")
+    m = ev.select(
+        "event_type",
+        F.hour("ts").cast("long").alias("x"),
+        F.floor(F.col("value") * 1000000).cast("long").alias("y"),
+    )
+    s = m.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("x").cast("decimal(38,0)")).alias("sx"),
+        F.sum(F.col("y").cast("decimal(38,0)")).alias("sy"),
+        F.sum((F.col("x") * F.col("y")).cast("decimal(38,0)")).alias("sxy"),
+        F.sum((F.col("x") * F.col("x")).cast("decimal(38,0)")).alias("sxx"),
+        F.sum((F.col("y") * F.col("y")).cast("decimal(38,0)")).alias("syy"),
+    )
+    nd, sxd, syd = (F.col(c).cast("double") for c in ("n", "sx", "sy"))
+    sxyd, sxxd, syyd = (F.col(c).cast("double") for c in ("sxy", "sxx", "syy"))
+    vx = nd * sxxd - sxd * sxd
+    vy = nd * syyd - syd * syd
+    return (
+        s.filter((vx > 0) & (vy > 0))
+        .select(
+            "event_type",
+            "n",
+            ((nd * sxyd - sxd * syd) / (F.sqrt(vx) * F.sqrt(vy))).alias(
+                "hour_value_corr"
+            ),
+        )
+    )
+
+
+@register(
+    "events_type_share_daily",
+    # Ratio-to-report: each (day, type) cell's share of its day's events —
+    # the window-sum ratio pattern every dashboard needs. Shares are single
+    # exactly-rounded divisions of exact counts.
+    oracle="""
+WITH c AS (
+  SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
+         COUNT(*) AS n
+  FROM events GROUP BY 1, 2
+)
+SELECT day, event_type, CAST(n AS BIGINT) AS n_events,
+       CAST(n AS DOUBLE) / SUM(n) OVER (PARTITION BY day) AS day_share
+FROM c
+""",
+    tags=("events", "window", "ratio-to-report"),
+)
+def q_events_type_share_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percent-of-total per (day, type): aggregate once, then a window sum
+    over the tiny rollup (#days x #types rows) — the fact table never
+    shuffles twice."""
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.groupBy(
+        F.date_trunc("day", F.col("ts")).cast("date").alias("day"),
+        "event_type",
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    w = Window.partitionBy("day")
+    return c.select(
+        "day",
+        "event_type",
+        "n_events",
+        (F.col("n_events").cast("double") / F.sum("n_events").over(w)).alias(
+            "day_share"
+        ),
+    )
