@@ -162,3 +162,20 @@ def test_cdc_diff_joins_on_the_key(audits):
     s = audits["events_user_state_cdc"]
     assert s["bnlj"] == 0 and s["cartesian"] == 0, s
     assert s["exchanges"] <= 2, s
+
+
+def test_correlation_single_moments_pass(audits):
+    # Exact Pearson correlation: one grouped-moments shuffle, no joins —
+    # the fact table is scanned and shuffled exactly once.
+    s = audits["events_value_hour_correlation"]
+    assert s["exchanges"] <= 1, s
+    assert s["broadcast_joins"] == 0 and s["smj"] == 0 and s["bnlj"] == 0, s
+
+
+def test_share_windows_over_rollup_only(audits):
+    # Ratio-to-report: aggregate once, window over the tiny rollup — at
+    # most two exchanges (agg + day re-partition), never a second fact
+    # shuffle or a join.
+    s = audits["events_type_share_daily"]
+    assert s["exchanges"] <= 2, s
+    assert s["broadcast_joins"] == 0 and s["smj"] == 0 and s["bnlj"] == 0, s
