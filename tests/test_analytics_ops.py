@@ -449,3 +449,52 @@ def test_int8_quantization_reconstruction_bound(spark):
             continue
         deq = mn[r["pos"]] + (r["q"] + 128) * span / 255.0
         assert abs(v - deq) <= span / 255.0 + 1, (r, v, deq)
+
+
+def test_quality_weighted_sample_null_scores_take_last_tier(spark):
+    """NULL scores fall into the final catch-all tier (the oracle's ELSE
+    arm) instead of being silently dropped — regression for the review
+    fix; a rate-1.0 catch-all must keep every NULL-score row."""
+    from procurement_data_pipeline_spark.llm_ops.curation import (
+        quality_weighted_sample,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 0.9), (2, 0.6), (3, None), (4, 0.1)],
+        "doc_id long, quality_score double",
+    )
+    kept_all = quality_weighted_sample(
+        df, tiers=[(0.8, 1.0), (0.0, 1.0)]
+    ).collect()
+    assert {r["doc_id"] for r in kept_all} == {1, 2, 3, 4}  # NULL row kept
+    kept_none = quality_weighted_sample(
+        df, tiers=[(0.8, 1.0), (0.0, 0.0)]
+    ).collect()
+    assert {r["doc_id"] for r in kept_none} == {1}  # catch-all rate 0 drops
+
+
+def test_chunking_matches_python_model(spark):
+    """Model property: the chunk layout equals a direct Python computation
+    of the stride-80/window-100 scheme for every document."""
+    chunks = load_all()["docs_chunking"].builder(spark, SF_DIR).collect()
+    from procurement_data_pipeline_spark.llm_ops.text import word_count
+
+    n_words = {
+        r["doc_id"]: r["n"]
+        for r in load_table(spark, SF_DIR, "documents")
+        .select("doc_id", word_count("text").alias("n"))
+        .collect()
+    }
+    got = {
+        (r["doc_id"], r["chunk_idx"]): (r["start_word"], r["n_words"])
+        for r in chunks
+    }
+    import math
+
+    want = {}
+    for doc, n in n_words.items():
+        k = 1 if n <= 100 else 1 + math.ceil((n - 100) / 80)
+        for i in range(k):
+            start = 1 + 80 * i
+            want[(doc, i)] = (start, min(n, 80 * i + 100) - 80 * i)
+    assert got == want
