@@ -115,6 +115,11 @@ GRADE_OVERFLOW = frozenset(
         "emb_int8_quantize",
         "events_value_hour_correlation",
         "events_type_share_daily",
+        "events_session_patterns",
+        "events_type_transitions",
+        "events_value_gapfill",
+        "events_k_anonymity",
+        "supplier_spend_concentration",
     }
 )
 

@@ -9,4 +9,5 @@ from procurement_data_pipeline_spark.queries import (  # noqa: F401
     tpch_advanced,
     augment,
     curation,
+    patterns,
 )
