@@ -120,6 +120,9 @@ GRADE_OVERFLOW = frozenset(
         "events_value_gapfill",
         "events_k_anonymity",
         "supplier_spend_concentration",
+        "docs_bm25_search",
+        "part_name_fuzzy_pairs",
+        "supplier_customer_pagerank",
     }
 )
 

@@ -142,4 +142,95 @@ def frequent_items(
     )
 
 
-__all__ = ["frequent_items"]
+def _cm_bucket(col: str | F.Column, row: int, seed: int, width: int) -> F.Column:
+    """Row ``row``'s bucket for an item: xxhash64(item, row, seed) mod width.
+    xxhash64 is a JVM codegen expression — the whole sketch build stays
+    inside whole-stage codegen, no Python anywhere."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.pmod(F.xxhash64(c, F.lit(row), F.lit(seed)), F.lit(width))
+
+
+def countmin_build(
+    df: DataFrame, col: str, width: int = 1024, depth: int = 4, seed: int = 42
+) -> DataFrame:
+    """Build a count-min sketch (Cormode & Muthukrishnan) of ``col``.
+
+    Returns the sketch as a DataFrame of (row, bucket, cnt) — at most
+    ``depth × width`` rows regardless of input size or domain, the
+    fixed-size frequency summary that complements space-saving: space-saving
+    answers "what are the heavy items", count-min answers "how often did
+    item X occur" for ANY x, with one-sided error.
+
+    Scale shape: each input row expands to ``depth`` (row, bucket) pairs
+    map-side and partial-aggregates before the single shuffle, so the
+    exchange carries ≤ partitions × depth × width rows — domain-independent,
+    same bound class as the space-saving shuffle. Merging sketches of two
+    datasets is a union + re-sum (tested exact).
+    """
+    pairs = df.filter(F.col(col).isNotNull()).select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("row"),
+                        _cm_bucket(col, r, seed, width).alias("bucket"),
+                    )
+                    for r in range(depth)
+                ]
+            )
+        ).alias("rb")
+    )
+    return (
+        pairs.select("rb.row", "rb.bucket")
+        .groupBy("row", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def countmin_merge(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Merge two sketches built with the same (width, depth, seed)."""
+    return (
+        a.unionByName(b).groupBy("row", "bucket").agg(F.sum("cnt").alias("cnt"))
+    )
+
+
+def countmin_query(
+    sketch: DataFrame,
+    items: DataFrame,
+    col: str,
+    width: int = 1024,
+    depth: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """Point-frequency estimates for ``items[col]``: est = min over rows of
+    the item's bucket counter. Returns (item, est) with the count-min
+    guarantee est ≥ true count, and est ≤ true + ε·N with probability
+    1−(1/2)^depth for width ≈ 2/ε (public CM bounds).
+
+    The sketch side is ≤ depth×width rows — broadcast; the items side
+    explodes to ``depth`` rows each, LEFT-joins (an empty bucket means the
+    hash row never saw the item: counter 0), and takes the per-item min.
+    """
+    probes = items.filter(F.col(col).isNotNull()).select(
+        F.col(col).alias("item"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("row"),
+                        _cm_bucket(col, r, seed, width).alias("bucket"),
+                    )
+                    for r in range(depth)
+                ]
+            )
+        ).alias("rb"),
+    ).select("item", "rb.row", "rb.bucket")
+    return (
+        probes.join(F.broadcast(sketch), ["row", "bucket"], "left")
+        .withColumn("cnt", F.coalesce(F.col("cnt"), F.lit(0)))
+        .groupBy("item")
+        .agg(F.min("cnt").alias("est"))
+    )
+
+
+__all__ = ["frequent_items", "countmin_build", "countmin_merge", "countmin_query"]

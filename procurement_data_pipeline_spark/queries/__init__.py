@@ -10,4 +10,5 @@ from procurement_data_pipeline_spark.queries import (  # noqa: F401
     augment,
     curation,
     patterns,
+    retrieval,
 )

@@ -39,6 +39,7 @@ BNLJ_ALLOWED = {
     "docs_tfidf_topterms",  # broadcast single-row corpus-size (N) scalar
     "emb_semantic_decontaminate",  # corpus × broadcast eval set by design
     "events_daily_dense",  # bounded #days × #types calendar grid build
+    "docs_bm25_search",  # broadcast single-row corpus stats (N, avgdl) scalar
 }
 
 SF_DIR = "/root/testdata/sf0.001"
