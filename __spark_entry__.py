@@ -123,6 +123,8 @@ GRADE_OVERFLOW = frozenset(
         "docs_bm25_search",
         "part_name_fuzzy_pairs",
         "supplier_customer_pagerank",
+        "docs_lexical_knn",
+        "events_value_winsorized",
     }
 )
 

@@ -189,6 +189,55 @@ def minhash_signatures(
     return _minhash_from_shingles(sh, id_col, num_hashes)
 
 
+def band_hashes(sig: Column, bands: int) -> Column:
+    """Array of ``bands`` LSH band hashes for a signature array: hash of the
+    comma-joined values of each signature slice. Factored so the BATCH
+    banding (below) and the STREAMING near-dup operator
+    (streaming/neardup.py) key their buckets with the bit-identical
+    expression — a streamed candidate is exactly a batch candidate."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda b: F.xxhash64(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.slice(
+                        sig,
+                        b * (F.size(sig) / bands).cast("int") + 1,
+                        (F.size(sig) / bands).cast("int"),
+                    ),
+                    lambda v: v.cast("string"),
+                ),
+            )
+        ),
+    )
+
+
+def minhash_signature_expr(
+    text_col: str | Column, n: int = 2, num_hashes: int = 32, seed: int = 7
+) -> Column:
+    """ROW-WISE MinHash signature — the same hash family and values as
+    :func:`minhash_signatures` (pytest-pinned equal), but as one pure
+    column expression with no explode/groupBy. This is what makes MinHash
+    STREAMABLE: a stateless projection needs no shuffle and composes with
+    any downstream stateful operator. The gram array is let-bound
+    (single-element transform) so codegen evaluates tokenization once per
+    row, not once per hash function (the lambda-scope re-evaluation
+    class-fix, see llm_ops/text.word_ngrams)."""
+    return F.element_at(
+        F.transform(
+            F.array(F.array_distinct(word_ngrams(text_col, n))),
+            lambda sh: F.transform(
+                F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+                lambda i: F.array_min(
+                    F.transform(sh, lambda w: F.xxhash64(w, i + F.lit(seed)))
+                ),
+            ),
+        ),
+        1,
+    )
+
+
 def minhash_lsh_candidates(
     signatures: DataFrame,
     id_col: str = "doc_id",
@@ -203,24 +252,7 @@ def minhash_lsh_candidates(
     """
     banded = signatures.select(
         F.col(id_col).alias("_id"),
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.xxhash64(
-                    F.concat_ws(
-                        ",",
-                        F.transform(
-                            F.slice(
-                                F.col("sig"),
-                                b * (F.size("sig") / bands).cast("int") + 1,
-                                (F.size("sig") / bands).cast("int"),
-                            ),
-                            lambda v: v.cast("string"),
-                        ),
-                    )
-                ),
-            )
-        ).alias("band_idx", "band_hash"),
+        F.posexplode(band_hashes(F.col("sig"), bands)).alias("band_idx", "band_hash"),
     )
     left = banded.select(F.col("_id").alias("doc_a"), "band_idx", "band_hash")
     right = banded.select(F.col("_id").alias("doc_b"), "band_idx", "band_hash")

@@ -237,6 +237,73 @@ def q_events_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_value_winsorized",
+    # Winsorized + trimmed means per event type: the outlier-robust mean
+    # family (clamp / drop beyond the p05-p95 fence). The fences are
+    # FLOOR(interpolated quantile) — exact integers — so clamped and
+    # trimmed values stay integer micros, sums are order-independent, and
+    # each reported mean is one exactly-rounded division. The robust
+    # complement to events_value_robust_stats' median/MAD.
+    oracle="""
+WITH m AS (
+  SELECT event_type, CAST(FLOOR(value * 1000000) AS BIGINT) AS vm FROM events
+),
+fence AS (
+  SELECT event_type,
+         CAST(FLOOR(quantile_cont(vm, 0.05)) AS BIGINT) AS lo,
+         CAST(FLOOR(quantile_cont(vm, 0.95)) AS BIGINT) AS hi
+  FROM m GROUP BY event_type
+)
+SELECT m.event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CASE WHEN vm < lo THEN lo WHEN vm > hi THEN hi ELSE vm END)
+            AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) / 1000000.0
+         AS winsorized_mean,
+       CAST(SUM(CASE WHEN vm BETWEEN lo AND hi THEN vm END) AS DOUBLE)
+         / CAST(COUNT(CASE WHEN vm BETWEEN lo AND hi THEN 1 END) AS DOUBLE)
+         / 1000000.0
+         AS trimmed_mean
+FROM m JOIN fence USING (event_type)
+GROUP BY m.event_type
+""",
+    tags=("events", "stats", "robust"),
+)
+def q_events_value_winsorized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type winsorized (clamped at p05/p95) and trimmed means over
+    exact integer micros. One grouped quantile pass for the fences, a
+    broadcast join back (group count is bounded), one aggregation — the
+    fact table never shuffles twice. approx_percentile is the 100 TB
+    drop-in for the fence pass."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.floor(F.col("value") * 1000000).cast("long").alias("vm")
+    )
+    fence = ev.groupBy("event_type").agg(
+        F.floor(F.percentile(F.col("vm"), F.lit(0.05))).cast("long").alias("lo"),
+        F.floor(F.percentile(F.col("vm"), F.lit(0.95))).cast("long").alias("hi"),
+    )
+    vm, lo, hi = F.col("vm"), F.col("lo"), F.col("hi")
+    clamped = F.when(vm < lo, lo).when(vm > hi, hi).otherwise(vm)
+    inside = vm.between(lo, hi)
+    return (
+        ev.join(F.broadcast(fence), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            (
+                F.sum(clamped).cast("double")
+                / F.count(F.lit(1)).cast("double")
+                / F.lit(1000000.0)
+            ).alias("winsorized_mean"),
+            (
+                F.sum(F.when(inside, vm)).cast("double")
+                / F.count(F.when(inside, F.lit(1))).cast("double")
+                / F.lit(1000000.0)
+            ).alias("trimmed_mean"),
+        )
+    )
+
+
+@register(
     "supplier_spend_concentration",
     # Market-concentration indices over supplier revenue: HHI (sum of
     # squared shares), CR4 (top-4 share), and the Gini coefficient.

@@ -150,6 +150,96 @@ def q_part_name_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fuzzy_self_pairs(part, "p_name", max_dist=2)
 
 
+@register(
+    "docs_lexical_knn",
+    # Sparse lexical retrieval: the 10 nearest documents to a probe doc by
+    # BAG-OF-WORDS COSINE, via an inverted-index join (term -> postings) —
+    # the classic sparse-vector kNN that complements the dense-embedding
+    # ANN tier. Portability: tf vectors are exact integers, so dots and
+    # squared norms are exact integer sums (order-independent); cosine is
+    # then dot / (sqrt(np)·sqrt(nd)) — sqrt and the one multiply/divide are
+    # exactly-rounded IEEE ops, identical across engines. Production
+    # weighting (tf-idf / BM25 weights) drops into the same join shape.
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_WORDS}) AS word FROM documents
+),
+tf AS (
+  SELECT doc_id, word, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM tok GROUP BY doc_id, word
+),
+norms AS (
+  SELECT doc_id, CAST(SUM(tf * tf) AS BIGINT) AS n2 FROM tf GROUP BY doc_id
+),
+probe AS (SELECT MIN(doc_id) AS probe_id FROM documents),
+ptf AS (
+  SELECT tf.word, tf.tf AS ptf FROM tf, probe WHERE tf.doc_id = probe.probe_id
+),
+pnorm AS (SELECT CAST(SUM(ptf * ptf) AS BIGINT) AS pn2 FROM ptf),
+dots AS (
+  SELECT tf.doc_id, CAST(SUM(tf.tf * ptf.ptf) AS BIGINT) AS dot
+  FROM tf JOIN ptf ON tf.word = ptf.word, probe
+  WHERE tf.doc_id <> probe.probe_id
+  GROUP BY tf.doc_id
+)
+SELECT d.doc_id, d.dot,
+       CAST(d.dot AS DOUBLE)
+         / (sqrt(CAST(p.pn2 AS DOUBLE)) * sqrt(CAST(n.n2 AS DOUBLE))) AS cosine
+FROM dots d JOIN norms n ON d.doc_id = n.doc_id CROSS JOIN pnorm p
+ORDER BY cosine DESC, d.doc_id ASC
+LIMIT 10
+""",
+    tags=("llm", "retrieval", "lexical-knn"),
+)
+def q_docs_lexical_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 lexical (bag-of-words cosine) neighbors of the lowest-id
+    document. The probe vector and its norm are tiny broadcasts; the
+    corpus side is the tf inverted index joined on word — candidates
+    scale with postings of the probe's terms, never all-pairs. tf feeds
+    norms, the probe, and the dot products, so it is scoped-persisted
+    (one explode pass)."""
+    from procurement_data_pipeline_spark.caching import scoped_persist
+    from procurement_data_pipeline_spark.llm_ops.text import words
+
+    docs = load_table(spark, sf_dir, "documents")
+    tf = scoped_persist(
+        docs.select("doc_id", F.explode(words("text")).alias("word"))
+        .groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    norms = tf.groupBy("doc_id").agg(F.sum(F.col("tf") * F.col("tf")).alias("n2"))
+    probe = docs.agg(F.min("doc_id").alias("probe_id"))
+    ptf = (
+        tf.join(F.broadcast(probe), tf["doc_id"] == F.col("probe_id"))
+        .select("word", F.col("tf").alias("ptf"))
+    )
+    pnorm = ptf.agg(F.sum(F.col("ptf") * F.col("ptf")).alias("pn2"))
+    dots = (
+        tf.join(F.broadcast(ptf), "word")
+        .join(F.broadcast(probe))
+        .filter(F.col("doc_id") != F.col("probe_id"))
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("tf") * F.col("ptf")).alias("dot"))
+    )
+    return (
+        dots.join(norms, "doc_id")
+        .join(F.broadcast(pnorm))
+        .select(
+            "doc_id",
+            F.col("dot").cast("long").alias("dot"),
+            (
+                F.col("dot").cast("double")
+                / (
+                    F.sqrt(F.col("pn2").cast("double"))
+                    * F.sqrt(F.col("n2").cast("double"))
+                )
+            ).alias("cosine"),
+        )
+        .orderBy(F.col("cosine").desc(), F.col("doc_id").asc())
+        .limit(10)
+    )
+
+
 def _pagerank_iter_sql(prev: str, cur: str) -> str:
     """One unrolled integer-PageRank sweep as DuckDB CTE text."""
     return f"""

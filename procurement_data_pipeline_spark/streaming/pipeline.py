@@ -241,3 +241,66 @@ def stream_incremental_rollup(
     )
     q.awaitTermination(timeout_sec)
     q.stop()
+
+
+def stream_countmin(
+    spark: SparkSession,
+    source_path: str,
+    col: str,
+    store_path: str,
+    checkpoint_dir: str,
+    schema: str = EVENTS_STREAM_SCHEMA,
+    width: int = 1024,
+    depth: int = 4,
+    seed: int = 42,
+    timeout_sec: int = 120,
+) -> None:
+    """Streaming-maintained count-min sketch: each microbatch's partial
+    sketch lands under ``store_path/batch_id=<id>`` (dynamic overwrite of
+    exactly that partition), and :func:`read_countmin_store` merges the
+    partials on read.
+
+    Replay safety by LAYOUT, the same device as the streaming rollup: the
+    file-source checkpoint decides WHAT is new; a replayed foreachBatch
+    rewrites its own batch_id partition byte-for-byte instead of
+    double-counting — at-least-once execution, exactly-once counts. Each
+    partial is ≤ depth × width rows regardless of batch size, so the store
+    grows by a bounded increment per trigger; a compaction pass (re-sum to
+    one partition) is a metadata-cheap maintenance job when trigger counts
+    grow large.
+    """
+    from procurement_data_pipeline_spark.llm_ops.sketch import countmin_build
+
+    configure_runtime(spark)
+    stream = spark.readStream.format("parquet").schema(schema).load(source_path)
+
+    def _fold(batch_df: DataFrame, batch_id: int) -> None:
+        partial = countmin_build(batch_df, col, width=width, depth=depth, seed=seed)
+        (
+            partial.withColumn("batch_id", F.lit(int(batch_id)))
+            .write.mode("overwrite")
+            .partitionBy("batch_id")
+            .option("partitionOverwriteMode", "dynamic")
+            .parquet(store_path)
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(_fold)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_sec)
+    q.stop()
+
+
+def read_countmin_store(spark: SparkSession, store_path: str) -> DataFrame:
+    """Merge the per-batch count-min partials into one sketch (row, bucket,
+    cnt) — the read-side half of :func:`stream_countmin`. Exact: count-min
+    merge is a plain re-sum, so the streamed store equals a direct batch
+    build over everything ingested (pytest-pinned)."""
+    return (
+        spark.read.parquet(store_path)
+        .groupBy("row", "bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+    )

@@ -40,6 +40,7 @@ BNLJ_ALLOWED = {
     "emb_semantic_decontaminate",  # corpus × broadcast eval set by design
     "events_daily_dense",  # bounded #days × #types calendar grid build
     "docs_bm25_search",  # broadcast single-row corpus stats (N, avgdl) scalar
+    "docs_lexical_knn",  # broadcast single-row probe-id / probe-norm scalars
 }
 
 SF_DIR = "/root/testdata/sf0.001"
