@@ -125,6 +125,8 @@ GRADE_OVERFLOW = frozenset(
         "supplier_customer_pagerank",
         "docs_lexical_knn",
         "events_value_winsorized",
+        "events_seasonal_anomaly",
+        "events_value_ewma",
     }
 )
 

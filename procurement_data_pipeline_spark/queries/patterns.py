@@ -304,6 +304,138 @@ def q_events_value_winsorized(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_seasonal_anomaly",
+    # Seasonal-baseline anomaly rates: the expected value of an event is
+    # conditioned on its SEASONAL cell (event_type x day-of-week x hour),
+    # not the global mean — the time-series upgrade of the plain z-score
+    # outlier query. Same exactness contract: 128-bit integer moments per
+    # cell, one IEEE-exact double chain (incl. sqrt), so the |z| > 2.5 cut
+    # selects identical rows on both engines. (DuckDB numbers dayofweek
+    # 0=Sunday..6; Spark 1=Sunday..7 — the oracle shifts +1 to align.)
+    oracle="""
+WITH m AS (
+  SELECT event_type, dayofweek(ts) + 1 AS dow, EXTRACT(hour FROM ts) AS hr,
+         CAST(FLOOR(value * 1000000) AS BIGINT) AS vm
+  FROM events
+),
+stats AS (
+  SELECT event_type, dow, hr,
+         CAST(COUNT(*) AS BIGINT) AS n, SUM(vm) AS s, SUM(vm * vm) AS ss
+  FROM m GROUP BY event_type, dow, hr
+),
+d AS (
+  SELECT m.event_type, m.dow, m.vm,
+         CAST(s.s AS DOUBLE) / CAST(s.n AS DOUBLE) AS mean_vm,
+         sqrt((CAST(s.n AS DOUBLE) * CAST(s.ss AS DOUBLE)
+               - CAST(s.s AS DOUBLE) * CAST(s.s AS DOUBLE))
+              / (CAST(s.n AS DOUBLE) * CAST(s.n AS DOUBLE))) AS std_vm
+  FROM m JOIN stats s
+    ON m.event_type = s.event_type AND m.dow = s.dow AND m.hr = s.hr
+)
+SELECT event_type, CAST(dow AS INTEGER) AS dow,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(COUNT(CASE WHEN std_vm > 0
+                        AND abs((CAST(vm AS DOUBLE) - mean_vm) / std_vm) > 2.5
+                       THEN 1 END) AS BIGINT) AS n_anomalies,
+       CAST(COUNT(CASE WHEN std_vm > 0
+                        AND abs((CAST(vm AS DOUBLE) - mean_vm) / std_vm) > 2.5
+                       THEN 1 END) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+         AS anomaly_rate
+FROM d
+GROUP BY event_type, dow
+""",
+    tags=("events", "timeseries", "anomaly"),
+)
+def q_events_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anomaly rates against a seasonal (type x dow x hour) baseline. One
+    grouped-moments pass over the seasonal cells (bounded: types x 7 x 24),
+    a broadcast stats join back, one aggregation — the fact table never
+    shuffles twice. dow follows Spark's dayofweek (1=Sunday..7=Saturday;
+    the DuckDB oracle shifts its 0-based dayofweek up by one)."""
+    ev = load_table(spark, sf_dir, "events")
+    m = ev.select(
+        "event_type",
+        F.dayofweek("ts").alias("dow"),
+        F.hour("ts").alias("hr"),
+        F.floor(F.col("value") * 1000000).cast("long").alias("vm"),
+    )
+    stats = m.groupBy("event_type", "dow", "hr").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("vm").cast("decimal(38,0)")).alias("s"),
+        F.sum((F.col("vm") * F.col("vm")).cast("decimal(38,0)")).alias("ss"),
+    )
+    nd, sd, ssd = (F.col(c).cast("double") for c in ("n", "s", "ss"))
+    mean_vm = sd / nd
+    std_vm = F.sqrt((nd * ssd - sd * sd) / (nd * nd))
+    z_ok = (std_vm > 0) & (
+        F.abs((F.col("vm").cast("double") - mean_vm) / std_vm) > 2.5
+    )
+    return (
+        m.join(F.broadcast(stats), ["event_type", "dow", "hr"])
+        .groupBy("event_type", F.col("dow").cast("int").alias("dow"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.count(F.when(z_ok, 1)).cast("long").alias("n_anomalies"),
+            (
+                F.count(F.when(z_ok, 1)).cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("anomaly_rate"),
+        )
+    )
+
+
+@register(
+    "events_value_ewma",
+    # Exponentially-weighted moving average per user (alpha = 0.5): the
+    # classic smoothing fold acc' = acc/2 + x/2 over the user's event-time
+    # order. Sequential folds are the textbook "hard to express in SQL"
+    # case — here BOTH engines run the identical left fold over the
+    # identically-ordered list (Spark F.aggregate, DuckDB list_reduce), and
+    # every step is two exact halvings (x0.5 is a power of two) plus one
+    # correctly-rounded add, so the result is bit-exact.
+    oracle="""
+WITH ordered AS (
+  SELECT user_id,
+         list(CAST(value AS DOUBLE) ORDER BY epoch_us(ts), event_id) AS vs
+  FROM events GROUP BY user_id
+)
+SELECT user_id,
+       CAST(len(vs) AS BIGINT) AS n_events,
+       list_reduce(vs, (acc, x) -> acc * 0.5 + x * 0.5) AS ewma_value
+FROM ordered
+""",
+    tags=("events", "timeseries", "ewma"),
+)
+def q_events_value_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user EWMA of event values in event-time order. The ordered value
+    list is assembled with ONE shuffle (array_sort over collected structs,
+    event_id tie-break), and the fold is a JVM `aggregate` lambda — no UDF,
+    no per-row window. DuckDB's list_reduce seeds the accumulator with the
+    first element; Spark mirrors with aggregate(rest, head, ...)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.unix_micros(F.col("ts")).alias("ts_us"),
+        "event_id",
+        F.col("value").cast("double").alias("v"),
+    )
+    ordered = ev.groupBy("user_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("ts_us", "event_id", "v"))),
+            lambda x: x["v"],
+        ).alias("vs")
+    )
+    return ordered.select(
+        "user_id",
+        F.size("vs").cast("long").alias("n_events"),
+        F.aggregate(
+            F.slice(F.col("vs"), 2, F.greatest(F.size("vs") - 1, F.lit(0))),
+            F.element_at(F.col("vs"), 1),
+            lambda acc, x: acc * F.lit(0.5) + x * F.lit(0.5),
+        ).alias("ewma_value"),
+    )
+
+
+@register(
     "supplier_spend_concentration",
     # Market-concentration indices over supplier revenue: HHI (sum of
     # squared shares), CR4 (top-4 share), and the Gini coefficient.

@@ -129,3 +129,36 @@ def test_stream_countmin_equals_direct_build(spark, tmp_path):
         for r in read_countmin_store(spark, store).collect()
     }
     assert again == direct
+
+
+def test_stream_static_dim_join_matches_batch(spark, tmp_path):
+    """Stream-static broadcast enrichment — the third streaming join shape
+    next to stream-stream (click_attribution_join) and stream-state
+    (neardup): a static dimension joined onto a stream is stateless (the
+    dim is re-broadcast per microbatch, no state store), so the streamed
+    result must equal the batch join row-for-row."""
+    ev = load_table(spark, SF_DIR, "events")
+    src = str(tmp_path / "ev_src2")
+    ev.repartition(3).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    dim = (
+        ev.select("user_id")
+        .distinct()
+        .withColumn("segment", (F.col("user_id") % 3).cast("int"))
+    )
+
+    def enrich(df):
+        return df.join(F.broadcast(dim), "user_id").select(
+            "event_id", "user_id", "segment"
+        )
+
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    got = run_to_completion(
+        enrich(stream), str(tmp_path / "ckpt_dim"), query_name="dim_join"
+    )
+    batch = enrich(spark.read.parquet(src)).collect()
+    assert {tuple(r) for r in got} == {tuple(r) for r in batch}
+    assert len(got) == len(batch) == ev.count()
