@@ -127,6 +127,7 @@ GRADE_OVERFLOW = frozenset(
         "events_value_winsorized",
         "events_seasonal_anomaly",
         "events_value_ewma",
+        "supplier_triangle_count",
     }
 )
 

@@ -240,6 +240,94 @@ def q_docs_lexical_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "supplier_triangle_count",
+    # Triangle counting on the supplier co-purchase graph — the second
+    # graph-analytics operator next to PageRank (triangles/clustering
+    # coefficients are the standard cohesion metric; public algorithm:
+    # ordered-wedge closure, Suri & Vassilvitskii's MR formulation).
+    # Edges: supplier pairs whose shared-customer count is within 90% of
+    # the densest pair — the threshold is RELATIVE (integer cross-multiply,
+    # shared*10 >= 9*max) so the query stays meaningful at any scale
+    # without a scale-tuned literal. a<b ordering makes each triangle
+    # count exactly once via (a<b), (b<c), (a<c) closure.
+    oracle="""
+WITH cs AS (
+  SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+),
+p AS (
+  SELECT a.s AS sa, b.s AS sb, CAST(COUNT(*) AS BIGINT) AS shared
+  FROM cs a JOIN cs b ON a.c = b.c AND a.s < b.s
+  GROUP BY a.s, b.s
+),
+mx AS (SELECT MAX(shared) AS mx FROM p),
+edges AS (
+  SELECT sa, sb FROM p, mx WHERE shared * 10 >= 9 * mx.mx
+),
+tri AS (
+  SELECT e1.sa AS a, e1.sb AS b, e2.sb AS c
+  FROM edges e1
+  JOIN edges e2 ON e1.sb = e2.sa
+  JOIN edges e3 ON e3.sa = e1.sa AND e3.sb = e2.sb
+)
+SELECT (SELECT CAST(COUNT(DISTINCT s) AS BIGINT)
+        FROM (SELECT sa AS s FROM edges UNION ALL SELECT sb FROM edges))
+         AS n_nodes,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM edges) AS n_edges,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM tri) AS n_triangles
+""",
+    tags=("graph", "triangles"),
+)
+def q_supplier_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count triangles among tightly-coupled suppliers (co-purchase edges at
+    ≥90% of the densest pair's shared-customer count). The wedge-closure
+    joins run over the EDGE relation (dimension-pair-sized, persisted once
+    for its three join roles); the only fact-sized work is the distinct
+    (customer, supplier) projection and one grouped count. Skew note: at
+    100 TB the per-customer pair fan-out is Σ deg² — cap or sample
+    mega-customers before the self-join (the standard guard)."""
+    from procurement_data_pipeline_spark.caching import scoped_persist
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cs = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
+        .distinct()
+    )
+    a = cs.select(F.col("c"), F.col("s").alias("sa"))
+    b = cs.select(F.col("c"), F.col("s").alias("sb"))
+    p = (
+        a.join(b, "c")
+        .filter(F.col("sa") < F.col("sb"))
+        .groupBy("sa", "sb")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    mx = p.agg(F.max("shared").alias("mx"))
+    edges = scoped_persist(
+        p.join(F.broadcast(mx))
+        .filter(F.col("shared") * 10 >= 9 * F.col("mx"))
+        .select("sa", "sb")
+    )
+    e1 = edges.select(F.col("sa").alias("a"), F.col("sb").alias("b"))
+    e2 = edges.select(F.col("sa").alias("b"), F.col("sb").alias("c"))
+    e3 = edges.select(F.col("sa").alias("a"), F.col("sb").alias("c"))
+    tri = e1.join(e2, "b").join(e3, ["a", "c"])
+    n_nodes = (
+        edges.select(F.col("sa").alias("s"))
+        .unionByName(edges.select(F.col("sb").alias("s")))
+        .agg(F.count_distinct("s").alias("n_nodes"))
+    )
+    n_edges = edges.agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
+    n_tri = tri.agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+    return (
+        n_nodes.join(F.broadcast(n_edges)).join(F.broadcast(n_tri)).select(
+            F.col("n_nodes").cast("long").alias("n_nodes"), "n_edges", "n_triangles"
+        )
+    )
+
+
 def _pagerank_iter_sql(prev: str, cur: str) -> str:
     """One unrolled integer-PageRank sweep as DuckDB CTE text."""
     return f"""

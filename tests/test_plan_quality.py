@@ -41,6 +41,7 @@ BNLJ_ALLOWED = {
     "events_daily_dense",  # bounded #days × #types calendar grid build
     "docs_bm25_search",  # broadcast single-row corpus stats (N, avgdl) scalar
     "docs_lexical_knn",  # broadcast single-row probe-id / probe-norm scalars
+    "supplier_triangle_count",  # broadcast single-row max-shared / count scalars
 }
 
 SF_DIR = "/root/testdata/sf0.001"
