@@ -128,6 +128,11 @@ GRADE_OVERFLOW = frozenset(
         "events_seasonal_anomaly",
         "events_value_ewma",
         "supplier_triangle_count",
+        "events_cusum_drift",
+        "customer_rfm",
+        "orders_open_backlog_daily",
+        "events_interarrival_stats",
+        "part_affinity_rules",
     }
 )
 

@@ -11,4 +11,5 @@ from procurement_data_pipeline_spark.queries import (  # noqa: F401
     curation,
     patterns,
     retrieval,
+    lifecycle,
 )
