@@ -133,6 +133,9 @@ GRADE_OVERFLOW = frozenset(
         "orders_open_backlog_daily",
         "events_interarrival_stats",
         "part_affinity_rules",
+        "docs_keyness_chi2",
+        "docs_collocations",
+        "emb_knn_classify",
     }
 )
 

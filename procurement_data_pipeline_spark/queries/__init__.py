@@ -12,4 +12,5 @@ from procurement_data_pipeline_spark.queries import (  # noqa: F401
     patterns,
     retrieval,
     lifecycle,
+    textmining,
 )
