@@ -136,6 +136,12 @@ GRADE_OVERFLOW = frozenset(
         "docs_keyness_chi2",
         "docs_collocations",
         "emb_knn_classify",
+        "part_hierarchy_rollup",
+        "nation_budget_apportionment",
+        "part_weighted_median_price",
+        "supplier_spc_chart",
+        "customer_churn_sets",
+        "events_since_last_purchase",
     }
 )
 

@@ -13,4 +13,5 @@ from procurement_data_pipeline_spark.queries import (  # noqa: F401
     retrieval,
     lifecycle,
     textmining,
+    planning,
 )
