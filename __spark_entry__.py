@@ -142,6 +142,10 @@ GRADE_OVERFLOW = frozenset(
         "supplier_spc_chart",
         "customer_churn_sets",
         "events_since_last_purchase",
+        "orders_benford_first_digit",
+        "referential_integrity_audit",
+        "events_session_dwell",
+        "part_price_dispersion",
     }
 )
 

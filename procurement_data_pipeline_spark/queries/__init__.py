@@ -14,4 +14,5 @@ from procurement_data_pipeline_spark.queries import (  # noqa: F401
     lifecycle,
     textmining,
     planning,
+    audit,
 )
