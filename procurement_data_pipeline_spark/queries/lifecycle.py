@@ -179,11 +179,17 @@ FROM scored
     tags=("orders", "crm", "segmentation"),
 )
 def q_customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from procurement_data_pipeline_spark.caching import scoped_persist
+
     o = load_table(spark, sf_dir, "orders")
-    per_cust = o.groupBy(F.col("o_custkey").alias("custkey")).agg(
-        F.max(F.col("o_orderdate").cast("date")).alias("last_order"),
-        F.count(F.lit(1)).cast("long").alias("frequency"),
-        F.sum(cents("o_totalprice")).cast("long").alias("money_cents"),
+    # Customer-grain aggregate feeds both the global ref-date scalar and
+    # the scored relation — persist so the orders scan+shuffle runs once.
+    per_cust = scoped_persist(
+        o.groupBy(F.col("o_custkey").alias("custkey")).agg(
+            F.max(F.col("o_orderdate").cast("date")).alias("last_order"),
+            F.count(F.lit(1)).cast("long").alias("frequency"),
+            F.sum(cents("o_totalprice")).cast("long").alias("money_cents"),
+        )
     )
     ref = per_cust.agg(F.max("last_order").alias("ref_date"))
     scored = per_cust.crossJoin(F.broadcast(ref)).withColumn(
@@ -369,10 +375,18 @@ LIMIT 100
     tags=("lineitem", "basket", "association"),
 )
 def q_part_affinity_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from procurement_data_pipeline_spark.caching import scoped_persist
+
     li = load_table(spark, sf_dir, "lineitem")
-    baskets = li.select(
-        F.col("l_orderkey").alias("orderkey"), F.col("l_partkey").alias("partkey")
-    ).distinct()
+    # The deduplicated basket relation feeds four consumers (total, item
+    # counts, both sides of the pair self-join) — persist it so the fact
+    # scan + distinct shuffle run once.
+    baskets = scoped_persist(
+        li.select(
+            F.col("l_orderkey").alias("orderkey"),
+            F.col("l_partkey").alias("partkey"),
+        ).distinct()
+    )
     n = baskets.agg(F.countDistinct("orderkey").cast("long").alias("n_orders"))
     item = baskets.groupBy("partkey").agg(
         F.count(F.lit(1)).cast("long").alias("item_n")

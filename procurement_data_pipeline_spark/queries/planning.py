@@ -146,6 +146,8 @@ FROM ranked CROSS JOIN leftover
     tags=("orders", "allocation", "exact"),
 )
 def q_nation_budget_apportionment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from procurement_data_pipeline_spark.caching import scoped_persist
+
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer")
     n = load_table(spark, sf_dir, "nation")
@@ -158,6 +160,10 @@ def q_nation_budget_apportionment(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .agg(F.sum(cents("o_totalprice")).cast("long").alias("rev_cents"))
     )
+    # rev (nation-grain, ≤ hundreds of rows) feeds the total, the bases,
+    # and the leftover — persist it so the fact-side aggregation runs
+    # ONCE instead of three times (12 scans → 4 in the physical plan).
+    rev = scoped_persist(rev)
     tot = rev.agg(F.sum("rev_cents").cast("long").alias("t"))
     based = rev.crossJoin(F.broadcast(tot)).select(
         "nation",
