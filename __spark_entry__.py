@@ -146,6 +146,9 @@ GRADE_OVERFLOW = frozenset(
         "referential_integrity_audit",
         "events_session_dwell",
         "part_price_dispersion",
+        "orders_aqp_revenue",
+        "events_position_attribution",
+        "orders_fiscal_445_rollup",
     }
 )
 

@@ -15,4 +15,5 @@ from procurement_data_pipeline_spark.queries import (  # noqa: F401
     textmining,
     planning,
     audit,
+    estimation,
 )
