@@ -149,6 +149,8 @@ GRADE_OVERFLOW = frozenset(
         "orders_aqp_revenue",
         "events_position_attribution",
         "orders_fiscal_445_rollup",
+        "part_fifo_consumption",
+        "order_lifecycle_snapshot",
     }
 )
 

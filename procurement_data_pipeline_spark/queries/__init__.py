@@ -16,4 +16,5 @@ from procurement_data_pipeline_spark.queries import (  # noqa: F401
     planning,
     audit,
     estimation,
+    inventory,
 )
