@@ -151,6 +151,10 @@ GRADE_OVERFLOW = frozenset(
         "orders_fiscal_445_rollup",
         "part_fifo_consumption",
         "order_lifecycle_snapshot",
+        "docs_substring_contamination",
+        "docs_repeat_factors",
+        "docs_containment_pairs",
+        "docs_dup_ngram_coverage",
     }
 )
 

@@ -17,4 +17,5 @@ from procurement_data_pipeline_spark.queries import (  # noqa: F401
     audit,
     estimation,
     inventory,
+    contamination,
 )
