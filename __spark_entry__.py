@@ -155,6 +155,10 @@ GRADE_OVERFLOW = frozenset(
         "docs_repeat_factors",
         "docs_containment_pairs",
         "docs_dup_ngram_coverage",
+        "emb_label_outliers",
+        "events_new_vs_returning",
+        "orders_cohort_ltv",
+        "emb_pca_power",
     }
 )
 

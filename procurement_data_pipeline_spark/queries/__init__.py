@@ -18,4 +18,6 @@ from procurement_data_pipeline_spark.queries import (  # noqa: F401
     estimation,
     inventory,
     contamination,
+    growth,
+    pca,
 )

@@ -1,0 +1,129 @@
+"""Declared query: distributed PCA (dominant principal direction) via an
+integer-contract power iteration — the third iterative-algorithm oracle in
+the repo after k-means and PageRank.
+
+The contract that makes an ITERATIVE linear-algebra routine hash-exact
+across engines:
+
+* vectors quantize to integer micros (floor(v·1e6));
+* the second-moment (Gram) matrix G[i][j] = Σ q_i·q_j accumulates in
+  128-bit integers (HUGEINT / DECIMAL(38,0) — int64 overflows past ~1e5
+  rows at dim 64);
+* each power step u = G·w is an integer matrix-vector product, and the
+  renormalization w' = trunc(|u|·1e6 / max|u|)·sign(u) uses TRUNCATING
+  division spelled sign·(abs // m) on both engines (bare floor-division
+  would disagree with Spark's `div` on negatives);
+* three unrolled iterations — DuckDB replays them as chained CTEs.
+
+Spark plan shape: ONE data-proportional job (the Gram aggregate — a
+self-join on vec_id bounded by dim² per row, one shuffle); every
+iteration after that runs on the 64×64 matrix and a 64-row vector
+(broadcast joins), i.e. the iteration cost is independent of corpus size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from procurement_data_pipeline_spark.registry import register
+from procurement_data_pipeline_spark.sources.tables import load_table
+
+_N_ITER = 3
+
+
+def _iter_sql(k: int, prev_w: str) -> str:
+    return f"""
+u{k} AS (
+  SELECT i, SUM(g * w) AS u FROM g JOIN {prev_w} ON {prev_w}.j = g.j GROUP BY i
+),
+m{k} AS (SELECT MAX(ABS(u)) AS m FROM u{k}),
+w{k} AS (
+  SELECT i AS j,
+         (CASE WHEN u < 0 THEN -1 ELSE 1 END)
+           * ((ABS(u) * 1000000) // m) AS w
+  FROM u{k} CROSS JOIN m{k}
+)"""
+
+
+_PCA_SQL = (
+    """
+WITH q AS (
+  SELECT vec_id, pos - 1 AS pos,
+         CAST(FLOOR(CAST(v AS DOUBLE) * 1000000) AS HUGEINT) AS qv
+  FROM (
+    SELECT vec_id, unnest(embedding) AS v,
+           generate_subscripts(embedding, 1) AS pos
+    FROM embeddings
+  ) t
+),
+g AS (
+  SELECT a.pos AS i, b.pos AS j, SUM(a.qv * b.qv) AS g
+  FROM q a JOIN q b ON a.vec_id = b.vec_id
+  GROUP BY 1, 2
+),
+w0 AS (SELECT DISTINCT pos AS j, CAST(1000000 AS HUGEINT) AS w FROM q),"""
+    + ",".join(_iter_sql(k, f"w{k - 1}") for k in range(1, _N_ITER + 1))
+    + f"""
+SELECT CAST(j AS INTEGER) AS pos,
+       CAST(w AS BIGINT) AS weight_micro,
+       CAST(w AS DOUBLE) / 1000000.0 AS weight
+FROM w{_N_ITER}
+"""
+)
+
+
+@register(
+    "emb_pca_power",
+    oracle=_PCA_SQL,
+    tags=("similarity", "llm", "pca", "iterative"),
+)
+def q_emb_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dominant principal direction of the embedding second-moment matrix
+    by 3 power-iteration sweeps under the integer contract (module
+    docstring). The Gram matrix is persisted once; each sweep is a
+    64-row broadcast join."""
+    from procurement_data_pipeline_spark.caching import scoped_persist
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.select("vec_id", F.posexplode("embedding").alias("pos", "v")).select(
+        "vec_id",
+        "pos",
+        F.floor(F.col("v").cast("double") * 1000000)
+        .cast("decimal(38,0)")
+        .alias("qv"),
+    )
+    a = q.select("vec_id", F.col("pos").alias("i"), F.col("qv").alias("qa"))
+    b = q.select("vec_id", F.col("pos").alias("j"), F.col("qv").alias("qb"))
+    g = scoped_persist(
+        a.join(b, "vec_id")
+        .groupBy("i", "j")
+        .agg(F.sum((F.col("qa") * F.col("qb")).cast("decimal(38,0)")).alias("g"))
+    )
+    w = g.select("j").distinct().select(
+        "j", F.lit(1000000).cast("decimal(38,0)").alias("w")
+    )
+    for _ in range(_N_ITER):
+        u = (
+            g.join(F.broadcast(w), "j")
+            .groupBy("i")
+            .agg(F.sum((F.col("g") * F.col("w")).cast("decimal(38,0)")).alias("u"))
+        )
+        m = u.agg(F.max(F.abs(F.col("u"))).alias("m"))
+        w = (
+            u.crossJoin(F.broadcast(m))
+            .select(
+                F.col("i").alias("j"),
+                (
+                    F.when(F.col("u") < 0, -1).otherwise(1).cast("decimal(38,0)")
+                    * F.expr(
+                        "CAST((ABS(u) * 1000000) div m AS DECIMAL(38,0))"
+                    )
+                ).alias("w"),
+            )
+        )
+    return w.select(
+        F.col("j").cast("int").alias("pos"),
+        F.col("w").cast("long").alias("weight_micro"),
+        (F.col("w").cast("double") / 1000000.0).alias("weight"),
+    )
