@@ -42,6 +42,17 @@ BNLJ_ALLOWED = {
     "docs_bm25_search",  # broadcast single-row corpus stats (N, avgdl) scalar
     "docs_lexical_knn",  # broadcast single-row probe-id / probe-norm scalars
     "supplier_triangle_count",  # broadcast single-row max-shared / count scalars
+    "customer_rfm",  # broadcast single-row global ref-date scalar
+    "part_affinity_rules",  # broadcast single-row basket-count (N) scalar
+    "docs_keyness_chi2",  # broadcast single-row corpus token total scalar
+    "docs_collocations",  # broadcast single-row token total (N) scalar
+    "emb_knn_classify",  # broadcast-queries kNN + broadcast truth labels
+    "nation_budget_apportionment",  # 1-row total / leftover scalars (×3)
+    "orders_benford_first_digit",  # broadcast single-row order-count scalar
+    "referential_integrity_audit",  # 7× crossJoin of two 1-row audit aggs
+    "docs_substring_contamination",  # corpus × broadcast 5-row probe set
+    "docs_repeat_factors",  # broadcast single-row budget/source-count scalar
+    "emb_pca_power",  # 64-row matrix/vector + 1-row max-norm scalars per sweep
 }
 
 SF_DIR = "/root/testdata/sf0.001"
