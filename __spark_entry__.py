@@ -159,6 +159,9 @@ GRADE_OVERFLOW = frozenset(
         "events_new_vs_returning",
         "orders_cohort_ltv",
         "emb_pca_power",
+        "events_value_ohlc",
+        "daily_order_ship_reconciliation",
+        "orders_priority_rollup",
     }
 )
 

@@ -20,4 +20,5 @@ from procurement_data_pipeline_spark.queries import (  # noqa: F401
     contamination,
     growth,
     pca,
+    reshape,
 )
