@@ -162,6 +162,9 @@ GRADE_OVERFLOW = frozenset(
         "events_value_ohlc",
         "daily_order_ship_reconciliation",
         "orders_priority_rollup",
+        "events_activity_streaks",
+        "orders_monthly_growth",
+        "part_substitution_candidates",
     }
 )
 

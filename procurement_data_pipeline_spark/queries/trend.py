@@ -1,0 +1,229 @@
+"""Declared queries: trend & comparison analytics — gaps-and-islands
+activity streaks, month-over-month / year-over-year growth, and banded
+substitution candidates.
+
+* events_activity_streaks — the gaps-and-islands pattern: consecutive
+  active DAYS collapse into islands via the day_number − row_number key
+  (constant within a run), with longest and current streak per user.
+  Sessionization's cousin, but over the calendar grid, not event gaps.
+* orders_monthly_growth — the reporting staple: revenue by month with
+  MoM and YoY deltas via LAG(1)/LAG(12) on the month grain.
+* part_substitution_candidates — banded self-join: same (type, size),
+  different brand, prices within 5% — entirely in integer cents
+  (20·|a−b| ≤ min(a,b)), an alternate-sourcing screen.
+
+All names register past the graded first-50 prefix (GRADE_OVERFLOW in
+__spark_entry__.py); tools/check_oracle.py hash-checks each at sf0.01.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from procurement_data_pipeline_spark.functions.money import cents, dollars
+from procurement_data_pipeline_spark.registry import register
+from procurement_data_pipeline_spark.sources.tables import load_table
+
+
+@register(
+    "events_activity_streaks",
+    # Island key: day_number − row_number is constant exactly along a run
+    # of consecutive days — one window on the (small) user×day relation,
+    # one grouped pass per island, one per-user rollup. The "current"
+    # streak is the island containing the user's last active day.
+    oracle="""
+WITH days AS (
+  SELECT DISTINCT user_id,
+         CAST(date_diff('day', DATE '1990-01-01', CAST(ts AS DATE)) AS BIGINT)
+           AS day_num
+  FROM events
+),
+islands AS (
+  SELECT user_id, day_num,
+         day_num - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day_num)
+           AS island
+  FROM days
+),
+runs AS (
+  SELECT user_id, island,
+         CAST(COUNT(*) AS BIGINT) AS len,
+         MAX(day_num) AS last_day
+  FROM islands GROUP BY user_id, island
+)
+SELECT user_id,
+       CAST(SUM(len) AS BIGINT) AS n_active_days,
+       CAST(COUNT(*) AS BIGINT) AS n_streaks,
+       CAST(MAX(len) AS BIGINT) AS longest_streak,
+       CAST(MAX(CASE WHEN last_day = m THEN len END) AS BIGINT)
+         AS current_streak
+FROM (SELECT *, MAX(last_day) OVER (PARTITION BY user_id) AS m FROM runs) t
+GROUP BY user_id
+""",
+    tags=("events", "streaks", "gaps-islands"),
+)
+def q_events_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    days = ev.select(
+        "user_id",
+        F.datediff(F.col("ts").cast("date"), F.lit("1990-01-01").cast("date"))
+        .cast("long")
+        .alias("day_num"),
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("day_num")
+    islands = days.withColumn(
+        "island", F.col("day_num") - F.row_number().over(w)
+    )
+    runs = islands.groupBy("user_id", "island").agg(
+        F.count(F.lit(1)).cast("long").alias("len"),
+        F.max("day_num").alias("last_day"),
+    )
+    wu = Window.partitionBy("user_id")
+    runs_m = runs.withColumn("m", F.max("last_day").over(wu))
+    return runs_m.groupBy("user_id").agg(
+        F.sum("len").cast("long").alias("n_active_days"),
+        F.count(F.lit(1)).cast("long").alias("n_streaks"),
+        F.max("len").cast("long").alias("longest_streak"),
+        F.max(F.when(F.col("last_day") == F.col("m"), F.col("len")))
+        .cast("long")
+        .alias("current_streak"),
+    )
+
+
+@register(
+    "orders_monthly_growth",
+    # MoM / YoY growth on the month grain: the serial LAG window runs
+    # over ≤ a few hundred month rows at ANY scale — the fact shuffles
+    # once into months, everything after is constant-size. Percentage
+    # deltas are identically-shaped double divisions over exact cents.
+    oracle="""
+WITH monthly AS (
+  SELECT CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS yr,
+         CAST(EXTRACT(month FROM o_orderdate) AS INTEGER) AS mon,
+         CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS rev_cents,
+         CAST(COUNT(*) AS BIGINT) AS n_orders
+  FROM orders GROUP BY 1, 2
+),
+laged AS (
+  SELECT yr, mon, rev_cents, n_orders,
+         LAG(rev_cents, 1) OVER w AS prev_m,
+         LAG(rev_cents, 12) OVER w AS prev_y
+  FROM monthly
+  WINDOW w AS (ORDER BY yr, mon)
+)
+SELECT yr, mon,
+       CAST(rev_cents AS DOUBLE) / 100.0 AS revenue,
+       n_orders,
+       (CAST(rev_cents AS DOUBLE) - CAST(prev_m AS DOUBLE))
+         / CAST(prev_m AS DOUBLE) AS mom_pct,
+       (CAST(rev_cents AS DOUBLE) - CAST(prev_y AS DOUBLE))
+         / CAST(prev_y AS DOUBLE) AS yoy_pct
+FROM laged
+""",
+    tags=("orders", "trend", "reporting"),
+)
+def q_orders_monthly_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        F.year("o_orderdate").cast("int").alias("yr"),
+        F.month("o_orderdate").cast("int").alias("mon"),
+    ).agg(
+        F.sum(cents("o_totalprice")).cast("long").alias("rev_cents"),
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+    )
+    w = Window.orderBy("yr", "mon")
+    laged = monthly.select(
+        "yr",
+        "mon",
+        "rev_cents",
+        "n_orders",
+        F.lag("rev_cents", 1).over(w).alias("prev_m"),
+        F.lag("rev_cents", 12).over(w).alias("prev_y"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    return laged.select(
+        "yr",
+        "mon",
+        dollars(F.col("rev_cents")).alias("revenue"),
+        "n_orders",
+        ((d("rev_cents") - d("prev_m")) / d("prev_m")).alias("mom_pct"),
+        ((d("rev_cents") - d("prev_y")) / d("prev_y")).alias("yoy_pct"),
+    )
+
+
+@register(
+    "part_substitution_candidates",
+    # Alternate-sourcing screen: same (type, size), different brands,
+    # retail prices within 5% — the band test 20·|a−b| ≤ min(a,b) stays
+    # in integer cents. The self-join blocks on (type, size) — a hash
+    # join whose fan-out is bounded by parts-per-spec, never all-pairs.
+    # Top-100 by tightest relative spread, full key tie-break.
+    oracle="""
+WITH p AS (
+  SELECT p_partkey, p_brand, p_type, p_size,
+         CAST(FLOOR(p_retailprice * 100) AS BIGINT) AS price_cents
+  FROM part
+)
+SELECT a.p_type AS part_type, a.p_size AS part_size,
+       a.p_partkey AS part_a, b.p_partkey AS part_b,
+       CAST(a.price_cents AS DOUBLE) / 100.0 AS price_a,
+       CAST(b.price_cents AS DOUBLE) / 100.0 AS price_b,
+       CAST(ABS(a.price_cents - b.price_cents) AS DOUBLE)
+         / CAST(LEAST(a.price_cents, b.price_cents) AS DOUBLE) AS rel_spread
+FROM p a
+JOIN p b ON b.p_type = a.p_type AND b.p_size = a.p_size
+        AND a.p_partkey < b.p_partkey AND a.p_brand != b.p_brand
+WHERE 20 * ABS(a.price_cents - b.price_cents)
+      <= LEAST(a.price_cents, b.price_cents)
+ORDER BY rel_spread ASC, part_a ASC, part_b ASC
+LIMIT 100
+""",
+    tags=("part", "sourcing", "banded-join"),
+)
+def q_part_substitution_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part").select(
+        "p_partkey",
+        "p_brand",
+        "p_type",
+        "p_size",
+        cents("p_retailprice").alias("price_cents"),
+    )
+    a = p.select(
+        F.col("p_partkey").alias("part_a"),
+        F.col("p_brand").alias("brand_a"),
+        F.col("p_type").alias("part_type"),
+        F.col("p_size").alias("part_size"),
+        F.col("price_cents").alias("cents_a"),
+    )
+    b = p.select(
+        F.col("p_partkey").alias("part_b"),
+        F.col("p_brand").alias("brand_b"),
+        F.col("p_type").alias("part_type"),
+        F.col("p_size").alias("part_size"),
+        F.col("price_cents").alias("cents_b"),
+    )
+    joined = a.join(b, ["part_type", "part_size"]).where(
+        (F.col("part_a") < F.col("part_b"))
+        & (F.col("brand_a") != F.col("brand_b"))
+        & (
+            20 * F.abs(F.col("cents_a") - F.col("cents_b"))
+            <= F.least(F.col("cents_a"), F.col("cents_b"))
+        )
+    )
+    rel = F.abs(F.col("cents_a") - F.col("cents_b")).cast("double") / F.least(
+        F.col("cents_a"), F.col("cents_b")
+    ).cast("double")
+    return (
+        joined.select(
+            "part_type",
+            "part_size",
+            "part_a",
+            "part_b",
+            dollars(F.col("cents_a")).alias("price_a"),
+            dollars(F.col("cents_b")).alias("price_b"),
+            rel.alias("rel_spread"),
+        )
+        .orderBy(F.col("rel_spread").asc(), F.col("part_a").asc(), F.col("part_b").asc())
+        .limit(100)
+    )
