@@ -95,6 +95,7 @@ def click_attribution_join(
     clicks: DataFrame,
     lookback: str = "1 hour",
     watermark: str = "2 hours",
+    join_type: str = "inner",
 ) -> DataFrame:
     """Watermarked stream-stream interval join: each purchase pairs with the
     same user's clicks inside its lookback window — the streaming analogue
@@ -103,9 +104,13 @@ def click_attribution_join(
     Both sides carry watermarks and the join condition bounds event-time
     distance, so the state store provably evicts rows older than
     watermark + lookback — bounded state forever, the requirement for any
-    stream-stream join at scale. Inner join: zero-click purchases surface
-    when the aggregation layer counts, not here (outer stream-stream joins
-    emit NULL rows only at watermark expiry)."""
+    stream-stream join at scale. Default inner join: zero-click purchases
+    surface when the aggregation layer counts. ``join_type='left_outer'``
+    emits the NULL-click row for an unmatched purchase once the watermark
+    proves no matching click can still arrive (NULL rows appear in a
+    trigger AFTER the watermark passes the join window — the documented
+    outer stream-stream latency; tests/test_streaming_semantics.py pins
+    this behavior)."""
     p = purchases.select(
         F.col("event_id").alias("purchase_id"),
         F.col("user_id"),
@@ -120,7 +125,7 @@ def click_attribution_join(
         (F.col("user_id") == F.col("click_user"))
         & (F.col("click_ts") >= F.col("purchase_ts") - F.expr(f"INTERVAL {lookback}"))
         & (F.col("click_ts") <= F.col("purchase_ts")),
-        "inner",
+        join_type,
     ).select("purchase_id", "user_id", "purchase_ts", "click_ts")
 
 
