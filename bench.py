@@ -62,6 +62,16 @@ def main() -> None:
         "events_rolling_distinct_users_hll",
         "events_distinct_users_hll",
         "docs_corpus_mix_temperature",
+        # Third-session tier (one representative per operator family):
+        "events_cusum_drift",
+        "part_affinity_rules",
+        "part_hierarchy_rollup",
+        "part_fifo_consumption",
+        "customer_rfm",
+        "emb_pca_power",
+        "docs_dup_ngram_coverage",
+        "events_position_attribution",
+        "orders_fiscal_445_rollup",
     ]
     extended_specs = {n: specs[n] for n in extended_names if n in specs}
     unknown_extended = [n for n in extended_names if n not in specs]

@@ -86,19 +86,52 @@ def q_emb_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     from procurement_data_pipeline_spark.caching import scoped_persist
 
     emb = load_table(spark, sf_dir, "embeddings")
-    q = emb.select("vec_id", F.posexplode("embedding").alias("pos", "v")).select(
-        "vec_id",
-        "pos",
-        F.floor(F.col("v").cast("double") * 1000000)
-        .cast("decimal(38,0)")
-        .alias("qv"),
+    # The Gram matrix is built as VECTORIZED PARTIALS: each Arrow batch
+    # computes its own dim×dim QᵀQ with one int64 numpy matmul inside
+    # mapInPandas, and only the dim² partial rows (4096 per batch) cross
+    # the wire into the decimal-sum merge — the dim²-per-vector blow-up
+    # never materializes row-wise. This is the "built-ins can't express
+    # it efficiently" case the Pandas-UDF tier exists for: the explode or
+    # self-join formulations shuffle n·dim² rows; this shuffles
+    # batches·dim². Exactness: per-batch int64 sums are exact (chunks
+    # capped at 20k rows × product ≤ ~1e13 ≈ 2e17 < 2⁶³; the quantized
+    # magnitude is asserted, not assumed), and the cross-batch merge
+    # widens to DECIMAL(38,0) where real-scale overflow lives.
+    import numpy as np
+    import pandas as pd
+
+    q = emb.select(
+        F.transform(
+            F.col("embedding"),
+            lambda v: F.floor(v.cast("double") * 1000000).cast("long"),
+        ).alias("q")
     )
-    a = q.select("vec_id", F.col("pos").alias("i"), F.col("qv").alias("qa"))
-    b = q.select("vec_id", F.col("pos").alias("j"), F.col("qv").alias("qb"))
+
+    def gram_partials(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            full = np.array(pdf["q"].tolist(), dtype=np.int64)
+            for start in range(0, len(full), 20_000):
+                mat = full[start : start + 20_000]
+                if np.abs(mat).max(initial=0) > 3_000_000:
+                    raise ValueError(
+                        "quantized magnitude exceeds the int64-exact bound"
+                    )
+                gram = mat.T @ mat
+                ii, jj = np.indices(gram.shape)
+                yield pd.DataFrame(
+                    {
+                        "i": ii.ravel().astype(np.int32),
+                        "j": jj.ravel().astype(np.int32),
+                        "p": gram.ravel(),
+                    }
+                )
+
     g = scoped_persist(
-        a.join(b, "vec_id")
+        q.mapInPandas(gram_partials, "i int, j int, p long")
         .groupBy("i", "j")
-        .agg(F.sum((F.col("qa") * F.col("qb")).cast("decimal(38,0)")).alias("g"))
+        .agg(F.sum(F.col("p").cast("decimal(38,0)")).alias("g"))
     )
     w = g.select("j").distinct().select(
         "j", F.lit(1000000).cast("decimal(38,0)").alias("w")
