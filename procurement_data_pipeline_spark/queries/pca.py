@@ -112,12 +112,17 @@ def q_emb_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
             if pdf.empty:
                 continue
             full = np.array(pdf["q"].tolist(), dtype=np.int64)
-            for start in range(0, len(full), 20_000):
-                mat = full[start : start + 20_000]
-                if np.abs(mat).max(initial=0) > 3_000_000:
-                    raise ValueError(
-                        "quantized magnitude exceeds the int64-exact bound"
-                    )
+            # Adaptive chunking keeps every per-entry partial sum exact:
+            # chunk_rows × max|q|² must stay below 2⁶² (headroom under
+            # int64). Computed from the OBSERVED magnitude, not assumed.
+            maxq = int(np.abs(full).max(initial=1)) or 1
+            chunk = max(1, min(20_000, (2**62) // (maxq * maxq)))
+            if maxq * maxq >= 2**62:
+                raise ValueError(
+                    "quantized magnitude exceeds the int64-exact bound"
+                )
+            for start in range(0, len(full), chunk):
+                mat = full[start : start + chunk]
                 gram = mat.T @ mat
                 ii, jj = np.indices(gram.shape)
                 yield pd.DataFrame(
