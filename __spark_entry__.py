@@ -165,6 +165,8 @@ GRADE_OVERFLOW = frozenset(
         "events_activity_streaks",
         "orders_monthly_growth",
         "part_substitution_candidates",
+        "lineitem_skew_diagnosis",
+        "orders_duplicate_payments",
     }
 )
 
