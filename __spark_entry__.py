@@ -167,6 +167,8 @@ GRADE_OVERFLOW = frozenset(
         "part_substitution_candidates",
         "lineitem_skew_diagnosis",
         "orders_duplicate_payments",
+        "docs_langid_confidence",
+        "emb_dedup_exact",
     }
 )
 
