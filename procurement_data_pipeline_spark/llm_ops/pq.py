@@ -355,6 +355,41 @@ def ivf_pq_ann(
     return ivf_pq_search(index, encoded, queries, k, nprobe, id_col, vec_col)
 
 
+def append_to_ivf_pq_index(
+    spark,
+    path: str,
+    new_vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> int:
+    """Incrementally add vectors to a PERSISTED index — no retrain.
+
+    The centroids and codebooks are frozen (rehydrated from ``path/meta``);
+    the new vectors are encoded and cell-assigned under them in one
+    distributed pass and APPENDED to the cell-partitioned codes directory.
+    This is the standing index-maintenance operation: a daily ingest adds
+    its vectors in O(new) work, and searches immediately see them through
+    the same partition-pruned read path. Drift is the documented trade —
+    when the data distribution moves, recall decays and a rebuild
+    (build_ivf_pq_index) re-trains; this function never does silently.
+
+    Returns the number of appended codes.
+    """
+    from procurement_data_pipeline_spark.llm_ops.similarity import _cell_udfs
+
+    index, _ = load_ivf_pq_index(spark, path)
+    cell_udf, _ = _cell_udfs(index.centroids, nprobe=1)
+    encoded = pq_encode(new_vectors, index.codebooks, id_col, vec_col).join(
+        new_vectors.select(
+            id_col, cell_udf(F.col(vec_col)).alias("_cell")
+        ),
+        id_col,
+    )
+    n = encoded.count()
+    encoded.write.mode("append").partitionBy("_cell").parquet(f"{path}/codes")
+    return n
+
+
 def pq_reconstruction_cosine(
     corpus: DataFrame,
     codebooks: np.ndarray,

@@ -458,6 +458,61 @@ def test_ivf_pq_persisted_index_roundtrip(spark, sf_dir, tmp_path):
     assert any(p.name.startswith("_cell=") for p in (tmp_path / "ivfpq_index" / "codes").iterdir())
 
 
+def test_ivf_pq_index_append_without_retrain(spark, sf_dir, tmp_path):
+    """Incremental maintenance: build+persist on half the corpus, append
+    the other half under the FROZEN codebooks — the loaded index then
+    contains every code, the appended codes equal a fresh encode under
+    the same codebooks, and an appended vector retrieves itself top-1."""
+    from procurement_data_pipeline_spark.llm_ops.pq import (
+        append_to_ivf_pq_index,
+        build_ivf_pq_index,
+        ivf_pq_search,
+        load_ivf_pq_index,
+        pq_encode,
+        save_ivf_pq_index,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    first = emb.filter(F.col("vec_id") % 2 == 0)
+    second = emb.filter(F.col("vec_id") % 2 == 1)
+    index, encoded = build_ivf_pq_index(first, nlist=16, m=8, codebook_k=64)
+    path = str(tmp_path / "idx")
+    save_ivf_pq_index(index, encoded, path)
+
+    n_appended = append_to_ivf_pq_index(spark, path, second)
+    assert n_appended == second.count()
+
+    index2, encoded2 = load_ivf_pq_index(spark, path)
+    assert encoded2.count() == emb.count()
+    # Appended codes == a fresh encode of the second half under the SAME
+    # (frozen) codebooks — no retraining happened.
+    fresh = {
+        (r.vec_id, tuple(r.code))
+        for r in pq_encode(second, index.codebooks).collect()
+    }
+    stored = {
+        (r.vec_id, tuple(r.code))
+        for r in encoded2.join(
+            second.select("vec_id"), "vec_id"
+        ).select("vec_id", "code").collect()
+    }
+    assert stored == fresh
+    # Appended vectors are immediately retrievable (the search excludes
+    # the query's own id, so the check is membership in OTHER queries'
+    # result sets): with half the corpus appended, first-half queries
+    # must surface appended (odd-id) neighbors.
+    probe = first.filter(F.col("vec_id") < 40)
+    got = ivf_pq_search(index2, encoded2, probe, k=10, nprobe=16).collect()
+    assert got
+    returned_ids = {r.vec_id for r in got}
+    assert any(v % 2 == 1 for v in returned_ids)
+    # And appended vectors work as queries against the served index.
+    got2 = ivf_pq_search(
+        index2, encoded2, second.filter(F.col("vec_id") < 20), k=5, nprobe=16
+    ).collect()
+    assert len({r.query_id for r in got2}) == 10
+
+
 def test_scoped_persist_releases_all_blocks(spark, sf_dir):
     """Shared-session hygiene: after a persist-heavy query materializes and
     the caller invokes release_cached(), the pinned-RDD count returns to its
