@@ -377,13 +377,20 @@ def append_to_ivf_pq_index(
     """
     from procurement_data_pipeline_spark.llm_ops.similarity import _cell_udfs
 
+    from procurement_data_pipeline_spark.caching import scoped_persist
+
     index, _ = load_ivf_pq_index(spark, path)
     cell_udf, _ = _cell_udfs(index.centroids, nprobe=1)
-    encoded = pq_encode(new_vectors, index.codebooks, id_col, vec_col).join(
-        new_vectors.select(
-            id_col, cell_udf(F.col(vec_col)).alias("_cell")
-        ),
-        id_col,
+    # Persist before counting: the encode (M matmuls per batch) + cell
+    # UDF + join would otherwise run twice — once for the count, once for
+    # the write — doubling the O(new) maintenance cost.
+    encoded = scoped_persist(
+        pq_encode(new_vectors, index.codebooks, id_col, vec_col).join(
+            new_vectors.select(
+                id_col, cell_udf(F.col(vec_col)).alias("_cell")
+            ),
+            id_col,
+        )
     )
     n = encoded.count()
     encoded.write.mode("append").partitionBy("_cell").parquet(f"{path}/codes")

@@ -24,9 +24,11 @@ from procurement_data_pipeline_spark.llm_ops.text import EN_STOPWORDS, words
 from procurement_data_pipeline_spark.registry import register
 from procurement_data_pipeline_spark.sources.tables import load_table
 
-# DuckDB twins of llm_ops.text.normalize_text / words (same as queries.text).
-_NORM = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
-_WORDS = f"string_split({_NORM}, ' ')"
+# DuckDB twins of llm_ops.text.normalize_text / words — imported from
+# queries.text (the single source of the oracle tokenizer strings) so a
+# tokenization change cannot silently fork this module's oracles.
+from procurement_data_pipeline_spark.queries.text import _WORDS  # noqa: E402
+
 _EN_LIST = ", ".join(f"'{w}'" for w in EN_STOPWORDS)
 
 # Content tokens: the word stream minus stopwords (both engines filter the

@@ -53,6 +53,7 @@ BNLJ_ALLOWED = {
     "docs_substring_contamination",  # corpus × broadcast 5-row probe set
     "docs_repeat_factors",  # broadcast single-row budget/source-count scalar
     "emb_pca_power",  # 64-row matrix/vector + 1-row max-norm scalars per sweep
+    "lineitem_skew_diagnosis",  # broadcast single-row key-count stats scalar
 }
 
 SF_DIR = "/root/testdata/sf0.001"
