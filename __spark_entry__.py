@@ -169,6 +169,9 @@ GRADE_OVERFLOW = frozenset(
         "orders_duplicate_payments",
         "docs_langid_confidence",
         "emb_dedup_exact",
+        "part_price_size_skyline",
+        "events_type_mode_per_user",
+        "orders_revenue_bridge",
     }
 )
 
