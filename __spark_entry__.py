@@ -172,6 +172,11 @@ GRADE_OVERFLOW = frozenset(
         "part_price_size_skyline",
         "events_type_mode_per_user",
         "orders_revenue_bridge",
+        "lineitem_bloom_pruned_revenue",
+        "events_kmv_distinct_users",
+        "events_kmv_type_overlap",
+        "events_ab_cuped",
+        "events_value_bootstrap_ci",
     }
 )
 

@@ -1,0 +1,44 @@
+"""CUPED A/B readout and Poisson-bootstrap CI contracts."""
+
+from __future__ import annotations
+
+from procurement_data_pipeline_spark.registry import load_all
+
+
+def test_cuped_preserves_overall_mean(spark, sf_dir):
+    """Algebraic identity: with pooled θ and the GLOBAL pre-mean as the
+    centering constant, the user-weighted average of the adjusted arm
+    means equals the user-weighted average of the raw post means — CUPED
+    shifts variance between arms, never the overall level."""
+    rows = load_all()["events_ab_cuped"].builder(spark, sf_dir).collect()
+    assert {r["arm"] for r in rows} == {"A", "B"}
+    n = sum(r["n_users"] for r in rows)
+    raw = sum(r["n_users"] * r["mean_post"] for r in rows) / n
+    adj = sum(r["n_users"] * r["cuped_mean"] for r in rows) / n
+    assert abs(raw - adj) < 1e-9 * max(abs(raw), 1.0)
+
+
+def test_cuped_deterministic(spark, sf_dir):
+    b = load_all()["events_ab_cuped"].builder
+    r1 = sorted(map(tuple, b(spark, sf_dir).collect()))
+    r2 = sorted(map(tuple, b(spark, sf_dir).collect()))
+    assert r1 == r2
+
+
+def test_bootstrap_ci_shape(spark, sf_dir):
+    rows = load_all()["events_value_bootstrap_ci"].builder(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["n_rep"] == 32
+        assert r["ci_lo"] <= r["ci_hi"]
+        # the interval should bracket the point estimate at this n
+        assert r["ci_lo"] <= r["point_mean"] <= r["ci_hi"], r
+        # and be meaningfully narrower than the value scale
+        assert (r["ci_hi"] - r["ci_lo"]) < abs(r["point_mean"]) + 1.0
+
+
+def test_bootstrap_deterministic(spark, sf_dir):
+    b = load_all()["events_value_bootstrap_ci"].builder
+    r1 = sorted(map(tuple, b(spark, sf_dir).collect()))
+    r2 = sorted(map(tuple, b(spark, sf_dir).collect()))
+    assert r1 == r2

@@ -54,6 +54,8 @@ BNLJ_ALLOWED = {
     "docs_repeat_factors",  # broadcast single-row budget/source-count scalar
     "emb_pca_power",  # 64-row matrix/vector + 1-row max-norm scalars per sweep
     "lineitem_skew_diagnosis",  # broadcast single-row key-count stats scalar
+    "events_kmv_type_overlap",  # |types|² pair enumeration over the bounded type domain
+    "events_ab_cuped",  # broadcast single-row θ / global-pre-mean scalar
 }
 
 SF_DIR = "/root/testdata/sf0.001"
