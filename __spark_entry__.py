@@ -177,6 +177,8 @@ GRADE_OVERFLOW = frozenset(
         "events_kmv_type_overlap",
         "events_ab_cuped",
         "events_value_bootstrap_ci",
+        "orders_kaplan_meier",
+        "orders_forecast_backtest",
     }
 )
 
