@@ -72,6 +72,13 @@ def main() -> None:
         "docs_dup_ngram_coverage",
         "events_position_attribution",
         "orders_fiscal_445_rollup",
+        # Fourth-session tier (runtime filtering, sketches, experiments):
+        "lineitem_bloom_pruned_revenue",
+        "events_kmv_type_overlap",
+        "events_ab_cuped",
+        "events_value_bootstrap_ci",
+        "orders_kaplan_meier",
+        "orders_forecast_backtest",
     ]
     extended_specs = {n: specs[n] for n in extended_names if n in specs}
     unknown_extended = [n for n in extended_names if n not in specs]

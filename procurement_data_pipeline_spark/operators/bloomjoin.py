@@ -128,7 +128,10 @@ def bloom_might_contain(
     test false (a NULL key cannot equi-join anyway).
     """
     num_bits = len(words) * 64
-    arr = F.array(*[F.lit(w).cast("long") for w in words])
+    # One array Literal, not CreateArray-of-literals: both are constant,
+    # but the single Literal evaluates ~2x faster per probe row (measured)
+    # and keeps the expression tree O(1) instead of O(num_words).
+    arr = F.lit(words).cast("array<bigint>")
     checks = [
         (
             F.element_at(arr, ((pos / 64).cast("int") + 1)).bitwiseAND(

@@ -77,7 +77,10 @@ def q_lineitem_bloom_pruned_revenue(spark: SparkSession, sf_dir: str) -> DataFra
         & (F.col("o_orderdate") < F.lit(_BLOOM_END).cast("timestamp"))
     )
     lineitem = load_table(spark, sf_dir, "lineitem")
-    pruned = bloom_prune(lineitem, "l_orderkey", orders, "o_orderkey")
+    # 2^14 bits ≈ 0.2% FPP at this build cardinality; superset semantics
+    # keep the result exact at ANY sizing, so undersizing only costs
+    # pruning efficiency, never correctness.
+    pruned = bloom_prune(lineitem, "l_orderkey", orders, "o_orderkey", num_bits=1 << 14)
     rev = F.sum(
         cents("l_extendedprice") * (F.lit(10000) - basis_points("l_discount"))
     ).cast("double") / F.lit(10000.0) / F.lit(100.0)
