@@ -127,6 +127,56 @@ def list_tables(spark: SparkSession, db: str = "procurement") -> list[str]:
     return [t.name for t in spark.catalog.listTables(db)]
 
 
+def recover_swap(spark: SparkSession, path: str) -> bool:
+    """Recover a directory swap interrupted between its two renames.
+
+    :func:`swap_dir` can crash after parking the live directory at
+    ``path__old`` but before promoting the replacement; readers must call
+    this (or :func:`swap_dir` itself, which does) so a half-finished swap
+    restores the last complete state instead of presenting an empty
+    table. Returns True if a parked directory was restored.
+    """
+    jvm = spark._jvm
+    root = jvm.org.apache.hadoop.fs.Path(path)
+    fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
+    old = jvm.org.apache.hadoop.fs.Path(path.rstrip("/") + "__old")
+    if not fs.exists(root) and fs.exists(old):
+        fs.rename(old, root)
+        return True
+    return False
+
+
+def swap_dir(spark: SparkSession, tmp_path: str, path: str) -> None:
+    """Promote ``tmp_path`` to ``path`` without a lose-everything window.
+
+    A delete-then-rename swap has a crash window where the data is simply
+    GONE (deleted, replacement not yet promoted) — and a reader that
+    "recovers" from the missing directory by starting fresh silently
+    discards all accumulated state. This swap parks the live directory at
+    ``path__old`` instead of deleting it, promotes the replacement, then
+    drops the parked copy; every crash point leaves either the old or the
+    new complete state recoverable (:func:`recover_swap` handles the
+    one window where the live name is briefly vacant). Hadoop-FS rename
+    is atomic on hdfs:// and file://; on object stores it is a copy —
+    slower, same recovery story.
+    """
+    jvm = spark._jvm
+    root = jvm.org.apache.hadoop.fs.Path(path)
+    fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
+    tmp = jvm.org.apache.hadoop.fs.Path(tmp_path)
+    old = jvm.org.apache.hadoop.fs.Path(path.rstrip("/") + "__old")
+    if not fs.exists(root) and fs.exists(old):
+        # an earlier swap crashed after parking: __old IS the live state
+        fs.rename(old, root)
+    if fs.exists(old):  # root exists too → parked copy is superseded garbage
+        fs.delete(old, True)
+    if fs.exists(root):
+        fs.rename(root, old)
+    fs.rename(tmp, root)
+    if fs.exists(old):
+        fs.delete(old, True)
+
+
 def write_bucketed_table(
     df: DataFrame,
     name: str,
@@ -182,8 +232,7 @@ def compact_dir(
     n_files = max(1, -(-size // target_file_bytes))
     tmp_str = path.rstrip("/") + "__compacting"
     df.repartition(n_files).write.mode("overwrite").parquet(tmp_str)
-    fs.delete(root, True)
-    fs.rename(jvm.org.apache.hadoop.fs.Path(tmp_str), root)
+    swap_dir(spark, tmp_str, path)
     return n_files
 
 
@@ -374,6 +423,4 @@ def merge_upsert(
         merged = updates
     tmp_str = path.rstrip("/") + "__merging"
     merged.write.mode("overwrite").parquet(tmp_str)
-    if fs.exists(root):
-        fs.delete(root, True)
-    fs.rename(jvm.org.apache.hadoop.fs.Path(tmp_str), root)
+    swap_dir(spark, tmp_str, path)

@@ -67,21 +67,29 @@ def hash_frac_sql(hash_expr: str) -> str:
 
 
 def kmv_bottom_k(
-    df: DataFrame, group_cols: list[str], hash_col: str, k: int
+    df: DataFrame,
+    group_cols: list[str],
+    hash_col: str,
+    k: int,
+    assume_distinct: bool = False,
 ) -> DataFrame:
     """Keep the k smallest DISTINCT hashes per group (the sketch rows).
 
     Distinct-then-rank: the distinct bounds each group's candidate set,
     the ``row_number() <= k`` filter becomes a WindowGroupLimit (top-k
     heap per partition, no global sort). Output ≤ k rows per group.
+    ``assume_distinct=True`` skips the dedup shuffle when the caller
+    already holds a distinct (group, hash) relation — e.g. one it
+    persisted to feed an exact-truth branch alongside the sketch.
     """
     if k < 2:
         raise ValueError(f"k must be >= 2 for the (k-1)/h_k estimator, got {k}")
     w = Window.partitionBy(*group_cols).orderBy(F.col(hash_col))
+    dist = df.select(*group_cols, hash_col)
+    if not assume_distinct:
+        dist = dist.distinct()
     return (
-        df.select(*group_cols, hash_col)
-        .distinct()
-        .withColumn("_rn", F.row_number().over(w))
+        dist.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") <= k)
         .drop("_rn")
     )
@@ -97,6 +105,17 @@ def kmv_estimate(n_kept: Column, kth_hash: Column, k: int) -> Column:
     return F.when(n_kept < k, n_kept.cast("double")).otherwise(
         F.lit(float(k - 1)) / hash_frac(kth_hash)
     )
+
+
+def estimate_from_sketch(n_kept: int, kth_hash_hex: str, k: int) -> float:
+    """Driver-side twin of :func:`kmv_estimate` for collected sketches —
+    the ONE place the 52-bit prefix contract is applied to plain Python
+    values (operators/joinplanner consumes this; keeping it here means a
+    prefix-width tune cannot silently diverge the planner's estimates
+    from the queries')."""
+    if n_kept < k:
+        return float(n_kept)
+    return (k - 1) / (int(kth_hash_hex[:_FRAC_HEX_CHARS], 16) / _FRAC_DENOM)
 
 
 def kmv_estimate_sql(n_kept: str, kth_hash: str, k: int) -> str:

@@ -15,7 +15,8 @@ the engine's own bounded-state primitives:
   (operators/skew) before AQE has to split straggler partitions.
 
 Every profiling structure is bounded (k sketch rows, capacity counters),
-so the profile costs two scans per side and collects kilobytes — it
+so the profile costs three bounded-output passes per side
+(count, KMV sketch, skew sketch) and collects kilobytes — it
 never materializes the join it is advising about.
 
 Heuristics are deliberately simple and tunable; the value is that every
@@ -32,7 +33,11 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from procurement_data_pipeline_spark.llm_ops.kmv import kmv_bottom_k, kmv_hash
+from procurement_data_pipeline_spark.llm_ops.kmv import (
+    estimate_from_sketch,
+    kmv_bottom_k,
+    kmv_hash,
+)
 from procurement_data_pipeline_spark.llm_ops.sketch import frequent_items
 
 BROADCAST_ROW_LIMIT = 5_000_000  # ~what fits a 10MB-ish broadcast of keys+payload
@@ -61,12 +66,6 @@ def _kmv_one(df: DataFrame, key: str, k: int) -> DataFrame:
     ).select("h")
 
 
-def _estimate(n_kept: int, kth_hex: str, k: int) -> float:
-    if n_kept < k:
-        return float(n_kept)
-    return (k - 1) / (int(kth_hex[:13], 16) / float(1 << 52))
-
-
 def _top_share(df: DataFrame, key: str, rows: int) -> float:
     if rows == 0:
         return 0.0
@@ -91,12 +90,12 @@ def profile_join(
     left_rows, right_rows = left.count(), right.count()
     lh = [r["h"] for r in _kmv_one(left, left_key, k).collect()]
     rh = [r["h"] for r in _kmv_one(right, right_key, k).collect()]
-    l_est = _estimate(len(lh), max(lh), k) if lh else 0.0
-    r_est = _estimate(len(rh), max(rh), k) if rh else 0.0
+    l_est = estimate_from_sketch(len(lh), max(lh), k) if lh else 0.0
+    r_est = estimate_from_sketch(len(rh), max(rh), k) if rh else 0.0
     # theta-style overlap: bottom-k of the union, membership from each side
     union_sorted = sorted(set(lh) | set(rh))[:k]
     n_u = len(union_sorted)
-    u_est = _estimate(n_u, union_sorted[-1], k) if n_u else 0.0
+    u_est = estimate_from_sketch(n_u, union_sorted[-1], k) if n_u else 0.0
     ls, rs = set(lh), set(rh)
     both = sum(1 for h in union_sorted if h in ls and h in rs)
     jaccard = both / n_u if n_u else 0.0

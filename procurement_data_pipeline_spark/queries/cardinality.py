@@ -133,16 +133,18 @@ FROM truth t JOIN sk s ON s.event_type = t.event_type
 )
 def q_events_kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
-    dh = ev.select("event_type", kmv_hash("user_id").alias("h"))
+    # ONE distinct shuffle feeds both the sketch and the exact-truth
+    # branch (scoped-persist convention for multi-consumer relations).
+    dhd = scoped_persist(
+        ev.select("event_type", kmv_hash("user_id").alias("h")).distinct()
+    )
     sk = (
-        kmv_bottom_k(dh, ["event_type"], "h", _KMV_K)
+        kmv_bottom_k(dhd, ["event_type"], "h", _KMV_K, assume_distinct=True)
         .groupBy("event_type")
         .agg(F.count(F.lit(1)).cast("long").alias("n_kept"), F.max("h").alias("kth"))
     )
-    truth = (
-        dh.distinct()
-        .groupBy("event_type")
-        .agg(F.count(F.lit(1)).cast("long").alias("true_distinct"))
+    truth = dhd.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("true_distinct")
     )
     return truth.join(sk, "event_type").select(
         "event_type",
@@ -206,7 +208,9 @@ FROM truth t JOIN sk s ON s.t1 = t.t1 AND s.t2 = t.t2
 )
 def q_events_kmv_type_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
-    dh = ev.select("event_type", kmv_hash("user_id").alias("h")).distinct()
+    dh = scoped_persist(
+        ev.select("event_type", kmv_hash("user_id").alias("h")).distinct()
+    )
     types = dh.select("event_type").distinct()
     pairs = (
         types.alias("a")

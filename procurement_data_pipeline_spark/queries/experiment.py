@@ -28,7 +28,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from procurement_data_pipeline_spark.caching import scoped_persist
 from procurement_data_pipeline_spark.llm_ops.kmv import hash_frac, hash_frac_sql
+from procurement_data_pipeline_spark.llm_ops.sampling import hash_key
 from procurement_data_pipeline_spark.registry import register
 from procurement_data_pipeline_spark.sources.tables import load_table
 
@@ -53,7 +55,8 @@ _POIS_CDF = (
     oracle=f"""
 WITH per_user AS (
   SELECT user_id,
-         CASE WHEN substr(md5(CAST(user_id AS VARCHAR) || '{_AB_SALT}'), 1, 8)
+         CASE WHEN substr(md5(COALESCE(CAST(user_id AS VARCHAR), '<null>')
+                              || '{_AB_SALT}'), 1, 8)
                    < '{_ARM_THRESHOLD}' THEN 'A' ELSE 'B' END AS arm,
          SUM(CASE WHEN ts < TIMESTAMP '{_SPLIT} 00:00:00'
                   THEN CAST(FLOOR(value * 1000000) AS BIGINT) ELSE 0 END) AS x,
@@ -105,14 +108,15 @@ def q_events_ab_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("ts") < split, vm).otherwise(F.lit(0))).alias("x"),
         F.sum(F.when(F.col("ts") >= split, vm).otherwise(F.lit(0))).alias("y"),
     )
+    # hash_key: the repo's portable split hash, with the '<null>' sentinel
+    # so a NULL user_id is assigned BY HASH like every other split, not by
+    # the otherwise() default.
     arm = F.when(
-        F.substring(
-            F.md5(F.concat(F.col("user_id").cast("string"), F.lit(_AB_SALT))), 1, 8
-        )
-        < _ARM_THRESHOLD,
-        "A",
+        F.substring(hash_key("user_id", salt=_AB_SALT), 1, 8) < _ARM_THRESHOLD, "A"
     ).otherwise("B")
-    per_user = per_user.select(arm.alias("arm"), "x", "y")
+    # θ and the arm readout both consume per_user: one scan + one user_id
+    # shuffle, persisted (scoped-persist convention).
+    per_user = scoped_persist(per_user.select(arm.alias("arm"), "x", "y"))
     dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
     g = per_user.agg(
         F.count(F.lit(1)).cast("long").alias("n"),
@@ -207,10 +211,14 @@ def q_events_value_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     (type, replica) and a B-bounded order-statistics fold per type. Scale
     cost is B× the scan, zero iteration, no driver resampling loop."""
     ev = load_table(spark, sf_dir, "events")
-    m = ev.select(
-        "event_type",
-        "event_id",
-        F.floor(F.col("value") * 1000000).cast("long").alias("vm"),
+    # the replica branch (explode ×B) and the point-mean branch both read
+    # m: persist so the fact table scans once (scoped-persist convention)
+    m = scoped_persist(
+        ev.select(
+            "event_type",
+            "event_id",
+            F.floor(F.col("value") * 1000000).cast("long").alias("vm"),
+        )
     )
     u = hash_frac(
         F.md5(

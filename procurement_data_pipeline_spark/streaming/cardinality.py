@@ -33,12 +33,6 @@ from procurement_data_pipeline_spark.session import configure_runtime
 from procurement_data_pipeline_spark.streaming.pipeline import EVENTS_STREAM_SCHEMA
 
 
-def _fs(spark: SparkSession, path: str):
-    jvm = spark._jvm
-    p = jvm.org.apache.hadoop.fs.Path(path)
-    return jvm, p, p.getFileSystem(spark._jsc.hadoopConfiguration())
-
-
 def merge_kmv_state(
     spark: SparkSession,
     state_path: str,
@@ -48,12 +42,21 @@ def merge_kmv_state(
 ) -> None:
     """Fold a batch sketch into the persisted state (≤ k rows per group).
 
-    Union + re-bottom-k + temp-dir swap. The state table is sketch-sized
+    Union + re-bottom-k + crash-safe directory swap (catalog.swap_dir: the
+    live state is parked, never deleted-before-replaced, and recover_swap
+    restores it if a trigger dies mid-promotion — losing the accumulated
+    sketch would silently undercount forever, the worst failure mode a
+    monitoring sketch can have). The state table is sketch-sized
     (groups × k), so this rewrite is constant work per trigger regardless
     of stream volume — the whole point of maintaining the sketch instead
     of the key set.
     """
-    jvm, root, fs = _fs(spark, state_path)
+    from procurement_data_pipeline_spark.catalog import recover_swap, swap_dir
+
+    recover_swap(spark, state_path)
+    jvm = spark._jvm
+    root = jvm.org.apache.hadoop.fs.Path(state_path)
+    fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
     if fs.exists(root):
         merged_input = spark.read.parquet(state_path).unionByName(batch_sketch)
     else:
@@ -61,9 +64,7 @@ def merge_kmv_state(
     merged = kmv_bottom_k(merged_input, group_cols, "h", k)
     tmp = state_path.rstrip("/") + "__merging"
     merged.write.mode("overwrite").parquet(tmp)
-    if fs.exists(root):
-        fs.delete(root, True)
-    fs.rename(jvm.org.apache.hadoop.fs.Path(tmp), root)
+    swap_dir(spark, tmp, state_path)
 
 
 def stream_kmv_distinct(
@@ -104,6 +105,9 @@ def stream_kmv_distinct(
 
 def kmv_state_estimates(spark: SparkSession, state_path: str, k: int) -> DataFrame:
     """Distinct-count estimates from the persisted state: (g, n_kept, est)."""
+    from procurement_data_pipeline_spark.catalog import recover_swap
+
+    recover_swap(spark, state_path)
     return (
         spark.read.parquet(state_path)
         .groupBy("g")

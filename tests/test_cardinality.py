@@ -26,8 +26,8 @@ def test_bloom_no_false_negatives(spark):
     """Every build key must pass the probe test — the superset contract
     the graded query's exactness rests on."""
     build = spark.range(0, 500).select((F.col("id") * 7 + 3).alias("k"))
-    words = bloom_build(build, "k", num_bits=1 << 13)
-    hits = build.filter(bloom_might_contain(F.col("k"), words)).count()
+    bf = bloom_build(build, "k", num_bits=1 << 13)
+    hits = build.filter(bloom_might_contain(F.col("k"), bf)).count()
     assert hits == 500
 
 
@@ -36,9 +36,9 @@ def test_bloom_fpp_near_theory(spark):
     4x to absorb hash variance at these small sizes)."""
     n, m, k = 600, 1 << 13, 5
     build = spark.range(0, n).select(F.col("id").alias("k"))
-    words = bloom_build(build, "k", num_bits=m, num_hashes=k)
+    bf = bloom_build(build, "k", num_bits=m, num_hashes=k)
     probe = spark.range(1_000_000, 1_020_000).select(F.col("id").alias("k"))
-    fp = probe.filter(bloom_might_contain(F.col("k"), words)).count()
+    fp = probe.filter(bloom_might_contain(F.col("k"), bf)).count()
     rate = fp / 20_000
     theory = bloom_fpp(m, k, n)
     assert rate <= max(4 * theory, 0.005), (rate, theory)
@@ -117,9 +117,9 @@ def test_bloom_build_validations(spark):
 
 def test_bloom_null_keys_never_pass(spark):
     build = spark.range(5).select(F.col("id").alias("k"))
-    words = bloom_build(build, "k", num_bits=1 << 12)
+    bf = bloom_build(build, "k", num_bits=1 << 12)
     probe = spark.createDataFrame([(None,)], "k: bigint")
-    assert probe.filter(bloom_might_contain(F.col("k"), words)).count() == 0
+    assert probe.filter(bloom_might_contain(F.col("k"), bf)).count() == 0
 
 
 # ---------------------------------------------------------------- kmv

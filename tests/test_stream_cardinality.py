@@ -91,3 +91,31 @@ def test_state_is_sketch_sized(spark, tmp_path):
     st = spark.read.parquet(state)
     n_groups = st.select("g").distinct().count()
     assert st.count() <= n_groups * K
+
+
+def test_swap_crash_recovery_restores_parked_state(spark, tmp_path):
+    """Simulate a trigger dying between 'park the live dir' and 'promote
+    the replacement': the live state sits at __old, the live name is
+    vacant. Readers and the next merge must restore it instead of
+    silently restarting the sketch from empty."""
+    import os
+
+    ev = load_table(spark, SF_DIR, "events")
+    sk = kmv_bottom_k(
+        ev.select(F.col("event_type").alias("g"), kmv_hash("user_id").alias("h")),
+        ["g"],
+        "h",
+        K,
+    )
+    state = str(tmp_path / "state")
+    merge_kmv_state(spark, state, sk, ["g"], K)
+    before = sorted(map(tuple, kmv_state_estimates(spark, state, K).collect()))
+
+    os.rename(state, state + "__old")  # the crash window
+
+    recovered = sorted(map(tuple, kmv_state_estimates(spark, state, K).collect()))
+    assert recovered == before
+    # and a subsequent merge keeps accumulating from the recovered state
+    merge_kmv_state(spark, state, sk, ["g"], K)
+    after = sorted(map(tuple, kmv_state_estimates(spark, state, K).collect()))
+    assert after == before  # same batch re-merged: idempotent
