@@ -179,6 +179,7 @@ GRADE_OVERFLOW = frozenset(
         "events_value_bootstrap_ci",
         "orders_kaplan_meier",
         "orders_forecast_backtest",
+        "events_ab_welch",
     }
 )
 

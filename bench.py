@@ -79,6 +79,7 @@ def main() -> None:
         "events_value_bootstrap_ci",
         "orders_kaplan_meier",
         "orders_forecast_backtest",
+        "events_ab_welch",
     ]
     extended_specs = {n: specs[n] for n in extended_names if n in specs}
     unknown_extended = [n for n in extended_names if n not in specs]

@@ -274,3 +274,107 @@ def q_events_value_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     return point.join(ci, "event_type").select(
         "event_type", "point_mean", "n_rep", "ci_lo", "ci_hi"
     )
+
+
+@register(
+    "events_ab_welch",
+    # Welch's unequal-variance t on per-user post-period sums (the unit of
+    # randomization — never per-event rows, which are autocorrelated
+    # within a user). Everything downstream of the exact-integer moments
+    # (n, Σy, Σy² in HUGEINT/decimal(38)) is correctly-rounded IEEE ops
+    # (+,-,×,÷,sqrt), so t and the Welch-Satterthwaite df hash
+    # identically across engines. p-values need erf — not correctly
+    # rounded, hence not portable — so the report stops at (t, df): the
+    # numbers any significance table or caller-side dist function consumes.
+    oracle=f"""
+WITH per_user AS (
+  SELECT CASE WHEN substr(md5(COALESCE(CAST(user_id AS VARCHAR), '<null>')
+                           || '{_AB_SALT}'), 1, 8)
+              < '{_ARM_THRESHOLD}' THEN 'A' ELSE 'B' END AS arm,
+         SUM(CASE WHEN ts >= TIMESTAMP '{_SPLIT} 00:00:00'
+                  THEN CAST(FLOOR(value * 1000000) AS BIGINT) ELSE 0 END) AS y
+  FROM events GROUP BY user_id
+),
+m AS (
+  SELECT
+    CAST(SUM(CASE WHEN arm = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+    CAST(SUM(CASE WHEN arm = 'B' THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+    SUM(CASE WHEN arm = 'A' THEN CAST(y AS HUGEINT) ELSE 0 END) AS s_a,
+    SUM(CASE WHEN arm = 'B' THEN CAST(y AS HUGEINT) ELSE 0 END) AS s_b,
+    SUM(CASE WHEN arm = 'A' THEN CAST(y AS HUGEINT) * CAST(y AS HUGEINT)
+             ELSE 0 END) AS ss_a,
+    SUM(CASE WHEN arm = 'B' THEN CAST(y AS HUGEINT) * CAST(y AS HUGEINT)
+             ELSE 0 END) AS ss_b
+  FROM per_user
+),
+d AS (
+  SELECT n_a, n_b,
+         CAST(s_a AS DOUBLE) / n_a / 1000000.0 AS mean_a,
+         CAST(s_b AS DOUBLE) / n_b / 1000000.0 AS mean_b,
+         (n_a * CAST(ss_a AS DOUBLE) - CAST(s_a AS DOUBLE) * CAST(s_a AS DOUBLE))
+           / (CAST(n_a AS DOUBLE) * (n_a - 1)) / 1000000.0 / 1000000.0 AS var_a,
+         (n_b * CAST(ss_b AS DOUBLE) - CAST(s_b AS DOUBLE) * CAST(s_b AS DOUBLE))
+           / (CAST(n_b AS DOUBLE) * (n_b - 1)) / 1000000.0 / 1000000.0 AS var_b
+  FROM m
+)
+SELECT n_a, n_b, mean_a, mean_b, mean_a - mean_b AS diff,
+       (mean_a - mean_b) / sqrt(var_a / n_a + var_b / n_b) AS t_stat,
+       (var_a / n_a + var_b / n_b) * (var_a / n_a + var_b / n_b)
+         / ((var_a / n_a) * (var_a / n_a) / (n_a - 1)
+            + (var_b / n_b) * (var_b / n_b) / (n_b - 1)) AS df_welch
+FROM d
+""",
+    tags=("events", "experiment", "ttest"),
+)
+def q_events_ab_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One user_id shuffle + one global conditional-moment aggregate: the
+    whole significance readout is two map-combinable passes regardless of
+    fact volume — no per-arm re-scans, no pivot."""
+    ev = load_table(spark, sf_dir, "events")
+    vm = F.floor(F.col("value") * 1000000).cast("long")
+    split = F.lit(_SPLIT).cast("timestamp")
+    arm = F.when(
+        F.substring(hash_key("user_id", salt=_AB_SALT), 1, 8) < _ARM_THRESHOLD, "A"
+    ).otherwise("B")
+    per_user = ev.groupBy("user_id").agg(
+        F.sum(F.when(F.col("ts") >= split, vm).otherwise(F.lit(0))).alias("y")
+    ).select(arm.alias("arm"), "y")
+    dec = F.col("y").cast("decimal(38,0)")
+    is_a, is_b = F.col("arm") == "A", F.col("arm") == "B"
+    zero = F.lit(0).cast("decimal(38,0)")
+    m = per_user.agg(
+        F.sum(F.when(is_a, 1).otherwise(0)).cast("long").alias("n_a"),
+        F.sum(F.when(is_b, 1).otherwise(0)).cast("long").alias("n_b"),
+        F.sum(F.when(is_a, dec).otherwise(zero)).alias("s_a"),
+        F.sum(F.when(is_b, dec).otherwise(zero)).alias("s_b"),
+        F.sum(F.when(is_a, dec * dec).otherwise(zero)).alias("ss_a"),
+        F.sum(F.when(is_b, dec * dec).otherwise(zero)).alias("ss_b"),
+    )
+    na, nb = F.col("n_a"), F.col("n_b")
+    nad, nbd = na.cast("double"), nb.cast("double")
+    sa, sb = F.col("s_a").cast("double"), F.col("s_b").cast("double")
+    ssa, ssb = F.col("ss_a").cast("double"), F.col("ss_b").cast("double")
+    mega = F.lit(1000000.0)
+    d = m.select(
+        "n_a",
+        "n_b",
+        (sa / na / mega).alias("mean_a"),
+        (sb / nb / mega).alias("mean_b"),
+        ((na * ssa - sa * sa) / (nad * (na - 1)) / mega / mega).alias("var_a"),
+        ((nb * ssb - sb * sb) / (nbd * (nb - 1)) / mega / mega).alias("var_b"),
+    )
+    va_n = F.col("var_a") / F.col("n_a")
+    vb_n = F.col("var_b") / F.col("n_b")
+    diff = F.col("mean_a") - F.col("mean_b")
+    return d.select(
+        "n_a",
+        "n_b",
+        "mean_a",
+        "mean_b",
+        diff.alias("diff"),
+        (diff / F.sqrt(va_n + vb_n)).alias("t_stat"),
+        (
+            (va_n + vb_n) * (va_n + vb_n)
+            / (va_n * va_n / (F.col("n_a") - 1) + vb_n * vb_n / (F.col("n_b") - 1))
+        ).alias("df_welch"),
+    )

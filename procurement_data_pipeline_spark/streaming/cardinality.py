@@ -1,4 +1,4 @@
-"""Streaming-maintained KMV distinct sketches.
+"""Streaming-maintained sketches: KMV distinct state and Bloom-filter state.
 
 Exact streaming COUNT(DISTINCT) over unbounded keys needs state
 proportional to the distinct domain — the thing that does not fit at
@@ -118,3 +118,95 @@ def kmv_state_estimates(spark: SparkSession, state_path: str, k: int) -> DataFra
             kmv_estimate(F.col("n_kept"), F.col("kth"), k).alias("est_distinct"),
         )
     )
+
+
+# -------------------------------------------------------------- bloom state
+#
+# The same streaming-merge story applies to the runtime filter
+# (operators/bloomjoin): bit_or is associative, commutative, and
+# idempotent, so OR-ing each micro-batch's word array into a persisted
+# state yields EXACTLY the filter a batch build over all data would
+# produce, and replaying a batch changes nothing. This is how a 100 TB
+# pipeline keeps "the set of keys seen so far" queryable as a join
+# pre-filter without ever re-scanning history: today's joins prune with
+# a filter the stream maintained for free.
+
+
+def load_bloom_state(spark: SparkSession, state_path: str):
+    """Read the persisted filter back as an operators.bloomjoin.BloomFilter."""
+    from procurement_data_pipeline_spark.catalog import recover_swap
+    from procurement_data_pipeline_spark.operators.bloomjoin import BloomFilter
+
+    recover_swap(spark, state_path)
+    row = spark.read.parquet(state_path).collect()[0]
+    return BloomFilter(words=tuple(row["words"]), num_hashes=row["num_hashes"])
+
+
+def merge_bloom_state(spark: SparkSession, state_path: str, batch_bf) -> None:
+    """OR a batch-built filter into the persisted state (crash-safe swap).
+
+    The state is ONE row (num_bits/64 longs + the hash count), so the
+    merge is driver-side and constant-cost. Sizing/hashing mismatches
+    raise: silently OR-ing differently-shaped filters would produce a
+    filter that false-negatives — the forbidden failure mode.
+    """
+    from procurement_data_pipeline_spark.catalog import recover_swap, swap_dir
+    from procurement_data_pipeline_spark.operators.bloomjoin import BloomFilter
+
+    recover_swap(spark, state_path)
+    jvm = spark._jvm
+    root = jvm.org.apache.hadoop.fs.Path(state_path)
+    fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
+    merged = batch_bf
+    if fs.exists(root):
+        prior = load_bloom_state(spark, state_path)
+        if (
+            prior.num_bits != batch_bf.num_bits
+            or prior.num_hashes != batch_bf.num_hashes
+        ):
+            raise ValueError(
+                f"bloom state shape mismatch: state is ({prior.num_bits} bits, "
+                f"{prior.num_hashes} hashes), batch is ({batch_bf.num_bits}, "
+                f"{batch_bf.num_hashes}) — rebuild, don't merge"
+            )
+        merged = BloomFilter(
+            words=tuple(a | b for a, b in zip(prior.words, batch_bf.words)),
+            num_hashes=batch_bf.num_hashes,
+        )
+    out = spark.createDataFrame(
+        [(list(merged.words), merged.num_hashes)], "words array<long>, num_hashes int"
+    )
+    tmp = state_path.rstrip("/") + "__merging"
+    out.coalesce(1).write.mode("overwrite").parquet(tmp)
+    swap_dir(spark, tmp, state_path)
+
+
+def stream_bloom_filter(
+    spark: SparkSession,
+    source_path: str,
+    state_path: str,
+    checkpoint_dir: str,
+    key_col: str,
+    num_bits: int = 1 << 17,
+    num_hashes: int = 5,
+    timeout_sec: int = 120,
+    schema: str = EVENTS_STREAM_SCHEMA,
+) -> None:
+    """Maintain a Bloom filter of every key the stream has ever carried."""
+    from procurement_data_pipeline_spark.operators.bloomjoin import bloom_build
+
+    configure_runtime(spark)
+    stream = spark.readStream.format("parquet").schema(schema).load(source_path)
+
+    def _merge(batch_df: DataFrame, _batch_id: int) -> None:
+        bf = bloom_build(batch_df, key_col, num_bits=num_bits, num_hashes=num_hashes)
+        merge_bloom_state(spark, state_path, bf)
+
+    q = (
+        stream.writeStream.foreachBatch(_merge)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_sec)
+    q.stop()

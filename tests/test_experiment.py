@@ -42,3 +42,23 @@ def test_bootstrap_deterministic(spark, sf_dir):
     r1 = sorted(map(tuple, b(spark, sf_dir).collect()))
     r2 = sorted(map(tuple, b(spark, sf_dir).collect()))
     assert r1 == r2
+
+
+def test_welch_readout_sane_under_null(spark, sf_dir):
+    """The arm split is a hash of the same population (no treatment), so
+    the t statistic should be unremarkable and the Welch df must sit in
+    its algebraic range [min(n)-1, n_a+n_b-2]."""
+    rows = load_all()["events_ab_welch"].builder(spark, sf_dir).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["n_a"] > 1 and r["n_b"] > 1
+    assert abs(r["diff"] - (r["mean_a"] - r["mean_b"])) < 1e-9
+    assert abs(r["t_stat"]) < 6.0  # a null split exceeding 6 sigma ≈ broken math
+    assert min(r["n_a"], r["n_b"]) - 1 <= r["df_welch"] <= r["n_a"] + r["n_b"] - 2
+
+
+def test_welch_deterministic(spark, sf_dir):
+    b = load_all()["events_ab_welch"].builder
+    assert sorted(map(tuple, b(spark, sf_dir).collect())) == sorted(
+        map(tuple, b(spark, sf_dir).collect())
+    )

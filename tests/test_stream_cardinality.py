@@ -119,3 +119,51 @@ def test_swap_crash_recovery_restores_parked_state(spark, tmp_path):
     merge_kmv_state(spark, state, sk, ["g"], K)
     after = sorted(map(tuple, kmv_state_estimates(spark, state, K).collect()))
     assert after == before  # same batch re-merged: idempotent
+
+
+def test_streamed_bloom_equals_batch_bloom_exactly(spark, tmp_path):
+    """bit_or associativity: the OR-merged streamed filter must be
+    word-for-word identical to a batch build over all data — and
+    re-merging a batch must change nothing (idempotent OR)."""
+    from procurement_data_pipeline_spark.operators.bloomjoin import bloom_build
+    from procurement_data_pipeline_spark.streaming.cardinality import (
+        load_bloom_state,
+        merge_bloom_state,
+        stream_bloom_filter,
+    )
+
+    ev = load_table(spark, SF_DIR, "events").orderBy("event_id")
+    total = ev.count()
+    first, second = ev.limit(total // 2), ev.subtract(ev.limit(total // 2))
+
+    src = str(tmp_path / "src")
+    state = str(tmp_path / "bloom_state")
+    ckpt = str(tmp_path / "ckpt")
+
+    first.write.mode("append").parquet(src)
+    stream_bloom_filter(spark, src, state, ckpt, "user_id", num_bits=1 << 12)
+    second.write.mode("append").parquet(src)
+    stream_bloom_filter(spark, src, state, ckpt, "user_id", num_bits=1 << 12)
+
+    streamed = load_bloom_state(spark, state)
+    batch = bloom_build(spark.read.parquet(src), "user_id", num_bits=1 << 12)
+    assert streamed == batch
+
+    # replay idempotence
+    merge_bloom_state(spark, state, batch)
+    assert load_bloom_state(spark, state) == streamed
+
+
+def test_bloom_state_shape_mismatch_raises(spark, tmp_path):
+    import pytest
+
+    from procurement_data_pipeline_spark.operators.bloomjoin import bloom_build
+    from procurement_data_pipeline_spark.streaming.cardinality import (
+        merge_bloom_state,
+    )
+
+    ev = load_table(spark, SF_DIR, "events")
+    state = str(tmp_path / "bloom_state")
+    merge_bloom_state(spark, state, bloom_build(ev, "user_id", num_bits=1 << 12))
+    with pytest.raises(ValueError, match="shape mismatch"):
+        merge_bloom_state(spark, state, bloom_build(ev, "user_id", num_bits=1 << 13))
