@@ -180,6 +180,7 @@ GRADE_OVERFLOW = frozenset(
         "orders_kaplan_meier",
         "orders_forecast_backtest",
         "events_ab_welch",
+        "part_reorder_points",
     }
 )
 

@@ -180,3 +180,116 @@ def q_order_lifecycle_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("shipped")
         .alias("lifecycle_state"),
     )
+
+
+@register(
+    "part_reorder_points",
+    # Classical (R, s) inventory control: reorder point = expected demand
+    # over the replenishment lead time plus a z·σ·√L safety buffer (95%
+    # cycle service, z = 1.645 literal-pinned). Demand moments are per
+    # CALENDAR DAY including zero-demand days: the day count is the ONE
+    # global scalar (broadcast), sums come only from days with movement —
+    # so σ reflects true intermittency, the error that silently
+    # understocks slow movers when σ is computed over active days only.
+    # Lead times clamp at ≥0 (the synthetic data ships before ordering).
+    # Exactness: integer micro-quantities and day sums in HUGEINT/decimal,
+    # then an IEEE chain (÷, ×, √ are correctly rounded).
+    oracle="""
+WITH days AS (
+  SELECT CAST(COUNT(DISTINCT CAST(l_shipdate AS DATE)) AS BIGINT) AS n_days
+  FROM lineitem
+),
+daily AS (
+  SELECT l_partkey AS partkey, CAST(l_shipdate AS DATE) AS d,
+         SUM(CAST(FLOOR(l_quantity * 1000000) AS BIGINT)) AS q
+  FROM lineitem GROUP BY 1, 2
+),
+dem AS (
+  SELECT partkey,
+         SUM(CAST(q AS HUGEINT)) AS s,
+         SUM(CAST(q AS HUGEINT) * CAST(q AS HUGEINT)) AS ss
+  FROM daily GROUP BY partkey
+),
+lead AS (
+  SELECT l.l_partkey AS partkey,
+         CAST(COUNT(*) AS BIGINT) AS n_lines,
+         SUM(GREATEST(date_diff('day', CAST(o.o_orderdate AS DATE),
+                                CAST(l.l_shipdate AS DATE)), 0)) AS lt_sum
+  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+  GROUP BY l.l_partkey
+),
+m AS (
+  SELECT d.partkey,
+         CAST(d.s AS DOUBLE) / y.n_days / 1000000.0 AS mu_d,
+         sqrt((y.n_days * CAST(d.ss AS DOUBLE)
+               - CAST(d.s AS DOUBLE) * CAST(d.s AS DOUBLE))
+              / (CAST(y.n_days AS DOUBLE) * y.n_days)) / 1000000.0 AS sigma_d,
+         CAST(l.lt_sum AS DOUBLE) / l.n_lines AS lead_days
+  FROM dem d CROSS JOIN days y JOIN lead l ON l.partkey = d.partkey
+)
+SELECT partkey, mu_d, sigma_d, lead_days,
+       1.645 * sqrt(lead_days) * sigma_d AS safety_stock,
+       mu_d * lead_days + 1.645 * sqrt(lead_days) * sigma_d AS reorder_point
+FROM m
+""",
+    tags=("inventory", "planning", "P9"),
+)
+def q_part_reorder_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One lineitem pass for demand moments (partkey grain), one
+    orders⋈lineitem pass for lead times, a 1-row day-count broadcast —
+    replenishment parameters for every part with zero iteration."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    qm = F.floor(F.col("l_quantity") * 1000000).cast("long")
+    daily = li.groupBy(
+        F.col("l_partkey").alias("partkey"),
+        F.col("l_shipdate").cast("date").alias("d"),
+    ).agg(F.sum(qm).alias("q"))
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    dem = daily.groupBy("partkey").agg(
+        F.sum(dec("q")).alias("s"),
+        F.sum(dec("q") * dec("q")).alias("ss"),
+    )
+    days = li.agg(
+        F.countDistinct(F.col("l_shipdate").cast("date")).cast("long").alias("n_days")
+    )
+    lead = (
+        li.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy(F.col("l_partkey").alias("partkey"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+            F.sum(
+                F.greatest(
+                    F.datediff(
+                        F.col("l_shipdate").cast("date"),
+                        F.col("o_orderdate").cast("date"),
+                    ),
+                    F.lit(0),
+                )
+            ).alias("lt_sum"),
+        )
+    )
+    nd = F.col("n_days")
+    sd, ssd = F.col("s").cast("double"), F.col("ss").cast("double")
+    mega = F.lit(1000000.0)
+    m = (
+        dem.crossJoin(F.broadcast(days))
+        .join(lead, "partkey")
+        .select(
+            "partkey",
+            (sd / nd / mega).alias("mu_d"),
+            (
+                F.sqrt((nd * ssd - sd * sd) / (nd.cast("double") * nd)) / mega
+            ).alias("sigma_d"),
+            (F.col("lt_sum").cast("double") / F.col("n_lines")).alias("lead_days"),
+        )
+    )
+    safety = F.lit(1.645) * F.sqrt(F.col("lead_days")) * F.col("sigma_d")
+    return m.select(
+        "partkey",
+        "mu_d",
+        "sigma_d",
+        "lead_days",
+        safety.alias("safety_stock"),
+        (F.col("mu_d") * F.col("lead_days") + safety).alias("reorder_point"),
+    )

@@ -69,3 +69,19 @@ def test_lifecycle_snapshot_invariants(spark, sf_dir):
                 assert r.n_returned > 0
             else:
                 assert r.n_returned == 0
+
+
+def test_reorder_points_formula_invariants(spark, sf_dir):
+    """safety_stock ≥ 0, reorder_point = μ·L + safety exactly, σ ≥ 0, and
+    a part with steadier demand must carry proportionally less safety
+    stock than its sigma ordering implies (spot formula wiring)."""
+    from procurement_data_pipeline_spark.registry import load_all
+
+    rows = load_all()["part_reorder_points"].builder(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["sigma_d"] >= 0.0
+        assert r["lead_days"] >= 0.0
+        assert r["safety_stock"] >= 0.0
+        assert abs(r["reorder_point"] - (r["mu_d"] * r["lead_days"] + r["safety_stock"])) < 1e-9
+        assert r["safety_stock"] == 1.645 * (r["lead_days"] ** 0.5) * r["sigma_d"]

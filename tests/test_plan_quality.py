@@ -56,6 +56,7 @@ BNLJ_ALLOWED = {
     "lineitem_skew_diagnosis",  # broadcast single-row key-count stats scalar
     "events_kmv_type_overlap",  # |types|² pair enumeration over the bounded type domain
     "events_ab_cuped",  # broadcast single-row θ / global-pre-mean scalar
+    "part_reorder_points",  # broadcast single-row calendar-day-count scalar
 }
 
 SF_DIR = "/root/testdata/sf0.001"
