@@ -181,6 +181,7 @@ GRADE_OVERFLOW = frozenset(
         "orders_forecast_backtest",
         "events_ab_welch",
         "part_reorder_points",
+        "events_value_drift_chi2",
     }
 )
 

@@ -378,3 +378,118 @@ def q_events_ab_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (va_n * va_n / (F.col("n_a") - 1) + vb_n * vb_n / (F.col("n_b") - 1))
         ).alias("df_welch"),
     )
+
+
+_DRIFT_BIN_MICROS = 50 * 1000000  # 50-unit equi-width bins
+_DRIFT_MAX_BIN = 9  # clamp tail into the last bin
+
+
+@register(
+    "events_value_drift_chi2",
+    # Two-sample χ² homogeneity per event type: has the VALUE DISTRIBUTION
+    # shifted between the two halves of the window? This is the
+    # distribution-drift monitor (PSI's job) in a form both engines can
+    # hash: PSI needs ln (not correctly rounded → banned); χ² is entirely
+    # rational — integer bin counts, expected counts and the statistic one
+    # IEEE chain. Bins clamp into [0, 9]; dof = occupied_bins − 1.
+    oracle=f"""
+WITH binned AS (
+  SELECT event_type,
+         LEAST(CAST(FLOOR(CAST(FLOOR(value * 1000000) AS BIGINT)
+                          / {_DRIFT_BIN_MICROS}.0) AS BIGINT),
+               {_DRIFT_MAX_BIN}) AS bin,
+         CASE WHEN ts < TIMESTAMP '{_SPLIT} 00:00:00' THEN 'A' ELSE 'B' END
+           AS period
+  FROM events
+),
+cells AS (
+  SELECT event_type, bin,
+         CAST(SUM(CASE WHEN period = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+         CAST(SUM(CASE WHEN period = 'B' THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+  FROM binned GROUP BY event_type, bin
+),
+tot AS (
+  SELECT event_type,
+         CAST(SUM(n_a) AS BIGINT) AS ta,
+         CAST(SUM(n_b) AS BIGINT) AS tb,
+         CAST(COUNT(*) AS BIGINT) AS occupied
+  FROM cells GROUP BY event_type
+),
+terms AS (
+  SELECT c.event_type, c.bin, t.ta, t.tb, t.occupied,
+         (c.n_a - CAST(c.n_a + c.n_b AS DOUBLE) * t.ta / (t.ta + t.tb))
+           * (c.n_a - CAST(c.n_a + c.n_b AS DOUBLE) * t.ta / (t.ta + t.tb))
+           / (CAST(c.n_a + c.n_b AS DOUBLE) * t.ta / (t.ta + t.tb))
+         + (c.n_b - CAST(c.n_a + c.n_b AS DOUBLE) * t.tb / (t.ta + t.tb))
+           * (c.n_b - CAST(c.n_a + c.n_b AS DOUBLE) * t.tb / (t.ta + t.tb))
+           / (CAST(c.n_a + c.n_b AS DOUBLE) * t.tb / (t.ta + t.tb)) AS term
+  FROM cells c JOIN tot t ON t.event_type = c.event_type
+)
+-- ordered fold (bin ascending): double addition is order-dependent, so
+-- both engines add the ≤10 cell terms in the identical sequence
+SELECT event_type, ta AS n_a, tb AS n_b,
+       CAST(occupied - 1 AS BIGINT) AS dof,
+       list_reduce(list(term ORDER BY bin), (a, b) -> a + b) AS chi2
+FROM terms
+GROUP BY event_type, ta, tb, occupied
+""",
+    tags=("events", "drift", "monitoring"),
+)
+def q_events_value_drift_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One binning pass + one bins-grain aggregate per type — the χ² sum
+    runs over ≤ 10 cells per type, so the double additions happen in a
+    DETERMINISTIC per-group order only after the data is integer counts.
+
+    Caveat honored from orders_benford_first_digit: the per-cell terms are
+    summed per (event_type) group whose cell count is bounded and whose
+    values derive from exact integers — not a data-sized double sum."""
+    ev = load_table(spark, sf_dir, "events")
+    vm = F.floor(F.col("value") * 1000000).cast("long")
+    binned = ev.select(
+        "event_type",
+        F.least(
+            F.floor(vm / float(_DRIFT_BIN_MICROS)).cast("long"),
+            F.lit(_DRIFT_MAX_BIN).cast("long"),
+        ).alias("bin"),
+        F.when(F.col("ts") < F.lit(_SPLIT).cast("timestamp"), "A")
+        .otherwise("B")
+        .alias("period"),
+    )
+    cells = binned.groupBy("event_type", "bin").agg(
+        F.sum(F.when(F.col("period") == "A", 1).otherwise(0)).cast("long").alias("n_a"),
+        F.sum(F.when(F.col("period") == "B", 1).otherwise(0)).cast("long").alias("n_b"),
+    )
+    tot = cells.groupBy("event_type").agg(
+        F.sum("n_a").cast("long").alias("ta"),
+        F.sum("n_b").cast("long").alias("tb"),
+        F.count(F.lit(1)).cast("long").alias("occupied"),
+    )
+    na, nb = F.col("n_a"), F.col("n_b")
+    ta, tb = F.col("ta"), F.col("tb")
+    ea = (na + nb).cast("double") * ta / (ta + tb)
+    eb = (na + nb).cast("double") * tb / (ta + tb)
+    term = (na - ea) * (na - ea) / ea + (nb - eb) * (nb - eb) / eb
+    # ordered fold over the ≤10 cells (bin ascending): the one double sum
+    # in this query happens in an engine-identical sequence (same contract
+    # as orders_kaplan_meier's survival product).
+    return (
+        cells.join(tot, "event_type")
+        .select("event_type", "ta", "tb", "occupied", "bin", term.alias("term"))
+        .groupBy("event_type", "ta", "tb", "occupied")
+        .agg(
+            F.aggregate(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("bin"), F.col("term")))
+                ),
+                F.lit(0.0),
+                lambda acc, s: acc + s["term"],
+            ).alias("chi2")
+        )
+        .select(
+            "event_type",
+            ta.alias("n_a"),
+            tb.alias("n_b"),
+            (F.col("occupied") - 1).cast("long").alias("dof"),
+            "chi2",
+        )
+    )

@@ -62,3 +62,21 @@ def test_welch_deterministic(spark, sf_dir):
     assert sorted(map(tuple, b(spark, sf_dir).collect())) == sorted(
         map(tuple, b(spark, sf_dir).collect())
     )
+
+
+def test_drift_chi2_invariants(spark, sf_dir):
+    rows = load_all()["events_value_drift_chi2"].builder(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["chi2"] >= 0.0
+        assert 0 <= r["dof"] <= 9
+        assert r["n_a"] > 0 and r["n_b"] > 0
+        # the generator is stationary: a drift alarm here means broken math
+        assert r["chi2"] < 10 * (r["dof"] + 1)
+
+
+def test_drift_chi2_deterministic(spark, sf_dir):
+    b = load_all()["events_value_drift_chi2"].builder
+    assert sorted(map(tuple, b(spark, sf_dir).collect())) == sorted(
+        map(tuple, b(spark, sf_dir).collect())
+    )
