@@ -39,6 +39,20 @@ _AB_SALT = "ab-arm-v1"
 # P(hash < t) = 1/2 → arm A; md5 hex ordering == numeric ordering.
 _ARM_THRESHOLD = "80000000"
 
+# ONE definition of the randomization, used by every experiment readout
+# (CUPED and Welch must analyze the SAME arm assignment — two copies that
+# drift apart would silently split the readouts onto different experiments).
+_ARM_CASE_SQL = (
+    "CASE WHEN substr(md5(COALESCE(CAST(user_id AS VARCHAR), '<null>')"
+    f" || '{_AB_SALT}'), 1, 8) < '{_ARM_THRESHOLD}' THEN 'A' ELSE 'B' END"
+)
+
+
+def _arm_col():
+    return F.when(
+        F.substring(hash_key("user_id", salt=_AB_SALT), 1, 8) < _ARM_THRESHOLD, "A"
+    ).otherwise("B")
+
 _B = 32  # bootstrap replicas
 # Poisson(1) CDF at 0,1,2,3 — literal-pinned so both engines compare the
 # exact same constants (the repo's Benford log10 precedent).
@@ -55,9 +69,7 @@ _POIS_CDF = (
     oracle=f"""
 WITH per_user AS (
   SELECT user_id,
-         CASE WHEN substr(md5(COALESCE(CAST(user_id AS VARCHAR), '<null>')
-                              || '{_AB_SALT}'), 1, 8)
-                   < '{_ARM_THRESHOLD}' THEN 'A' ELSE 'B' END AS arm,
+         {_ARM_CASE_SQL} AS arm,
          SUM(CASE WHEN ts < TIMESTAMP '{_SPLIT} 00:00:00'
                   THEN CAST(FLOOR(value * 1000000) AS BIGINT) ELSE 0 END) AS x,
          SUM(CASE WHEN ts >= TIMESTAMP '{_SPLIT} 00:00:00'
@@ -108,15 +120,9 @@ def q_events_ab_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("ts") < split, vm).otherwise(F.lit(0))).alias("x"),
         F.sum(F.when(F.col("ts") >= split, vm).otherwise(F.lit(0))).alias("y"),
     )
-    # hash_key: the repo's portable split hash, with the '<null>' sentinel
-    # so a NULL user_id is assigned BY HASH like every other split, not by
-    # the otherwise() default.
-    arm = F.when(
-        F.substring(hash_key("user_id", salt=_AB_SALT), 1, 8) < _ARM_THRESHOLD, "A"
-    ).otherwise("B")
     # θ and the arm readout both consume per_user: one scan + one user_id
     # shuffle, persisted (scoped-persist convention).
-    per_user = scoped_persist(per_user.select(arm.alias("arm"), "x", "y"))
+    per_user = scoped_persist(per_user.select(_arm_col().alias("arm"), "x", "y"))
     dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
     g = per_user.agg(
         F.count(F.lit(1)).cast("long").alias("n"),
@@ -288,9 +294,7 @@ def q_events_value_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     # numbers any significance table or caller-side dist function consumes.
     oracle=f"""
 WITH per_user AS (
-  SELECT CASE WHEN substr(md5(COALESCE(CAST(user_id AS VARCHAR), '<null>')
-                           || '{_AB_SALT}'), 1, 8)
-              < '{_ARM_THRESHOLD}' THEN 'A' ELSE 'B' END AS arm,
+  SELECT {_ARM_CASE_SQL} AS arm,
          SUM(CASE WHEN ts >= TIMESTAMP '{_SPLIT} 00:00:00'
                   THEN CAST(FLOOR(value * 1000000) AS BIGINT) ELSE 0 END) AS y
   FROM events GROUP BY user_id
@@ -318,10 +322,16 @@ d AS (
   FROM m
 )
 SELECT n_a, n_b, mean_a, mean_b, mean_a - mean_b AS diff,
-       (mean_a - mean_b) / sqrt(var_a / n_a + var_b / n_b) AS t_stat,
-       (var_a / n_a + var_b / n_b) * (var_a / n_a + var_b / n_b)
-         / ((var_a / n_a) * (var_a / n_a) / (n_a - 1)
-            + (var_b / n_b) * (var_b / n_b) / (n_b - 1)) AS df_welch
+       -- degenerate arms (n<2): variance undefined → NULL, identically in
+       -- both engines (Spark's non-ANSI x/0 would give NULL, DuckDB inf)
+       CASE WHEN n_a > 1 AND n_b > 1 THEN
+         (mean_a - mean_b) / sqrt(var_a / n_a + var_b / n_b)
+       ELSE NULL END AS t_stat,
+       CASE WHEN n_a > 1 AND n_b > 1 THEN
+         (var_a / n_a + var_b / n_b) * (var_a / n_a + var_b / n_b)
+           / ((var_a / n_a) * (var_a / n_a) / (n_a - 1)
+              + (var_b / n_b) * (var_b / n_b) / (n_b - 1))
+       ELSE NULL END AS df_welch
 FROM d
 """,
     tags=("events", "experiment", "ttest"),
@@ -333,12 +343,9 @@ def q_events_ab_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     vm = F.floor(F.col("value") * 1000000).cast("long")
     split = F.lit(_SPLIT).cast("timestamp")
-    arm = F.when(
-        F.substring(hash_key("user_id", salt=_AB_SALT), 1, 8) < _ARM_THRESHOLD, "A"
-    ).otherwise("B")
     per_user = ev.groupBy("user_id").agg(
         F.sum(F.when(F.col("ts") >= split, vm).otherwise(F.lit(0))).alias("y")
-    ).select(arm.alias("arm"), "y")
+    ).select(_arm_col().alias("arm"), "y")
     dec = F.col("y").cast("decimal(38,0)")
     is_a, is_b = F.col("arm") == "A", F.col("arm") == "B"
     zero = F.lit(0).cast("decimal(38,0)")
@@ -366,16 +373,18 @@ def q_events_ab_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
     va_n = F.col("var_a") / F.col("n_a")
     vb_n = F.col("var_b") / F.col("n_b")
     diff = F.col("mean_a") - F.col("mean_b")
+    defined = (F.col("n_a") > 1) & (F.col("n_b") > 1)  # variance needs n ≥ 2
     return d.select(
         "n_a",
         "n_b",
         "mean_a",
         "mean_b",
         diff.alias("diff"),
-        (diff / F.sqrt(va_n + vb_n)).alias("t_stat"),
-        (
+        F.when(defined, diff / F.sqrt(va_n + vb_n)).alias("t_stat"),
+        F.when(
+            defined,
             (va_n + vb_n) * (va_n + vb_n)
-            / (va_n * va_n / (F.col("n_a") - 1) + vb_n * vb_n / (F.col("n_b") - 1))
+            / (va_n * va_n / (F.col("n_a") - 1) + vb_n * vb_n / (F.col("n_b") - 1)),
         ).alias("df_welch"),
     )
 
@@ -394,10 +403,12 @@ _DRIFT_MAX_BIN = 9  # clamp tail into the last bin
     # IEEE chain. Bins clamp into [0, 9]; dof = occupied_bins − 1.
     oracle=f"""
 WITH binned AS (
+  -- clamp BOTH ends: a signed metric would otherwise mint unbounded
+  -- negative bins, breaking the ≤10-cell determinism premise
   SELECT event_type,
-         LEAST(CAST(FLOOR(CAST(FLOOR(value * 1000000) AS BIGINT)
+         GREATEST(LEAST(CAST(FLOOR(CAST(FLOOR(value * 1000000) AS BIGINT)
                           / {_DRIFT_BIN_MICROS}.0) AS BIGINT),
-               {_DRIFT_MAX_BIN}) AS bin,
+               {_DRIFT_MAX_BIN}), 0) AS bin,
          CASE WHEN ts < TIMESTAMP '{_SPLIT} 00:00:00' THEN 'A' ELSE 'B' END
            AS period
   FROM events
@@ -429,7 +440,13 @@ terms AS (
 -- both engines add the ≤10 cell terms in the identical sequence
 SELECT event_type, ta AS n_a, tb AS n_b,
        CAST(occupied - 1 AS BIGINT) AS dof,
-       list_reduce(list(term ORDER BY bin), (a, b) -> a + b) AS chi2
+       -- a type absent from one whole period has expected counts of 0:
+       -- χ² is undefined (0/0) and the engines would disagree (NULL vs
+       -- NaN). Emit NULL explicitly — callers treat "no statistic" for a
+       -- launched/retired type as maximal drift, not as quiet.
+       CASE WHEN ta > 0 AND tb > 0 THEN
+         list_reduce(list(term ORDER BY bin), (a, b) -> a + b)
+       ELSE NULL END AS chi2
 FROM terms
 GROUP BY event_type, ta, tb, occupied
 """,
@@ -447,18 +464,23 @@ def q_events_value_drift_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
     vm = F.floor(F.col("value") * 1000000).cast("long")
     binned = ev.select(
         "event_type",
-        F.least(
-            F.floor(vm / float(_DRIFT_BIN_MICROS)).cast("long"),
-            F.lit(_DRIFT_MAX_BIN).cast("long"),
+        F.greatest(
+            F.least(
+                F.floor(vm / float(_DRIFT_BIN_MICROS)).cast("long"),
+                F.lit(_DRIFT_MAX_BIN).cast("long"),
+            ),
+            F.lit(0).cast("long"),
         ).alias("bin"),
         F.when(F.col("ts") < F.lit(_SPLIT).cast("timestamp"), "A")
         .otherwise("B")
         .alias("period"),
     )
-    cells = binned.groupBy("event_type", "bin").agg(
+    # cells feeds tot AND the final join: persist so the binning pass (the
+    # only fact-sized work) runs once — making the docstring's claim true.
+    cells = scoped_persist(binned.groupBy("event_type", "bin").agg(
         F.sum(F.when(F.col("period") == "A", 1).otherwise(0)).cast("long").alias("n_a"),
         F.sum(F.when(F.col("period") == "B", 1).otherwise(0)).cast("long").alias("n_b"),
-    )
+    ))
     tot = cells.groupBy("event_type").agg(
         F.sum("n_a").cast("long").alias("ta"),
         F.sum("n_b").cast("long").alias("tb"),

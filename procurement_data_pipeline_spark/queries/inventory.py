@@ -22,6 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from procurement_data_pipeline_spark.caching import scoped_persist
 from procurement_data_pipeline_spark.registry import register
 from procurement_data_pipeline_spark.sources.tables import load_table
 
@@ -195,14 +196,15 @@ def q_order_lifecycle_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Exactness: integer micro-quantities and day sums in HUGEINT/decimal,
     # then an IEEE chain (÷, ×, √ are correctly rounded).
     oracle="""
-WITH days AS (
-  SELECT CAST(COUNT(DISTINCT CAST(l_shipdate AS DATE)) AS BIGINT) AS n_days
-  FROM lineitem
-),
-daily AS (
+WITH daily AS (
   SELECT l_partkey AS partkey, CAST(l_shipdate AS DATE) AS d,
          SUM(CAST(FLOOR(l_quantity * 1000000) AS BIGINT)) AS q
   FROM lineitem GROUP BY 1, 2
+),
+days AS (
+  -- derived from daily, not a third fact scan: the set of ship dates is
+  -- exactly daily's d domain (zero-quantity days exist in neither)
+  SELECT CAST(COUNT(DISTINCT d) AS BIGINT) AS n_days FROM daily
 ),
 dem AS (
   SELECT partkey,
@@ -241,18 +243,20 @@ def q_part_reorder_points(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders")
     qm = F.floor(F.col("l_quantity") * 1000000).cast("long")
-    daily = li.groupBy(
-        F.col("l_partkey").alias("partkey"),
-        F.col("l_shipdate").cast("date").alias("d"),
-    ).agg(F.sum(qm).alias("q"))
+    # daily feeds the moments AND the day count: persist so lineitem scans
+    # once for the demand side (the lead-time join is its own pass).
+    daily = scoped_persist(
+        li.groupBy(
+            F.col("l_partkey").alias("partkey"),
+            F.col("l_shipdate").cast("date").alias("d"),
+        ).agg(F.sum(qm).alias("q"))
+    )
     dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
     dem = daily.groupBy("partkey").agg(
         F.sum(dec("q")).alias("s"),
         F.sum(dec("q") * dec("q")).alias("ss"),
     )
-    days = li.agg(
-        F.countDistinct(F.col("l_shipdate").cast("date")).cast("long").alias("n_days")
-    )
+    days = daily.agg(F.countDistinct("d").cast("long").alias("n_days"))
     lead = (
         li.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
         .groupBy(F.col("l_partkey").alias("partkey"))

@@ -159,7 +159,10 @@ def merge_bloom_state(spark: SparkSession, state_path: str, batch_bf) -> None:
     fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
     merged = batch_bf
     if fs.exists(root):
-        prior = load_bloom_state(spark, state_path)
+        # read inline (recovery already ran above; load_bloom_state would
+        # re-run the same existence checks on every trigger)
+        row = spark.read.parquet(state_path).collect()[0]
+        prior = BloomFilter(words=tuple(row["words"]), num_hashes=row["num_hashes"])
         if (
             prior.num_bits != batch_bf.num_bits
             or prior.num_hashes != batch_bf.num_hashes
