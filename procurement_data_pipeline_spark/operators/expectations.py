@@ -29,6 +29,7 @@ from dataclasses import dataclass
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
 from pyspark.sql.window import Window
 
 
@@ -118,3 +119,76 @@ def check(
 
 
 __all__ = ["Expectation", "check", "not_null", "unique", "in_range", "isin", "matches"]
+
+
+# ------------------------------------------------------------ data contracts
+
+
+def schema_diff(before: StructType, after: StructType) -> dict:
+    """Structural diff between two schema versions.
+
+    Returns ``{"added": [...], "removed": [...], "retyped": [(name,
+    from_type, to_type)], "nullability": [(name, from, to)]}`` — the
+    inputs a data-contract gate needs. Field ORDER changes are ignored
+    (parquet reads by name; order is presentation).
+    """
+    b = {f.name: f for f in before.fields}
+    a = {f.name: f for f in after.fields}
+    added = sorted(set(a) - set(b))
+    removed = sorted(set(b) - set(a))
+    retyped = sorted(
+        (n, b[n].dataType.simpleString(), a[n].dataType.simpleString())
+        for n in set(a) & set(b)
+        if b[n].dataType != a[n].dataType
+    )
+    nullability = sorted(
+        (n, b[n].nullable, a[n].nullable)
+        for n in set(a) & set(b)
+        if b[n].dataType == a[n].dataType and b[n].nullable != a[n].nullable
+    )
+    return {
+        "added": added,
+        "removed": removed,
+        "retyped": retyped,
+        "nullability": nullability,
+    }
+
+
+def assert_contract(
+    before: StructType,
+    after: StructType,
+    allow_added: bool = True,
+) -> dict:
+    """Gate a schema change the way a consumer contract would.
+
+    BACKWARD-compatible changes (new nullable columns, nullable→required
+    tightening is NOT one) pass; anything a downstream reader written
+    against ``before`` could break on raises ``SchemaContractError`` with
+    the full diff. Policy:
+
+    * removed column → breaking (reader selects it: AnalysisException)
+    * retyped column → breaking (silent value reinterpretation is worse
+      than failure)
+    * required→nullable → breaking (reader assumes non-null)
+    * added column → allowed iff ``allow_added`` (mergeSchema handles it;
+      strict mode for sinks with fixed DDL)
+    """
+    d = schema_diff(before, after)
+    breaking: list[str] = []
+    breaking += [f"removed: {n}" for n in d["removed"]]
+    breaking += [f"retyped: {n} {f}->{t}" for n, f, t in d["retyped"]]
+    breaking += [
+        f"nullability loosened: {n}" for n, was, now in d["nullability"]
+        if (not was) and now
+    ]
+    if not allow_added:
+        breaking += [f"added (strict mode): {n}" for n in d["added"]]
+    if breaking:
+        raise SchemaContractError("; ".join(breaking), diff=d)
+    return d
+
+
+class SchemaContractError(ValueError):
+    def __init__(self, msg: str, diff: dict):
+        super().__init__(msg)
+        self.diff = diff

@@ -74,3 +74,42 @@ def test_duplicate_expectation_names_rejected(spark):
         raise AssertionError("expected ValueError")
     except ValueError as e:
         assert "duplicate" in str(e)
+
+
+# ------------------------------------------------------------ data contracts
+
+
+def test_schema_diff_and_contract_gate(spark):
+    import pytest
+
+    from procurement_data_pipeline_spark.operators.expectations import (
+        SchemaContractError,
+        assert_contract,
+        schema_diff,
+    )
+
+    before = spark.createDataFrame([(1, "a", 2.0)], "id long, name string, v double").schema
+    # add nullable col, retype v, drop name
+    after = spark.createDataFrame([(1, 2, 5)], "id long, v long, extra int").schema
+    d = schema_diff(before, after)
+    assert d["added"] == ["extra"]
+    assert d["removed"] == ["name"]
+    assert d["retyped"] == [("v", "double", "bigint")]
+
+    with pytest.raises(SchemaContractError) as ei:
+        assert_contract(before, after)
+    assert "removed: name" in str(ei.value)
+    assert "retyped: v" in str(ei.value)
+
+    # purely additive change passes by default, fails strict mode
+    additive = spark.createDataFrame(
+        [(1, "a", 2.0, None)], "id long, name string, v double, extra string"
+    ).schema
+    assert assert_contract(before, additive)["added"] == ["extra"]
+    with pytest.raises(SchemaContractError, match="strict mode"):
+        assert_contract(before, additive, allow_added=False)
+
+    # field-order change alone is NOT a diff
+    reordered = spark.createDataFrame([(2.0, "a", 1)], "v double, name string, id long").schema
+    d2 = schema_diff(before, reordered)
+    assert not any([d2["added"], d2["removed"], d2["retyped"]])
