@@ -82,6 +82,16 @@ GRADE_DEMOTED = frozenset(
     }
 )
 
+# Round-6 rotation candidates (deliberate, not applied — the r5 window is
+# pinned): strongest overflow entries by evidence and operator novelty are
+# lineitem_bloom_pruned_revenue (runtime filtering), events_kmv_type_overlap
+# (set-intersection sketch), events_ab_cuped (experiment tier),
+# orders_kaplan_meier (ordered-fold survival), docs_cluster_safe_split
+# (leakage-safe split). Weakest graded siblings to demote in exchange:
+# tpch_q12/q19 (conditional-agg pattern ×3 in window), docs_stratified_sample
+# (mechanism shared with graded splits), events_value_quantiles (exact twin
+# of the approx variant), events_props_json-style JSON duplicates.
+#
 # New oracle-backed queries added AFTER the round-5 window was pinned.
 # They register in modules that import before queries/curation.py, so
 # without this set they would silently displace the round-4 tier from the
