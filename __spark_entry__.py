@@ -192,6 +192,7 @@ GRADE_OVERFLOW = frozenset(
         "events_ab_welch",
         "part_reorder_points",
         "events_value_drift_chi2",
+        "events_scd2_pointintime",
     }
 )
 

@@ -25,6 +25,7 @@ from functools import reduce
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 
 def snapshot_diff(
@@ -78,3 +79,56 @@ def snapshot_diff(
 
 
 __all__ = ["snapshot_diff"]
+
+
+def scd2_compact(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    order_col: str,
+    state_col: str,
+) -> DataFrame:
+    """Collapse a (key, ts, state) stream into SCD Type-2 intervals.
+
+    Output: (key, version, state, valid_from, valid_to, n_events,
+    is_current) with half-open [valid_from, valid_to) validity; the open
+    interval carries valid_to NULL and is_current 1. ``order_col`` breaks
+    timestamp ties deterministically. ONE shuffle on the key serves every
+    window (lag flag, running version, per-run aggregate, lead close).
+
+    This is the shared core of the events_user_state_scd2 query and the
+    point-in-time join (events_scd2_pointintime): dimension HISTORY is
+    built once, then any fact stream can be joined as-of against it.
+    """
+    w = Window.partitionBy(key_col).orderBy(ts_col, order_col)
+    flagged = df.withColumn(
+        "is_change",
+        F.when(
+            F.lag(state_col).over(w).isNull()
+            | (F.lag(state_col).over(w) != F.col(state_col)),
+            1,
+        ).otherwise(0),
+    )
+    versioned = flagged.withColumn(
+        "version",
+        F.sum("is_change")
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("int"),
+    )
+    runs = versioned.groupBy(key_col, "version", state_col).agg(
+        F.min(ts_col).alias("valid_from"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    wv = Window.partitionBy(key_col).orderBy("version")
+    return runs.select(
+        key_col,
+        "version",
+        state_col,
+        "valid_from",
+        F.lead("valid_from").over(wv).alias("valid_to"),
+        "n_events",
+        F.when(F.lead("valid_from").over(wv).isNull(), 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("is_current"),
+    )

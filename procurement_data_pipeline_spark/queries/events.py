@@ -418,43 +418,25 @@ def q_events_user_state_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     ONE shuffle on user_id serves every step: the lag window, the running
     version sum, the per-run aggregate, and the lead window all reuse the
     same hash partitioning, so Catalyst plans a single Exchange."""
+    from procurement_data_pipeline_spark.operators.cdc import scd2_compact
+
     ev = load_table(spark, sf_dir, "events").select(
         "user_id",
         "event_id",
         "event_type",
         F.unix_micros(F.col("ts")).alias("ts_us"),
     )
-    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
-    flagged = ev.withColumn(
-        "is_change",
-        F.when(
-            F.lag("event_type").over(w).isNull()
-            | (F.lag("event_type").over(w) != F.col("event_type")),
-            1,
-        ).otherwise(0),
-    )
-    versioned = flagged.withColumn(
-        "version",
-        F.sum("is_change")
-        .over(w.rowsBetween(Window.unboundedPreceding, 0))
-        .cast("int"),
-    )
-    runs = versioned.groupBy("user_id", "version", "event_type").agg(
-        F.min("ts_us").alias("valid_from_us"),
-        F.count(F.lit(1)).alias("n_events"),
-    )
-    wv = Window.partitionBy("user_id").orderBy("version")
-    return runs.select(
+    return scd2_compact(
+        ev, key_col="user_id", ts_col="ts_us", order_col="event_id",
+        state_col="event_type",
+    ).select(
         "user_id",
         "version",
         "event_type",
-        "valid_from_us",
-        F.lead("valid_from_us").over(wv).alias("valid_to_us"),
+        F.col("valid_from").alias("valid_from_us"),
+        F.col("valid_to").alias("valid_to_us"),
         "n_events",
-        F.when(F.lead("valid_from_us").over(wv).isNull(), 1)
-        .otherwise(0)
-        .cast("int")
-        .alias("is_current"),
+        "is_current",
     )
 
 

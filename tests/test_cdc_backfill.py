@@ -170,3 +170,60 @@ def test_observed_write_rejects_reserved_name(spark, tmp_path):
         raise AssertionError("expected ValueError")
     except ValueError as e:
         assert "reserved" in str(e)
+
+
+def test_pit_join_never_leaks_the_future(spark, sf_dir):
+    """Feature-store contract: the attached state's interval must CONTAIN
+    the fact timestamp — state_since <= ts, and no later interval exists
+    that also starts at-or-before ts (i.e. the match is the LATEST valid
+    version, verified against a brute-force recomputation)."""
+    from collections import defaultdict
+
+    from procurement_data_pipeline_spark.registry import load_all
+    from procurement_data_pipeline_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    rows = load_all()["events_scd2_pointintime"].builder(spark, sf_dir).collect()
+    assert rows
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            "user_id", "event_id", "event_type",
+            F.unix_micros("ts").alias("ts_us"),
+        )
+        .collect()
+    )
+    browse = defaultdict(list)
+    for r in ev:
+        if r["event_type"] != "purchase":
+            browse[r["user_id"]].append((r["ts_us"], r["event_id"], r["event_type"]))
+    for u in browse:
+        browse[u].sort()
+    for r in rows:
+        prior = [b for b in browse.get(r["user_id"], []) if b[0] <= r["ts_us"]]
+        if not prior:
+            assert r["state_at"] is None  # fact precedes any state
+            continue
+        assert r["state_since_us"] <= r["ts_us"]  # never the future
+        # the matched state equals the last browse event's type at-or-before
+        assert r["state_at"] == prior[-1][2], (r, prior[-1])
+
+
+def test_scd2_compact_intervals_partition_the_timeline(spark, sf_dir):
+    from procurement_data_pipeline_spark.operators.cdc import scd2_compact
+    from procurement_data_pipeline_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", F.unix_micros("ts").alias("ts_us")
+    )
+    out = scd2_compact(ev, "user_id", "ts_us", "event_id", "event_type").collect()
+    by_u = {}
+    for r in sorted(out, key=lambda r: (r["user_id"], r["version"])):
+        by_u.setdefault(r["user_id"], []).append(r)
+    for ivs in by_u.values():
+        assert ivs[-1]["is_current"] == 1 and ivs[-1]["valid_to"] is None
+        for a, b in zip(ivs, ivs[1:]):
+            assert a["valid_to"] == b["valid_from"]  # gapless, half-open
+            assert a["event_type"] != b["event_type"]  # truly compacted
+            assert b["is_current"] == 0 or b is ivs[-1]
