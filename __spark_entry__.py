@@ -193,6 +193,7 @@ GRADE_OVERFLOW = frozenset(
         "part_reorder_points",
         "events_value_drift_chi2",
         "events_scd2_pointintime",
+        "events_state_dwell_share",
     }
 )
 

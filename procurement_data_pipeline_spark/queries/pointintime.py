@@ -105,3 +105,94 @@ def q_events_scd2_pointintime(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("version_asof").alias("state_version"),
         F.col("ts_us_asof").alias("state_since_us"),
     )
+
+
+@register(
+    "events_state_dwell_share",
+    # Time-IN-state, not event counts: how long does the population sit in
+    # each state? Interval dwell = valid_to − valid_from, with each user's
+    # open interval closed at their last event (observed horizon). All
+    # durations are exact integer micros; the share is one IEEE division.
+    oracle="""
+WITH base AS (
+  SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us FROM events
+),
+flagged AS (
+  SELECT user_id, event_id, event_type, ts_us,
+         CASE WHEN LAG(event_type) OVER w IS NULL
+                OR LAG(event_type) OVER w <> event_type
+              THEN 1 ELSE 0 END AS is_change
+  FROM base
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+),
+versioned AS (
+  SELECT user_id, event_type, ts_us,
+         CAST(SUM(is_change) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS INTEGER) AS version
+  FROM flagged
+),
+runs AS (
+  SELECT user_id, version, event_type, MIN(ts_us) AS valid_from_us
+  FROM versioned GROUP BY user_id, version, event_type
+),
+horizon AS (SELECT user_id, MAX(ts_us) AS last_ts FROM base GROUP BY user_id),
+ivs AS (
+  SELECT r.user_id, r.event_type, r.valid_from_us,
+         COALESCE(LEAD(r.valid_from_us) OVER (PARTITION BY r.user_id
+                                              ORDER BY r.version),
+                  h.last_ts) AS valid_to_us
+  FROM runs r JOIN horizon h ON h.user_id = r.user_id
+),
+agg AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS n_intervals,
+         CAST(SUM(valid_to_us - valid_from_us) AS BIGINT) AS dwell_us
+  FROM ivs GROUP BY event_type
+)
+SELECT event_type, n_intervals, dwell_us,
+       CAST(dwell_us AS DOUBLE) / (SELECT CAST(SUM(dwell_us) AS DOUBLE) FROM agg)
+         AS dwell_share
+FROM agg
+""",
+    tags=("events", "scd2", "dwell"),
+)
+def q_events_state_dwell_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """scd2_compact gives the intervals; each user's open interval closes
+    at their own last event (no global scalar needed — the horizon rides
+    the same user-key shuffle). One tiny state-grain aggregate + a 1-row
+    total broadcast finishes it."""
+    from procurement_data_pipeline_spark.caching import scoped_persist
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.unix_micros(F.col("ts")).alias("ts_us"),
+    )
+    ivs = scd2_compact(
+        ev, key_col="user_id", ts_col="ts_us", order_col="event_id",
+        state_col="event_type",
+    )
+    horizon = ev.groupBy("user_id").agg(F.max("ts_us").alias("last_ts"))
+    closed = ivs.join(horizon, "user_id").select(
+        "event_type",
+        (
+            F.coalesce(F.col("valid_to"), F.col("last_ts")) - F.col("valid_from")
+        ).alias("dwell"),
+    )
+    agg = scoped_persist(
+        closed.groupBy("event_type").agg(
+            F.count(F.lit(1)).cast("long").alias("n_intervals"),
+            F.sum(F.col("dwell").cast("decimal(38,0)")).cast("long").alias("dwell_us"),
+        )
+    )
+    total = agg.agg(F.sum(F.col("dwell_us").cast("decimal(38,0)")).alias("t"))
+    return agg.crossJoin(F.broadcast(total)).select(
+        "event_type",
+        "n_intervals",
+        "dwell_us",
+        (F.col("dwell_us").cast("double") / F.col("t").cast("double")).alias(
+            "dwell_share"
+        ),
+    )

@@ -227,3 +227,12 @@ def test_scd2_compact_intervals_partition_the_timeline(spark, sf_dir):
             assert a["valid_to"] == b["valid_from"]  # gapless, half-open
             assert a["event_type"] != b["event_type"]  # truly compacted
             assert b["is_current"] == 0 or b is ivs[-1]
+
+
+def test_dwell_shares_sum_to_one(spark, sf_dir):
+    from procurement_data_pipeline_spark.registry import load_all
+
+    rows = load_all()["events_state_dwell_share"].builder(spark, sf_dir).collect()
+    assert rows
+    assert abs(sum(r["dwell_share"] for r in rows) - 1.0) < 1e-9
+    assert all(r["dwell_us"] >= 0 for r in rows)

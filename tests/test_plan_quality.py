@@ -57,6 +57,7 @@ BNLJ_ALLOWED = {
     "events_kmv_type_overlap",  # |types|² pair enumeration over the bounded type domain
     "events_ab_cuped",  # broadcast single-row θ / global-pre-mean scalar
     "part_reorder_points",  # broadcast single-row calendar-day-count scalar
+    "events_state_dwell_share",  # broadcast single-row total-dwell scalar
 }
 
 SF_DIR = "/root/testdata/sf0.001"
