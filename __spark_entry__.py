@@ -194,6 +194,7 @@ GRADE_OVERFLOW = frozenset(
         "events_value_drift_chi2",
         "events_scd2_pointintime",
         "events_state_dwell_share",
+        "emb_hard_negatives",
     }
 )
 

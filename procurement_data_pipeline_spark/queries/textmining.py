@@ -317,3 +317,95 @@ def q_emb_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("correct"),
         )
     )
+
+
+@register(
+    "emb_hard_negatives",
+    # Triplet mining for contrastive training: per anchor, the nearest
+    # SAME-label point (positive) and the nearest DIFFERENT-label point
+    # (the hard negative — the pair that actually teaches the model).
+    # Rides the exact quantized-cosine contract, so both engines rank the
+    # identical candidates; the margin (positive − negative similarity)
+    # is one IEEE subtraction. Anchors whose label has no other member
+    # yield NULL positives — reported, not dropped (they can't form
+    # triplets and the curator must know).
+    oracle=f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qvec, label AS anchor_label
+  FROM embeddings WHERE vec_id % {_CLS_STRIDE} = 0
+),
+scored AS (
+  SELECT q.query_id, q.anchor_label, e.vec_id, e.label,
+         CASE WHEN e.label = q.anchor_label THEN 1 ELSE 0 END AS same,
+         CAST({_QDOT.format(a='e.embedding', b='q.qvec')} AS DOUBLE)
+         / (sqrt(CAST({_QDOT.format(a='e.embedding', b='e.embedding')} AS DOUBLE))
+            * sqrt(CAST({_QDOT.format(a='q.qvec', b='q.qvec')} AS DOUBLE))) AS score
+  FROM embeddings e CROSS JOIN q
+  WHERE e.vec_id != q.query_id
+),
+best AS (
+  SELECT query_id, anchor_label, vec_id, score, same,
+         ROW_NUMBER() OVER (PARTITION BY query_id, same
+                            ORDER BY score DESC, vec_id ASC) AS rnk
+  FROM scored
+)
+SELECT query_id, anchor_label,
+       MAX(CASE WHEN same = 1 THEN vec_id END) AS positive_id,
+       MAX(CASE WHEN same = 1 THEN score END) AS positive_score,
+       MAX(CASE WHEN same = 0 THEN vec_id END) AS negative_id,
+       MAX(CASE WHEN same = 0 THEN score END) AS negative_score,
+       MAX(CASE WHEN same = 1 THEN score END)
+         - MAX(CASE WHEN same = 0 THEN score END) AS margin
+FROM best WHERE rnk = 1
+GROUP BY query_id, anchor_label
+""",
+    tags=("similarity", "llm", "contrastive"),
+)
+def q_emb_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast-queries scoring (the knn_bruteforce shape — exact by
+    contract, BNLJ bounded by the stride sample), ranked per (anchor,
+    same-label flag) so the positive and the hard negative each come from
+    their own candidate pool, then one pivot to triplet rows."""
+    from procurement_data_pipeline_spark.llm_ops.similarity import (
+        quantized_dot,
+        quantized_norm_sq,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    norm = lambda c: F.sqrt(quantized_norm_sq(c).cast("double"))  # noqa: E731
+    q = emb.where(F.col("vec_id") % _CLS_STRIDE == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("_qvec"),
+        F.col("label").alias("anchor_label"),
+        norm(F.col("embedding")).alias("_qn"),
+    )
+    scored = (
+        emb.select("vec_id", "embedding", "label", norm(F.col("embedding")).alias("_cn"))
+        .join(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "anchor_label",
+            "vec_id",
+            F.when(F.col("label") == F.col("anchor_label"), 1).otherwise(0).alias(
+                "same"
+            ),
+            (
+                quantized_dot(F.col("embedding"), F.col("_qvec")).cast("double")
+                / (F.col("_cn") * F.col("_qn"))
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("query_id", "same").orderBy(
+        F.col("score").desc(), F.col("vec_id").asc()
+    )
+    best = scored.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") == 1)
+    pos = lambda c: F.max(F.when(F.col("same") == 1, F.col(c)))  # noqa: E731
+    neg = lambda c: F.max(F.when(F.col("same") == 0, F.col(c)))  # noqa: E731
+    return best.groupBy("query_id", "anchor_label").agg(
+        pos("vec_id").alias("positive_id"),
+        pos("score").alias("positive_score"),
+        neg("vec_id").alias("negative_id"),
+        neg("score").alias("negative_score"),
+        (pos("score") - neg("score")).alias("margin"),
+    )

@@ -168,3 +168,21 @@ def test_pagerank_deterministic(spark):
     r1 = sorted(map(tuple, pagerank(_edges(spark, rows), 3).collect()))
     r2 = sorted(map(tuple, pagerank(_edges(spark, rows), 3).collect()))
     assert r1 == r2
+
+
+def test_hard_negative_triplets_are_valid(spark, sf_dir):
+    """Positive is same-label, negative different-label, both are the
+    MOST similar of their pool (margin can be negative — that's what
+    'hard' means), and singleton-label anchors surface NULL positives."""
+    from procurement_data_pipeline_spark.registry import load_all
+
+    rows = load_all()["emb_hard_negatives"].builder(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["negative_id"] is not None  # >1 label exists in the data
+        assert -1.0 <= r["negative_score"] <= 1.0 + 1e-9
+        if r["positive_id"] is None:
+            assert r["margin"] is None  # singleton label: no triplet
+        else:
+            assert r["positive_id"] != r["query_id"]
+            assert abs(r["margin"] - (r["positive_score"] - r["negative_score"])) < 1e-12

@@ -58,6 +58,7 @@ BNLJ_ALLOWED = {
     "events_ab_cuped",  # broadcast single-row θ / global-pre-mean scalar
     "part_reorder_points",  # broadcast single-row calendar-day-count scalar
     "events_state_dwell_share",  # broadcast single-row total-dwell scalar
+    "emb_hard_negatives",  # broadcast-queries kNN shape (same as emb_knn_classify)
 }
 
 SF_DIR = "/root/testdata/sf0.001"
