@@ -195,6 +195,8 @@ GRADE_OVERFLOW = frozenset(
         "events_scd2_pointintime",
         "events_state_dwell_share",
         "emb_hard_negatives",
+        "part_eoq",
+        "part_croston_forecast",
     }
 )
 
