@@ -197,6 +197,8 @@ GRADE_OVERFLOW = frozenset(
         "emb_hard_negatives",
         "part_eoq",
         "part_croston_forecast",
+        "events_segment_bitmap_overlap",
+        "events_retention_bitmap",
     }
 )
 
