@@ -199,6 +199,8 @@ GRADE_OVERFLOW = frozenset(
         "part_croston_forecast",
         "events_segment_bitmap_overlap",
         "events_retention_bitmap",
+        "orders_holt_trend",
+        "part_demand_classes",
     }
 )
 

@@ -132,3 +132,90 @@ def q_orders_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("wape"),
     )
     return lag7.unionByName(ma)
+
+
+@register(
+    "orders_holt_trend",
+    # Holt's two-parameter (level + trend) exponential smoothing per order
+    # priority over the daily order-count series — the next step up from
+    # the EWMA (no trend) and Croston (intermittent) smoothers. α=0.5,
+    # β=0.25 (exact binary). Recurrence, not closed form — evaluated with
+    # the ordered-fold contract: both engines fold the SAME day-ordered
+    # list with the SAME IEEE ops, seeded by the first element ([y₁, 0]:
+    # l₁=y₁, b₁=0, updates from y₂ on; data elements carry b=0, which the
+    # lambda never reads).
+    #
+    # The fold state is a 2-element DOUBLE LIST, deliberately NOT a
+    # struct: DuckDB's list_reduce mis-evaluates struct accumulators
+    # whose field expressions read ANOTHER field of acc (the read can
+    # observe the just-written value — probed in
+    # tests/test_replenishment.py::test_duckdb_struct_fold_hazard). The
+    # Croston fold's fields are independent, so it is unaffected; Holt's
+    # trend reads acc.level, so it must use the list form. new_l appears
+    # twice in the lambda (no let-binding in either SQL lambda dialect)
+    # — identical expression, identical IEEE result.
+    oracle="""
+WITH daily AS (
+  SELECT o_orderpriority AS priority, CAST(o_orderdate AS DATE) AS day,
+         COUNT(*) AS cnt
+  FROM orders GROUP BY 1, 2
+),
+folded AS (
+  SELECT priority, COUNT(*) AS n_days,
+         list_reduce(
+           list([CAST(cnt AS DOUBLE), CAST(0 AS DOUBLE)] ORDER BY day),
+           (acc, x) -> [
+             x[1] * CAST(0.5 AS DOUBLE)
+               + (acc[1] + acc[2]) * CAST(0.5 AS DOUBLE),
+             (x[1] * CAST(0.5 AS DOUBLE)
+               + (acc[1] + acc[2]) * CAST(0.5 AS DOUBLE) - acc[1])
+                 * CAST(0.25 AS DOUBLE)
+               + acc[2] * CAST(0.75 AS DOUBLE)]
+         ) AS s
+  FROM daily GROUP BY 1
+)
+SELECT priority, CAST(n_days AS BIGINT) AS n_days,
+       s[1] AS level, s[2] AS trend,
+       s[1] + s[2] AS forecast_next,
+       s[1] + 7 * s[2] AS forecast_7d
+FROM folded
+""",
+    tags=("orders", "forecast", "smoothing"),
+)
+def q_orders_holt_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.col("o_orderpriority").alias("priority"),
+        F.col("o_orderdate").cast("date").alias("day"),
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    folded = daily.groupBy("priority").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col("day"),
+                        F.col("cnt").cast("double").alias("l"),
+                    )
+                )
+            ),
+            lambda x: F.array(x["l"], F.lit(0.0)),
+        ).alias("lst"),
+    )
+    new_l = lambda acc, x: x[0] * 0.5 + (acc[0] + acc[1]) * 0.5  # noqa: E731
+    fold = F.aggregate(
+        F.filter(F.col("lst"), lambda x, i: i >= 1),
+        F.element_at(F.col("lst"), 1),
+        lambda acc, x: F.array(
+            new_l(acc, x),
+            (new_l(acc, x) - acc[0]) * 0.25 + acc[1] * 0.75,
+        ),
+    )
+    return folded.select(
+        "priority",
+        "n_days",
+        fold[0].alias("level"),
+        fold[1].alias("trend"),
+        (fold[0] + fold[1]).alias("forecast_next"),
+        (fold[0] + 7 * fold[1]).alias("forecast_7d"),
+    )

@@ -215,3 +215,74 @@ def q_part_croston_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
         fold["g"].alias("smoothed_gap"),
         (fold["q"] / fold["g"]).alias("croston_rate"),
     )
+
+
+@register(
+    "part_demand_classes",
+    # Syntetos–Boylan demand classification — the standard gate deciding
+    # WHICH forecaster a part gets (smooth → exponential smoothing,
+    # intermittent → Croston, erratic/lumpy → bootstrap): ADI (average
+    # inter-demand interval; the gaps telescope, so Σgaps = last−first+1
+    # with the same first-gap:=1 convention as part_croston_forecast) vs
+    # CV² of the nonzero demand sizes, cut at the published 1.32 / 0.49
+    # thresholds. CV² is the exact integer ratio (n·Σq² − (Σq)²) / (Σq)²
+    # carried in decimal(38,0)/HUGEINT, ONE division at the end; the
+    # class label compares bit-identical doubles with identical literals.
+    oracle="""
+WITH daily AS (
+  SELECT l_partkey AS partkey, CAST(l_shipdate AS DATE) AS day,
+         SUM(CAST(l_quantity AS BIGINT)) AS qty
+  FROM lineitem GROUP BY 1, 2
+),
+per AS (
+  SELECT partkey, COUNT(*) AS n, SUM(qty) AS s1, SUM(qty * qty) AS s2,
+         MIN(day) AS d0, MAX(day) AS d1
+  FROM daily GROUP BY 1
+),
+m AS (
+  SELECT partkey, n,
+         CAST(d1 - d0 + 1 AS DOUBLE) / CAST(n AS DOUBLE) AS adi,
+         CAST(CAST(n AS HUGEINT) * s2 - CAST(s1 AS HUGEINT) * s1 AS DOUBLE)
+           / CAST(CAST(s1 AS HUGEINT) * s1 AS DOUBLE) AS cv2
+  FROM per
+)
+SELECT partkey, CAST(n AS BIGINT) AS n_demand_days, adi, cv2,
+       CASE WHEN adi < 1.32 AND cv2 < 0.49 THEN 'smooth'
+            WHEN adi >= 1.32 AND cv2 < 0.49 THEN 'intermittent'
+            WHEN adi < 1.32 THEN 'erratic'
+            ELSE 'lumpy' END AS demand_class
+FROM m
+""",
+    tags=("part", "replenishment", "classification"),
+)
+def q_part_demand_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    per = (
+        _daily_demand(spark, sf_dir)
+        .groupBy("partkey")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("qty").alias("s1"),
+            F.sum(F.col("qty") * F.col("qty")).alias("s2"),
+            F.min("day").alias("d0"),
+            F.max("day").alias("d1"),
+        )
+    )
+    n = F.col("n")
+    adi = (F.datediff("d1", "d0") + 1).cast("double") / n.cast("double")
+    cv2 = (dec(n) * dec(F.col("s2")) - dec(F.col("s1")) * dec(F.col("s1"))).cast(
+        "double"
+    ) / (dec(F.col("s1")) * dec(F.col("s1"))).cast("double")
+    m = per.select(
+        "partkey",
+        n.alias("n_demand_days"),
+        adi.alias("adi"),
+        cv2.alias("cv2"),
+    )
+    return m.withColumn(
+        "demand_class",
+        F.when((F.col("adi") < 1.32) & (F.col("cv2") < 0.49), "smooth")
+        .when((F.col("adi") >= 1.32) & (F.col("cv2") < 0.49), "intermittent")
+        .when(F.col("adi") < 1.32, "erratic")
+        .otherwise("lumpy"),
+    )

@@ -89,3 +89,82 @@ def test_croston_rate_bounded_by_observed_extremes(spark, sf_dir):
     for r in rows:
         assert r["smoothed_gap"] >= 1.0
         assert 0.0 < r["croston_rate"] <= r["smoothed_qty"]
+
+
+def test_duckdb_struct_fold_hazard():
+    """Documents the engine quirk the Holt fold works around: DuckDB's
+    list_reduce mis-evaluates struct accumulators whose field expression
+    reads ANOTHER field of acc (the read can observe the just-written
+    value), while a list accumulator folds correctly. If this ever starts
+    returning the sequential-fold answer, the workaround can be dropped."""
+    struct_res = duckdb.sql(
+        """
+        SELECT list_reduce(
+          list_transform([1.0, 2.0, 3.0],
+                         i -> struct_pack(l := CAST(i AS DOUBLE),
+                                          b := CAST(i + 3 AS DOUBLE))),
+          (acc, x) -> struct_pack(l := acc.l*10 + x.l,
+                                  b := acc.l*100 + acc.b*10 + x.b))
+        """
+    ).fetchone()[0]
+    list_res = duckdb.sql(
+        """
+        SELECT list_reduce(
+          list_transform([1.0, 2.0, 3.0],
+                         i -> [CAST(i AS DOUBLE), CAST(i + 3 AS DOUBLE)]),
+          (acc, x) -> [acc[1]*10 + x[1], acc[1]*100 + acc[2]*10 + x[2]])
+        """
+    ).fetchone()[0]
+    assert list_res == [123.0, 2656.0]  # the sequential fold
+    assert struct_res["l"] == 123.0
+    assert struct_res["b"] != 2656.0  # the hazard (currently 13756.0)
+
+
+def test_holt_matches_reference_recurrence(spark, sf_dir):
+    import duckdb as d
+
+    daily = d.sql(
+        f"""
+        SELECT o_orderpriority, CAST(o_orderdate AS DATE) AS day, COUNT(*) AS c
+        FROM '{sf_dir}/orders.parquet' GROUP BY 1, 2 ORDER BY 1, 2
+        """
+    ).fetchall()
+    series: dict[str, list[float]] = {}
+    for pr, _, c in daily:
+        series.setdefault(pr, []).append(float(c))
+    rows = load_all()["orders_holt_trend"].builder(spark, sf_dir).collect()
+    assert len(rows) == len(series)
+    for r in rows:
+        ys = series[r["priority"]]
+        level, trend = ys[0], 0.0
+        for y in ys[1:]:
+            nl = y * 0.5 + (level + trend) * 0.5
+            trend = (nl - level) * 0.25 + trend * 0.75
+            level = nl
+        assert r["n_days"] == len(ys)
+        assert r["level"] == level
+        assert r["trend"] == trend
+        assert r["forecast_next"] == level + trend
+        assert r["forecast_7d"] == level + 7 * trend
+
+
+def test_demand_classes_partition_by_thresholds(spark, sf_dir):
+    rows = load_all()["part_demand_classes"].builder(spark, sf_dir).collect()
+    assert rows
+    seen = set()
+    for r in rows:
+        adi, cv2 = r["adi"], r["cv2"]
+        assert adi >= 1.0  # gaps are ≥ 1 day by construction
+        assert cv2 >= 0.0
+        expect = (
+            "smooth"
+            if adi < 1.32 and cv2 < 0.49
+            else "intermittent"
+            if adi >= 1.32 and cv2 < 0.49
+            else "erratic"
+            if adi < 1.32
+            else "lumpy"
+        )
+        assert r["demand_class"] == expect
+        seen.add(expect)
+    assert len(seen) >= 2  # the testdata is not degenerate one-class
