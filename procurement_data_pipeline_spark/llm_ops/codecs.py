@@ -197,3 +197,173 @@ __all__ = [
     "luma",
     "decode_wav",
 ]
+
+
+GIF_MAGICS = (b"GIF87a", b"GIF89a")
+
+
+def _gif_lzw_decode(data: bytes, min_code_size: int, n_pixels: int) -> bytes:
+    """GIF-variant LZW (spec appendix F): variable-width codes read
+    LSB-first, CLEAR resets the dictionary, widths grow at 2^w up to 12
+    bits. Handles the KwKwK case (code == next unassigned entry)."""
+    clear, end = 1 << min_code_size, (1 << min_code_size) + 1
+    out = bytearray()
+    table: list[bytes] = []
+    width = min_code_size + 1
+    prev: bytes | None = None
+    acc = nbits = 0
+
+    def reset() -> None:
+        nonlocal table, width, prev
+        table = [bytes([i]) for i in range(clear)] + [b"", b""]
+        width = min_code_size + 1
+        prev = None
+
+    reset()
+    for byte in data:
+        acc |= byte << nbits
+        nbits += 8
+        while nbits >= width:
+            code = acc & ((1 << width) - 1)
+            acc >>= width
+            nbits -= width
+            if code == clear:
+                reset()
+                continue
+            if code == end:
+                return bytes(out)
+            if code < len(table):
+                entry = table[code]
+            elif code == len(table) and prev is not None:
+                entry = prev + prev[:1]  # KwKwK
+            else:
+                raise ValueError(f"corrupt GIF LZW stream (code {code})")
+            out += entry
+            if prev is not None and len(table) < 4096:
+                table.append(prev + entry[:1])
+            prev = entry
+            if len(table) == (1 << width) and width < 12:
+                width += 1
+            if len(out) >= n_pixels:
+                return bytes(out)
+    return bytes(out)
+
+
+def decode_gif(payload: bytes) -> np.ndarray:
+    """GIF bytes → uint8 RGB array (height, width, 3) of the FIRST frame.
+
+    Full LZW decompression plus global/local color-table lookup for
+    non-interlaced frames (GIF87a/89a); extensions are skipped, later
+    frames ignored, interlace raises ``NotImplementedError``. Raises
+    ``ValueError`` on a non-GIF payload.
+    """
+    if not payload or payload[:6] not in GIF_MAGICS:
+        raise ValueError("payload is not a GIF (bad signature)")
+    _sw, _sh, flags, _bg, _aspect = struct.unpack("<HHBBB", payload[6:13])
+    pos = 13
+    global_ct = None
+    if flags & 0x80:
+        n = 2 << (flags & 0x07)
+        global_ct = np.frombuffer(payload, np.uint8, n * 3, pos).reshape(n, 3)
+        pos += n * 3
+    while pos < len(payload):
+        block = payload[pos]
+        if block == 0x21:  # extension: label byte then sub-blocks
+            pos += 2
+            while payload[pos] != 0:
+                pos += 1 + payload[pos]
+            pos += 1
+        elif block == 0x2C:  # image descriptor
+            _lx, _ly, w, h, iflags = struct.unpack("<HHHHB", payload[pos + 1 : pos + 10])
+            pos += 10
+            ct = global_ct
+            if iflags & 0x80:
+                n = 2 << (iflags & 0x07)
+                ct = np.frombuffer(payload, np.uint8, n * 3, pos).reshape(n, 3)
+                pos += n * 3
+            if iflags & 0x40:
+                raise NotImplementedError("interlaced GIF frames not supported")
+            if ct is None:
+                raise ValueError("GIF frame has no color table")
+            min_code_size = payload[pos]
+            pos += 1
+            lzw = bytearray()
+            while payload[pos] != 0:
+                ln = payload[pos]
+                lzw += payload[pos + 1 : pos + 1 + ln]
+                pos += 1 + ln
+            idx = np.frombuffer(
+                _gif_lzw_decode(bytes(lzw), min_code_size, w * h), np.uint8
+            )
+            if idx.size < w * h:
+                raise ValueError("GIF pixel data ended early")
+            return ct[idx[: w * h]].reshape(h, w, 3)
+        elif block == 0x3B:  # trailer
+            break
+        else:
+            raise ValueError(f"unknown GIF block 0x{block:02x}")
+    raise ValueError("GIF contains no image frame")
+
+
+def encode_gif(idx: np.ndarray, palette: np.ndarray) -> bytes:
+    """Index array (H, W) + palette (N, 3) → single-frame GIF89a bytes.
+
+    Emits literal LZW codes with spec-correct width growth and a CLEAR
+    whenever the next width step would be needed — valid output any
+    decoder accepts, ~0% compression (a fixture/test encoder, mirroring
+    encode_png's role for the decode→transform→re-encode path)."""
+    h, w = idx.shape
+    if palette.ndim != 2 or palette.shape[1] != 3 or len(palette) > 256:
+        raise ValueError("palette must be (N<=256, 3)")
+    if idx.max(initial=0) >= len(palette):
+        raise ValueError("index out of palette range")
+    bits = max(2, int(len(palette) - 1).bit_length())
+    n = 1 << bits
+    pal = np.zeros((n, 3), dtype=np.uint8)
+    pal[: len(palette)] = palette
+    out = bytearray()
+    out += b"GIF89a"
+    out += struct.pack("<HHBBB", w, h, 0x80 | (bits - 1), 0, 0)
+    out += pal.tobytes()
+    out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0)
+    out.append(bits)  # LZW min code size
+    clear, end = n, n + 1
+    # One initial CLEAR, then every pixel as a literal code, then END.
+    # Code width mirrors the decoder's table growth exactly: the decoder
+    # appends one entry per data code AFTER the first since a clear, and
+    # widens when the table reaches 2^width (capped at 12 bits — a full
+    # table just stops growing, and literal codes stay < clear, so the
+    # stream remains valid at any length with no further clears).
+    acc = nbits = 0
+    packed = bytearray()
+    width = bits + 1
+    size = clear + 2
+    first = True
+
+    def emit(code: int) -> None:
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            packed.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    emit(clear)
+    for px in idx.reshape(-1).tolist():
+        emit(int(px))
+        if first:
+            first = False
+        elif size < 4096:
+            size += 1
+            if size == (1 << width) and width < 12:
+                width += 1
+    emit(end)
+    if nbits:
+        packed.append(acc & 0xFF)
+    for i in range(0, len(packed), 255):
+        chunk = packed[i : i + 255]
+        out.append(len(chunk))
+        out += chunk
+    out += b"\x00\x3b"
+    return bytes(out)

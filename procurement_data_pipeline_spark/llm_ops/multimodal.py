@@ -172,19 +172,24 @@ def extract_image_features(media: DataFrame, fake: bool = False) -> DataFrame:
 
     def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from procurement_data_pipeline_spark.llm_ops.codecs import (
+            GIF_MAGICS,
             PNG_MAGIC,
+            decode_gif,
             decode_png,
             luma,
         )
 
         def _real_decode(payload: bytes) -> tuple[int, int, int, float]:
-            if payload and bytes(payload).startswith(PNG_MAGIC):
-                img = decode_png(bytes(payload))
+            raw = bytes(payload or b"")
+            if raw.startswith(PNG_MAGIC):
+                img = decode_png(raw)
                 return img.shape[1], img.shape[0], img.shape[2], luma(img)
-            head = bytes(payload or b"")[:8]
+            if raw[:6] in GIF_MAGICS:
+                img = decode_gif(raw)  # first frame, palette-resolved RGB
+                return img.shape[1], img.shape[0], img.shape[2], luma(img)
             raise NotImplementedError(
-                f"no shipped decoder for payload starting {head!r} — PNG "
-                f"decodes for real; use fake=True for other formats"
+                f"no shipped decoder for payload starting {raw[:8]!r} — PNG "
+                f"and GIF decode for real; use fake=True for other formats"
             )
 
         # DETERMINISTIC FAKE decode: dimensions/luma derived from the

@@ -425,3 +425,45 @@ def test_stream_corpus_quality_gate_matches_batch(spark, sf_dir, tmp_path):
     )
     assert len(deduped) == n_distinct
     assert len({r["fp"] for r in deduped}) == n_distinct
+
+
+def test_extract_image_features_real_gif_decode(spark):
+    """GIF joins PNG on the real-decode path: palette-resolved first-frame
+    pixels with exact dimensions and Rec.601 luma."""
+    import numpy as np
+
+    from procurement_data_pipeline_spark.llm_ops.codecs import encode_gif
+
+    pal = np.array([[0, 0, 0], [255, 255, 255]], dtype=np.uint8)
+    half = np.zeros((10, 6), dtype=np.uint8)
+    half[:5] = 1  # top half white -> luma 0.5
+    solid = np.ones((4, 8), dtype=np.uint8)
+    df = spark.createDataFrame(
+        [(1, bytearray(encode_gif(half, pal))),
+         (2, bytearray(encode_gif(solid, pal)))],
+        "media_id long, payload binary",
+    )
+    rows = {r.media_id: r for r in extract_image_features(df).collect()}
+    assert (rows[1].width, rows[1].height, rows[1].n_channels) == (6, 10, 3)
+    assert abs(rows[1].mean_luma - 0.5) < 1e-9
+    assert (rows[2].width, rows[2].height, rows[2].n_channels) == (8, 4, 3)
+    assert abs(rows[2].mean_luma - 1.0) < 1e-9
+
+
+def test_transform_with_state_capability_probe():
+    """pyspark 4.1 ships transformWithStateInPandas (the successor to
+    applyInPandasWithState), but its Python state-server protocol needs
+    google.protobuf, which this container does not ship (probed
+    2026-08-14: the TWS driver worker crashes with ImportError on
+    google.protobuf.descriptor). The streaming operators therefore stay on
+    applyInPandasWithState. If this probe ever starts skipping, the
+    migration is unblocked."""
+    import importlib.util
+
+    import pyspark.sql.group as g
+
+    assert hasattr(g.GroupedData, "transformWithStateInPandas")
+    if importlib.util.find_spec("google.protobuf") is not None:
+        import pytest
+
+        pytest.skip("protobuf now available — transformWithState usable")
