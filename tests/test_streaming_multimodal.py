@@ -458,12 +458,13 @@ def test_transform_with_state_capability_probe():
     google.protobuf.descriptor). The streaming operators therefore stay on
     applyInPandasWithState. If this probe ever starts skipping, the
     migration is unblocked."""
-    import importlib.util
-
     import pyspark.sql.group as g
 
     assert hasattr(g.GroupedData, "transformWithStateInPandas")
-    if importlib.util.find_spec("google.protobuf") is not None:
-        import pytest
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+    except ImportError:
+        return  # the documented container state
+    import pytest
 
-        pytest.skip("protobuf now available — transformWithState usable")
+    pytest.skip("protobuf now available — transformWithState usable")
