@@ -201,6 +201,7 @@ GRADE_OVERFLOW = frozenset(
         "events_retention_bitmap",
         "orders_holt_trend",
         "part_demand_classes",
+        "part_copurchase_bfs",
     }
 )
 

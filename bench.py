@@ -80,6 +80,13 @@ def main() -> None:
         "orders_kaplan_meier",
         "orders_forecast_backtest",
         "events_ab_welch",
+        # Fifth-session tier (replenishment, bitmaps, smoothing):
+        "part_eoq",
+        "part_croston_forecast",
+        "part_demand_classes",
+        "orders_holt_trend",
+        "events_segment_bitmap_overlap",
+        "events_retention_bitmap",
     ]
     extended_specs = {n: specs[n] for n in extended_names if n in specs}
     unknown_extended = [n for n in extended_names if n not in specs]

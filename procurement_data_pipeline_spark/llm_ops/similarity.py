@@ -678,3 +678,84 @@ def semantic_decontaminate(
             .alias("contaminated"),
         )
     )
+
+
+def mmr_rerank(
+    corpus: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    pool: int = 100,
+    lam: float = 0.7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Maximal Marginal Relevance (Carbonell & Goldstein): a diverse top-k.
+
+    Plain cosine top-k returns near-duplicates of the best hit; MMR
+    greedily picks argmax of ``λ·relevance − (1−λ)·max_sim_to_selected``,
+    trading relevance against redundancy — the standard second-stage
+    reranker over a first-stage retriever (ANN or brute-force).
+
+    Two-stage shape, each stage honest about its scale:
+
+    * relevance stage — distributed: one scan scoring every corpus row
+      against the broadcast query literal (JVM lambda dot, no UDF), then
+      TakeOrdered for the ``pool`` candidates (ties by id);
+    * greedy stage — the ``pool × pool`` similarity matrix and k greedy
+      passes run driver-side in numpy over the BOUNDED candidate set
+      (same bounded-collect class as the ANN query sets in llm_ops.pq).
+      Rerankers are pool-bounded by definition — the stage's cost never
+      grows with corpus size, only with ``pool``.
+
+    Output: (rank, id, relevance, mmr_score) with rank 1..k in selection
+    order. Deterministic: ties break on id at both stages.
+    """
+    import numpy as np
+
+    if not 0.0 <= lam <= 1.0:
+        raise ValueError(f"lam must be in [0, 1], got {lam}")
+    if k > pool:
+        raise ValueError(f"k {k} must be ≤ pool {pool}")
+    q = np.asarray(query_vec, dtype=np.float64)
+    qn = float(np.sqrt((q * q).sum()))
+    if qn == 0.0:
+        raise ValueError("query vector must be non-zero")
+    qlit = F.lit([float(v) for v in query_vec])
+    rel = dot(F.col(vec_col), qlit) / (F.sqrt(dot(F.col(vec_col), F.col(vec_col))) * qn)
+    cands = (
+        corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"), rel.alias("rel"))
+        .orderBy(F.desc("rel"), "id")
+        .limit(pool)
+        .collect()
+    )
+    if not cands:
+        return corpus.sparkSession.createDataFrame(
+            [], "rank int, id long, relevance double, mmr_score double"
+        )
+    ids = [r["id"] for r in cands]
+    rels = np.array([r["rel"] for r in cands])
+    mat = np.array([r["vec"] for r in cands], dtype=np.float64)
+    norms = np.sqrt((mat * mat).sum(axis=1))
+    norms[norms == 0.0] = 1.0
+    unit = mat / norms[:, None]
+    sims = unit @ unit.T  # pool × pool, bounded
+    selected: list[int] = []
+    # max over selected of RAW cosine — negative similarity is a diversity
+    # reward and must not clamp to zero; -inf is replaced by the first
+    # pick's row before it is ever read (rank 1 scores on relevance only).
+    max_sim = np.full(len(cands), -np.inf)
+    out = []
+    for rank in range(1, min(k, len(cands)) + 1):
+        score = lam * rels - (1.0 - lam) * max_sim
+        if selected:
+            score[selected] = -np.inf
+        else:
+            score = rels.copy()  # first pick: pure relevance
+        best = int(np.argmax(score))  # candidates pre-sorted (-rel, id) →
+        # argmax's first-index tie-break IS the smallest-id tie-break
+        selected.append(best)
+        out.append((rank, int(ids[best]), float(rels[best]), float(score[best])))
+        max_sim = np.maximum(max_sim, sims[best])
+    return corpus.sparkSession.createDataFrame(
+        out, "rank int, id long, relevance double, mmr_score double"
+    )
