@@ -87,6 +87,8 @@ def main() -> None:
         "orders_holt_trend",
         "events_segment_bitmap_overlap",
         "events_retention_bitmap",
+        "part_copurchase_bfs",
+        "emb_mmr_rerank",
     ]
     extended_specs = {n: specs[n] for n in extended_names if n in specs}
     unknown_extended = [n for n in extended_names if n not in specs]

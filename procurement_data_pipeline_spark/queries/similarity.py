@@ -380,3 +380,21 @@ def q_emb_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pe.join(F.broadcast(b), "pos").select(
         "vec_id", F.col("pos").cast("int").alias("pos"), q.alias("q")
     )
+
+
+@register(
+    "emb_mmr_rerank",
+    oracle=None,  # greedy sequential selection — reference-replay + diversity
+    # properties asserted in tests/test_mmr.py (rows-only driver check)
+    tags=("similarity", "llm", "rerank", "mmr"),
+)
+def q_emb_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diverse top-10 for a fixed probe direction: distributed relevance
+    scan + TakeOrdered candidate pool, then the bounded greedy MMR stage
+    (llm_ops.similarity.mmr_rerank). The probe is the all-ones direction —
+    deterministic without reading any row first."""
+    from procurement_data_pipeline_spark.llm_ops.similarity import mmr_rerank
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    dim = len(emb.select("embedding").first()[0])
+    return mmr_rerank(emb, [1.0] * dim, k=10, pool=100, lam=0.7)
