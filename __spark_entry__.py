@@ -202,6 +202,8 @@ GRADE_OVERFLOW = frozenset(
         "orders_holt_trend",
         "part_demand_classes",
         "part_copurchase_bfs",
+        "part_stockout_projection",
+        "events_segment_bitmap_triple",
     }
 )
 

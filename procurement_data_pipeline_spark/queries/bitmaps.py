@@ -191,3 +191,57 @@ def q_events_retention_bitmap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "events_segment_bitmap_triple",
+    # Three-way audience intersections — the query where bitmaps beat
+    # every sketch: KMV/HLL estimate pairwise overlap, but exact k-way
+    # intersections come straight from ANDing k word columns; the word
+    # self-join generalizes with zero extra passes over the fact table.
+    oracle=f"""
+WITH words AS ({_WORDS_SQL})
+SELECT a.event_type AS type_a, b.event_type AS type_b, c.event_type AS type_c,
+       CAST(SUM(bit_count(a.bits & b.bits & c.bits)) AS BIGINT)
+         AS common_users
+FROM words a
+JOIN words b ON b.w = a.w AND a.event_type < b.event_type
+JOIN words c ON c.w = a.w AND b.event_type < c.event_type
+GROUP BY 1, 2, 3
+""",
+    tags=("events", "bitmap", "audience"),
+)
+def q_events_segment_bitmap_triple(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", _word_col(), _mask_col()
+    )
+    words = ev.groupBy("event_type", "w").agg(F.bit_or("mask").alias("bits"))
+    a, b, c = words.alias("a"), words.alias("b"), words.alias("c")
+    return (
+        a.join(
+            b,
+            (F.col("b.w") == F.col("a.w"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .join(
+            c,
+            (F.col("c.w") == F.col("a.w"))
+            & (F.col("b.event_type") < F.col("c.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+            F.col("c.event_type").alias("type_c"),
+        )
+        .agg(
+            F.sum(
+                F.bit_count(
+                    F.col("a.bits")
+                    .bitwiseAND(F.col("b.bits"))
+                    .bitwiseAND(F.col("c.bits"))
+                )
+            )
+            .cast("long")
+            .alias("common_users")
+        )
+    )

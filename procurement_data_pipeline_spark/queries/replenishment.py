@@ -286,3 +286,60 @@ def q_part_demand_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("adi") < 1.32, "erratic")
         .otherwise("lumpy"),
     )
+
+
+@register(
+    "part_stockout_projection",
+    # The planner's daily question: given opening stock, WHEN does each
+    # part run out? Opening stock is a documented contract (¼ of total
+    # shipped demand, floor — the testdata has no stock table); shipments
+    # replay as the demand flow; the stockout day is the first day the
+    # running total exceeds opening stock. Exact integers end to end;
+    # the only window is the per-part cumulative sum.
+    oracle="""
+WITH daily AS (
+  SELECT l_partkey AS partkey, CAST(l_shipdate AS DATE) AS day,
+         SUM(CAST(l_quantity AS BIGINT)) AS qty
+  FROM lineitem GROUP BY 1, 2
+),
+walked AS (
+  SELECT partkey, day, qty,
+         SUM(qty) OVER (PARTITION BY partkey ORDER BY day
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum,
+         SUM(qty) OVER (PARTITION BY partkey) AS total,
+         MIN(day) OVER (PARTITION BY partkey) AS first_day
+  FROM daily
+)
+SELECT partkey,
+       CAST(MAX(total) // 4 AS BIGINT) AS opening_units,
+       MIN(CASE WHEN cum > total // 4 THEN day END) AS stockout_day,
+       CAST(date_diff('day', MIN(first_day),
+                      MIN(CASE WHEN cum > total // 4 THEN day END))
+            AS INTEGER) AS days_covered
+FROM walked GROUP BY partkey
+""",
+    tags=("part", "replenishment", "projection"),
+)
+def q_part_stockout_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = _daily_demand(spark, sf_dir)
+    cum_w = (
+        Window.partitionBy("partkey")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    part_w = Window.partitionBy("partkey")
+    walked = daily.select(
+        "partkey",
+        "day",
+        F.sum("qty").over(cum_w).alias("cum"),
+        F.sum("qty").over(part_w).alias("total"),
+        F.min("day").over(part_w).alias("first_day"),
+    )
+    opening = F.floor(F.col("total") / 4).cast("long")
+    out_day = F.min(F.when(F.col("cum") > opening, F.col("day")))
+    return walked.groupBy("partkey").agg(
+        F.max(opening).alias("opening_units"),
+        out_day.alias("stockout_day"),
+        F.datediff(out_day, F.min("first_day")).cast("int").alias("days_covered"),
+    )

@@ -56,3 +56,23 @@ def test_retention_equals_exact_day_sets(spark, sf_dir):
     # every day with a successor day is present
     expected_days = {d for d in days if d + datetime.timedelta(days=1) in days}
     assert set(by_day) == expected_days
+
+
+def test_triple_intersections_equal_exact_sets(spark, sf_dir):
+    rows = load_all()["events_segment_bitmap_triple"].builder(spark, sf_dir).collect()
+    assert rows
+    truth = {}
+    for et, uid in duckdb.sql(
+        f"SELECT DISTINCT event_type, user_id FROM {_events(sf_dir)}"
+    ).fetchall():
+        truth.setdefault(et, set()).add(uid)
+    from itertools import combinations
+
+    expected_triples = set(combinations(sorted(truth), 3))
+    seen = set()
+    for r in rows:
+        t = (r["type_a"], r["type_b"], r["type_c"])
+        assert t[0] < t[1] < t[2]
+        assert r["common_users"] == len(truth[t[0]] & truth[t[1]] & truth[t[2]])
+        seen.add(t)
+    assert seen == expected_triples

@@ -168,3 +168,33 @@ def test_demand_classes_partition_by_thresholds(spark, sf_dir):
         assert r["demand_class"] == expect
         seen.add(expect)
     assert len(seen) >= 2  # the testdata is not degenerate one-class
+
+
+def test_stockout_projection_matches_replay(spark, sf_dir):
+    """Replay the projection in Python per part: opening = total//4 and
+    the stockout day is the first day the running total exceeds it."""
+    rows = load_all()["part_stockout_projection"].builder(spark, sf_dir).collect()
+    daily = duckdb.sql(
+        f"""
+        SELECT l_partkey, CAST(l_shipdate AS DATE),
+               SUM(CAST(l_quantity AS BIGINT))
+        FROM '{sf_dir}/lineitem.parquet' GROUP BY 1, 2 ORDER BY 1, 2
+        """
+    ).fetchall()
+    series: dict[int, list[tuple]] = {}
+    for pk, day, qty in daily:
+        series.setdefault(pk, []).append((day, qty))
+    assert len(rows) == len(series)
+    for r in rows:
+        obs = series[r["partkey"]]
+        total = sum(q for _, q in obs)
+        opening = total // 4
+        assert r["opening_units"] == opening
+        cum, out_day = 0, None
+        for day, q in obs:
+            cum += q
+            if cum > opening:
+                out_day = day
+                break
+        assert r["stockout_day"] == out_day
+        assert r["days_covered"] == (out_day - obs[0][0]).days
