@@ -34,6 +34,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from procurement_data_pipeline_spark.caching import scoped_persist
 from procurement_data_pipeline_spark.registry import register
 from procurement_data_pipeline_spark.sources.tables import load_table
 
@@ -84,7 +85,12 @@ JOIN card cb ON cb.event_type = p.type_b
 )
 def q_events_segment_bitmap_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select("event_type", _word_col(), _mask_col())
-    words = ev.groupBy("event_type", "w").agg(F.bit_or("mask").alias("bits"))
+    # words feeds the cardinality agg AND both sides of the pair join —
+    # persist so the fact table scans once (the words relation is the
+    # bounded bitmap, users/63 rows per segment).
+    words = scoped_persist(
+        ev.groupBy("event_type", "w").agg(F.bit_or("mask").alias("bits"))
+    )
     card = words.groupBy("event_type").agg(
         F.sum(F.bit_count("bits")).cast("long").alias("users")
     )
@@ -159,7 +165,9 @@ def q_events_retention_bitmap(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select(
         F.col("ts").cast("date").alias("day"), _word_col(), _mask_col()
     )
-    words = ev.groupBy("day", "w").agg(F.bit_or("mask").alias("bits"))
+    words = scoped_persist(
+        ev.groupBy("day", "w").agg(F.bit_or("mask").alias("bits"))
+    )
     dau = words.groupBy("day").agg(
         F.sum(F.bit_count("bits")).cast("long").alias("dau")
     )
@@ -215,7 +223,9 @@ def q_events_segment_bitmap_triple(spark: SparkSession, sf_dir: str) -> DataFram
     ev = load_table(spark, sf_dir, "events").select(
         "event_type", _word_col(), _mask_col()
     )
-    words = ev.groupBy("event_type", "w").agg(F.bit_or("mask").alias("bits"))
+    words = scoped_persist(
+        ev.groupBy("event_type", "w").agg(F.bit_or("mask").alias("bits"))
+    )
     a, b, c = words.alias("a"), words.alias("b"), words.alias("c")
     return (
         a.join(
