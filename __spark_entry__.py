@@ -204,6 +204,7 @@ GRADE_OVERFLOW = frozenset(
         "part_copurchase_bfs",
         "part_stockout_projection",
         "events_segment_bitmap_triple",
+        "orders_mann_kendall",
     }
 )
 

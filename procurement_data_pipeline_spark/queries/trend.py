@@ -227,3 +227,127 @@ def q_part_substitution_candidates(spark: SparkSession, sf_dir: str) -> DataFram
         .orderBy(F.col("rel_spread").asc(), F.col("part_a").asc(), F.col("part_b").asc())
         .limit(100)
     )
+
+
+@register(
+    "orders_mann_kendall",
+    # Mann-Kendall trend significance per order priority — the
+    # NON-parametric complement to the OLS slope (events_value_trend) and
+    # the Holt level/trend smoother: S = Σ_{i<j} sign(y_j − y_i) over the
+    # day-ordered daily order counts, with the tie-corrected variance
+    # n(n−1)(2n+5)/18 − Σ_t t(t−1)(2t+5)/18 and the continuity-corrected
+    # z = (S ∓ 1)/sqrt(Var). S and both variance terms are EXACT integers;
+    # z is one subtraction, one division, one IEEE-correctly-rounded sqrt —
+    # bit-identical across engines; the trend label compares |z| against
+    # the literal 1.96 both engines parse identically.
+    #
+    # Scale shape: the pair relation is CALENDAR-bounded (n_days² per
+    # priority, independent of fact volume), built AFTER the facts
+    # collapse to the daily grain — the O(n²) lives on a few-thousand-row
+    # relation forever. The fact table itself is scanned once.
+    oracle="""
+WITH daily AS (
+  SELECT o_orderpriority AS priority, CAST(o_orderdate AS DATE) AS day,
+         COUNT(*) AS cnt
+  FROM orders GROUP BY 1, 2
+),
+pairs AS (
+  SELECT a.priority,
+         CASE WHEN b.cnt > a.cnt THEN 1
+              WHEN b.cnt < a.cnt THEN -1 ELSE 0 END AS sgn
+  FROM daily a JOIN daily b
+    ON b.priority = a.priority AND b.day > a.day
+),
+s AS (SELECT priority, SUM(sgn) AS s_stat FROM pairs GROUP BY 1),
+nn AS (SELECT priority, COUNT(*) AS n FROM daily GROUP BY 1),
+ties AS (
+  SELECT priority, SUM(t * (t - 1) * (2 * t + 5)) AS tie_term
+  FROM (SELECT priority, cnt, COUNT(*) AS t FROM daily GROUP BY 1, 2)
+  GROUP BY 1
+),
+v AS (
+  SELECT nn.priority, nn.n, s.s_stat,
+         CAST(nn.n * (nn.n - 1) * (2 * nn.n + 5) - ties.tie_term AS DOUBLE)
+           / 18.0 AS var_s
+  FROM nn JOIN s ON s.priority = nn.priority
+  JOIN ties ON ties.priority = nn.priority
+),
+zc AS (
+  SELECT priority, CAST(n AS BIGINT) AS n_days,
+         CAST(s_stat AS BIGINT) AS s_stat, var_s,
+         CASE WHEN s_stat > 0 THEN CAST(s_stat - 1 AS DOUBLE) / sqrt(var_s)
+              WHEN s_stat < 0 THEN CAST(s_stat + 1 AS DOUBLE) / sqrt(var_s)
+              ELSE 0.0 END AS z
+  FROM v
+)
+SELECT priority, n_days, s_stat, var_s, z,
+       CASE WHEN z > 1.96 THEN 'increasing'
+            WHEN z < -1.96 THEN 'decreasing'
+            ELSE 'no_trend' END AS trend
+FROM zc
+""",
+    tags=("orders", "trend", "statistics"),
+)
+def q_orders_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.col("o_orderpriority").alias("priority"),
+        F.col("o_orderdate").cast("date").alias("day"),
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    from procurement_data_pipeline_spark.caching import scoped_persist
+
+    daily = scoped_persist(daily)  # feeds pairs (twice), n, and ties
+    a, b = daily.alias("a"), daily.alias("b")
+    sgn = (
+        F.when(F.col("b.cnt") > F.col("a.cnt"), 1)
+        .when(F.col("b.cnt") < F.col("a.cnt"), -1)
+        .otherwise(0)
+    )
+    s = (
+        a.join(
+            b,
+            (F.col("b.priority") == F.col("a.priority"))
+            & (F.col("b.day") > F.col("a.day")),
+        )
+        .groupBy(F.col("a.priority").alias("priority"))
+        .agg(F.sum(sgn).alias("s_stat"))
+    )
+    nn = daily.groupBy("priority").agg(F.count(F.lit(1)).alias("n"))
+    ties = (
+        daily.groupBy("priority", "cnt")
+        .agg(F.count(F.lit(1)).alias("t"))
+        .groupBy("priority")
+        .agg(
+            F.sum(
+                F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)
+            ).alias("tie_term")
+        )
+    )
+    n = F.col("n")
+    var_s = (
+        (n * (n - 1) * (2 * n + 5) - F.col("tie_term")).cast("double") / 18.0
+    )
+    v = nn.join(s, "priority").join(ties, "priority").select(
+        "priority",
+        n.cast("long").alias("n_days"),
+        F.col("s_stat").cast("long").alias("s_stat"),
+        var_s.alias("var_s"),
+    )
+    z = (
+        F.when(
+            F.col("s_stat") > 0,
+            (F.col("s_stat") - 1).cast("double") / F.sqrt(F.col("var_s")),
+        )
+        .when(
+            F.col("s_stat") < 0,
+            (F.col("s_stat") + 1).cast("double") / F.sqrt(F.col("var_s")),
+        )
+        .otherwise(0.0)
+    )
+    zc = v.withColumn("z", z)
+    return zc.withColumn(
+        "trend",
+        F.when(F.col("z") > 1.96, "increasing")
+        .when(F.col("z") < -1.96, "decreasing")
+        .otherwise("no_trend"),
+    )
