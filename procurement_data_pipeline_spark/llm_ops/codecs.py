@@ -196,6 +196,9 @@ __all__ = [
     "resize_nearest",
     "luma",
     "decode_wav",
+    "GIF_MAGICS",
+    "decode_gif",
+    "encode_gif",
 ]
 
 
@@ -259,6 +262,16 @@ def decode_gif(payload: bytes) -> np.ndarray:
     """
     if not payload or payload[:6] not in GIF_MAGICS:
         raise ValueError("payload is not a GIF (bad signature)")
+    try:
+        return _decode_gif_inner(payload)
+    except (IndexError, struct.error) as exc:
+        # a payload cut off mid-block walks past the end — that is a
+        # corrupt GIF, classified as the documented ValueError, never an
+        # unhandled IndexError escaping the decode worker
+        raise ValueError(f"truncated or corrupt GIF payload: {exc}") from None
+
+
+def _decode_gif_inner(payload: bytes) -> np.ndarray:
     _sw, _sh, flags, _bg, _aspect = struct.unpack("<HHBBB", payload[6:13])
     pos = 13
     global_ct = None
@@ -297,7 +310,10 @@ def decode_gif(payload: bytes) -> np.ndarray:
             )
             if idx.size < w * h:
                 raise ValueError("GIF pixel data ended early")
-            return ct[idx[: w * h]].reshape(h, w, 3)
+            idx = idx[: w * h]
+            if int(idx.max(initial=0)) >= len(ct):
+                raise ValueError("GIF pixel index outside the color table")
+            return ct[idx].reshape(h, w, 3)
         elif block == 0x3B:  # trailer
             break
         else:

@@ -721,9 +721,18 @@ def mmr_rerank(
     if qn == 0.0:
         raise ValueError("query vector must be non-zero")
     qlit = F.lit([float(v) for v in query_vec])
-    rel = dot(F.col(vec_col), qlit) / (F.sqrt(dot(F.col(vec_col), F.col(vec_col))) * qn)
+    # A zero-norm (or NULL) embedding has no direction: it is not rankable.
+    # Filter BEFORE the division — under ANSI mode a 0-norm divide throws,
+    # and under non-ANSI its NULL would poison the numpy stage.
     cands = (
-        corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"), rel.alias("rel"))
+        corpus.select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).alias("vec"),
+            F.sqrt(dot(F.col(vec_col), F.col(vec_col))).alias("_n"),
+            dot(F.col(vec_col), qlit).alias("_d"),
+        )
+        .filter(F.col("_n") > 0)
+        .select("id", "vec", (F.col("_d") / (F.col("_n") * qn)).alias("rel"))
         .orderBy(F.desc("rel"), "id")
         .limit(pool)
         .collect()
@@ -746,11 +755,12 @@ def mmr_rerank(
     max_sim = np.full(len(cands), -np.inf)
     out = []
     for rank in range(1, min(k, len(cands)) + 1):
-        score = lam * rels - (1.0 - lam) * max_sim
         if selected:
+            score = lam * rels - (1.0 - lam) * max_sim
             score[selected] = -np.inf
         else:
-            score = rels.copy()  # first pick: pure relevance
+            score = rels.copy()  # first pick: pure relevance (and the
+            # -inf max_sim never meets arithmetic — 0·−inf would be NaN)
         best = int(np.argmax(score))  # candidates pre-sorted (-rel, id) →
         # argmax's first-index tie-break IS the smallest-id tie-break
         selected.append(best)

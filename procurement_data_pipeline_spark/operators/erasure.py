@@ -160,11 +160,18 @@ def erase_users(
 
     stats = footer_stats(spark, path, [id_col]).collect()
     import bisect
+    import math
 
     def admits(r) -> bool:
         lo, hi = r[f"min_{id_col}"], r[f"max_{id_col}"]
         if lo is None or hi is None:
             return True  # no stats → cannot prune
+        # footer_stats rounds int64 stats to float64 (error ≤ ½ ulp, which
+        # is ~1024 at 2^63 scale). For an ERASE, pruning too much is a
+        # silent right-to-be-forgotten violation — widen the envelope by a
+        # full ulp each way so rounding can only ever keep extra files.
+        lo = lo - math.ulp(lo)
+        hi = hi + math.ulp(hi)
         i = bisect.bisect_left(targets, lo)
         return i < len(targets) and targets[i] <= hi
 

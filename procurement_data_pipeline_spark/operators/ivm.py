@@ -93,16 +93,17 @@ def refresh_join_view(
     man = _read_manifest(spark, view_path)
     a_now = sorted(_list_parquet_files(spark, a_path))
     b_now = sorted(_list_parquet_files(spark, b_path))
-    gone_a = set(man["a_files"]) - set(a_now)
-    gone_b = set(man["b_files"]) - set(b_now)
+    known_a, known_b = set(man["a_files"]), set(man["b_files"])
+    gone_a = known_a - set(a_now)
+    gone_b = known_b - set(b_now)
     if gone_a or gone_b:
         raise ValueError(
             "append-only contract violated: input files vanished "
             f"({sorted(gone_a | gone_b)[:3]}…) — join IVM without "
             "retractions cannot repair the view; rebuild it"
         )
-    new_a = [f for f in a_now if f not in set(man["a_files"])]
-    new_b = [f for f in b_now if f not in set(man["b_files"])]
+    new_a = [f for f in a_now if f not in known_a]
+    new_b = [f for f in b_now if f not in known_b]
     audit = {
         "new_a_files": len(new_a),
         "new_b_files": len(new_b),

@@ -7,6 +7,10 @@ population is a bitmap sliced into 63-bit words — ``word = user_id div
 case). ``bit_or`` builds each word, ``&``/``|`` intersect/union them,
 ``bit_count`` (a single POPCNT instruction under codegen) reads
 cardinalities back out. All integers end to end — hash-gradable exactly.
+Non-negative ids are a PRECONDITION of the encoding (a negative id would
+silently alias another user's bit under Java's mod-64 shift masking), so
+the mask expression raises loudly — in BOTH engines — on a negative id
+instead of corrupting counts.
 
 Why this family matters at 100 TB: audience overlap ("how many users did
 both X and Y") is normally a COUNT(DISTINCT) over a self-join — two full
@@ -45,15 +49,25 @@ def _word_col() -> F.Column:
     return F.expr(f"user_id div {_BITS}").alias("w")
 
 
+_GUARDED_ID = (
+    "CASE WHEN user_id < 0 THEN "
+    "raise_error('bitmap encoding requires non-negative user_id') "
+    "ELSE user_id END"
+)
+
+
 def _mask_col() -> F.Column:
     return F.call_function(
-        "shiftleft", F.lit(1).cast("long"), (F.col("user_id") % _BITS).cast("int")
+        "shiftleft",
+        F.lit(1).cast("long"),
+        (F.expr(_GUARDED_ID) % _BITS).cast("int"),
     ).alias("mask")
 
 
 _WORDS_SQL = f"""
   SELECT event_type, user_id // {_BITS} AS w,
-         bit_or(CAST(1 AS BIGINT) << CAST(user_id % {_BITS} AS INTEGER)) AS bits
+         bit_or(CAST(1 AS BIGINT)
+                << CAST((CASE WHEN user_id < 0 THEN error('bitmap encoding requires non-negative user_id') ELSE user_id END) % {_BITS} AS INTEGER)) AS bits
   FROM events GROUP BY 1, 2
 """
 
@@ -134,7 +148,8 @@ def q_events_segment_bitmap_overlap(spark: SparkSession, sf_dir: str) -> DataFra
 
 _DAY_WORDS_SQL = f"""
   SELECT CAST(ts AS DATE) AS day, user_id // {_BITS} AS w,
-         bit_or(CAST(1 AS BIGINT) << CAST(user_id % {_BITS} AS INTEGER)) AS bits
+         bit_or(CAST(1 AS BIGINT)
+                << CAST((CASE WHEN user_id < 0 THEN error('bitmap encoding requires non-negative user_id') ELSE user_id END) % {_BITS} AS INTEGER)) AS bits
   FROM events GROUP BY 1, 2
 """
 
@@ -148,9 +163,12 @@ dau AS (
   FROM words GROUP BY 1
 ),
 ret AS (
+  -- LEFT join: a day whose actives share NO word block with the next
+  -- day's actives has retained = 0, not a missing row
   SELECT a.day AS day,
-         CAST(SUM(bit_count(a.bits & b.bits)) AS BIGINT) AS retained
-  FROM words a JOIN words b ON b.day = a.day + 1 AND b.w = a.w
+         CAST(COALESCE(SUM(bit_count(a.bits & b.bits)), 0) AS BIGINT)
+           AS retained
+  FROM words a LEFT JOIN words b ON b.day = a.day + 1 AND b.w = a.w
   GROUP BY 1
 )
 SELECT r.day, d.dau, dn.dau AS dau_next, r.retained,
@@ -177,10 +195,14 @@ def q_events_retention_bitmap(spark: SparkSession, sf_dir: str) -> DataFrame:
             b,
             (F.col("b.day") == F.date_add(F.col("a.day"), 1))
             & (F.col("b.w") == F.col("a.w")),
+            "left",
         )
         .groupBy(F.col("a.day").alias("day"))
         .agg(
-            F.sum(F.bit_count(F.col("a.bits").bitwiseAND(F.col("b.bits"))))
+            F.coalesce(
+                F.sum(F.bit_count(F.col("a.bits").bitwiseAND(F.col("b.bits")))),
+                F.lit(0),
+            )
             .cast("long")
             .alias("retained")
         )

@@ -396,5 +396,8 @@ def q_emb_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from procurement_data_pipeline_spark.llm_ops.similarity import mmr_rerank
 
     emb = load_table(spark, sf_dir, "embeddings")
-    dim = len(emb.select("embedding").first()[0])
+    first = emb.select("embedding").first()
+    dim = len(first[0]) if first is not None and first[0] is not None else 1
+    # empty table → mmr_rerank's empty-candidates path returns the typed
+    # empty frame
     return mmr_rerank(emb, [1.0] * dim, k=10, pool=100, lam=0.7)

@@ -130,3 +130,21 @@ def test_uncommitted_scratch_rolls_back(spark, clustered_events):
 def test_erase_rejects_empty_request(spark, clustered_events):
     with pytest.raises(ValueError):
         erase_users(spark, clustered_events, [])
+
+
+def test_erase_survives_float_rounded_footer_stats(spark, tmp_path):
+    """Ids above 2^53 lose precision when footer stats round to float64;
+    the pruner must widen the envelope so rounding can only KEEP files,
+    never skip one holding a target (a skipped file would be a silent
+    right-to-be-forgotten violation)."""
+    dst = str(tmp_path / "big_ids")
+    base = 2**53
+    spark.createDataFrame(
+        [(base - 10,), (base + 1,), (base + 3,)], "user_id long"
+    ).coalesce(1).write.mode("overwrite").parquet(dst)
+    target = base + 3  # rounds DOWN to 2^53 in float64 (the max stat)
+    audit = erase_users(spark, dst, [target])
+    assert audit["files_rewritten"] == 1
+    assert audit["rows_deleted"] == 1
+    left = {r["user_id"] for r in spark.read.parquet(dst).collect()}
+    assert left == {base - 10, base + 1}

@@ -93,3 +93,14 @@ def test_mmr_rejects_bad_params(clustered):
         mmr_rerank(clustered, [1.0, 0.0, 0.0], lam=1.5)
     with pytest.raises(ValueError):
         mmr_rerank(clustered, [0.0, 0.0, 0.0])
+
+
+def test_mmr_excludes_zero_norm_vectors(spark, clustered):
+    """A zero embedding has no direction: it must be excluded from the
+    candidate pool, not crash the numpy stage with a NULL relevance."""
+    withzero = clustered.union(
+        spark.createDataFrame([(99, [0.0, 0.0, 0.0])], clustered.schema)
+    )
+    rows = mmr_rerank(withzero, [1.0, 0.0, 0.0], k=15, pool=20, lam=0.5).collect()
+    assert 99 not in {r["id"] for r in rows}
+    assert len(rows) == 15  # the 15 real vectors all rank
