@@ -205,6 +205,8 @@ GRADE_OVERFLOW = frozenset(
         "part_stockout_projection",
         "events_segment_bitmap_triple",
         "orders_mann_kendall",
+        "part_price_index_brand",
+        "part_abc_xyz_matrix",
     }
 )
 

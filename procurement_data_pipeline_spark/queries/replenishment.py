@@ -343,3 +343,133 @@ def q_part_stockout_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
         out_day.alias("stockout_day"),
         F.datediff(out_day, F.min("first_day")).cast("int").alias("days_covered"),
     )
+
+
+@register(
+    "part_abc_xyz_matrix",
+    # The ABC-XYZ planning matrix — the composition every inventory team
+    # pins to the wall: ABC (Pareto revenue contribution, cuts 80/95 —
+    # identical definition to abc_part_classification) × XYZ (demand
+    # variability as CV² of daily demand, cuts 0.25/1.0 ≡ CV 0.5/1.0,
+    # squared so no sqrt is needed for the CLASSIFICATION itself). Each
+    # cell reports part count, exact-cents revenue, revenue share, and
+    # demand units — AX cells get stock policies, CZ cells get
+    # make-to-order. All sums exact integers; the two shares are single
+    # IEEE divisions.
+    oracle="""
+WITH rev AS (
+  SELECT l_partkey AS partkey,
+         SUM(CAST(FLOOR(CAST(FLOOR(l_extendedprice * 100) AS BIGINT)
+             * (10000 - CAST(FLOOR(l_discount * 10000) AS BIGINT)) / 10000.0)
+             AS BIGINT)) AS rev_cents
+  FROM lineitem GROUP BY 1
+),
+abc AS (
+  SELECT partkey, rev_cents,
+         CASE WHEN CAST(SUM(rev_cents) OVER (ORDER BY rev_cents DESC, partkey
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS DOUBLE)
+                   / CAST(SUM(rev_cents) OVER () AS DOUBLE) <= 0.80 THEN 'A'
+              WHEN CAST(SUM(rev_cents) OVER (ORDER BY rev_cents DESC, partkey
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS DOUBLE)
+                   / CAST(SUM(rev_cents) OVER () AS DOUBLE) <= 0.95 THEN 'B'
+              ELSE 'C' END AS abc_class
+  FROM rev
+),
+daily AS (
+  SELECT l_partkey AS partkey, CAST(l_shipdate AS DATE) AS day,
+         SUM(CAST(l_quantity AS BIGINT)) AS qty
+  FROM lineitem GROUP BY 1, 2
+),
+xyz AS (
+  SELECT partkey, SUM(qty) AS demand_units,
+         CASE WHEN CAST(CAST(COUNT(*) AS HUGEINT) * SUM(qty * qty)
+                        - CAST(SUM(qty) AS HUGEINT) * SUM(qty) AS DOUBLE)
+                   / CAST(CAST(SUM(qty) AS HUGEINT) * SUM(qty) AS DOUBLE)
+                   <= 0.25 THEN 'X'
+              WHEN CAST(CAST(COUNT(*) AS HUGEINT) * SUM(qty * qty)
+                        - CAST(SUM(qty) AS HUGEINT) * SUM(qty) AS DOUBLE)
+                   / CAST(CAST(SUM(qty) AS HUGEINT) * SUM(qty) AS DOUBLE)
+                   <= 1.0 THEN 'Y'
+              ELSE 'Z' END AS xyz_class
+  FROM daily GROUP BY partkey
+)
+SELECT a.abc_class, x.xyz_class,
+       CAST(COUNT(*) AS BIGINT) AS n_parts,
+       CAST(SUM(a.rev_cents) AS BIGINT) AS revenue_cents,
+       CAST(SUM(a.rev_cents) AS DOUBLE)
+         / CAST((SELECT SUM(rev_cents) FROM rev) AS DOUBLE) AS revenue_share,
+       CAST(SUM(x.demand_units) AS BIGINT) AS demand_units
+FROM abc a JOIN xyz x ON x.partkey = a.partkey
+GROUP BY 1, 2
+""",
+    tags=("part", "replenishment", "classification"),
+)
+def q_part_abc_xyz_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from procurement_data_pipeline_spark.caching import scoped_persist
+    from procurement_data_pipeline_spark.queries.tpch import _disc_price_cents
+
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = scoped_persist(
+        li.groupBy(F.col("l_partkey").alias("partkey")).agg(
+            F.sum(_disc_price_cents()).alias("rev_cents")
+        )
+    )
+    w = Window.orderBy(F.col("rev_cents").desc(), F.col("partkey").asc())
+    cum_share = (
+        F.sum("rev_cents")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("double")
+        / F.sum("rev_cents")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
+        .cast("double")
+    )
+    abc = rev.select(
+        "partkey",
+        "rev_cents",
+        F.when(cum_share <= 0.80, "A")
+        .when(cum_share <= 0.95, "B")
+        .otherwise("C")
+        .alias("abc_class"),
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    per = (
+        _daily_demand(spark, sf_dir)
+        .groupBy("partkey")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("qty").alias("s1"),
+            F.sum(F.col("qty") * F.col("qty")).alias("s2"),
+        )
+    )
+    cv2 = (
+        dec(F.col("n")) * dec(F.col("s2")) - dec(F.col("s1")) * dec(F.col("s1"))
+    ).cast("double") / (dec(F.col("s1")) * dec(F.col("s1"))).cast("double")
+    xyz = per.select(
+        "partkey",
+        F.col("s1").alias("demand_units"),
+        F.when(cv2 <= 0.25, "X").when(cv2 <= 1.0, "Y").otherwise("Z").alias(
+            "xyz_class"
+        ),
+    )
+    total_rev = rev.agg(F.sum("rev_cents").alias("t"))
+    cell = (
+        abc.join(xyz, "partkey")
+        .groupBy("abc_class", "xyz_class")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_parts"),
+            F.sum("rev_cents").cast("long").alias("revenue_cents"),
+            F.sum("demand_units").cast("long").alias("demand_units"),
+        )
+    )
+    return cell.join(F.broadcast(total_rev)).select(
+        "abc_class",
+        "xyz_class",
+        "n_parts",
+        "revenue_cents",
+        (F.col("revenue_cents").cast("double") / F.col("t").cast("double")).alias(
+            "revenue_share"
+        ),
+        "demand_units",
+    )
