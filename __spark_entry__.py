@@ -207,6 +207,7 @@ GRADE_OVERFLOW = frozenset(
         "orders_mann_kendall",
         "part_price_index_brand",
         "part_abc_xyz_matrix",
+        "orders_ar_aging",
     }
 )
 

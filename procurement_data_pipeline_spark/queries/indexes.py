@@ -141,3 +141,73 @@ def q_part_price_index_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
         paas.alias("paasche"),
         F.sqrt(lasp * paas).alias("fisher"),
     )
+
+
+@register(
+    "orders_ar_aging",
+    # Accounts-receivable aging — the finance month-end staple: open
+    # (non-'F') orders bucketed by days outstanding at the reference date
+    # (the day after the latest order — a deterministic data-derived
+    # as-of, like orders_open_backlog_daily's horizon). Exact: day diffs
+    # are integers, amounts exact cents, the share one division. The
+    # 1-row reference date broadcasts; everything else is one scan + one
+    # bucket-grain aggregate.
+    oracle="""
+WITH ref AS (SELECT MAX(CAST(o_orderdate AS DATE)) + 1 AS as_of FROM orders),
+aged AS (
+  SELECT CASE WHEN d <= 30 THEN '0-30'
+              WHEN d <= 60 THEN '31-60'
+              WHEN d <= 90 THEN '61-90'
+              ELSE '90+' END AS bucket,
+         cents
+  FROM (
+    SELECT ref.as_of - CAST(o.o_orderdate AS DATE) AS d,
+           CAST(FLOOR(o.o_totalprice * 100) AS BIGINT) AS cents
+    FROM orders o, ref
+    WHERE o.o_orderstatus <> 'F'
+  )
+),
+tot AS (SELECT SUM(cents) AS t FROM aged)
+SELECT bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(cents) AS BIGINT) AS open_cents,
+       CAST(SUM(cents) AS DOUBLE) / CAST(tot.t AS DOUBLE) AS share
+FROM aged, tot
+GROUP BY bucket, tot.t
+""",
+    tags=("orders", "finance", "aging"),
+)
+def q_orders_ar_aging(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    open_o = o.filter(F.col("o_orderstatus") != "F").select(
+        F.col("o_orderdate").cast("date").alias("od"),
+        F.floor(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    as_of = o.agg(
+        F.date_add(F.max(F.col("o_orderdate").cast("date")), 1).alias("as_of")
+    )
+    aged = open_o.join(F.broadcast(as_of)).select(
+        F.when(F.datediff("as_of", "od") <= 30, "0-30")
+        .when(F.datediff("as_of", "od") <= 60, "31-60")
+        .when(F.datediff("as_of", "od") <= 90, "61-90")
+        .otherwise("90+")
+        .alias("bucket"),
+        "cents",
+    )
+    tot = aged.agg(F.sum("cents").alias("t"))
+    return (
+        aged.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum("cents").cast("long").alias("open_cents"),
+        )
+        .join(F.broadcast(tot))
+        .select(
+            "bucket",
+            "n_orders",
+            "open_cents",
+            (F.col("open_cents").cast("double") / F.col("t").cast("double")).alias(
+                "share"
+            ),
+        )
+    )

@@ -68,3 +68,18 @@ def test_abc_xyz_matrix_consistent_with_parents(spark, sf_dir):
         assert r["xyz_class"] in {"X", "Y", "Z"}
         cell_counts[r["abc_class"]] += r["n_parts"]
     assert cell_counts == abc_counts
+
+
+def test_ar_aging_buckets_partition_open_orders(spark, sf_dir):
+    rows = load_all()["orders_ar_aging"].builder(spark, sf_dir).collect()
+    got = {r["bucket"]: r for r in rows}
+    assert set(got) <= {"0-30", "31-60", "61-90", "90+"}
+    n_open, total = duckdb.sql(
+        f"""
+        SELECT COUNT(*), SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT))
+        FROM '{sf_dir}/orders.parquet' WHERE o_orderstatus <> 'F'
+        """
+    ).fetchone()
+    assert sum(r["n_orders"] for r in rows) == n_open
+    assert sum(r["open_cents"] for r in rows) == total
+    assert abs(sum(r["share"] for r in rows) - 1.0) < 1e-9

@@ -33,6 +33,7 @@ BNLJ_ALLOWED = {
     "kpi_demand_breakdown",
     "tpch_q11_important_parts",  # broadcast single-row global-sum scalar
     "part_abc_xyz_matrix",  # broadcast single-row total-revenue scalar
+    "orders_ar_aging",  # broadcast single-row as-of date + total scalar
     "tpch_q22_dormant_customers",  # broadcast single-row avg-balance scalar
     "docs_corpus_mix",  # broadcast single-row mixture-scale scalar
     "docs_vocab_topk_sketch",  # broadcast single-row Σpmin merge scalar
