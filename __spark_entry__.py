@@ -208,6 +208,7 @@ GRADE_OVERFLOW = frozenset(
         "part_price_index_brand",
         "part_abc_xyz_matrix",
         "orders_ar_aging",
+        "emb_minmax_scale",
     }
 )
 

@@ -401,3 +401,57 @@ def q_emb_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # empty table → mmr_rerank's empty-candidates path returns the typed
     # empty frame
     return mmr_rerank(emb, [1.0] * dim, k=10, pool=100, lam=0.7)
+
+
+@register(
+    "emb_minmax_scale",
+    # Per-dimension min-max feature scaling — the ML-prep normalizer that
+    # needs GLOBAL per-dimension statistics, i.e. the classic two-pass
+    # fit/transform: one posexplode pass aggregates each dimension's
+    # min/max (dimension-count rows — tiny, broadcast), one pass rescales.
+    # Exact: float32 values cast to double exactly; min/max are exact
+    # selections; (x−mn)/(mx−mn) is two IEEE ops both engines perform
+    # identically; a degenerate constant dimension maps to 0.5 by
+    # convention on BOTH sides (guarded — ANSI division would throw).
+    # Output is the FLAT (vec_id, pos, sx) grain bounded to vec_id < 50 —
+    # full scaled vectors under the hash without array-typed cells (the
+    # driver's canonicalizer hashes scalars).
+    oracle="""
+WITH dims AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
+         CAST(unnest(embedding) AS DOUBLE) AS x
+  FROM embeddings
+),
+stats AS (
+  SELECT pos, MIN(x) AS mn, MAX(x) AS mx FROM dims GROUP BY pos
+),
+scaled AS (
+  SELECT d.vec_id, d.pos,
+         CASE WHEN s.mx > s.mn THEN (d.x - s.mn) / (s.mx - s.mn)
+              ELSE 0.5 END AS sx
+  FROM dims d JOIN stats s ON s.pos = d.pos
+)
+SELECT vec_id, CAST(pos AS BIGINT) AS pos, sx
+FROM scaled WHERE vec_id < 50
+""",
+    tags=("similarity", "llm", "scaling"),
+)
+def q_emb_minmax_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    dims = emb.select(
+        "vec_id", F.posexplode("embedding").alias("pos", "xf")
+    ).select("vec_id", "pos", F.col("xf").cast("double").alias("x"))
+    stats = dims.groupBy("pos").agg(F.min("x").alias("mn"), F.max("x").alias("mx"))
+    scaled = dims.join(F.broadcast(stats), "pos").select(
+        "vec_id",
+        "pos",
+        F.when(
+            F.col("mx") > F.col("mn"),
+            (F.col("x") - F.col("mn")) / (F.col("mx") - F.col("mn")),
+        )
+        .otherwise(0.5)
+        .alias("sx"),
+    )
+    return scaled.filter(F.col("vec_id") < 50).select(
+        "vec_id", (F.col("pos") + 1).cast("long").alias("pos"), "sx"
+    )

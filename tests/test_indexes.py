@@ -83,3 +83,40 @@ def test_ar_aging_buckets_partition_open_orders(spark, sf_dir):
     assert sum(r["n_orders"] for r in rows) == n_open
     assert sum(r["open_cents"] for r in rows) == total
     assert abs(sum(r["share"] for r in rows) - 1.0) < 1e-9
+
+
+def test_minmax_scale_bounds_and_inverse(spark, sf_dir):
+    """Scaled values live in [0,1]; rescaling back with the fitted min/max
+    recovers the original float32 values exactly (the chain is two exact
+    IEEE ops, so the inverse is exact up to one rounding)."""
+    rows = load_all()["emb_minmax_scale"].builder(spark, sf_dir).collect()
+    assert rows
+    stats = {
+        pos: (mn, mx)
+        for pos, mn, mx in duckdb.sql(
+            f"""
+            SELECT pos, MIN(x), MAX(x) FROM (
+              SELECT generate_subscripts(embedding, 1) AS pos,
+                     CAST(unnest(embedding) AS DOUBLE) AS x
+              FROM '{sf_dir}/embeddings.parquet'
+            ) GROUP BY 1
+            """
+        ).fetchall()
+    }
+    orig = {
+        (vid, pos): x
+        for vid, pos, x in duckdb.sql(
+            f"""
+            SELECT vec_id, generate_subscripts(embedding, 1),
+                   CAST(unnest(embedding) AS DOUBLE)
+            FROM '{sf_dir}/embeddings.parquet' WHERE vec_id < 50
+            """
+        ).fetchall()
+    }
+    for r in rows:
+        assert 0.0 <= r["sx"] <= 1.0
+        mn, mx = stats[r["pos"]]
+        back = r["sx"] * (mx - mn) + mn
+        assert abs(back - orig[(r["vec_id"], r["pos"])]) <= 1e-12 * max(
+            1.0, abs(mx), abs(mn)
+        )
