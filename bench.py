@@ -89,6 +89,11 @@ def main() -> None:
         "events_retention_bitmap",
         "part_copurchase_bfs",
         "emb_mmr_rerank",
+        "orders_mann_kendall",
+        "part_price_index_brand",
+        "part_abc_xyz_matrix",
+        "orders_ar_aging",
+        "emb_minmax_scale",
     ]
     extended_specs = {n: specs[n] for n in extended_names if n in specs}
     unknown_extended = [n for n in extended_names if n not in specs]
