@@ -209,6 +209,11 @@ GRADE_OVERFLOW = frozenset(
         "part_abc_xyz_matrix",
         "orders_ar_aging",
         "emb_minmax_scale",
+        "orders_prorated_daily_revenue",
+        "orders_theil_sen",
+        "orders_ship_leadlag",
+        "events_anova_by_type",
+        "orders_holt_winters",
     }
 )
 

@@ -94,6 +94,12 @@ def main() -> None:
         "part_abc_xyz_matrix",
         "orders_ar_aging",
         "emb_minmax_scale",
+        # Sixth-session tier (advanced time series / statistics):
+        "orders_prorated_daily_revenue",
+        "orders_theil_sen",
+        "orders_ship_leadlag",
+        "events_anova_by_type",
+        "orders_holt_winters",
     ]
     extended_specs = {n: specs[n] for n in extended_names if n in specs}
     unknown_extended = [n for n in extended_names if n not in specs]

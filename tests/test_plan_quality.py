@@ -61,6 +61,7 @@ BNLJ_ALLOWED = {
     "part_reorder_points",  # broadcast single-row calendar-day-count scalar
     "events_state_dwell_share",  # broadcast single-row total-dwell scalar
     "emb_hard_negatives",  # broadcast-queries kNN shape (same as emb_knn_classify)
+    "orders_ship_leadlag",  # broadcast 13-row lag dimension × day-grain rollup
 }
 
 SF_DIR = "/root/testdata/sf0.001"
