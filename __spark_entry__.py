@@ -214,6 +214,9 @@ GRADE_OVERFLOW = frozenset(
         "orders_ship_leadlag",
         "events_anova_by_type",
         "orders_holt_winters",
+        "nation_supplier_hhi",
+        "events_markov_transitions",
+        "events_session_paths",
     }
 )
 

@@ -100,6 +100,9 @@ def main() -> None:
         "orders_ship_leadlag",
         "events_anova_by_type",
         "orders_holt_winters",
+        "nation_supplier_hhi",
+        "events_markov_transitions",
+        "events_session_paths",
     ]
     extended_specs = {n: specs[n] for n in extended_names if n in specs}
     unknown_extended = [n for n in extended_names if n not in specs]
