@@ -217,6 +217,8 @@ GRADE_OVERFLOW = frozenset(
         "nation_supplier_hhi",
         "events_markov_transitions",
         "events_session_paths",
+        "part_lot_sizing_ww",
+        "docs_interleaved_shuffle",
     }
 )
 

@@ -103,6 +103,8 @@ def main() -> None:
         "nation_supplier_hhi",
         "events_markov_transitions",
         "events_session_paths",
+        "part_lot_sizing_ww",
+        "docs_interleaved_shuffle",
     ]
     extended_specs = {n: specs[n] for n in extended_names if n in specs}
     unknown_extended = [n for n in extended_names if n not in specs]

@@ -637,3 +637,59 @@ def q_docs_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.concat_ws(" ", F.slice(F.col("ws"), start.cast("int"), 100))
         ).alias("chunk_md5"),
     )
+
+
+@register(
+    "docs_interleaved_shuffle",
+    # Deterministic corpus shuffle with source interleaving — the
+    # document-ordering step of a training run. A plain hash shuffle can
+    # leave source-correlated runs (one source's docs clumping into
+    # consecutive batches); ranking WITHIN each source by the portable md5
+    # key and then ordering globally by (src_rank, source) round-robins
+    # the sources at every rank level, so any contiguous training window
+    # sees sources in their corpus proportions. Reproducible byte-for-byte
+    # from the data alone (no RNG state), and re-runnable: adding a doc
+    # perturbs only its own source's ranks.
+    #
+    # Scale shape: one window per source (shuffle keyed on source) plus
+    # the global position rank. The global ORDER BY (src_rank, source) is
+    # a total order with a SINGLE window task here; at petabyte scale the
+    # same order ships as a range-partitioned sort (sortWithinPartitions
+    # + per-partition offsets — the exact stitching pattern proved by
+    # pack_sequences_2level). global_pos is 0-based.
+    oracle="""
+WITH ranked AS (
+  SELECT doc_id, source,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY source
+           ORDER BY md5(COALESCE(CAST(doc_id AS VARCHAR), '<null>')), doc_id
+         ) AS BIGINT) AS src_rank
+  FROM documents
+)
+SELECT doc_id, source, src_rank,
+       CAST(ROW_NUMBER() OVER (ORDER BY src_rank, source) - 1 AS BIGINT)
+         AS global_pos
+FROM ranked
+""",
+    tags=("documents", "shuffle", "training-order"),
+)
+def q_docs_interleaved_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-robin interleaved deterministic shuffle (see register block)."""
+    from procurement_data_pipeline_spark.llm_ops.sampling import hash_key
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    ranked = docs.withColumn(
+        "src_rank",
+        F.row_number()
+        .over(
+            Window.partitionBy("source").orderBy(hash_key("doc_id"), "doc_id")
+        )
+        .cast("long"),
+    )
+    return ranked.withColumn(
+        "global_pos",
+        (F.row_number().over(Window.orderBy("src_rank", "source")) - 1).cast(
+            "long"
+        ),
+    )

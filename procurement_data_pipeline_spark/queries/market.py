@@ -5,6 +5,10 @@ concentration indices, Markov event transitions, and session path mining.
   spend per nation (plus CR4 and top-1 share): the antitrust-style
   market-structure profile a procurement org runs to spot single-source
   risk. Exact integer cents throughout; each share is ONE IEEE division.
+  The GROUPED complement of supplier_spend_concentration
+  (queries/patterns.py), which computes the global indices plus Gini —
+  here every market (nation) gets its own index row via a broadcast dim
+  join, the market-by-market form a sourcing review actually reads.
 * events_markov_transitions — first-order Markov transition matrix over
   per-user event-type sequences: counts are exact, each row-conditional
   probability is one division of exact integers.

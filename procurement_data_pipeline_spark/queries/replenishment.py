@@ -33,7 +33,13 @@ part (daily grain, then part grain) plus a broadcast of the ``part`` dim
 collected lists are bounded by the calendar (≤ #days in history), never
 by fact volume, so the fold stays O(days) per part at any scale.
 
-Both names register past the graded first-50 prefix (GRADE_OVERFLOW in
+Later additions: part_demand_classes (Syntetos-Boylan ADI/CV² quadrant),
+part_stockout_projection (first-crossing runout day), part_abc_xyz_matrix
+(Pareto × variability planning matrix), and part_lot_sizing_ww
+(Wagner-Whitin optimal dynamic lot sizing — an exact all-integer dynamic
+program evaluated as an ordered fold; see its register block).
+
+All names register past the graded first-50 prefix (GRADE_OVERFLOW in
 __spark_entry__.py); tools/check_oracle.py hash-checks them at sf0.01.
 """
 
@@ -472,4 +478,170 @@ def q_part_abc_xyz_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             "revenue_share"
         ),
         "demand_units",
+    )
+
+
+# --- Wagner-Whitin dynamic lot sizing -------------------------------------
+# Cost contract (documented constants, same convention as part_eoq): setup
+# K = $100/order = 10_000 cents; holding h = 5 cents per unit per month.
+_WW_K_CENTS = 10_000
+_WW_H_CENTS = 5
+
+
+@register(
+    "part_lot_sizing_ww",
+    # Wagner-Whitin optimal dynamic lot sizing per part — an EXACT dynamic
+    # program evaluated entirely with higher-order functions, in BOTH
+    # engines. The recurrence f(t) = min_{j<=t} [f(j-1) + K + h·Σ_{k=j..t}
+    # (m_k - m_j)·d_k] runs as an ordered fold whose accumulator is the
+    # list of candidate entries [m_j, D_{j-1}, M_{j-1}, f(j-1)] (D/M =
+    # prefix sums of d and m·d), so each step is one list_min over a
+    # bounded candidate list. EVERY operation is integer arithmetic —
+    # unlike the IEEE-contract folds (Croston/Holt) there is no
+    # floating-point anywhere until the final presentation division, so
+    # cross-engine equality is unconditional. Zero-demand months never
+    # enter (WW planning property: ordering off a demand point is never
+    # optimal; month indices in the holding term keep calendar gaps
+    # priced). The final f(T) is evaluated outside the fold from the
+    # total prefixes.
+    #
+    # Scale shape: two keyed aggregations of lineitem (month grain, then
+    # part grain); the O(T²) DP is bounded by the CALENDAR (T = months of
+    # history), per part, at any fact volume. single_order/lot_for_lot
+    # bounds ship alongside as self-evident invariants (ww <= both).
+    oracle=f"""
+WITH monthly AS (
+  SELECT l_partkey AS partkey,
+         CAST((year(CAST(l_shipdate AS DATE)) - 1990) * 12
+              + month(CAST(l_shipdate AS DATE)) - 1 AS BIGINT) AS m,
+         CAST(SUM(CAST(FLOOR(l_quantity) AS BIGINT)) AS BIGINT) AS d
+  FROM lineitem GROUP BY 1, 2
+),
+pre AS (
+  SELECT partkey, m, d,
+         CAST(SUM(d) OVER (PARTITION BY partkey ORDER BY m
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS dd,
+         CAST(SUM(m * d) OVER (PARTITION BY partkey ORDER BY m
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS mm
+  FROM monthly
+),
+lists AS (
+  SELECT partkey,
+         CAST(COUNT(*) AS BIGINT) AS n_periods,
+         CAST(SUM(d) AS BIGINT) AS total_qty,
+         MIN(m) AS m1, MAX(dd) AS dt, MAX(mm) AS mt,
+         list([[m, d, dd, mm]] ORDER BY m) AS xs
+  FROM pre GROUP BY 1
+),
+folded AS (
+  SELECT partkey, n_periods, total_qty, m1, dt, mt,
+         list_reduce(
+           list_prepend(CAST([] AS BIGINT[][]), xs),
+           (acc, x) -> list_append(acc,
+             [x[1][1],
+              x[1][3] - x[1][2],
+              x[1][4] - x[1][1] * x[1][2],
+              COALESCE(list_min(list_transform(acc, e ->
+                e[4] + {_WW_K_CENTS}
+                + {_WW_H_CENTS} * ((x[1][4] - x[1][1] * x[1][2] - e[3])
+                                   - e[1] * (x[1][3] - x[1][2] - e[2])))),
+                CAST(0 AS BIGINT))])
+         ) AS entries
+  FROM lists
+)
+SELECT partkey, n_periods, total_qty,
+       CAST(list_min(list_transform(entries, e ->
+         e[4] + {_WW_K_CENTS}
+         + {_WW_H_CENTS} * ((mt - e[3]) - e[1] * (dt - e[2])))) AS DOUBLE)
+         / 100.0 AS ww_cost,
+       CAST({_WW_K_CENTS} + {_WW_H_CENTS} * (mt - m1 * dt) AS DOUBLE)
+         / 100.0 AS single_order_cost,
+       CAST(n_periods * {_WW_K_CENTS} AS DOUBLE) / 100.0 AS lot_for_lot_cost
+FROM folded
+""",
+    tags=("part", "lot-sizing", "dynamic-program", "replenishment"),
+)
+def q_part_lot_sizing_ww(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    monthly = li.groupBy(
+        F.col("l_partkey").alias("partkey"),
+        (
+            (F.year(F.col("l_shipdate").cast("date")) - 1990) * 12
+            + F.month(F.col("l_shipdate").cast("date"))
+            - 1
+        )
+        .cast("long")
+        .alias("m"),
+    ).agg(F.sum(F.floor(F.col("l_quantity")).cast("long")).cast("long").alias("d"))
+    w = (
+        Window.partitionBy("partkey")
+        .orderBy("m")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    pre = monthly.select(
+        "partkey",
+        "m",
+        "d",
+        F.sum("d").over(w).cast("long").alias("dd"),
+        F.sum(F.col("m") * F.col("d")).over(w).cast("long").alias("mm"),
+    )
+    lists = pre.groupBy("partkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_periods"),
+        F.sum("d").cast("long").alias("total_qty"),
+        F.min("m").alias("m1"),
+        F.max("dd").alias("dt"),
+        F.max("mm").alias("mt"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("m", "d", "dd", "mm"))),
+            lambda s: F.array(F.array(s["m"], s["d"], s["dd"], s["mm"])),
+        ).alias("xs"),
+    )
+
+    def _ww_step(acc, x):
+        m, d, din, min_ = x[0][0], x[0][1], x[0][2], x[0][3]
+        dprev, mprev = din - d, min_ - m * d
+        cand = F.transform(
+            acc,
+            lambda e: e[3]
+            + F.lit(_WW_K_CENTS)
+            + F.lit(_WW_H_CENTS)
+            * ((mprev - e[2]) - e[0] * (dprev - e[1])),
+        )
+        fprev = F.coalesce(F.array_min(cand), F.lit(0).cast("long"))
+        return F.concat(acc, F.array(F.array(m, dprev, mprev, fprev)))
+
+    folded = lists.select(
+        "partkey",
+        "n_periods",
+        "total_qty",
+        "m1",
+        "dt",
+        "mt",
+        F.aggregate(
+            F.col("xs"),
+            F.expr("CAST(array() AS ARRAY<ARRAY<BIGINT>>)"),
+            _ww_step,
+        ).alias("entries"),
+    )
+    ww_cents = F.array_min(
+        F.transform(
+            F.col("entries"),
+            lambda e: e[3]
+            + F.lit(_WW_K_CENTS)
+            + F.lit(_WW_H_CENTS)
+            * ((F.col("mt") - e[2]) - e[0] * (F.col("dt") - e[1])),
+        )
+    )
+    single_cents = F.lit(_WW_K_CENTS) + F.lit(_WW_H_CENTS) * (
+        F.col("mt") - F.col("m1") * F.col("dt")
+    )
+    return folded.select(
+        "partkey",
+        "n_periods",
+        "total_qty",
+        (ww_cents.cast("double") / 100.0).alias("ww_cost"),
+        (single_cents.cast("double") / 100.0).alias("single_order_cost"),
+        (
+            (F.col("n_periods") * F.lit(_WW_K_CENTS)).cast("double") / 100.0
+        ).alias("lot_for_lot_cost"),
     )
