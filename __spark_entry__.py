@@ -219,6 +219,8 @@ GRADE_OVERFLOW = frozenset(
         "events_session_paths",
         "part_lot_sizing_ww",
         "docs_interleaved_shuffle",
+        "events_neyman_sample",
+        "events_value_twap",
     }
 )
 

@@ -105,6 +105,8 @@ def main() -> None:
         "events_session_paths",
         "part_lot_sizing_ww",
         "docs_interleaved_shuffle",
+        "events_neyman_sample",
+        "events_value_twap",
     ]
     extended_specs = {n: specs[n] for n in extended_names if n in specs}
     unknown_extended = [n for n in extended_names if n not in specs]

@@ -267,3 +267,160 @@ def q_orders_fiscal_445_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             dollars(F.sum("price_cents")).alias("revenue"),
         )
     )
+
+
+# --- Neyman-allocation stratified sampling --------------------------------
+_NEYMAN_BUDGET = 500
+
+
+@register(
+    "events_neyman_sample",
+    # OPTIMAL stratified sampling: Neyman allocation assigns the sample
+    # budget n across strata proportionally to N_h·sigma_h — minimizing the
+    # estimator variance for a fixed budget (the reason survey statistics
+    # never samples strata uniformly). Exactness chain: per-stratum moments
+    # are 128-bit-exact integers; sigma_h = sqrt((N·S2 − S1²)/N²) is an
+    # IEEE-exact chain (sqrt IS correctly rounded); the one order-sensitive
+    # reduction — W = Σ_h N_h·sigma_h — runs as the key-ordered fold; the
+    # Hamilton largest-remainder rounding compares identical doubles with a
+    # deterministic (frac DESC, stratum) tie-break, capped at the stratum
+    # size. Sample membership is then EXACT-n per stratum: rank by the
+    # portable md5 key, keep rank <= alloc — so the driver hashes the
+    # actual sampled row identities, not just counts.
+    #
+    # Scale shape: one map-combinable moment pass, a 5-row allocation
+    # relation (broadcast back), and one rank window per stratum — the
+    # rank is the only per-row window and shares the stratum shuffle key.
+    oracle=f"""
+WITH m AS (
+  SELECT event_id, event_type,
+         CAST(FLOOR(value * 1000000) AS BIGINT) AS y
+  FROM events
+),
+g AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_h,
+         SUM(CAST(y AS HUGEINT)) AS s1,
+         SUM(CAST(y AS HUGEINT) * y) AS s2
+  FROM m GROUP BY 1
+),
+sig AS (
+  SELECT event_type, n_h,
+         sqrt((CAST(n_h AS DOUBLE) * CAST(s2 AS DOUBLE)
+               - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+              / (CAST(n_h AS DOUBLE) * CAST(n_h AS DOUBLE))) AS sigma
+  FROM g
+),
+tot AS (
+  SELECT list_reduce(
+           list_prepend(CAST(0 AS DOUBLE),
+             list(CAST(n_h AS DOUBLE) * sigma ORDER BY event_type)),
+           (a, x) -> a + x) AS w
+  FROM sig
+),
+fl AS (
+  SELECT s.event_type, s.n_h,
+         CAST(FLOOR({_NEYMAN_BUDGET}.0 * (CAST(s.n_h AS DOUBLE) * s.sigma)
+                    / t.w) AS BIGINT) AS base,
+         {_NEYMAN_BUDGET}.0 * (CAST(s.n_h AS DOUBLE) * s.sigma) / t.w
+           - FLOOR({_NEYMAN_BUDGET}.0 * (CAST(s.n_h AS DOUBLE) * s.sigma)
+                   / t.w) AS frac
+  FROM sig s, tot t
+),
+lo AS (SELECT CAST({_NEYMAN_BUDGET} - SUM(base) AS BIGINT) AS leftover FROM fl),
+alloc AS (
+  SELECT f.event_type,
+         LEAST(f.n_h,
+               f.base + CASE WHEN ROW_NUMBER() OVER (ORDER BY f.frac DESC,
+                                                     f.event_type)
+                                  <= l.leftover
+                             THEN 1 ELSE 0 END) AS alloc_n
+  FROM fl f, lo l
+),
+ranked AS (
+  SELECT event_id, event_type,
+         CAST(ROW_NUMBER() OVER (PARTITION BY event_type
+           ORDER BY md5(COALESCE(CAST(event_id AS VARCHAR), '<null>')),
+                    event_id) AS BIGINT) AS src_rank
+  FROM m
+)
+SELECT r.event_id, r.event_type, r.src_rank, a.alloc_n
+FROM ranked r JOIN alloc a ON a.event_type = r.event_type
+WHERE r.src_rank <= a.alloc_n
+""",
+    tags=("events", "sampling", "stratified", "neyman"),
+)
+def q_events_neyman_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from procurement_data_pipeline_spark.llm_ops.sampling import hash_key
+
+    m = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.floor(F.col("value") * 1_000_000).cast("long").alias("y"),
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    g = m.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_h"),
+        F.sum(dec(F.col("y"))).alias("s1"),
+        F.sum(dec(F.col("y")) * F.col("y")).alias("s2"),
+    )
+    nd = F.col("n_h").cast("double")
+    sigma = F.sqrt(
+        (nd * F.col("s2").cast("double") - F.col("s1").cast("double") * F.col("s1").cast("double"))
+        / (nd * nd)
+    )
+    sig = g.select("event_type", "n_h", sigma.alias("sigma"))
+    tot = sig.agg(
+        F.aggregate(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col("event_type"),
+                        (nd * F.col("sigma")).alias("wh"),
+                    )
+                )
+            ),
+            F.lit(0.0),
+            lambda a, x: a + x["wh"],
+        ).alias("w")
+    )
+    # 1-row scalar totals broadcast against the stratum relation.
+    q_h = F.lit(float(_NEYMAN_BUDGET)) * (nd * F.col("sigma")) / F.col("w")
+    fl = sig.crossJoin(F.broadcast(tot)).select(
+        "event_type",
+        "n_h",
+        F.floor(q_h).cast("long").alias("base"),
+        (q_h - F.floor(q_h)).alias("frac"),
+    )
+    lo = fl.agg(
+        (F.lit(_NEYMAN_BUDGET) - F.sum("base")).cast("long").alias("leftover")
+    )
+    alloc = (
+        fl.crossJoin(F.broadcast(lo))
+        .select(
+            "event_type",
+            F.least(
+                F.col("n_h"),
+                F.col("base")
+                + F.when(
+                    F.row_number().over(
+                        Window.orderBy(F.col("frac").desc(), "event_type")
+                    )
+                    <= F.col("leftover"),
+                    1,
+                ).otherwise(0),
+            ).alias("alloc_n"),
+        )
+    )
+    ranked = m.select(
+        "event_id",
+        "event_type",
+        F.row_number()
+        .over(
+            Window.partitionBy("event_type").orderBy(hash_key("event_id"), "event_id")
+        )
+        .cast("long")
+        .alias("src_rank"),
+    )
+    return ranked.join(F.broadcast(alloc), "event_type").filter(
+        F.col("src_rank") <= F.col("alloc_n")
+    ).select("event_id", "event_type", "src_rank", "alloc_n")

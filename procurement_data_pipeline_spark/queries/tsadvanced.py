@@ -559,3 +559,63 @@ def q_orders_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
             + seasonal
         ).alias("forecast"),
     )
+
+
+@register(
+    "events_value_twap",
+    # Time-weighted average value per event type — the TWAP/irregular-
+    # sampling estimator: each observation's value holds until the next
+    # observation of the same type, so its weight is that holding duration
+    # (a plain AVG over irregular samples over-weights bursts). Weights
+    # and values are exact integers (seconds × micros, 128-bit sums); the
+    # estimator is CAST(Σ y·w)/CAST(Σ w) then /1e6 — an identical
+    # two-op IEEE chain in both engines. The final observation of a type
+    # has no holding interval and is excluded (n_intervals = n_obs − 1).
+    #
+    # Scale shape: one shuffle on event_type for the LEAD window; the
+    # aggregation reuses the same partitioning key (no second shuffle).
+    oracle="""
+WITH seq AS (
+  SELECT event_type, epoch_us(ts) AS ts_us, event_id,
+         CAST(FLOOR(value * 1000000) AS BIGINT) AS y
+  FROM events
+),
+iv AS (
+  SELECT event_type, y,
+         (LEAD(ts_us) OVER (PARTITION BY event_type
+                            ORDER BY ts_us, event_id) - ts_us)
+           // 1000000 AS w_sec
+  FROM seq
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_intervals,
+       CAST(SUM(w_sec) AS BIGINT) AS total_sec,
+       CAST(SUM(CAST(y AS HUGEINT) * w_sec) AS DOUBLE)
+         / CAST(SUM(CAST(w_sec AS HUGEINT)) AS DOUBLE) / 1000000.0 AS twap
+FROM iv WHERE w_sec IS NOT NULL
+GROUP BY 1
+""",
+    tags=("events", "twap", "time-weighted"),
+)
+def q_events_value_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.unix_micros(F.col("ts")).alias("ts_us"),
+        "event_id",
+        F.floor(F.col("value") * 1_000_000).cast("long").alias("y"),
+    )
+    w = Window.partitionBy("event_type").orderBy("ts_us", "event_id")
+    gap_us = F.lead("ts_us").over(w) - F.col("ts_us")
+    iv = ev.withColumn("gap_us", gap_us).select(
+        "event_type", "y", F.expr("gap_us div 1000000").alias("w_sec")
+    ).filter(F.col("w_sec").isNotNull())
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    return iv.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_intervals"),
+        F.sum("w_sec").cast("long").alias("total_sec"),
+        (
+            F.sum(dec(F.col("y")) * F.col("w_sec")).cast("double")
+            / F.sum(dec(F.col("w_sec"))).cast("double")
+            / F.lit(1000000.0)
+        ).alias("twap"),
+    )

@@ -62,6 +62,7 @@ BNLJ_ALLOWED = {
     "events_state_dwell_share",  # broadcast single-row total-dwell scalar
     "emb_hard_negatives",  # broadcast-queries kNN shape (same as emb_knn_classify)
     "orders_ship_leadlag",  # broadcast 13-row lag dimension × day-grain rollup
+    "events_neyman_sample",  # broadcast 1-row W / leftover scalars × 5-stratum relation
 }
 
 SF_DIR = "/root/testdata/sf0.001"
