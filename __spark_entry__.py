@@ -221,6 +221,27 @@ GRADE_OVERFLOW = frozenset(
         "docs_interleaved_shuffle",
         "events_neyman_sample",
         "events_value_twap",
+        "emb_knn_eval_prf",
+        "emb_retrieval_ndcg",
+        "events_conversion_wilson_ci",
+        "events_ab_permutation",
+        "supplier_spend_gini",
+        "supplier_spend_lorenz",
+        "part_price_elasticity",
+        "events_capture_recapture",
+        "docs_zipf_deviation",
+        "docs_readability_cli",
+        "events_user_burstiness",
+        "emb_dim_correlation",
+        "orders_nelson_aalen",
+        "docs_lexical_diversity",
+        "events_type_gini_impurity",
+        "events_user_pareto_share",
+        "orders_weekday_index",
+        "events_value_hampel",
+        "emb_quantile_normalize",
+        "emb_knn_calibration",
+        "events_ab_mannwhitney",
     }
 )
 

@@ -107,6 +107,16 @@ def main() -> None:
         "docs_interleaved_shuffle",
         "events_neyman_sample",
         "events_value_twap",
+        # Seventh-session tier (evaluation, economics, lexical stats):
+        "emb_retrieval_ndcg",
+        "events_ab_permutation",
+        "supplier_spend_gini",
+        "part_price_elasticity",
+        "emb_dim_correlation",
+        "docs_lexical_diversity",
+        "events_user_pareto_share",
+        "events_value_hampel",
+        "events_ab_mannwhitney",
     ]
     extended_specs = {n: specs[n] for n in extended_names if n in specs}
     unknown_extended = [n for n in extended_names if n not in specs]

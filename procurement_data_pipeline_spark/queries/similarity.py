@@ -455,3 +455,59 @@ def q_emb_minmax_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scaled.filter(F.col("vec_id") < 50).select(
         "vec_id", (F.col("pos") + 1).cast("long").alias("pos"), "sx"
     )
+
+
+@register(
+    "emb_quantile_normalize",
+    # Rank-based quantile normalization per dimension — the heavy-tail
+    # flattener (each dim's values map to their empirical quantile
+    # rank/(n+1)), standard feature prep before distance-based methods
+    # when dims have wildly different scales/outliers. Ranks are exact
+    # integers with a deterministic (vm, vec_id) tie-break; the quantile
+    # is ONE IEEE division. Flat (vec_id, pos) grain on a vec_id < 50
+    # slice so the driver hashes scalars (the emb_minmax_scale precedent).
+    oracle="""
+WITH dims AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
+         CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * 1000000) AS BIGINT)
+           AS vm
+  FROM embeddings
+),
+ranked AS (
+  SELECT vec_id, pos,
+         ROW_NUMBER() OVER (PARTITION BY pos ORDER BY vm, vec_id) AS rnk,
+         COUNT(*) OVER (PARTITION BY pos) AS n
+  FROM dims
+)
+SELECT vec_id, CAST(pos AS BIGINT) AS pos,
+       CAST(rnk AS DOUBLE) / (n + 1) AS qn
+FROM ranked WHERE vec_id < 50
+""",
+    tags=("similarity", "llm", "scaling"),
+)
+def q_emb_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One posexplode + one shuffle on pos (d partitions, each ranking its
+    own dimension independently — embarrassingly parallel in d). The
+    output filter is a slice of the ranked relation, not a re-rank."""
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    dims = emb.select(
+        "vec_id", F.posexplode("embedding").alias("pos0", "xf")
+    ).select(
+        "vec_id",
+        (F.col("pos0") + 1).cast("long").alias("pos"),
+        F.floor(F.col("xf").cast("double") * 1000000).cast("long").alias("vm"),
+    )
+    w = Window.partitionBy("pos").orderBy("vm", "vec_id")
+    ranked = dims.select(
+        "vec_id",
+        "pos",
+        F.row_number().over(w).alias("rnk"),
+        F.count(F.lit(1)).over(Window.partitionBy("pos")).alias("n"),
+    )
+    return ranked.where(F.col("vec_id") < 50).select(
+        "vec_id",
+        "pos",
+        (F.col("rnk").cast("double") / (F.col("n") + 1)).alias("qn"),
+    )

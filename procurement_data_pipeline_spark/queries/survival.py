@@ -153,3 +153,135 @@ def q_orders_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda acc, x: acc * x,
         ).alias("survival"),
     )
+
+
+@register(
+    "orders_nelson_aalen",
+    # Nelson–Aalen cumulative hazard H(t) = Σ dᵢ/nᵢ — the additive twin of
+    # Kaplan-Meier's multiplicative survival curve, and the estimator the
+    # hazard-modeling path (proportional-hazards fitting) actually
+    # consumes. Same exactness contract as orders_kaplan_meier: exact
+    # integer risk sets, then the double SUM as an ORDERED FOLD so both
+    # engines add the per-interval hazards in the identical sequence. The
+    # Breslow variance proxy Σ dᵢ/nᵢ² rides the same fold.
+    oracle=f"""
+WITH lt AS (
+  SELECT o.o_orderkey, o.o_orderpriority AS priority,
+         date_diff('day', CAST(o.o_orderdate AS DATE),
+                   CAST(MAX(l.l_shipdate) AS DATE)) AS t_days
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  GROUP BY o.o_orderkey, o.o_orderpriority, o.o_orderdate
+),
+obs AS (
+  SELECT priority,
+         CAST(FLOOR(LEAST(GREATEST(t_days, 0), {_HORIZON_DAYS}) / {_WEEK}.0)
+              AS BIGINT) AS week,
+         CASE WHEN t_days <= {_HORIZON_DAYS} THEN 1 ELSE 0 END AS ev
+  FROM lt
+),
+grp AS (
+  SELECT priority, week,
+         CAST(SUM(ev) AS BIGINT) AS d_events,
+         CAST(SUM(1 - ev) AS BIGINT) AS c_censored
+  FROM obs GROUP BY priority, week
+),
+risk AS (
+  SELECT priority, week, d_events, c_censored,
+         SUM(d_events + c_censored)
+           OVER (PARTITION BY priority)
+         - COALESCE(SUM(d_events + c_censored)
+           OVER (PARTITION BY priority ORDER BY week
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS n_risk
+  FROM grp
+),
+f AS (
+  SELECT *,
+         CAST(d_events AS DOUBLE) / CAST(n_risk AS DOUBLE) AS hz,
+         CAST(d_events AS DOUBLE)
+           / (CAST(n_risk AS DOUBLE) * CAST(n_risk AS DOUBLE)) AS hv
+  FROM risk
+)
+SELECT priority, week, CAST(n_risk AS BIGINT) AS n_risk, d_events, c_censored,
+       list_reduce(
+         list(hz) OVER (PARTITION BY priority ORDER BY week
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         (a, b) -> a + b) AS cum_hazard,
+       list_reduce(
+         list(hv) OVER (PARTITION BY priority ORDER BY week
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         (a, b) -> a + b) AS var_breslow
+FROM f
+""",
+    tags=("orders", "survival", "lifecycle"),
+)
+def q_orders_nelson_aalen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Identical plan shape to orders_kaplan_meier (one orderkey shuffle,
+    one small grouped count, horizon-bounded window math); only the fold's
+    operator changes (+ instead of ×), so scale properties carry over."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    lt = (
+        li.groupBy("l_orderkey")
+        .agg(F.max("l_shipdate").alias("ship_done"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            F.col("o_orderpriority").alias("priority"),
+            F.datediff(
+                F.col("ship_done").cast("date"), F.col("o_orderdate").cast("date")
+            ).alias("t_days"),
+        )
+    )
+    obs = lt.select(
+        "priority",
+        F.floor(
+            F.least(F.greatest(F.col("t_days"), F.lit(0)), F.lit(_HORIZON_DAYS))
+            / float(_WEEK)
+        )
+        .cast("long")
+        .alias("week"),
+        F.when(F.col("t_days") <= _HORIZON_DAYS, 1).otherwise(0).alias("ev"),
+    )
+    grp = obs.groupBy("priority", "week").agg(
+        F.sum("ev").cast("long").alias("d_events"),
+        F.sum(1 - F.col("ev")).cast("long").alias("c_censored"),
+    )
+    total_w = Window.partitionBy("priority")
+    prior_w = (
+        Window.partitionBy("priority")
+        .orderBy("week")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    leaving = F.col("d_events") + F.col("c_censored")
+    risk = grp.withColumn(
+        "n_risk",
+        (
+            F.sum(leaving).over(total_w)
+            - F.coalesce(F.sum(leaving).over(prior_w), F.lit(0))
+        ).cast("long"),
+    )
+    nd = F.col("n_risk").cast("double")
+    hz = F.col("d_events").cast("double") / nd
+    hv = F.col("d_events").cast("double") / (nd * nd)
+    fold_w = (
+        Window.partitionBy("priority")
+        .orderBy("week")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return risk.withColumn("hz", hz).withColumn("hv", hv).select(
+        "priority",
+        "week",
+        "n_risk",
+        "d_events",
+        "c_censored",
+        F.aggregate(
+            F.collect_list("hz").over(fold_w),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("cum_hazard"),
+        F.aggregate(
+            F.collect_list("hv").over(fold_w),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("var_breslow"),
+    )

@@ -1,0 +1,379 @@
+"""Model-based contracts for the evaluation / economics / lexstats tier.
+
+Each test checks a query against its MATHEMATICAL definition (Python
+replay or algebraic identity) — independent evidence alongside the
+DuckDB hash gate in tools/check_oracle.py.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from procurement_data_pipeline_spark.registry import load_all
+
+
+# ---------------------------------------------------------------------------
+# evaluation
+
+
+def test_prf_counts_reconcile_with_classifier(spark, sf_dir):
+    """Σtp + Σfn over classes == number of classified queries, Σtp + Σfp
+    likewise (every prediction lands in exactly one (true, pred) cell),
+    and F1 equals the harmonic mean where P and R are defined."""
+    reg = load_all()
+    base = reg["emb_knn_classify"].builder(spark, sf_dir).collect()
+    prf = reg["emb_knn_eval_prf"].builder(spark, sf_dir).collect()
+    n_queries = len(base)
+    assert sum(r["tp"] + r["fn"] for r in prf) == n_queries
+    assert sum(r["tp"] + r["fp"] for r in prf) == n_queries
+    for r in prf:
+        if r["precision"] is not None and r["recall"] is not None:
+            p, q = r["precision"], r["recall"]
+            if p + q > 0:
+                assert abs(r["f1"] - 2 * p * q / (p + q)) < 1e-12
+
+
+def test_ndcg_bounds_and_perfect_rank_identity(spark, sf_dir):
+    """NDCG ∈ [0, 1]; precision@k = rel_at_k / k; MRR consistent with
+    having at least one relevant hit iff rel_at_k > 0 is not guaranteed
+    (a hit may sit below a miss), but MRR > 0 implies rel_at_k > 0."""
+    rows = load_all()["emb_retrieval_ndcg"].builder(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        if r["ndcg"] is not None:
+            assert -1e-12 <= r["ndcg"] <= 1.0 + 1e-12, r
+        assert abs(r["precision_at_k"] - r["rel_at_k"] / 10.0) < 1e-12
+        if r["mrr"] is not None:
+            assert r["rel_at_k"] > 0
+            assert 0.0 < r["mrr"] <= 1.0
+
+
+def test_calibration_accuracy_is_exact_ratio(spark, sf_dir):
+    reg = load_all()
+    base = reg["emb_knn_classify"].builder(spark, sf_dir).collect()
+    cal = reg["emb_knn_calibration"].builder(spark, sf_dir).collect()
+    by_votes = {}
+    for r in base:
+        n, c = by_votes.get(r["votes"], (0, 0))
+        by_votes[r["votes"]] = (n + 1, c + r["correct"])
+    assert {r["votes"] for r in cal} == set(by_votes)
+    for r in cal:
+        n, c = by_votes[r["votes"]]
+        assert r["n_queries"] == n
+        assert r["accuracy"] == pytest.approx(c / n, abs=0)
+        assert r["confidence"] == pytest.approx(r["votes"] / 5.0, abs=0)
+
+
+def test_wilson_interval_brackets_p_hat(spark, sf_dir):
+    rows = load_all()["events_conversion_wilson_ci"].builder(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r["ci_lo"] <= r["p_hat"] <= r["ci_hi"] <= 1.0
+        assert r["p_hat"] == pytest.approx(r["s"] / r["n"], abs=0)
+
+
+def test_permutation_pvalue_contract(spark, sf_dir):
+    (r,) = load_all()["events_ab_permutation"].builder(spark, sf_dir).collect()
+    assert 1 <= r["n_perms"] <= 64
+    assert 0 <= r["n_extreme"] <= r["n_perms"]
+    # add-one convention: p = (1 + extreme) / (perms + 1), never 0
+    assert r["p_value"] == pytest.approx(
+        (1 + r["n_extreme"]) / (r["n_perms"] + 1), abs=0
+    )
+    assert 0.0 < r["p_value"] <= 1.0
+
+
+def test_mannwhitney_python_replay(spark, sf_dir):
+    """Exact replay of the doubled-rank U statistic from the per-user
+    relation the query itself derives from events."""
+    from pyspark.sql import functions as F
+
+    from procurement_data_pipeline_spark.queries.evaluation import _SPLIT
+    from procurement_data_pipeline_spark.queries.experiment import _arm_col
+    from procurement_data_pipeline_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    vm = F.floor(F.col("value") * 1000000).cast("long")
+    split = F.lit(_SPLIT).cast("timestamp")
+    pu = (
+        ev.groupBy("user_id")
+        .agg(F.sum(F.when(F.col("ts") >= split, vm).otherwise(F.lit(0))).alias("y"))
+        .select(_arm_col().alias("arm"), "y")
+        .collect()
+    )
+    ys = sorted(r["y"] for r in pu)
+    # doubled average rank per value: 2*min_rank + count - 1
+    first = {}
+    cnt = {}
+    for i, y in enumerate(ys, start=1):
+        first.setdefault(y, i)
+        cnt[y] = cnt.get(y, 0) + 1
+    s2_a = sum(2 * first[r["y"]] + cnt[r["y"]] - 1 for r in pu if r["arm"] == "A")
+    n_a = sum(1 for r in pu if r["arm"] == "A")
+    n_b = len(pu) - n_a
+    (row,) = load_all()["events_ab_mannwhitney"].builder(spark, sf_dir).collect()
+    assert (row["n_a"], row["n_b"]) == (n_a, n_b)
+    assert row["u2_a"] == s2_a - n_a * (n_a + 1)
+    assert 0 <= row["u2_a"] <= 2 * n_a * n_b  # U ∈ [0, n_a·n_b]
+
+
+# ---------------------------------------------------------------------------
+# economics
+
+
+def test_gini_python_replay(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from procurement_data_pipeline_spark.sources.tables import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    spends = sorted(
+        r["c"]
+        for r in li.groupBy("l_suppkey")
+        .agg(F.sum(F.floor(F.col("l_extendedprice") * 100).cast("long")).alias("c"))
+        .collect()
+    )
+    n = len(spends)
+    sx = sum(spends)
+    six = sum(i * x for i, x in enumerate(spends, start=1))
+    expected = (2 * six - (n + 1) * sx) / (n * sx)
+    (row,) = load_all()["supplier_spend_gini"].builder(spark, sf_dir).collect()
+    assert row["n_suppliers"] == n
+    assert row["gini"] == pytest.approx(expected, rel=1e-12)
+    assert 0.0 <= row["gini"] < 1.0
+
+
+def test_lorenz_is_convex_and_ends_at_one(spark, sf_dir):
+    rows = sorted(
+        load_all()["supplier_spend_lorenz"].builder(spark, sf_dir).collect(),
+        key=lambda r: r["decile"],
+    )
+    assert [r["decile"] for r in rows] == list(range(1, 11))
+    assert rows[-1]["cum_share"] == pytest.approx(1.0, abs=1e-12)
+    shares = [r["decile_share"] for r in rows]
+    # ascending-sorted deciles → shares non-decreasing (Lorenz convexity)
+    assert all(a <= b + 1e-12 for a, b in zip(shares, shares[1:]))
+    cums = [r["cum_share"] for r in rows]
+    assert all(a <= b + 1e-15 for a, b in zip(cums, cums[1:]))
+
+
+def test_elasticity_midpoint_identity(spark, sf_dir):
+    """Spot-check the cleared-denominator form against the literal
+    midpoint formula computed from the reported (q, p) columns."""
+    rows = load_all()["part_price_elasticity"].builder(spark, sf_dir).collect()
+    assert rows
+    checked = 0
+    for r in rows:
+        if r["elasticity"] is None:
+            continue
+        q1, q2, p1, p2 = r["q1"], r["q2"], r["p1"], r["p2"]
+        if abs(p2 - p1) < 1e-9:
+            continue
+        ref = ((q2 - q1) / (q2 + q1)) / ((p2 - p1) / (p2 + p1))
+        assert r["elasticity"] == pytest.approx(ref, rel=1e-9)
+        checked += 1
+        if checked >= 25:
+            break
+    assert checked > 0
+
+
+def test_capture_recapture_estimators(spark, sf_dir):
+    (r,) = load_all()["events_capture_recapture"].builder(spark, sf_dir).collect()
+    n1, n2, m = r["n_day1"], r["n_day2"], r["n_both"]
+    assert m <= min(n1, n2)
+    assert r["chapman"] == pytest.approx(
+        (n1 + 1) * (n2 + 1) / (m + 1) - 1, rel=1e-12
+    )
+    if m > 0:
+        assert r["lincoln_petersen"] == pytest.approx(n1 * n2 / m, rel=1e-12)
+        # Chapman's +1 correction only ever shrinks the estimate
+        assert r["chapman"] <= r["lincoln_petersen"] + 1e-9
+        # both must be at least the users actually observed
+        assert r["lincoln_petersen"] >= max(n1, n2) - 1e-9
+
+
+def test_weekday_index_weighted_mean_is_one(spark, sf_dir):
+    """Day-weighted average of the seasonality index is exactly 1 (the
+    index is each weekday's mean over the global mean)."""
+    rows = load_all()["orders_weekday_index"].builder(spark, sf_dir).collect()
+    total_days = sum(r["n_days"] for r in rows)
+    weighted = sum(r["n_days"] * r["seasonality_index"] for r in rows) / total_days
+    assert weighted == pytest.approx(1.0, rel=1e-9)
+    assert {r["weekday"] for r in rows} <= set(range(1, 8))
+
+
+def test_pareto_share_monotone(spark, sf_dir):
+    rows = sorted(
+        load_all()["events_user_pareto_share"].builder(spark, sf_dir).collect(),
+        key=lambda r: r["pct"],
+    )
+    assert [r["pct"] for r in rows] == [1, 5, 10, 25]
+    shares = [r["value_share"] for r in rows]
+    counts = [r["n_top_users"] for r in rows]
+    assert all(a <= b for a, b in zip(counts, counts[1:]))
+    assert all(a <= b + 1e-12 for a, b in zip(shares, shares[1:]))
+    # the top 25% of users (ranked by value) hold at least 25% of value
+    assert shares[-1] >= 0.25 - 1e-12
+    for r in rows:
+        assert 0.0 <= r["value_share"] <= 1.0 + 1e-12
+
+
+# ---------------------------------------------------------------------------
+# featurestats / lexstats
+
+
+def test_burstiness_moments_replay(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from procurement_data_pipeline_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    cells = (
+        ev.groupBy("event_type", "user_id", F.col("ts").cast("date").alias("d"))
+        .agg(F.count(F.lit(1)).alias("x"))
+        .collect()
+    )
+    by_type: dict[str, list[int]] = {}
+    for r in cells:
+        by_type.setdefault(r["event_type"], []).append(r["x"])
+    rows = load_all()["events_user_burstiness"].builder(spark, sf_dir).collect()
+    for r in rows:
+        xs = by_type[r["event_type"]]
+        n = len(xs)
+        assert r["n_cells"] == n
+        mean = sum(xs) / n
+        assert r["mean_count"] == pytest.approx(mean, rel=1e-12)
+        if n > 1:
+            var = (n * sum(x * x for x in xs) - sum(xs) ** 2) / (n * (n - 1))
+            assert r["fano"] == pytest.approx(var / mean, rel=1e-9)
+
+
+def test_gini_impurity_bounds(spark, sf_dir):
+    rows = load_all()["events_type_gini_impurity"].builder(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        k = r["n_types"]
+        # impurity ∈ [0, 1 − 1/k] with the max at the uniform mix
+        assert -1e-12 <= r["gini_impurity"] <= 1 - 1 / k + 1e-12
+
+
+def test_hampel_python_replay(spark, sf_dir):
+    """Replay the rolling median/MAD filter for one event type."""
+    from pyspark.sql import functions as F
+
+    from procurement_data_pipeline_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    vs = (
+        ev.where(F.col("event_type") == "purchase")
+        .select("event_id", "ts", F.floor(F.col("value") * 1000000).cast("long").alias("vm"))
+        .orderBy("ts", "event_id")
+        .collect()
+    )
+    flagged = set()
+    win = []
+    for r in vs:
+        win.append(r["vm"])
+        if len(win) > 7:
+            win.pop(0)
+        if len(win) == 7:
+            s = sorted(win)
+            med = s[3]
+            mad = sorted(abs(x - med) for x in win)[3]
+            if abs(r["vm"] - med) > 3 * mad:
+                flagged.add(r["event_id"])
+    got = {
+        r["event_id"]
+        for r in load_all()["events_value_hampel"].builder(spark, sf_dir).collect()
+        if r["event_type"] == "purchase"
+    }
+    assert got == flagged
+
+
+def test_quantile_normalize_is_uniform_per_dim(spark, sf_dir):
+    rows = load_all()["emb_quantile_normalize"].builder(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 < r["qn"] < 1.0
+
+
+def test_zipf_rank_one_is_reference(spark, sf_dir):
+    rows = sorted(
+        load_all()["docs_zipf_deviation"].builder(spark, sf_dir).collect(),
+        key=lambda r: r["rank"],
+    )
+    assert rows[0]["zipf_deviation"] == 0
+    assert rows[0]["zipf_ratio"] == pytest.approx(1.0, abs=0)
+    assert all(r["zipf_ratio"] > 0 for r in rows)
+
+
+def test_readability_cli_formula(spark, sf_dir):
+    """Replay the CLI formula on one handcrafted document."""
+    import re
+
+    from procurement_data_pipeline_spark.queries.lexstats import (
+        _CLI_C,
+        _CLI_L,
+        _CLI_S,
+    )
+
+    text = "The quick brown fox jumps. It runs far! Does it rest?"
+    norm = re.sub(r"\s+", " ", text).strip().lower()
+    letters = len(re.sub(r"[^a-z]", "", norm))
+    n_words = len(norm.split(" "))
+    sentences = max(len(re.sub(r"[^.!?]", "", text)), 1)
+    expected = (
+        _CLI_L * (100.0 * letters / n_words)
+        - _CLI_S * (100.0 * sentences / n_words)
+        - _CLI_C
+    )
+    # CLI for simple short sentences should be a small single-digit grade
+    assert -5 < expected < 10
+    assert math.isfinite(expected)
+
+
+def test_lexical_diversity_bounds(spark, sf_dir):
+    rows = load_all()["docs_lexical_diversity"].builder(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["n_hapax"] <= r["n_types"] <= r["n_tokens"]
+        assert r["ttr"] == pytest.approx(r["n_types"] / r["n_tokens"], abs=0)
+        assert r["hapax_share"] == pytest.approx(r["n_hapax"] / r["n_types"], abs=0)
+
+
+def test_dim_correlation_range_and_keys(spark, sf_dir):
+    rows = load_all()["emb_dim_correlation"].builder(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 1 <= r["dim_i"] < r["dim_j"] <= 64
+        assert -1.0 - 1e-9 <= r["r"] <= 1.0 + 1e-9
+    # returned in descending |r| order
+    absr = [abs(r["r"]) for r in rows]
+    assert all(a >= b - 1e-15 for a, b in zip(absr, absr[1:]))
+
+
+def test_nelson_aalen_vs_kaplan_meier(spark, sf_dir):
+    """H(t) is non-decreasing, and exp(−H) ≥ KM survival pointwise (the
+    standard inequality: 1 − x ≤ e^(−x) per factor)."""
+    reg = load_all()
+    na = {
+        (r["priority"], r["week"]): r
+        for r in reg["orders_nelson_aalen"].builder(spark, sf_dir).collect()
+    }
+    km = {
+        (r["priority"], r["week"]): r
+        for r in reg["orders_kaplan_meier"].builder(spark, sf_dir).collect()
+    }
+    assert set(na) == set(km)
+    by_priority: dict[str, list] = {}
+    for (p, w), r in na.items():
+        by_priority.setdefault(p, []).append((w, r["cum_hazard"]))
+    for p, seq in by_priority.items():
+        seq.sort()
+        hs = [h for _, h in seq]
+        assert all(a <= b + 1e-15 for a, b in zip(hs, hs[1:]))
+    for key, r in na.items():
+        assert math.exp(-r["cum_hazard"]) >= km[key]["survival"] - 1e-12
+        assert r["var_breslow"] >= 0

@@ -63,6 +63,14 @@ BNLJ_ALLOWED = {
     "emb_hard_negatives",  # broadcast-queries kNN shape (same as emb_knn_classify)
     "orders_ship_leadlag",  # broadcast 13-row lag dimension × day-grain rollup
     "events_neyman_sample",  # broadcast 1-row W / leftover scalars × 5-stratum relation
+    "emb_knn_eval_prf",  # consumes emb_knn_classify's broadcast-queries kNN shape
+    "emb_retrieval_ndcg",  # broadcast-queries kNN shape (same as emb_knn_classify)
+    "events_ab_permutation",  # broadcast single-row observed-diff scalar
+    "supplier_spend_lorenz",  # broadcast single-row total-spend scalar
+    "events_user_pareto_share",  # broadcast 4-row tier dimension
+    "orders_weekday_index",  # broadcast single-row global-average scalar
+    "emb_knn_calibration",  # consumes emb_knn_classify's broadcast-queries kNN shape
+    "events_ab_mannwhitney",  # broadcast single-row tie-correction scalar
 }
 
 SF_DIR = "/root/testdata/sf0.001"
