@@ -242,6 +242,21 @@ GRADE_OVERFLOW = frozenset(
         "emb_quantile_normalize",
         "emb_knn_calibration",
         "events_ab_mannwhitney",
+        "emb_knn_auc",
+        "events_value_runs_test",
+        "emb_kmeans_silhouette",
+        "docs_crossdup_matrix",
+        "orders_revenue_acf",
+        "emb_label_centroid_drift",
+        "events_stickiness_dau_wau",
+        "events_ab_power",
+        "docs_langid_confusion",
+        "docs_langid_kappa",
+        "emb_twonn_mu",
+        "docs_ks_lengths",
+        "docs_word_burstiness",
+        "part_price_qty_spearman",
+        "part_graph_assortativity",
     }
 )
 

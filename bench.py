@@ -117,6 +117,10 @@ def main() -> None:
         "events_user_pareto_share",
         "events_value_hampel",
         "events_ab_mannwhitney",
+        "emb_kmeans_silhouette",
+        "orders_revenue_acf",
+        "emb_label_centroid_drift",
+        "events_stickiness_dau_wau",
     ]
     extended_specs = {n: specs[n] for n in extended_names if n in specs}
     unknown_extended = [n for n in extended_names if n not in specs]

@@ -358,3 +358,182 @@ def q_orders_weekday_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             (wd_avg / overall).alias("seasonality_index"),
         )
     )
+
+
+_ACF_MAX_LAG = 7
+
+
+@register(
+    "orders_revenue_acf",
+    # Sample autocorrelation of daily revenue at lags 1..7 — the
+    # correlogram that distinguishes weekly seasonality from a random
+    # walk before anyone fits a forecast model. Matched-pairs Pearson
+    # form (each lag correlates the overlapping day pairs): exact-cent
+    # daily sums, exact integer moments per lag, two correctly-rounded
+    # sqrts and one division. The pair build is a self-join of the DAY
+    # GRAIN on a shifted calendar key — the fact table collapses first,
+    # so the join is calendar-bounded at any fact volume.
+    oracle=f"""
+WITH daily AS (
+  -- WHOLE-DOLLAR grain, not cents: Pearson r is scale-invariant, and the
+  -- coarser unit keeps every moment within BIGINT (whose double cast is
+  -- correctly rounded in both engines — the HUGEINT cast is not; this
+  -- query originally drifted in the last ulp through HUGEINT moments)
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         SUM(CAST(FLOOR(o_totalprice) AS BIGINT)) AS units
+  FROM orders GROUP BY CAST(o_orderdate AS DATE)
+),
+lags AS (SELECT UNNEST(range(1, {_ACF_MAX_LAG + 1})) AS lag),
+pairs AS (
+  SELECT l.lag, a.units AS x, b.units AS y
+  FROM lags l
+  JOIN daily a ON TRUE
+  JOIN daily b ON b.day = a.day + CAST(l.lag || ' days' AS INTERVAL)
+),
+m AS (
+  SELECT lag,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx,
+         CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * y) AS BIGINT) AS sxy,
+         CAST(SUM(x * x) AS BIGINT) AS sxx,
+         CAST(SUM(y * y) AS BIGINT) AS syy
+  FROM pairs GROUP BY lag
+)
+SELECT CAST(lag AS BIGINT) AS lag, n AS n_pairs,
+       CASE WHEN n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0
+             AND n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) > 0
+       THEN
+         (n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+         / (sqrt(n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+            * sqrt(n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+       ELSE NULL END AS acf
+FROM m
+""",
+    tags=("orders", "timeseries", "forecasting"),
+)
+def q_orders_revenue_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One fact aggregation to the day grain, then a 7-lag equi-join on
+    shifted dates over the bounded calendar relation — identical moment
+    math to events_value_hour_correlation, applied per lag."""
+    o = load_table(spark, sf_dir, "orders")
+    daily = scoped_persist(
+        o.groupBy(F.col("o_orderdate").cast("date").alias("day")).agg(
+            F.sum(F.floor(F.col("o_totalprice")).cast("long")).alias("units")
+        )
+    )
+    lags = spark.createDataFrame(
+        [(k,) for k in range(1, _ACF_MAX_LAG + 1)], "lag int"
+    )
+    a = daily.select(F.col("day").alias("da"), F.col("units").alias("x"))
+    b = daily.select(F.col("day").alias("db"), F.col("units").alias("y"))
+    pairs = (
+        a.crossJoin(F.broadcast(lags))
+        .join(b, F.col("db") == F.date_add(F.col("da"), F.col("lag")))
+    )
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    m = pairs.groupBy("lag").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(dec("x")).cast("long").alias("sx"),
+        F.sum(dec("y")).cast("long").alias("sy"),
+        F.sum(dec("x") * dec("y")).cast("long").alias("sxy"),
+        F.sum(dec("x") * dec("x")).cast("long").alias("sxx"),
+        F.sum(dec("y") * dec("y")).cast("long").alias("syy"),
+    )
+    n = F.col("n")
+    sxd, syd = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxyd = F.col("sxy").cast("double")
+    sxxd, syyd = F.col("sxx").cast("double"), F.col("syy").cast("double")
+    vx = n * sxxd - sxd * sxd
+    vy = n * syyd - syd * syd
+    return m.select(
+        F.col("lag").cast("long").alias("lag"),
+        n.alias("n_pairs"),
+        F.when(
+            (vx > 0) & (vy > 0),
+            (n * sxyd - sxd * syd) / (F.sqrt(vx) * F.sqrt(vy)),
+        ).alias("acf"),
+    )
+
+
+@register(
+    "part_price_qty_spearman",
+    # Spearman rank correlation between per-part total revenue and total
+    # quantity — the monotone (demand-curve) association test that is
+    # robust where Pearson is distorted by heavy-tailed revenue. Ranks
+    # carry the DOUBLED-average-rank trick (2·RANK() + tiecount − 1, the
+    # events_ab_mannwhitney primitive), so tie handling is exact-integer;
+    # ρ is the Pearson form over those integer rank values — exact
+    # moments, two IEEE sqrts, one division.
+    oracle="""
+WITH per_part AS (
+  SELECT l_partkey,
+         CAST(SUM(CAST(FLOOR(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+           AS rev,
+         CAST(SUM(CAST(FLOOR(l_quantity) AS BIGINT)) AS BIGINT) AS qty
+  FROM lineitem GROUP BY l_partkey
+),
+ranked AS (
+  SELECT
+    2 * RANK() OVER (ORDER BY rev) + COUNT(*) OVER (PARTITION BY rev) - 1
+      AS rx,
+    2 * RANK() OVER (ORDER BY qty) + COUNT(*) OVER (PARTITION BY qty) - 1
+      AS ry
+  FROM per_part
+),
+m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(rx) AS BIGINT) AS sx,
+         CAST(SUM(ry) AS BIGINT) AS sy,
+         SUM(CAST(rx AS HUGEINT) * ry) AS sxy,
+         SUM(CAST(rx AS HUGEINT) * rx) AS sxx,
+         SUM(CAST(ry AS HUGEINT) * ry) AS syy
+  FROM ranked
+)
+SELECT n AS n_parts,
+       (n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+       / (sqrt(n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+          * sqrt(n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+         AS spearman_rho
+FROM m
+""",
+    tags=("part", "economics", "statistics"),
+)
+def q_part_price_qty_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One part-grain shuffle, two rank windows over the bounded part
+    dim, one 1-row moment readout. HUGEINT moments are safe here because
+    each is cast to double exactly ONCE and combined in pinned order —
+    and rank sums are dimension-bounded, far under 2^53 anyway."""
+    li = load_table(spark, sf_dir, "lineitem")
+    per_part = li.groupBy("l_partkey").agg(
+        F.sum(F.floor(F.col("l_extendedprice") * 100).cast("long")).alias("rev"),
+        F.sum(F.floor(F.col("l_quantity")).cast("long")).alias("qty"),
+    )
+    rx = (
+        2 * F.rank().over(Window.orderBy("rev"))
+        + F.count(F.lit(1)).over(Window.partitionBy("rev"))
+        - 1
+    )
+    ry = (
+        2 * F.rank().over(Window.orderBy("qty"))
+        + F.count(F.lit(1)).over(Window.partitionBy("qty"))
+        - 1
+    )
+    ranked = per_part.select(rx.alias("rx"), ry.alias("ry"))
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    m = ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("rx").cast("long").alias("sx"),
+        F.sum("ry").cast("long").alias("sy"),
+        F.sum(dec("rx") * dec("ry")).alias("sxy"),
+        F.sum(dec("rx") * dec("rx")).alias("sxx"),
+        F.sum(dec("ry") * dec("ry")).alias("syy"),
+    )
+    n = F.col("n")
+    sxd, syd = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxyd = F.col("sxy").cast("double")
+    sxxd, syyd = F.col("sxx").cast("double"), F.col("syy").cast("double")
+    rho = (n * sxyd - sxd * syd) / (
+        F.sqrt(n * sxxd - sxd * sxd) * F.sqrt(n * syyd - syd * syd)
+    )
+    return m.select(n.alias("n_parts"), rho.alias("spearman_rho"))

@@ -596,3 +596,155 @@ def q_events_ab_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
             (u2.cast("double") - (na * nb).cast("double")) / (2 * F.sqrt(var)),
         ).alias("z"),
     )
+
+
+# ---------------------------------------------------------------------------
+# emb_knn_auc
+
+
+@register(
+    "emb_knn_auc",
+    # ROC AUC of the kNN vote count as a confidence score, via the
+    # rank-sum identity AUC = U/(n₁·n₀) — the Mann-Whitney machinery
+    # reused as a classifier-eval metric (ties get the standard ½ credit
+    # through the doubled-average-rank trick, so AUC is ONE division of
+    # exact integers). Composes the DECLARED emb_knn_classify oracle.
+    oracle=f"""
+WITH base AS ({REGISTRY['emb_knn_classify'].oracle}),
+ranked AS (
+  SELECT correct,
+         2 * RANK() OVER (ORDER BY votes) + COUNT(*) OVER (PARTITION BY votes)
+           - 1 AS r2
+  FROM base
+),
+m AS (
+  SELECT CAST(SUM(correct) AS BIGINT) AS n_pos,
+         CAST(SUM(1 - correct) AS BIGINT) AS n_neg,
+         CAST(SUM(CASE WHEN correct = 1 THEN r2 ELSE 0 END) AS BIGINT) AS s2_pos
+  FROM ranked
+)
+SELECT n_pos, n_neg,
+       CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+         CAST(s2_pos - n_pos * (n_pos + 1) AS DOUBLE) / (2 * n_pos * n_neg)
+       ELSE NULL END AS auc
+FROM m
+""",
+    tags=("similarity", "llm", "evaluation", "ranking"),
+)
+def q_emb_knn_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranks the classifier's query-grain output (bounded rows), so the
+    AUC costs nothing beyond the classification pass itself."""
+    base = REGISTRY["emb_knn_classify"].builder(spark, sf_dir)
+    r2 = (
+        2 * F.rank().over(Window.orderBy("votes"))
+        + F.count(F.lit(1)).over(Window.partitionBy("votes"))
+        - 1
+    )
+    ranked = base.select("correct", r2.alias("r2"))
+    m = ranked.agg(
+        F.sum("correct").cast("long").alias("n_pos"),
+        F.sum(1 - F.col("correct")).cast("long").alias("n_neg"),
+        F.sum(F.when(F.col("correct") == 1, F.col("r2")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("s2_pos"),
+    )
+    np_, nn = F.col("n_pos"), F.col("n_neg")
+    return m.select(
+        "n_pos",
+        "n_neg",
+        F.when(
+            (np_ > 0) & (nn > 0),
+            (F.col("s2_pos") - np_ * (np_ + 1)).cast("double") / (2 * np_ * nn),
+        ).alias("auc"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# events_ab_power
+
+_POWER_Z_ALPHA = 1.959963984540054  # two-sided α = 0.05
+_POWER_Z_BETA = 0.8416212335729143  # power = 0.80
+_POWER_REL_EFFECT = 0.05  # minimum detectable effect: 5% of the mean
+# The whole constant factor 2(z_α+z_β)²/effect² folded to ONE literal in
+# Python: engines' optimizers are free to reassociate chained constant
+# multiplications (observed: last-ulp drift between Spark and DuckDB on
+# 2.0·σ²·(z)²/δ² with the constants spread through the expression), so the
+# expression each engine sees is var·C/mean² with a single constant.
+_POWER_C = 2.0 * (_POWER_Z_ALPHA + _POWER_Z_BETA) ** 2 / _POWER_REL_EFFECT**2
+
+
+@register(
+    "events_ab_power",
+    # Experiment power analysis: how many users per arm to detect a 5%
+    # lift at α=0.05 / power 0.8? n = 2σ²(z_α+z_β)²/δ² with δ = 5% of the
+    # current mean — the sizing readout every experiment review asks for
+    # first. z constants are literal-pinned (normal quantiles need erf⁻¹ —
+    # not correctly rounded → banned); σ² and the mean come from exact
+    # integer per-user moments, so the whole readout is a pinned-order
+    # IEEE chain both engines replay bit-for-bit.
+    oracle=f"""
+WITH per_user AS (
+  -- CENTS, not micros: the power ratio sigma^2/mean^2 is scale-invariant,
+  -- and the coarser unit keeps the y^2 moment inside BIGINT exactly
+  -- representable in a double (HUGEINT's double cast drifts in the last
+  -- ulp — the part_price_elasticity finding)
+  SELECT user_id,
+         SUM(CASE WHEN ts >= TIMESTAMP '{_SPLIT} 00:00:00'
+                  THEN CAST(FLOOR(value * 100) AS BIGINT) ELSE 0 END) AS y
+  FROM events GROUP BY user_id
+),
+m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(y * y) AS BIGINT) AS syy
+  FROM per_user
+),
+d AS (
+  SELECT n,
+         CAST(sy AS DOUBLE) / n AS mean_y,
+         (n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))
+           / (CAST(n AS DOUBLE) * (n - 1)) AS var_y
+  FROM m WHERE n > 1
+)
+SELECT n AS n_users,
+       mean_y / 100.0 AS mean_post,
+       var_y / 100.0 / 100.0 AS var_post,
+       CASE WHEN mean_y != 0 THEN
+         var_y * {_POWER_C!r} / (mean_y * mean_y)
+       ELSE NULL END AS needed_per_arm,
+       CASE WHEN mean_y != 0 THEN
+         CAST(CEIL(var_y * {_POWER_C!r} / (mean_y * mean_y)) AS BIGINT)
+       ELSE NULL END AS needed_per_arm_ceil
+FROM d
+""",
+    tags=("events", "experiment", "power"),
+)
+def q_events_ab_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One user_id shuffle + one 1-row moment aggregate — experiment
+    sizing is free at any fact volume."""
+    ev = load_table(spark, sf_dir, "events")
+    vm = F.floor(F.col("value") * 100).cast("long")  # cents; see oracle comment
+    split = F.lit(_SPLIT).cast("timestamp")
+    per_user = ev.groupBy("user_id").agg(
+        F.sum(F.when(F.col("ts") >= split, vm).otherwise(F.lit(0))).alias("y")
+    )
+    dec = F.col("y").cast("decimal(38,0)")
+    m = per_user.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(dec).cast("long").alias("sy"),
+        F.sum(dec * dec).cast("long").alias("syy"),
+    )
+    n = F.col("n")
+    syd, syyd = F.col("sy").cast("double"), F.col("syy").cast("double")
+    mean_y = syd / n
+    var_y = (n * syyd - syd * syd) / (n.cast("double") * (n - 1))
+    needed = var_y * F.lit(_POWER_C) / (mean_y * mean_y)
+    return m.where(n > 1).select(
+        n.alias("n_users"),
+        (mean_y / F.lit(100.0)).alias("mean_post"),
+        (var_y / F.lit(100.0) / F.lit(100.0)).alias("var_post"),
+        F.when(mean_y != 0, needed).alias("needed_per_arm"),
+        F.when(mean_y != 0, F.ceil(needed).cast("long")).alias(
+            "needed_per_arm_ceil"
+        ),
+    )

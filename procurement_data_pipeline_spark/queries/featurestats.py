@@ -17,7 +17,11 @@
   matmul-style Gram accumulation (emb_pca_power's pattern), not pairwise
   explosion.
 
-Both names register past the graded first-50 prefix (GRADE_OVERFLOW in
+Later additions in this module (each documented at its registration):
+events_type_gini_impurity, events_user_pareto_share, events_value_hampel,
+events_value_runs_test, events_stickiness_dau_wau.
+
+All names register past the graded first-50 prefix (GRADE_OVERFLOW in
 __spark_entry__.py); tools/check_oracle.py hash-checks each at sf0.01.
 """
 
@@ -388,4 +392,225 @@ def q_events_value_hampel(spark: SparkSession, sf_dir: str) -> DataFrame:
         "med",
         "mad",
         F.when(dev > _HAMPEL_K * F.col("mad"), 1).otherwise(0).alias("is_outlier"),
+    )
+
+
+_RUNS_THRESHOLD = 35.0  # pinned cut for the runs test (near the global median)
+
+
+@register(
+    "events_value_runs_test",
+    # Wald–Wolfowitz runs test per event type: is the above/below-cut
+    # pattern of the value stream random, or does it cluster (stuck
+    # sensors, batched writes, regime switches)? The cut is a PINNED
+    # literal (a data-derived median would need a full-sort order
+    # statistic; the monitor form pins its reference). Runs count via one
+    # lag window; n₁, n₀, R exact integers; z = (R − μ)/σ with
+    # μ = 2n₁n₀/n + 1 and σ² = 2n₁n₀(2n₁n₀ − n)/(n²(n−1)) — an IEEE
+    # chain in pinned order over exact integers, sqrt correctly rounded.
+    oracle=f"""
+WITH s AS (
+  SELECT event_type,
+         CASE WHEN value >= {_RUNS_THRESHOLD!r} THEN 1 ELSE 0 END AS hi,
+         LAG(CASE WHEN value >= {_RUNS_THRESHOLD!r} THEN 1 ELSE 0 END)
+           OVER (PARTITION BY event_type ORDER BY ts, event_id) AS prev
+  FROM events
+),
+m AS (
+  SELECT event_type,
+         CAST(SUM(hi) AS BIGINT) AS n1,
+         CAST(SUM(1 - hi) AS BIGINT) AS n0,
+         CAST(SUM(CASE WHEN prev IS NULL OR hi != prev THEN 1 ELSE 0 END)
+              AS BIGINT) AS runs
+  FROM s GROUP BY event_type
+)
+SELECT event_type, n1, n0, runs,
+       CASE WHEN n1 > 0 AND n0 > 0 AND n1 + n0 > 1 THEN
+         (CAST(runs AS DOUBLE)
+          - (2.0 * n1 * n0 / (n1 + n0) + 1))
+         / sqrt(2.0 * n1 * n0 * (2.0 * n1 * n0 - (n1 + n0))
+                / (CAST(n1 + n0 AS DOUBLE) * (n1 + n0) * (n1 + n0 - 1)))
+       ELSE NULL END AS z
+FROM m
+""",
+    tags=("events", "statistics", "randomness"),
+)
+def q_events_value_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One window pass (lag over the type partition) + one counting
+    aggregate; the z readout is scalar math over exact integers."""
+    ev = load_table(spark, sf_dir, "events")
+    hi = F.when(F.col("value") >= _RUNS_THRESHOLD, 1).otherwise(0)
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    s = ev.select("event_type", "ts", "event_id", hi.alias("hi")).withColumn(
+        "prev", F.lag("hi").over(w)
+    )
+    m = s.groupBy("event_type").agg(
+        F.sum("hi").cast("long").alias("n1"),
+        F.sum(1 - F.col("hi")).cast("long").alias("n0"),
+        F.sum(
+            F.when(F.col("prev").isNull() | (F.col("hi") != F.col("prev")), 1)
+            .otherwise(0)
+        )
+        .cast("long")
+        .alias("runs"),
+    )
+    n1, n0 = F.col("n1"), F.col("n0")
+    n = n1 + n0
+    mu = 2.0 * n1 * n0 / n + 1
+    sig = F.sqrt(
+        2.0 * n1 * n0 * (2.0 * n1 * n0 - n) / (n.cast("double") * n * (n - 1))
+    )
+    return m.select(
+        "event_type",
+        "n1",
+        "n0",
+        "runs",
+        F.when(
+            (n1 > 0) & (n0 > 0) & (n > 1),
+            (F.col("runs").cast("double") - mu) / sig,
+        ).alias("z"),
+    )
+
+
+@register(
+    "events_stickiness_dau_wau",
+    # DAU/WAU stickiness — the product-analytics engagement ratio ("what
+    # share of this week's actives came back today"). Exact distinct
+    # counts: DAU from the deduped (day, user) pairs, WAU via the bounded
+    # 7-day expansion of those SAME pairs (the events_rolling_distinct
+    # pattern — the sketch twin is the 100 TB form), stickiness ONE
+    # integer division. DAU ≤ WAU by construction, so the ratio is a
+    # well-formed (0, 1] share.
+    oracle="""
+WITH pairs AS (
+  SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS day, user_id
+  FROM events
+),
+dau AS (
+  SELECT day, CAST(COUNT(*) AS BIGINT) AS dau FROM pairs GROUP BY day
+),
+days AS (SELECT DISTINCT day FROM pairs),
+wau AS (
+  SELECT d.day, CAST(COUNT(DISTINCT p.user_id) AS BIGINT) AS wau
+  FROM days d JOIN pairs p
+    ON p.day <= d.day AND p.day >= d.day - INTERVAL 6 DAY
+  GROUP BY d.day
+)
+SELECT d.day, d.dau, w.wau,
+       CAST(d.dau AS DOUBLE) / w.wau AS stickiness
+FROM dau d JOIN wau w ON w.day = d.day
+""",
+    tags=("events", "engagement", "product-analytics"),
+)
+def q_events_stickiness_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One dedup shuffle to (day, user) pairs feeds BOTH counts (scoped-
+    persist); the trailing window is the explode + broadcast-semi equi
+    form — never a range nested loop."""
+    ev = load_table(spark, sf_dir, "events")
+    pairs = scoped_persist(
+        ev.select(
+            F.date_trunc("day", F.col("ts")).cast("date").alias("day"), "user_id"
+        ).distinct()
+    )
+    dau = pairs.groupBy("day").agg(F.count(F.lit(1)).cast("long").alias("dau"))
+    days = pairs.select("day").distinct().select(F.col("day").alias("win_day"))
+    wau = (
+        pairs.select(
+            "user_id",
+            F.explode(
+                F.sequence(F.col("day"), F.date_add(F.col("day"), 6))
+            ).alias("win_day"),
+        )
+        .join(F.broadcast(days), "win_day", "left_semi")
+        .groupBy(F.col("win_day").alias("day"))
+        .agg(F.countDistinct("user_id").cast("long").alias("wau"))
+    )
+    return dau.join(wau, "day").select(
+        "day",
+        "dau",
+        "wau",
+        (F.col("dau").cast("double") / F.col("wau")).alias("stickiness"),
+    )
+
+
+_TWONN_STRIDE = 50
+
+
+@register(
+    "emb_twonn_mu",
+    # Two-NN intrinsic-dimensionality diagnostic (Facco et al.): the
+    # ratio μ = d₂/d₁ of each point's two nearest-neighbor distances is
+    # what the TwoNN estimator consumes — near-1 ratios mean a high
+    # intrinsic dimension (neighbors equidistant: distance concentration),
+    # large ratios a low-dimensional manifold. The ID fit itself needs a
+    # log-regression (banned); the reported μ² = d₂²/d₁² is ONE division
+    # of exact integer squared distances (micro-quantized), so the
+    # diagnostic is hash-exact and any caller can fit ID offline.
+    oracle=f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qvec
+  FROM embeddings WHERE vec_id % {_TWONN_STRIDE} = 0
+),
+d AS (
+  SELECT q.query_id, e.vec_id,
+         list_sum(list_transform(list_zip(e.embedding, q.qvec),
+           s -> (CAST(FLOOR(CAST(s[1] AS DOUBLE) * 1000000) AS BIGINT)
+                 - CAST(FLOOR(CAST(s[2] AS DOUBLE) * 1000000) AS BIGINT))
+              * (CAST(FLOOR(CAST(s[1] AS DOUBLE) * 1000000) AS BIGINT)
+                 - CAST(FLOOR(CAST(s[2] AS DOUBLE) * 1000000) AS BIGINT))))
+           AS d2
+  FROM embeddings e CROSS JOIN q
+  WHERE e.vec_id != q.query_id
+),
+ranked AS (
+  SELECT query_id, d2,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY d2 ASC, vec_id ASC) AS rn
+  FROM d
+)
+SELECT query_id,
+       CAST(MAX(CASE WHEN rn = 1 THEN d2 END) AS BIGINT) AS d2_1,
+       CAST(MAX(CASE WHEN rn = 2 THEN d2 END) AS BIGINT) AS d2_2,
+       CASE WHEN MAX(CASE WHEN rn = 1 THEN d2 END) > 0 THEN
+         CAST(MAX(CASE WHEN rn = 2 THEN d2 END) AS DOUBLE)
+           / CAST(MAX(CASE WHEN rn = 1 THEN d2 END) AS BIGINT)
+       ELSE NULL END AS mu_sq
+FROM ranked WHERE rn <= 2
+GROUP BY query_id
+""",
+    tags=("similarity", "llm", "diagnostics"),
+)
+def q_emb_twonn_mu(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast-queries shape (the emb_knn_classify pattern): the corpus
+    never shuffles; per query only the top-2 survive the rank filter."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") % _TWONN_STRIDE == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    qz = lambda c: F.floor(c.cast("double") * 1000000).cast("long")  # noqa: E731
+    d2 = F.aggregate(
+        F.zip_with(
+            F.col("embedding"), F.col("qvec"), lambda a, b: (qz(a) - qz(b)) * (qz(a) - qz(b))
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    d = (
+        emb.join(F.broadcast(q))
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", d2.alias("d2"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("d2").asc(), F.col("vec_id").asc())
+    ranked = d.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= 2)
+    agg = ranked.groupBy("query_id").agg(
+        F.max(F.when(F.col("rn") == 1, F.col("d2"))).cast("long").alias("d2_1"),
+        F.max(F.when(F.col("rn") == 2, F.col("d2"))).cast("long").alias("d2_2"),
+    )
+    return agg.select(
+        "query_id",
+        "d2_1",
+        "d2_2",
+        F.when(
+            F.col("d2_1") > 0, F.col("d2_2").cast("double") / F.col("d2_1")
+        ).alias("mu_sq"),
     )

@@ -95,3 +95,89 @@ def q_part_copurchase_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
             dist.unionByName(nxt).groupBy("part").agg(F.min("hops").alias("hops"))
         )
     return dist.select("part", F.col("hops").cast("int").alias("hops"))
+
+
+@register(
+    "part_graph_assortativity",
+    # Degree assortativity of the co-purchase graph: do popular parts
+    # co-occur with other popular parts (r > 0, hub-clustered catalogs)
+    # or with the long tail (r < 0, hub-and-spoke)? Newman's r is the
+    # Pearson correlation of endpoint degrees over the directed edge
+    # list — exact integer degrees and moments (the edge relation is the
+    # SAME distinct co-purchase pairs the BFS query walks), two IEEE
+    # sqrts, one division.
+    oracle="""
+WITH edges AS (
+  SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+),
+deg AS (
+  SELECT pa AS part, CAST(COUNT(*) AS BIGINT) AS d FROM edges GROUP BY pa
+),
+pairs AS (
+  SELECT da.d AS dx, db.d AS dy
+  FROM edges e JOIN deg da ON da.part = e.pa JOIN deg db ON db.part = e.pb
+),
+m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_edges,
+         CAST(SUM(dx) AS BIGINT) AS sx,
+         CAST(SUM(dy) AS BIGINT) AS sy,
+         SUM(CAST(dx AS HUGEINT) * dy) AS sxy,
+         SUM(CAST(dx AS HUGEINT) * dx) AS sxx,
+         SUM(CAST(dy AS HUGEINT) * dy) AS syy
+  FROM pairs
+)
+SELECT n_edges,
+       CASE WHEN n_edges * CAST(sxx AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0
+             AND n_edges * CAST(syy AS DOUBLE)
+                 - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) > 0 THEN
+         (n_edges * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+         / (sqrt(n_edges * CAST(sxx AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+            * sqrt(n_edges * CAST(syy AS DOUBLE)
+                   - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+       ELSE NULL END AS assortativity
+FROM m
+""",
+    tags=("part", "graph", "statistics"),
+)
+def q_part_graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edge build is the BFS query's distinct-pair join (order-key
+    co-location); degrees are one part-grain count broadcast back onto
+    the edges; the readout is one 1-row moment aggregate."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pa"))
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pb"))
+    edges = scoped_persist(
+        a.join(b, "ok").where(F.col("pa") != F.col("pb")).select("pa", "pb").distinct()
+    )
+    deg = edges.groupBy(F.col("pa").alias("part")).agg(
+        F.count(F.lit(1)).cast("long").alias("d")
+    )
+    da = deg.select(F.col("part").alias("pa"), F.col("d").alias("dx"))
+    db = deg.select(F.col("part").alias("pb"), F.col("d").alias("dy"))
+    pairs = edges.join(F.broadcast(da), "pa").join(F.broadcast(db), "pb")
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    m = pairs.agg(
+        F.count(F.lit(1)).cast("long").alias("n_edges"),
+        F.sum("dx").cast("long").alias("sx"),
+        F.sum("dy").cast("long").alias("sy"),
+        F.sum(dec("dx") * dec("dy")).alias("sxy"),
+        F.sum(dec("dx") * dec("dx")).alias("sxx"),
+        F.sum(dec("dy") * dec("dy")).alias("syy"),
+    )
+    n = F.col("n_edges")
+    sxd, syd = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxyd = F.col("sxy").cast("double")
+    sxxd, syyd = F.col("sxx").cast("double"), F.col("syy").cast("double")
+    vx = n * sxxd - sxd * sxd
+    vy = n * syyd - syd * syd
+    return m.select(
+        "n_edges",
+        F.when(
+            (vx > 0) & (vy > 0),
+            (n * sxyd - sxd * syd) / (F.sqrt(vx) * F.sqrt(vy)),
+        ).alias("assortativity"),
+    )

@@ -191,3 +191,335 @@ def q_docs_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.count(F.lit(1)).cast("double") / F.sum("f").cast("long")).alias("ttr"),
         (F.sum(hapax).cast("double") / F.count(F.lit(1))).alias("hapax_share"),
     )
+
+
+@register(
+    "docs_crossdup_matrix",
+    # Cross-source contamination matrix: near-duplicate pairs (the
+    # DECLARED docs_ngram_jaccard_pairs relation, composed verbatim)
+    # rolled up to (source_a, source_b) with unordered-pair
+    # canonicalization — which sources copy from which is THE question
+    # behind mixture weights and dedup priorities. Counts are exact; the
+    # jaccard envelope is MIN/MAX (order-free aggregates), never an
+    # order-dependent double sum.
+    oracle=f"""
+WITH pairs AS ({REGISTRY['docs_ngram_jaccard_pairs'].oracle}),
+lab AS (
+  SELECT p.doc_a, p.doc_b, p.jaccard,
+         LEAST(da.source, db.source) AS source_a,
+         GREATEST(da.source, db.source) AS source_b
+  FROM pairs p
+  JOIN documents da ON da.doc_id = p.doc_a
+  JOIN documents db ON db.doc_id = p.doc_b
+)
+SELECT source_a, source_b,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       MIN(jaccard) AS min_jaccard,
+       MAX(jaccard) AS max_jaccard
+FROM lab GROUP BY source_a, source_b
+""",
+    tags=("llm", "dedup", "curation"),
+)
+def q_docs_crossdup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pair relation is whatever the declared near-dup query already
+    computes (sub-quadratic PPJoin); this adds two broadcast dim joins on
+    doc_id and a tiny source-pair aggregate."""
+    pairs = REGISTRY["docs_ngram_jaccard_pairs"].builder(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    a = docs.select(F.col("doc_id").alias("doc_a"), F.col("source").alias("sa"))
+    b = docs.select(F.col("doc_id").alias("doc_b"), F.col("source").alias("sb"))
+    lab = (
+        pairs.join(F.broadcast(a), "doc_a")
+        .join(F.broadcast(b), "doc_b")
+        .select(
+            F.least(F.col("sa"), F.col("sb")).alias("source_a"),
+            F.greatest(F.col("sa"), F.col("sb")).alias("source_b"),
+            "jaccard",
+        )
+    )
+    return lab.groupBy("source_a", "source_b").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.min("jaccard").alias("min_jaccard"),
+        F.max("jaccard").alias("max_jaccard"),
+    )
+
+
+@register(
+    "docs_langid_confusion",
+    # Confusion matrix of the stopword-vote language detector against the
+    # labeled lang column — composes the DECLARED docs_lang_id relation,
+    # so the eval grades exactly the detector that ships. Shares are
+    # exact per-cell ratios of the labeled row total.
+    oracle=f"""
+WITH base AS ({REGISTRY['docs_lang_id'].oracle}),
+cells AS (
+  SELECT labeled_lang, detected_lang, CAST(COUNT(*) AS BIGINT) AS n
+  FROM base GROUP BY labeled_lang, detected_lang
+),
+tot AS (
+  SELECT labeled_lang, CAST(SUM(n) AS BIGINT) AS row_n FROM cells
+  GROUP BY labeled_lang
+)
+SELECT c.labeled_lang, c.detected_lang, c.n,
+       CAST(c.n AS DOUBLE) / t.row_n AS row_share
+FROM cells c JOIN tot t ON t.labeled_lang = c.labeled_lang
+""",
+    tags=("text", "llm", "evaluation"),
+)
+def q_docs_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two tiny aggregates over the detector's document-grain output."""
+    base = REGISTRY["docs_lang_id"].builder(spark, sf_dir)
+    cells = base.groupBy("labeled_lang", "detected_lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    tot = cells.groupBy("labeled_lang").agg(
+        F.sum("n").cast("long").alias("row_n")
+    )
+    return cells.join(tot, "labeled_lang").select(
+        "labeled_lang",
+        "detected_lang",
+        "n",
+        (F.col("n").cast("double") / F.col("row_n")).alias("row_share"),
+    )
+
+
+@register(
+    "docs_langid_kappa",
+    # Cohen's kappa for the language detector: chance-corrected agreement
+    # κ = (p_o − p_e)/(1 − p_e). Everything up to the final expression is
+    # exact integers (diagonal count, row/column marginal products); the
+    # κ form is computed over integer-valued doubles in pinned order:
+    # κ = (N·Σdiag − Σ row_i·col_i) / (N² − Σ row_i·col_i) — ONE division
+    # after two exactly-representable integer-valued terms, sidestepping
+    # the p_o/p_e intermediate divisions entirely.
+    oracle=f"""
+WITH base AS ({REGISTRY['docs_lang_id'].oracle}),
+cells AS (
+  SELECT labeled_lang AS a, detected_lang AS b, CAST(COUNT(*) AS BIGINT) AS n
+  FROM base GROUP BY labeled_lang, detected_lang
+),
+marg AS (
+  SELECT
+    CAST(MAX(g._t) AS BIGINT) AS total,
+    CAST(MAX(g._g) AS BIGINT) AS agree,
+    CAST(SUM(ra.row_n * cb.col_n) AS BIGINT) AS chance_w
+  FROM (
+    SELECT DISTINCT k FROM (SELECT a AS k FROM cells UNION
+                            SELECT b AS k FROM cells)
+  ) ks
+  JOIN (SELECT a, CAST(SUM(n) AS BIGINT) AS row_n FROM cells GROUP BY a) ra
+    ON ra.a = ks.k
+  JOIN (SELECT b, CAST(SUM(n) AS BIGINT) AS col_n FROM cells GROUP BY b) cb
+    ON cb.b = ks.k
+  CROSS JOIN (SELECT SUM(n) AS _t, SUM(CASE WHEN a = b THEN n ELSE 0 END)
+                AS _g FROM cells) g
+)
+SELECT total AS n_docs, agree AS n_agree,
+       CAST(agree AS DOUBLE) / total AS p_observed,
+       CAST(chance_w AS DOUBLE) / (CAST(total AS DOUBLE) * total) AS p_chance,
+       CASE WHEN total * total != chance_w THEN
+         (CAST(total AS DOUBLE) * agree - CAST(chance_w AS DOUBLE))
+         / (CAST(total AS DOUBLE) * total - CAST(chance_w AS DOUBLE))
+       ELSE NULL END AS kappa
+FROM marg
+""",
+    tags=("text", "llm", "evaluation"),
+)
+def q_docs_langid_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One document-grain count, two class-grain marginal joins over the
+    bounded label domain, one 1-row readout."""
+    base = REGISTRY["docs_lang_id"].builder(spark, sf_dir)
+    cells = base.groupBy(
+        F.col("labeled_lang").alias("a"), F.col("detected_lang").alias("b")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    from procurement_data_pipeline_spark.caching import scoped_persist as _sp
+
+    cells = _sp(cells)
+    rows = cells.groupBy("a").agg(F.sum("n").cast("long").alias("row_n"))
+    cols = cells.groupBy("b").agg(F.sum("n").cast("long").alias("col_n"))
+    ks = (
+        cells.select(F.col("a").alias("k"))
+        .union(cells.select(F.col("b").alias("k")))
+        .distinct()
+    )
+    chance = (
+        ks.join(rows, ks["k"] == rows["a"])
+        .join(cols, ks["k"] == cols["b"])
+        .agg(F.sum(F.col("row_n") * F.col("col_n")).cast("long").alias("chance_w"))
+    )
+    g = cells.agg(
+        F.sum("n").cast("long").alias("total"),
+        F.sum(F.when(F.col("a") == F.col("b"), F.col("n")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("agree"),
+    )
+    j = g.crossJoin(F.broadcast(chance))
+    total, agree, cw = F.col("total"), F.col("agree"), F.col("chance_w")
+    td = total.cast("double")
+    return j.select(
+        total.alias("n_docs"),
+        agree.alias("n_agree"),
+        (agree.cast("double") / total).alias("p_observed"),
+        (cw.cast("double") / (td * total)).alias("p_chance"),
+        F.when(
+            total * total != cw,
+            (td * agree - cw.cast("double")) / (td * total - cw.cast("double")),
+        ).alias("kappa"),
+    )
+
+
+_KS_SRC_A = "src0"
+_KS_SRC_B = "src1"
+
+
+@register(
+    "docs_ks_lengths",
+    # Two-sample Kolmogorov-Smirnov on document-length distributions
+    # between two sources — "did this source's length profile shift /
+    # differ" is the distribution-level curation check a mean can't see.
+    # ENTIRELY RATIONAL: D = max|F1 − F2| evaluated as the integer
+    # maximum of |c1·n2 − c2·n1| over the merged length grid (cumulative
+    # counts cross-multiplied — no per-step divisions to round), then ONE
+    # division and one IEEE sqrt for the scaled statistic.
+    oracle=f"""
+WITH pts AS (
+  SELECT n_chars AS x,
+         CAST(SUM(CASE WHEN source = '{_KS_SRC_A}' THEN 1 ELSE 0 END)
+              AS BIGINT) AS a,
+         CAST(SUM(CASE WHEN source = '{_KS_SRC_B}' THEN 1 ELSE 0 END)
+              AS BIGINT) AS b
+  FROM documents
+  WHERE source = '{_KS_SRC_A}' OR source = '{_KS_SRC_B}'
+  GROUP BY n_chars
+),
+cum AS (
+  SELECT x,
+         SUM(a) OVER (ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING
+                      AND CURRENT ROW) AS c1,
+         SUM(b) OVER (ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING
+                      AND CURRENT ROW) AS c2,
+         SUM(a) OVER () AS n1,
+         SUM(b) OVER () AS n2
+  FROM pts
+)
+SELECT CAST(MAX(n1) AS BIGINT) AS n1,
+       CAST(MAX(n2) AS BIGINT) AS n2,
+       CAST(MAX(abs(c1 * n2 - c2 * n1)) AS BIGINT) AS d_scaled,
+       CAST(MAX(abs(c1 * n2 - c2 * n1)) AS DOUBLE)
+         / (CAST(MAX(n1) AS DOUBLE) * MAX(n2)) AS d_stat,
+       CAST(MAX(abs(c1 * n2 - c2 * n1)) AS DOUBLE)
+         / (CAST(MAX(n1) AS DOUBLE) * MAX(n2))
+         * sqrt(CAST(MAX(n1) AS DOUBLE) * MAX(n2)
+                / (CAST(MAX(n1) AS DOUBLE) + MAX(n2))) AS ks_stat
+FROM cum
+""",
+    tags=("llm", "text", "statistics", "drift"),
+)
+def q_docs_ks_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One filtered count pass + cumulative windows over the bounded
+    length grid + a 1-row max — the ECDFs never materialize per document."""
+    docs = load_table(spark, sf_dir, "documents")
+    pts = (
+        docs.where(F.col("source").isin([_KS_SRC_A, _KS_SRC_B]))
+        .groupBy(F.col("n_chars").alias("x"))
+        .agg(
+            F.sum(F.when(F.col("source") == _KS_SRC_A, 1).otherwise(0))
+            .cast("long")
+            .alias("a"),
+            F.sum(F.when(F.col("source") == _KS_SRC_B, 1).otherwise(0))
+            .cast("long")
+            .alias("b"),
+        )
+    )
+    cumw = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, 0)
+    full = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    cum = pts.select(
+        F.sum("a").over(cumw).alias("c1"),
+        F.sum("b").over(cumw).alias("c2"),
+        F.sum("a").over(full).alias("n1"),
+        F.sum("b").over(full).alias("n2"),
+    )
+    diff = F.abs(F.col("c1") * F.col("n2") - F.col("c2") * F.col("n1"))
+    m = cum.agg(
+        F.max("n1").cast("long").alias("n1"),
+        F.max("n2").cast("long").alias("n2"),
+        F.max(diff).cast("long").alias("d_scaled"),
+    )
+    n1d = F.col("n1").cast("double")
+    d = F.col("d_scaled").cast("double") / (n1d * F.col("n2"))
+    return m.select(
+        "n1",
+        "n2",
+        "d_scaled",
+        d.alias("d_stat"),
+        (d * F.sqrt(n1d * F.col("n2") / (n1d + F.col("n2")))).alias("ks_stat"),
+    )
+
+
+_BURSTY_DF_MIN = 20
+_BURSTY_TOP = 20
+
+
+@register(
+    "docs_word_burstiness",
+    # Church-Gale word burstiness: content words clump (high
+    # variance-to-mean of within-document counts), function words spread
+    # evenly — a content-word detector that needs NO stopword list. Same
+    # exact-integer Fano machinery as events_user_burstiness, applied to
+    # the (word, doc) count relation; observed-doc form (docs containing
+    # the word), df reported so callers can renormalize with zeros.
+    oracle=f"""
+WITH wd AS (
+  SELECT w, doc_id, CAST(COUNT(*) AS BIGINT) AS x
+  FROM (SELECT doc_id, unnest(string_split({_NORM}, ' ')) AS w
+        FROM documents)
+  GROUP BY w, doc_id
+),
+m AS (
+  SELECT w AS word,
+         CAST(COUNT(*) AS BIGINT) AS df,
+         CAST(SUM(x) AS BIGINT) AS total_n,
+         CAST(SUM(x * x) AS BIGINT) AS sxx
+  FROM wd GROUP BY w HAVING COUNT(*) >= {_BURSTY_DF_MIN}
+)
+SELECT word, df, total_n,
+       ((df * CAST(sxx AS DOUBLE) - CAST(total_n AS DOUBLE) * total_n)
+          / (CAST(df AS DOUBLE) * (df - 1)))
+       / (CAST(total_n AS DOUBLE) / df) AS fano
+FROM m
+ORDER BY fano DESC, word ASC
+LIMIT {_BURSTY_TOP}
+""",
+    tags=("llm", "text", "diversity"),
+)
+def q_docs_word_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One explode + (word, doc) count + word-grain moments: vocabulary-
+    bounded shuffles, and the HAVING df ≥ 20 cut keeps the rank stage on
+    the common-word head, not the hapax tail."""
+    from procurement_data_pipeline_spark.llm_ops.text import words
+
+    docs = load_table(spark, sf_dir, "documents")
+    wd = (
+        docs.select("doc_id", F.explode(words("text")).alias("w"))
+        .groupBy("w", "doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("x"))
+    )
+    m = (
+        wd.groupBy(F.col("w").alias("word"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("df"),
+            F.sum("x").cast("long").alias("total_n"),
+            F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        )
+        .where(F.col("df") >= _BURSTY_DF_MIN)
+    )
+    df_, tn = F.col("df"), F.col("total_n")
+    var = (df_ * F.col("sxx").cast("double") - tn.cast("double") * tn) / (
+        df_.cast("double") * (df_ - 1)
+    )
+    fano = var / (tn.cast("double") / df_)
+    return (
+        m.select("word", "df", "total_n", fano.alias("fano"))
+        .orderBy(F.col("fano").desc(), F.col("word").asc())
+        .limit(_BURSTY_TOP)
+    )

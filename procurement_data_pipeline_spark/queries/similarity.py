@@ -10,7 +10,8 @@ from procurement_data_pipeline_spark.llm_ops.similarity import (
     label_centroids,
     lsh_ann,
 )
-from procurement_data_pipeline_spark.registry import register
+from procurement_data_pipeline_spark.caching import scoped_persist
+from procurement_data_pipeline_spark.registry import REGISTRY, register
 from procurement_data_pipeline_spark.sources.tables import load_table
 
 N_QUERY_VECS = 5
@@ -510,4 +511,214 @@ def q_emb_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         "pos",
         (F.col("rnk").cast("double") / (F.col("n") + 1)).alias("qn"),
+    )
+
+
+@register(
+    "emb_kmeans_silhouette",
+    # Simplified (centroid-based) silhouette for the k-means clustering —
+    # the clustering-quality readout (a = distance to own centroid, b =
+    # distance to the nearest OTHER centroid, s = (b−a)/max(a,b)). The
+    # full silhouette is all-pairs (O(n²)); the centroid form is the one
+    # that scales, and under the kmeans integer contract it is also
+    # hash-exact: integer squared distances, correctly-rounded IEEE sqrt,
+    # one subtraction and one division per point. Composes the DECLARED
+    # emb_kmeans oracle so the assignment can never drift. Emitted on the
+    # vec_id < 50 slice (flat scalars for the driver's canonicalizer).
+    oracle=f"""
+WITH asg AS ({{KMEANS}}),
+pts AS (
+  SELECT vec_id,
+         list_transform(embedding,
+                        v -> CAST(FLOOR(CAST(v AS DOUBLE) * 1000000) AS BIGINT)) AS p
+  FROM embeddings
+),
+pe AS (
+  SELECT vec_id, generate_subscripts(p, 1) AS pos, unnest(p) AS v FROM pts
+),
+cfinal AS (
+  SELECT asg.cluster, pe.pos,
+         CAST(FLOOR(CAST(SUM(pe.v) AS DOUBLE) / COUNT(*)) AS BIGINT) AS v
+  FROM asg JOIN pe USING (vec_id)
+  GROUP BY asg.cluster, pe.pos
+),
+dist AS (
+  SELECT pe.vec_id, c.cluster,
+         CAST(SUM((pe.v - c.v) * (pe.v - c.v)) AS BIGINT) AS d2
+  FROM pe JOIN cfinal c ON pe.pos = c.pos
+  GROUP BY pe.vec_id, c.cluster
+),
+ab AS (
+  SELECT d.vec_id, a.cluster,
+         sqrt(CAST(MAX(CASE WHEN d.cluster = a.cluster THEN d.d2 END)
+                   AS DOUBLE)) AS a_dist,
+         sqrt(CAST(MIN(CASE WHEN d.cluster != a.cluster THEN d.d2 END)
+                   AS DOUBLE)) AS b_dist
+  FROM dist d JOIN asg a ON a.vec_id = d.vec_id
+  GROUP BY d.vec_id, a.cluster
+)
+SELECT vec_id, cluster, a_dist, b_dist,
+       CASE WHEN GREATEST(a_dist, b_dist) > 0 THEN
+         (b_dist - a_dist) / GREATEST(a_dist, b_dist)
+       ELSE 0.0 END AS silhouette
+FROM ab WHERE vec_id < 50
+""".replace("{KMEANS}", REGISTRY["emb_kmeans"].oracle),
+    tags=("similarity", "llm", "clustering", "evaluation"),
+)
+def q_emb_kmeans_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Assignment reuses the declared kmeans builder; centroids are one
+    skinny posexplode aggregate; a/b distances are a points × k·d
+    broadcast projection — no point-pair join anywhere, which is exactly
+    why the centroid silhouette is the 100 TB form."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    asg = scoped_persist(REGISTRY["emb_kmeans"].builder(spark, sf_dir))
+    pe = scoped_persist(
+        emb.select(
+            "vec_id", F.posexplode("embedding").alias("pos0", "xf")
+        ).select(
+            "vec_id",
+            (F.col("pos0") + 1).alias("pos"),
+            F.floor(F.col("xf").cast("double") * 1000000).cast("long").alias("v"),
+        )
+    )
+    cfinal = (
+        asg.join(pe, "vec_id")
+        .groupBy("cluster", "pos")
+        .agg(
+            F.floor(
+                F.sum("v").cast("double") / F.count(F.lit(1))
+            ).cast("long").alias("cv")
+        )
+    )
+    dist = (
+        pe.join(F.broadcast(cfinal.withColumnRenamed("cluster", "c")), "pos")
+        .groupBy("vec_id", "c")
+        .agg(
+            F.sum((F.col("v") - F.col("cv")) * (F.col("v") - F.col("cv")))
+            .cast("long")
+            .alias("d2")
+        )
+    )
+    own = F.when(F.col("c") == F.col("cluster"), F.col("d2"))
+    other = F.when(F.col("c") != F.col("cluster"), F.col("d2"))
+    ab = (
+        dist.join(asg, "vec_id")
+        .groupBy("vec_id", "cluster")
+        .agg(
+            F.sqrt(F.max(own).cast("double")).alias("a_dist"),
+            F.sqrt(F.min(other).cast("double")).alias("b_dist"),
+        )
+    )
+    mx = F.greatest(F.col("a_dist"), F.col("b_dist"))
+    return ab.where(F.col("vec_id") < 50).select(
+        "vec_id",
+        "cluster",
+        "a_dist",
+        "b_dist",
+        F.when(mx > 0, (F.col("b_dist") - F.col("a_dist")) / mx)
+        .otherwise(F.lit(0.0))
+        .alias("silhouette"),
+    )
+
+
+@register(
+    "emb_label_centroid_drift",
+    # Embedding-distribution drift monitor: per label, the Euclidean
+    # distance between the centroids of the even- and odd-id halves of
+    # the corpus (two "batches" under a deterministic split — in
+    # production, yesterday's vs today's ingest). The per-dimension gap
+    # uses the common-denominator identity s1/n1 − s2/n2 =
+    # (s1·n2 − s2·n1)/(n1·n2): exact integers through ONE double division
+    # per dimension, then the 64 squared terms fold in pos order (the
+    # ordered-fold contract — double addition is order-dependent) and one
+    # correctly-rounded sqrt. A label whose halves disagree is a feature
+    # regression or an ingest mix shift.
+    oracle="""
+WITH pe AS (
+  SELECT label, vec_id % 2 AS half, generate_subscripts(embedding, 1) AS pos,
+         CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * 1000000) AS BIGINT) AS v
+  FROM embeddings
+),
+counts AS (
+  SELECT label,
+         CAST(COUNT(DISTINCT CASE WHEN half = 0 THEN vec_id END) AS BIGINT)
+           AS n_even,
+         CAST(COUNT(DISTINCT CASE WHEN half = 1 THEN vec_id END) AS BIGINT)
+           AS n_odd
+  FROM (SELECT label, vec_id, vec_id % 2 AS half FROM embeddings)
+  GROUP BY label
+),
+sums AS (
+  SELECT label, pos,
+         CAST(SUM(CASE WHEN half = 0 THEN v ELSE 0 END) AS BIGINT) AS s1,
+         CAST(SUM(CASE WHEN half = 1 THEN v ELSE 0 END) AS BIGINT) AS s2
+  FROM pe GROUP BY label, pos
+),
+terms AS (
+  SELECT s.label, s.pos, c.n_even, c.n_odd,
+         CAST(s.s1 * c.n_odd - s.s2 * c.n_even AS DOUBLE)
+           / (CAST(c.n_even AS DOUBLE) * c.n_odd) AS t
+  FROM sums s JOIN counts c ON c.label = s.label
+  WHERE c.n_even > 0 AND c.n_odd > 0
+)
+SELECT label, n_even, n_odd,
+       sqrt(list_reduce(list(t * t ORDER BY pos), (a, b) -> a + b)) / 1000000.0
+         AS centroid_drift
+FROM terms
+GROUP BY label, n_even, n_odd
+""",
+    tags=("similarity", "llm", "monitoring", "drift"),
+)
+def q_emb_label_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One posexplode + one (label, pos) aggregate + a label-grain fold
+    over d terms — no vector pairs, no re-scan: drift monitoring at the
+    cost of one skinny aggregation regardless of corpus size."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    half = (F.col("vec_id") % 2).alias("half")
+    counts = emb.select("label", "vec_id", half).groupBy("label").agg(
+        F.count_distinct(F.when(F.col("half") == 0, F.col("vec_id")))
+        .cast("long")
+        .alias("n_even"),
+        F.count_distinct(F.when(F.col("half") == 1, F.col("vec_id")))
+        .cast("long")
+        .alias("n_odd"),
+    )
+    pe = emb.select(
+        "label", half, F.posexplode("embedding").alias("pos0", "xf")
+    ).select(
+        "label",
+        "half",
+        (F.col("pos0") + 1).alias("pos"),
+        F.floor(F.col("xf").cast("double") * 1000000).cast("long").alias("v"),
+    )
+    zero = F.lit(0).cast("long")
+    sums = pe.groupBy("label", "pos").agg(
+        F.sum(F.when(F.col("half") == 0, F.col("v")).otherwise(zero))
+        .cast("long")
+        .alias("s1"),
+        F.sum(F.when(F.col("half") == 1, F.col("v")).otherwise(zero))
+        .cast("long")
+        .alias("s2"),
+    )
+    t = (F.col("s1") * F.col("n_odd") - F.col("s2") * F.col("n_even")).cast(
+        "double"
+    ) / (F.col("n_even").cast("double") * F.col("n_odd"))
+    terms = (
+        sums.join(F.broadcast(counts), "label")
+        .where((F.col("n_even") > 0) & (F.col("n_odd") > 0))
+        .select("label", "n_even", "n_odd", "pos", t.alias("t"))
+    )
+    return terms.groupBy("label", "n_even", "n_odd").agg(
+        (
+            F.sqrt(
+                F.aggregate(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("pos"), F.col("t")))
+                    ),
+                    F.lit(0.0),
+                    lambda acc, s: acc + s["t"] * s["t"],
+                )
+            )
+            / F.lit(1000000.0)
+        ).alias("centroid_drift")
     )

@@ -377,3 +377,291 @@ def test_nelson_aalen_vs_kaplan_meier(spark, sf_dir):
     for key, r in na.items():
         assert math.exp(-r["cum_hazard"]) >= km[key]["survival"] - 1e-12
         assert r["var_breslow"] >= 0
+
+
+# ---------------------------------------------------------------------------
+# batch 6: AUC / silhouette / runs / ACF / crossdup
+
+
+def test_auc_python_replay(spark, sf_dir):
+    """AUC must equal the tie-aware pair-counting definition computed in
+    plain Python over the classifier's own output."""
+    reg = load_all()
+    base = reg["emb_knn_classify"].builder(spark, sf_dir).collect()
+    pos = [r["votes"] for r in base if r["correct"] == 1]
+    neg = [r["votes"] for r in base if r["correct"] == 0]
+    (row,) = reg["emb_knn_auc"].builder(spark, sf_dir).collect()
+    assert (row["n_pos"], row["n_neg"]) == (len(pos), len(neg))
+    if pos and neg:
+        wins = sum(1 for p in pos for q in neg if p > q)
+        ties = sum(1 for p in pos for q in neg if p == q)
+        expected = (wins + 0.5 * ties) / (len(pos) * len(neg))
+        assert row["auc"] == pytest.approx(expected, rel=1e-12)
+        assert 0.0 <= row["auc"] <= 1.0
+
+
+def test_silhouette_range_and_assignment_consistency(spark, sf_dir):
+    reg = load_all()
+    sil = reg["emb_kmeans_silhouette"].builder(spark, sf_dir).collect()
+    asg = {
+        r["vec_id"]: r["cluster"]
+        for r in reg["emb_kmeans"].builder(spark, sf_dir).collect()
+    }
+    assert sil
+    for r in sil:
+        assert r["cluster"] == asg[r["vec_id"]]
+        assert -1.0 - 1e-12 <= r["silhouette"] <= 1.0 + 1e-12
+        assert r["a_dist"] >= 0 and r["b_dist"] >= 0
+
+
+def test_runs_test_python_replay(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from procurement_data_pipeline_spark.queries.featurestats import (
+        _RUNS_THRESHOLD,
+    )
+    from procurement_data_pipeline_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    seq = [
+        1 if r["value"] >= _RUNS_THRESHOLD else 0
+        for r in ev.where(F.col("event_type") == "view")
+        .select("value", "ts", "event_id")
+        .orderBy("ts", "event_id")
+        .collect()
+    ]
+    runs = 1 + sum(1 for a, b in zip(seq, seq[1:]) if a != b)
+    row = next(
+        r
+        for r in load_all()["events_value_runs_test"].builder(spark, sf_dir).collect()
+        if r["event_type"] == "view"
+    )
+    assert row["runs"] == runs
+    assert row["n1"] == sum(seq)
+    assert row["n0"] == len(seq) - sum(seq)
+
+
+def test_acf_bounds(spark, sf_dir):
+    rows = load_all()["orders_revenue_acf"].builder(spark, sf_dir).collect()
+    assert {r["lag"] for r in rows} == set(range(1, 8))
+    for r in rows:
+        assert r["n_pairs"] > 0
+        if r["acf"] is not None:
+            assert -1.0 - 1e-9 <= r["acf"] <= 1.0 + 1e-9
+
+
+def test_crossdup_matrix_conserves_pairs(spark, sf_dir):
+    reg = load_all()
+    pairs = reg["docs_ngram_jaccard_pairs"].builder(spark, sf_dir).collect()
+    mat = reg["docs_crossdup_matrix"].builder(spark, sf_dir).collect()
+    assert sum(r["n_pairs"] for r in mat) == len(pairs)
+    for r in mat:
+        assert r["source_a"] <= r["source_b"]
+        assert 0.0 <= r["min_jaccard"] <= r["max_jaccard"] <= 1.0
+
+
+# ---------------------------------------------------------------------------
+# batch 7: centroid drift / stickiness / power
+
+
+def test_centroid_drift_python_replay(spark, sf_dir):
+    from collections import defaultdict
+
+    from procurement_data_pipeline_spark.sources.tables import load_table
+
+    rows = load_table(spark, sf_dir, "embeddings").collect()
+    sums = defaultdict(lambda: [[0] * 64, [0] * 64])
+    counts = defaultdict(lambda: [0, 0])
+    for r in rows:
+        h = r["vec_id"] % 2
+        counts[r["label"]][h] += 1
+        for i, x in enumerate(r["embedding"]):
+            sums[r["label"]][h][i] += math.floor(float(x) * 1000000)
+    got = {
+        r["label"]: r
+        for r in load_all()["emb_label_centroid_drift"].builder(spark, sf_dir).collect()
+    }
+    for label, (n0, n1) in counts.items():
+        if n0 == 0 or n1 == 0:
+            assert label not in got
+            continue
+        s0, s1 = sums[label]
+        d2 = sum(((a * n1 - b * n0) / (n0 * n1)) ** 2 for a, b in zip(s0, s1))
+        r = got[label]
+        assert (r["n_even"], r["n_odd"]) == (n0, n1)
+        assert r["centroid_drift"] == pytest.approx(
+            math.sqrt(d2) / 1e6, rel=1e-9
+        )
+
+
+def test_stickiness_bounds_and_dau_wau_order(spark, sf_dir):
+    rows = load_all()["events_stickiness_dau_wau"].builder(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 < r["dau"] <= r["wau"]
+        assert 0.0 < r["stickiness"] <= 1.0
+        assert r["stickiness"] == pytest.approx(r["dau"] / r["wau"], abs=0)
+
+
+def test_power_formula_replay(spark, sf_dir):
+    from procurement_data_pipeline_spark.queries.evaluation import _POWER_C
+
+    (r,) = load_all()["events_ab_power"].builder(spark, sf_dir).collect()
+    # var and mean are reported in squared/base units; the formula is
+    # scale-invariant so it must reproduce from the reported columns
+    expected = r["var_post"] * _POWER_C / (r["mean_post"] * r["mean_post"])
+    assert r["needed_per_arm"] == pytest.approx(expected, rel=1e-9)
+    assert r["needed_per_arm_ceil"] == math.ceil(r["needed_per_arm"])
+    assert r["needed_per_arm"] > 0
+
+
+# ---------------------------------------------------------------------------
+# batch 8: langid eval / two-NN
+
+
+def test_langid_confusion_conserves_docs(spark, sf_dir):
+    reg = load_all()
+    base = reg["docs_lang_id"].builder(spark, sf_dir).collect()
+    mat = reg["docs_langid_confusion"].builder(spark, sf_dir).collect()
+    assert sum(r["n"] for r in mat) == len(base)
+    from collections import Counter
+
+    rows = Counter(r["labeled_lang"] for r in base)
+    for r in mat:
+        assert r["row_share"] == pytest.approx(
+            r["n"] / rows[r["labeled_lang"]], abs=0
+        )
+
+
+def test_kappa_python_replay(spark, sf_dir):
+    from collections import Counter
+
+    reg = load_all()
+    base = reg["docs_lang_id"].builder(spark, sf_dir).collect()
+    n = len(base)
+    agree = sum(1 for r in base if r["labeled_lang"] == r["detected_lang"])
+    rows = Counter(r["labeled_lang"] for r in base)
+    cols = Counter(r["detected_lang"] for r in base)
+    chance_w = sum(rows[k] * cols.get(k, 0) for k in rows)
+    (row,) = reg["docs_langid_kappa"].builder(spark, sf_dir).collect()
+    assert (row["n_docs"], row["n_agree"]) == (n, agree)
+    assert row["p_observed"] == pytest.approx(agree / n, abs=0)
+    assert row["p_chance"] == pytest.approx(chance_w / (n * n), rel=1e-15)
+    expected = (n * agree - chance_w) / (n * n - chance_w)
+    assert row["kappa"] == pytest.approx(expected, rel=1e-12)
+    assert row["kappa"] <= 1.0
+
+
+def test_twonn_mu_contract(spark, sf_dir):
+    """d₁ ≤ d₂ by rank construction, μ² ≥ 1, and the top-2 distances
+    replay exactly from a brute-force Python scan for one query."""
+    rows = load_all()["emb_twonn_mu"].builder(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["d2_1"] <= r["d2_2"]
+        if r["mu_sq"] is not None:
+            assert r["mu_sq"] >= 1.0
+    import math as _m
+
+    from procurement_data_pipeline_spark.sources.tables import load_table
+
+    emb = {
+        e["vec_id"]: [_m.floor(float(x) * 1000000) for x in e["embedding"]]
+        for e in load_table(spark, sf_dir, "embeddings").collect()
+    }
+    qid = rows[0]["query_id"]
+    qv = emb[qid]
+    d2s = sorted(
+        sum((a - b) ** 2 for a, b in zip(qv, v, strict=True))
+        for k, v in emb.items()
+        if k != qid
+    )
+    got = next(r for r in rows if r["query_id"] == qid)
+    assert (got["d2_1"], got["d2_2"]) == (d2s[0], d2s[1])
+
+
+# ---------------------------------------------------------------------------
+# batch 9: KS / word burstiness / Spearman / assortativity
+
+
+def test_ks_python_replay(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from procurement_data_pipeline_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    rows = docs.where(F.col("source").isin(["src0", "src1"])).select(
+        "source", "n_chars"
+    ).collect()
+    xa = sorted(r["n_chars"] for r in rows if r["source"] == "src0")
+    xb = sorted(r["n_chars"] for r in rows if r["source"] == "src1")
+    grid = sorted(set(xa) | set(xb))
+    import bisect
+
+    d_scaled = max(
+        abs(bisect.bisect_right(xa, x) * len(xb) - bisect.bisect_right(xb, x) * len(xa))
+        for x in grid
+    )
+    (row,) = load_all()["docs_ks_lengths"].builder(spark, sf_dir).collect()
+    assert (row["n1"], row["n2"]) == (len(xa), len(xb))
+    assert row["d_scaled"] == d_scaled
+    assert 0.0 <= row["d_stat"] <= 1.0
+
+
+def test_word_burstiness_fano_definition(spark, sf_dir):
+    rows = load_all()["docs_word_burstiness"].builder(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["df"] >= 20
+        assert r["total_n"] >= r["df"]
+        assert r["fano"] >= 0
+    fanos = [r["fano"] for r in rows]
+    assert all(a >= b - 1e-15 for a, b in zip(fanos, fanos[1:]))
+
+
+def test_spearman_python_replay(spark, sf_dir):
+    import math as _m
+
+    from pyspark.sql import functions as F
+
+    from procurement_data_pipeline_spark.sources.tables import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    pp = (
+        li.groupBy("l_partkey")
+        .agg(
+            F.sum(F.floor(F.col("l_extendedprice") * 100).cast("long")).alias("rev"),
+            F.sum(F.floor(F.col("l_quantity")).cast("long")).alias("qty"),
+        )
+        .collect()
+    )
+
+    def ranks2(vals):
+        s = sorted(vals)
+        first, cnt = {}, {}
+        for i, v in enumerate(s, start=1):
+            first.setdefault(v, i)
+            cnt[v] = cnt.get(v, 0) + 1
+        return [2 * first[v] + cnt[v] - 1 for v in vals]
+
+    rx = ranks2([r["rev"] for r in pp])
+    ry = ranks2([r["qty"] for r in pp])
+    n = len(pp)
+    sx, sy = sum(rx), sum(ry)
+    sxy = sum(a * b for a, b in zip(rx, ry))
+    sxx = sum(a * a for a in rx)
+    syy = sum(b * b for b in ry)
+    expected = (n * sxy - sx * sy) / (
+        _m.sqrt(n * sxx - sx * sx) * _m.sqrt(n * syy - sy * sy)
+    )
+    (row,) = load_all()["part_price_qty_spearman"].builder(spark, sf_dir).collect()
+    assert row["n_parts"] == n
+    assert row["spearman_rho"] == pytest.approx(expected, rel=1e-12)
+    assert -1.0 <= row["spearman_rho"] <= 1.0
+
+
+def test_assortativity_range(spark, sf_dir):
+    (row,) = load_all()["part_graph_assortativity"].builder(spark, sf_dir).collect()
+    assert row["n_edges"] > 0
+    if row["assortativity"] is not None:
+        assert -1.0 - 1e-9 <= row["assortativity"] <= 1.0 + 1e-9

@@ -71,6 +71,10 @@ BNLJ_ALLOWED = {
     "orders_weekday_index",  # broadcast single-row global-average scalar
     "emb_knn_calibration",  # consumes emb_knn_classify's broadcast-queries kNN shape
     "events_ab_mannwhitney",  # broadcast single-row tie-correction scalar
+    "emb_knn_auc",  # consumes emb_knn_classify's broadcast-queries kNN shape
+    "orders_revenue_acf",  # broadcast 7-row lag dimension × day grain
+    "emb_twonn_mu",  # broadcast-queries distance scan (emb_knn_classify shape)
+    "docs_langid_kappa",  # broadcast single-row chance-agreement scalar
 }
 
 SF_DIR = "/root/testdata/sf0.001"
