@@ -257,6 +257,12 @@ GRADE_OVERFLOW = frozenset(
         "docs_word_burstiness",
         "part_price_qty_spearman",
         "part_graph_assortativity",
+        "events_value_changepoint",
+        "events_ab_qte",
+        "part_multi_sourcing",
+        "events_ab_did",
+        "events_ab_srm",
+        "events_load_factor_daily",
     }
 )
 

@@ -537,3 +537,61 @@ def q_part_price_qty_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sqrt(n * sxxd - sxd * sxd) * F.sqrt(n * syyd - syd * syd)
     )
     return m.select(n.alias("n_parts"), rho.alias("spearman_rho"))
+
+
+@register(
+    "part_multi_sourcing",
+    # Sourcing-redundancy profile: how many parts are single-, dual-, or
+    # multi-sourced (distinct shipping suppliers per part) — the supply-
+    # risk summary procurement reviews track. Buckets and shares are
+    # exact integers / single divisions.
+    oracle="""
+WITH per_part AS (
+  SELECT l_partkey, CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS n_suppliers
+  FROM lineitem GROUP BY l_partkey
+),
+b AS (
+  SELECT CASE WHEN n_suppliers = 1 THEN 'single'
+              WHEN n_suppliers = 2 THEN 'dual'
+              ELSE 'multi' END AS sourcing,
+         n_suppliers
+  FROM per_part
+),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_parts FROM per_part)
+SELECT b.sourcing,
+       CAST(COUNT(*) AS BIGINT) AS n_parts,
+       CAST(MIN(b.n_suppliers) AS BIGINT) AS min_suppliers,
+       CAST(MAX(b.n_suppliers) AS BIGINT) AS max_suppliers,
+       CAST(COUNT(*) AS DOUBLE) / MAX(t.n_parts) AS part_share
+FROM b CROSS JOIN tot t
+GROUP BY b.sourcing
+""",
+    tags=("part", "supplier", "risk"),
+)
+def q_part_multi_sourcing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One (part, supplier) distinct + part-grain count + 3-bucket rollup
+    with a 1-row total broadcast."""
+    li = load_table(spark, sf_dir, "lineitem")
+    per_part = li.groupBy("l_partkey").agg(
+        F.countDistinct("l_suppkey").cast("long").alias("n_suppliers")
+    )
+    b = per_part.select(
+        F.when(F.col("n_suppliers") == 1, "single")
+        .when(F.col("n_suppliers") == 2, "dual")
+        .otherwise("multi")
+        .alias("sourcing"),
+        "n_suppliers",
+    )
+    tot = per_part.agg(F.count(F.lit(1)).cast("long").alias("n_parts_total"))
+    return (
+        b.crossJoin(F.broadcast(tot))
+        .groupBy("sourcing")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_parts"),
+            F.min("n_suppliers").cast("long").alias("min_suppliers"),
+            F.max("n_suppliers").cast("long").alias("max_suppliers"),
+            (F.count(F.lit(1)).cast("double") / F.max("n_parts_total")).alias(
+                "part_share"
+            ),
+        )
+    )

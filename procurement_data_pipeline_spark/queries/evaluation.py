@@ -748,3 +748,198 @@ def q_events_ab_power(spark: SparkSession, sf_dir: str) -> DataFrame:
             "needed_per_arm_ceil"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# events_ab_qte
+
+
+@register(
+    "events_ab_qte",
+    # Quantile treatment effects: decile-wise A−B differences of the
+    # per-user post-period distribution — the DISTRIBUTIONAL readout a
+    # mean difference hides (a lift concentrated in whales looks identical
+    # to a broad small lift in the mean; QTE separates them). Each decile
+    # value is a pure ORDER STATISTIC (element_at over the sorted per-arm
+    # values at index ⌈q·n/10⌉ — exact integer index arithmetic), so the
+    # whole readout is hash-exact with zero interpolation.
+    oracle=f"""
+WITH per_user AS (
+  SELECT {_ARM_CASE_SQL} AS arm,
+         SUM(CASE WHEN ts >= TIMESTAMP '{_SPLIT} 00:00:00'
+                  THEN CAST(FLOOR(value * 1000000) AS BIGINT) ELSE 0 END) AS y
+  FROM events GROUP BY user_id
+),
+arms AS (
+  SELECT arm, list_sort(list(y)) AS ys, CAST(COUNT(*) AS BIGINT) AS n
+  FROM per_user GROUP BY arm
+),
+q AS (SELECT UNNEST(range(1, 10)) AS decile),
+vals AS (
+  SELECT q.decile, a.arm,
+         list_extract(a.ys,
+           CAST(CEIL(q.decile * a.n / 10.0) AS INT)) AS y_q
+  FROM arms a CROSS JOIN q
+)
+SELECT decile,
+       MAX(CASE WHEN arm = 'A' THEN y_q END) / 1000000.0 AS y_a,
+       MAX(CASE WHEN arm = 'B' THEN y_q END) / 1000000.0 AS y_b,
+       (MAX(CASE WHEN arm = 'A' THEN y_q END)
+        - MAX(CASE WHEN arm = 'B' THEN y_q END)) / 1000000.0 AS qte
+FROM vals GROUP BY decile
+""",
+    tags=("events", "experiment", "quantile"),
+)
+def q_events_ab_qte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One user_id shuffle + one 2-row per-arm sorted fold. The per-arm
+    collect is USER-grain (the unit of randomization, product-bounded far
+    below fact volume); at populations where even that list is too wide,
+    the ntile-grouped exact-decile form (events_value_deciles) is the
+    drop-in — documented tradeoff, same statistic."""
+    ev = load_table(spark, sf_dir, "events")
+    vm = F.floor(F.col("value") * 1000000).cast("long")
+    split = F.lit(_SPLIT).cast("timestamp")
+    per_user = ev.groupBy("user_id").agg(
+        F.sum(F.when(F.col("ts") >= split, vm).otherwise(F.lit(0))).alias("y")
+    ).select(_arm_col().alias("arm"), "y")
+    arms = per_user.groupBy("arm").agg(
+        F.sort_array(F.collect_list("y")).alias("ys"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    deciles = spark.createDataFrame([(d,) for d in range(1, 10)], "decile int")
+    y_q = F.element_at(
+        "ys", F.ceil(F.col("decile") * F.col("n") / F.lit(10.0)).cast("int")
+    )
+    vals = arms.crossJoin(F.broadcast(deciles)).select(
+        "decile", "arm", y_q.alias("y_q")
+    )
+    ya = F.max(F.when(F.col("arm") == "A", F.col("y_q")))
+    yb = F.max(F.when(F.col("arm") == "B", F.col("y_q")))
+    return vals.groupBy("decile").agg(
+        (ya / F.lit(1000000.0)).alias("y_a"),
+        (yb / F.lit(1000000.0)).alias("y_b"),
+        ((ya - yb) / F.lit(1000000.0)).alias("qte"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# events_ab_did / events_ab_srm
+
+
+@register(
+    "events_ab_did",
+    # Difference-in-differences: (post−pre)_A − (post−pre)_B over per-user
+    # sums — the estimator that nets out pre-existing level differences
+    # between arms (the bias a raw post-mean diff inherits whenever
+    # randomization is imperfect or the metric is sticky). All four cell
+    # means are exact-integer ratios; the DiD is three IEEE subtractions
+    # in pinned order.
+    oracle=f"""
+WITH per_user AS (
+  SELECT {_ARM_CASE_SQL} AS arm,
+         SUM(CASE WHEN ts < TIMESTAMP '{_SPLIT} 00:00:00'
+                  THEN CAST(FLOOR(value * 1000000) AS BIGINT) ELSE 0 END) AS x,
+         SUM(CASE WHEN ts >= TIMESTAMP '{_SPLIT} 00:00:00'
+                  THEN CAST(FLOOR(value * 1000000) AS BIGINT) ELSE 0 END) AS y
+  FROM events GROUP BY user_id
+),
+m AS (
+  SELECT arm,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx,
+         CAST(SUM(y) AS BIGINT) AS sy
+  FROM per_user GROUP BY arm
+)
+SELECT
+  MAX(CASE WHEN arm = 'A' THEN n END) AS n_a,
+  MAX(CASE WHEN arm = 'B' THEN n END) AS n_b,
+  (MAX(CASE WHEN arm = 'A' THEN CAST(sy AS DOUBLE) / n END)
+   - MAX(CASE WHEN arm = 'A' THEN CAST(sx AS DOUBLE) / n END)) / 1000000.0
+    AS delta_a,
+  (MAX(CASE WHEN arm = 'B' THEN CAST(sy AS DOUBLE) / n END)
+   - MAX(CASE WHEN arm = 'B' THEN CAST(sx AS DOUBLE) / n END)) / 1000000.0
+    AS delta_b,
+  ((MAX(CASE WHEN arm = 'A' THEN CAST(sy AS DOUBLE) / n END)
+    - MAX(CASE WHEN arm = 'A' THEN CAST(sx AS DOUBLE) / n END))
+   - (MAX(CASE WHEN arm = 'B' THEN CAST(sy AS DOUBLE) / n END)
+      - MAX(CASE WHEN arm = 'B' THEN CAST(sx AS DOUBLE) / n END))) / 1000000.0
+    AS did
+FROM m
+""",
+    tags=("events", "experiment", "did"),
+)
+def q_events_ab_did(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One user_id shuffle, one 2-row arm aggregate, one 1-row pivot."""
+    ev = load_table(spark, sf_dir, "events")
+    vm = F.floor(F.col("value") * 1000000).cast("long")
+    split = F.lit(_SPLIT).cast("timestamp")
+    per_user = ev.groupBy("user_id").agg(
+        F.sum(F.when(F.col("ts") < split, vm).otherwise(F.lit(0))).alias("x"),
+        F.sum(F.when(F.col("ts") >= split, vm).otherwise(F.lit(0))).alias("y"),
+    ).select(_arm_col().alias("arm"), "x", "y")
+    m = per_user.groupBy("arm").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+    )
+
+    def cell(arm, col):
+        return F.max(
+            F.when(
+                F.col("arm") == arm, F.col(col).cast("double") / F.col("n")
+            )
+        )
+
+    da = cell("A", "sy") - cell("A", "sx")
+    db = cell("B", "sy") - cell("B", "sx")
+    return m.agg(
+        F.max(F.when(F.col("arm") == "A", F.col("n"))).alias("n_a"),
+        F.max(F.when(F.col("arm") == "B", F.col("n"))).alias("n_b"),
+        (da / F.lit(1000000.0)).alias("delta_a"),
+        (db / F.lit(1000000.0)).alias("delta_b"),
+        ((da - db) / F.lit(1000000.0)).alias("did"),
+    )
+
+
+@register(
+    "events_ab_srm",
+    # Sample-ratio mismatch — the FIRST check any experiment readout must
+    # pass: under a 50/50 md5 split, is the realized arm imbalance within
+    # chance? χ² for two equal-expectation cells reduces to (n_a−n_b)²/N —
+    # one division of exact integers. The flag pins the 3.84 critical
+    # value (χ²₁ at α=0.05) as a literal; an SRM-flagged experiment's
+    # other readouts (CUPED, Welch, DiD) are untrustworthy by policy.
+    oracle=f"""
+WITH per_user AS (
+  SELECT DISTINCT user_id, {_ARM_CASE_SQL} AS arm FROM events
+),
+c AS (
+  SELECT CAST(SUM(CASE WHEN arm = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+         CAST(SUM(CASE WHEN arm = 'B' THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+  FROM per_user
+)
+SELECT n_a, n_b,
+       CAST((n_a - n_b) * (n_a - n_b) AS DOUBLE) / (n_a + n_b) AS chi2,
+       CAST(CASE WHEN CAST((n_a - n_b) * (n_a - n_b) AS DOUBLE)
+                      / (n_a + n_b) > 3.841458820694124
+                 THEN 1 ELSE 0 END AS INTEGER) AS srm_flag
+FROM c
+""",
+    tags=("events", "experiment", "quality-gate"),
+)
+def q_events_ab_srm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One distinct-user pass + one 1-row count readout."""
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.select("user_id").distinct().select(_arm_col().alias("arm"))
+    c = per_user.agg(
+        F.sum(F.when(F.col("arm") == "A", 1).otherwise(0)).cast("long").alias("n_a"),
+        F.sum(F.when(F.col("arm") == "B", 1).otherwise(0)).cast("long").alias("n_b"),
+    )
+    na, nb = F.col("n_a"), F.col("n_b")
+    chi2 = ((na - nb) * (na - nb)).cast("double") / (na + nb)
+    return c.select(
+        "n_a",
+        "n_b",
+        chi2.alias("chi2"),
+        F.when(chi2 > 3.841458820694124, 1).otherwise(0).cast("int").alias("srm_flag"),
+    )

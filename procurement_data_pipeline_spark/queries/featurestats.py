@@ -614,3 +614,42 @@ def q_emb_twonn_mu(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("d2_1") > 0, F.col("d2_2").cast("double") / F.col("d2_1")
         ).alias("mu_sq"),
     )
+
+
+@register(
+    "events_load_factor_daily",
+    # Peak-to-mean load factor per day: max hourly event count over the
+    # day's mean hourly count (over OBSERVED hours) — the capacity-planning
+    # number ("how much headroom does peak need over average"). Exact
+    # integer counts; the factor is peak·h / total — integer products
+    # through ONE division.
+    oracle="""
+WITH hourly AS (
+  SELECT CAST(ts AS DATE) AS day, date_part('hour', ts) AS hr,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY CAST(ts AS DATE), date_part('hour', ts)
+)
+SELECT day,
+       CAST(COUNT(*) AS BIGINT) AS n_hours,
+       CAST(SUM(n) AS BIGINT) AS n_events,
+       CAST(MAX(n) AS BIGINT) AS peak_hour_events,
+       CAST(MAX(n) * COUNT(*) AS DOUBLE) / SUM(n) AS load_factor
+FROM hourly GROUP BY day
+""",
+    tags=("events", "capacity", "operations"),
+)
+def q_events_load_factor_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One (day, hour) count + one day-grain combine — both map-side
+    combinable; no window, no join."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.col("ts").cast("date").alias("day"), F.hour("ts").alias("hr")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    return hourly.groupBy("day").agg(
+        F.count(F.lit(1)).cast("long").alias("n_hours"),
+        F.sum("n").cast("long").alias("n_events"),
+        F.max("n").cast("long").alias("peak_hour_events"),
+        (
+            (F.max("n") * F.count(F.lit(1))).cast("double") / F.sum("n")
+        ).alias("load_factor"),
+    )

@@ -619,3 +619,110 @@ def q_events_value_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.lit(1000000.0)
         ).alias("twap"),
     )
+
+
+@register(
+    "events_value_changepoint",
+    # Single best changepoint per event type (binary-segmentation step 1):
+    # the split of the daily series maximizing the between-segment score
+    # S₁²/n₁ + S₂²/n₂ (equivalent to minimizing within-segment SSE —
+    # identical argmax, no variance terms needed). Prefix sums are exact
+    # integers; each candidate's score is two divisions of squared double
+    # casts in pinned order, and the argmax breaks ties on the earlier
+    # day — so both engines elect the identical split. The candidate
+    # relation is the CALENDAR-bounded day grain.
+    oracle="""
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         CAST(SUM(CAST(FLOOR(value * 1000000) AS BIGINT)) AS BIGINT) AS vm
+  FROM events GROUP BY event_type, CAST(ts AS DATE)
+),
+pre AS (
+  SELECT event_type, day, vm,
+         CAST(SUM(vm) OVER (PARTITION BY event_type ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS s1,
+         CAST(ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day)
+              AS BIGINT) AS i,
+         CAST(SUM(vm) OVER (PARTITION BY event_type) AS BIGINT) AS s,
+         CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS d
+  FROM daily
+),
+scored AS (
+  SELECT event_type, day, i AS n_left, d - i AS n_right, s1, s - s1 AS s2,
+         CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / i
+           + CAST(s - s1 AS DOUBLE) * CAST(s - s1 AS DOUBLE) / (d - i)
+           AS score
+  FROM pre WHERE i < d
+),
+best AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+                               ORDER BY score DESC, day ASC) AS rn
+  FROM scored
+)
+SELECT event_type, day AS split_day,
+       n_left, n_right,
+       CAST(s1 AS DOUBLE) / n_left / 1000000.0 AS mean_left,
+       CAST(s2 AS DOUBLE) / n_right / 1000000.0 AS mean_right
+FROM best WHERE rn = 1
+""",
+    tags=("events", "timeseries", "changepoint"),
+)
+def q_events_value_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One fact collapse to the (type, day) grain, prefix windows, and a
+    rank over the calendar-bounded candidates — the level-shift detector
+    that complements events_cusum_drift (which tests a KNOWN reference;
+    this finds the most likely shift POINT)."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy("event_type", F.col("ts").cast("date").alias("day")).agg(
+        F.sum(F.floor(F.col("value") * 1000000).cast("long")).alias("vm")
+    )
+    wcum = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wall = Window.partitionBy("event_type")
+    pre = daily.select(
+        "event_type",
+        "day",
+        F.sum("vm").over(wcum).cast("long").alias("s1"),
+        F.row_number()
+        .over(Window.partitionBy("event_type").orderBy("day"))
+        .cast("long")
+        .alias("i"),
+        F.sum("vm").over(wall).cast("long").alias("s"),
+        F.count(F.lit(1)).over(wall).cast("long").alias("d"),
+    )
+    s2 = F.col("s") - F.col("s1")
+    score = F.col("s1").cast("double") * F.col("s1").cast("double") / F.col("i") + s2.cast(
+        "double"
+    ) * s2.cast("double") / (F.col("d") - F.col("i"))
+    scored = pre.where(F.col("i") < F.col("d")).select(
+        "event_type",
+        "day",
+        F.col("i").alias("n_left"),
+        (F.col("d") - F.col("i")).alias("n_right"),
+        "s1",
+        s2.alias("s2"),
+        score.alias("score"),
+    )
+    wbest = Window.partitionBy("event_type").orderBy(
+        F.col("score").desc(), F.col("day").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(wbest))
+        .where(F.col("rn") == 1)
+        .select(
+            "event_type",
+            F.col("day").alias("split_day"),
+            "n_left",
+            "n_right",
+            (F.col("s1").cast("double") / F.col("n_left") / F.lit(1000000.0)).alias(
+                "mean_left"
+            ),
+            (F.col("s2").cast("double") / F.col("n_right") / F.lit(1000000.0)).alias(
+                "mean_right"
+            ),
+        )
+    )

@@ -665,3 +665,119 @@ def test_assortativity_range(spark, sf_dir):
     assert row["n_edges"] > 0
     if row["assortativity"] is not None:
         assert -1.0 - 1e-9 <= row["assortativity"] <= 1.0 + 1e-9
+
+
+# ---------------------------------------------------------------------------
+# batch 10: changepoint / QTE / multi-sourcing
+
+
+def test_changepoint_python_replay(spark, sf_dir):
+    from collections import defaultdict
+
+    from pyspark.sql import functions as F
+
+    from procurement_data_pipeline_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy("event_type", F.col("ts").cast("date").alias("day"))
+        .agg(F.sum(F.floor(F.col("value") * 1000000).cast("long")).alias("vm"))
+        .collect()
+    )
+    series = defaultdict(list)
+    for r in daily:
+        series[r["event_type"]].append((r["day"], r["vm"]))
+    got = {
+        r["event_type"]: r
+        for r in load_all()["events_value_changepoint"].builder(spark, sf_dir).collect()
+    }
+    for et, pts in series.items():
+        pts.sort()
+        vals = [v for _, v in pts]
+        total, d = sum(vals), len(vals)
+        best, s1 = None, 0
+        for i in range(1, d):
+            s1 += vals[i - 1]
+            score = float(s1) * s1 / i + float(total - s1) * (total - s1) / (d - i)
+            if best is None or score > best[0]:
+                best = (score, pts[i - 1][0], i)
+        r = got[et]
+        assert (r["split_day"], r["n_left"]) == (best[1], best[2])
+        assert r["n_left"] + r["n_right"] == d
+
+
+def test_qte_order_statistics(spark, sf_dir):
+    rows = sorted(
+        load_all()["events_ab_qte"].builder(spark, sf_dir).collect(),
+        key=lambda r: r["decile"],
+    )
+    assert [r["decile"] for r in rows] == list(range(1, 10))
+    # per-arm decile values must be non-decreasing in the decile
+    for col in ("y_a", "y_b"):
+        vs = [r[col] for r in rows]
+        assert all(a <= b + 1e-12 for a, b in zip(vs, vs[1:]))
+    for r in rows:
+        assert r["qte"] == pytest.approx(r["y_a"] - r["y_b"], abs=1e-9)
+
+
+def test_multi_sourcing_conserves_parts(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from procurement_data_pipeline_spark.sources.tables import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    n_parts = li.select("l_partkey").distinct().count()
+    rows = load_all()["part_multi_sourcing"].builder(spark, sf_dir).collect()
+    assert sum(r["n_parts"] for r in rows) == n_parts
+    assert sum(r["part_share"] for r in rows) == pytest.approx(1.0, rel=1e-12)
+    for r in rows:
+        if r["sourcing"] == "single":
+            assert r["min_suppliers"] == r["max_suppliers"] == 1
+        if r["sourcing"] == "dual":
+            assert r["min_suppliers"] == r["max_suppliers"] == 2
+        if r["sourcing"] == "multi":
+            assert r["min_suppliers"] >= 3
+
+
+# ---------------------------------------------------------------------------
+# batch 11: DiD / SRM / load factor
+
+
+def test_did_is_delta_of_deltas(spark, sf_dir):
+    (r,) = load_all()["events_ab_did"].builder(spark, sf_dir).collect()
+    assert r["n_a"] > 0 and r["n_b"] > 0
+    assert r["did"] == pytest.approx(r["delta_a"] - r["delta_b"], abs=1e-9)
+
+
+def test_srm_python_replay(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from procurement_data_pipeline_spark.queries.experiment import _arm_col
+    from procurement_data_pipeline_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    arms = [
+        r["arm"]
+        for r in ev.select("user_id").distinct().select(_arm_col().alias("arm")).collect()
+    ]
+    n_a = sum(1 for a in arms if a == "A")
+    n_b = len(arms) - n_a
+    (row,) = load_all()["events_ab_srm"].builder(spark, sf_dir).collect()
+    assert (row["n_a"], row["n_b"]) == (n_a, n_b)
+    assert row["chi2"] == pytest.approx((n_a - n_b) ** 2 / (n_a + n_b), rel=1e-12)
+    assert row["srm_flag"] == (1 if row["chi2"] > 3.841458820694124 else 0)
+    # the md5 split is a fair coin: a flagged SRM here would mean the
+    # portable-hash assignment itself is broken
+    assert row["srm_flag"] == 0
+
+
+def test_load_factor_bounds(spark, sf_dir):
+    rows = load_all()["events_load_factor_daily"].builder(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 1 <= r["n_hours"] <= 24
+        assert r["peak_hour_events"] * r["n_hours"] >= r["n_events"]
+        assert r["load_factor"] >= 1.0 - 1e-12
+        assert r["load_factor"] == pytest.approx(
+            r["peak_hour_events"] * r["n_hours"] / r["n_events"], rel=1e-12
+        )

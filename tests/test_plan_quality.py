@@ -75,6 +75,8 @@ BNLJ_ALLOWED = {
     "orders_revenue_acf",  # broadcast 7-row lag dimension × day grain
     "emb_twonn_mu",  # broadcast-queries distance scan (emb_knn_classify shape)
     "docs_langid_kappa",  # broadcast single-row chance-agreement scalar
+    "events_ab_qte",  # broadcast 9-row decile dimension × 2-row arm relation
+    "part_multi_sourcing",  # broadcast single-row part-total scalar
 }
 
 SF_DIR = "/root/testdata/sf0.001"
