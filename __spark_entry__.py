@@ -263,6 +263,8 @@ GRADE_OVERFLOW = frozenset(
         "events_ab_did",
         "events_ab_srm",
         "events_load_factor_daily",
+        "docs_bpe_vocab",
+        "orders_logrank",
     }
 )
 

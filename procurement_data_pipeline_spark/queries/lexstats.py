@@ -523,3 +523,53 @@ def q_docs_word_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("fano").desc(), F.col("word").asc())
         .limit(_BURSTY_TOP)
     )
+
+
+_BPE_MERGES = 12
+
+
+@register(
+    "docs_bpe_vocab",
+    # Distributed BPE tokenizer training surfaced as a declared query:
+    # the learned merge table plus each merge's corpus support. The merge
+    # loop is iterative (argmax per round over the previous round's
+    # segmentation), so there is no single-statement SQL oracle — the
+    # guarantee is the reference-implementation equivalence test in
+    # tests/test_bpe.py (merge-for-merge equality against a pure-Python
+    # BPE on the same corpus) plus determinism under cluster layouts
+    # (ties break on the pair itself, never on partition order).
+    oracle=None,
+    tags=("llm", "text", "tokenizer"),
+)
+def q_docs_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each round is ONE vocabulary-sized aggregation + a 1-row collect —
+    the scale cost is rounds × a word-frequency-table pass (never the raw
+    corpus after round 0), the standard distributed-BPE shape."""
+    from procurement_data_pipeline_spark.llm_ops.bpe import (
+        bpe_segment,
+        bpe_train,
+        word_frequencies,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = bpe_train(docs, "text", num_merges=_BPE_MERGES)
+    wf = word_frequencies(docs, "text")
+    seg = wf.select(
+        "freq", bpe_segment(F.col("w"), merges).alias("toks")
+    )
+    rows = [(i + 1, a, b) for i, (a, b) in enumerate(merges)]
+    mdf = docs.sparkSession.createDataFrame(
+        rows, "merge_rank int, left string, right string"
+    )
+    stats = seg.agg(
+        F.sum(F.col("freq") * F.size("toks")).cast("long").alias("total_tokens"),
+        F.sum("freq").cast("long").alias("total_words"),
+    )
+    return mdf.crossJoin(F.broadcast(stats)).select(
+        "merge_rank",
+        "left",
+        "right",
+        F.concat(F.col("left"), F.col("right")).alias("merged_token"),
+        "total_tokens",
+        "total_words",
+    )

@@ -285,3 +285,164 @@ def q_orders_nelson_aalen(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda acc, x: acc + x,
         ).alias("var_breslow"),
     )
+
+
+_LOGRANK_G1 = "1-URGENT"
+_LOGRANK_G2 = "5-LOW"
+
+
+@register(
+    "orders_logrank",
+    # Log-rank test between two priority classes' fulfillment curves —
+    # the standard "are these two survival curves different" statistic
+    # (Mantel-Cox), and the inferential companion to orders_kaplan_meier's
+    # descriptive curves. At each event week: observed group-1 events vs
+    # the hypergeometric expectation d·n₁/n, variance
+    # d·(n₁/n)·(1−n₁/n)·(n−d)/(n−1). Risk sets are exact integers (the KM
+    # suffix-sum trick); the three across-week sums are ORDERED FOLDS
+    # (week ascending) so both engines accumulate the identical IEEE
+    # sequence; z = (O−E)/√V with a correctly-rounded sqrt.
+    oracle=f"""
+WITH lt AS (
+  SELECT o.o_orderkey, o.o_orderpriority AS priority,
+         date_diff('day', CAST(o.o_orderdate AS DATE),
+                   CAST(MAX(l.l_shipdate) AS DATE)) AS t_days
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  WHERE o.o_orderpriority = '{_LOGRANK_G1}'
+     OR o.o_orderpriority = '{_LOGRANK_G2}'
+  GROUP BY o.o_orderkey, o.o_orderpriority, o.o_orderdate
+),
+obs AS (
+  SELECT CASE WHEN priority = '{_LOGRANK_G1}' THEN 1 ELSE 0 END AS g1,
+         CAST(FLOOR(LEAST(GREATEST(t_days, 0), {_HORIZON_DAYS}) / {_WEEK}.0)
+              AS BIGINT) AS week,
+         CASE WHEN t_days <= {_HORIZON_DAYS} THEN 1 ELSE 0 END AS ev
+  FROM lt
+),
+grp AS (
+  SELECT week,
+         CAST(SUM(CASE WHEN g1 = 1 THEN ev ELSE 0 END) AS BIGINT) AS d1,
+         CAST(SUM(ev) AS BIGINT) AS d,
+         CAST(SUM(g1) AS BIGINT) AS l1,
+         CAST(COUNT(*) AS BIGINT) AS l
+  FROM obs GROUP BY week
+),
+risk AS (
+  SELECT week, d1, d,
+         CAST(SUM(l1) OVER () - COALESCE(SUM(l1) OVER (ORDER BY week
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS n1,
+         CAST(SUM(l) OVER () - COALESCE(SUM(l) OVER (ORDER BY week
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS n
+  FROM grp
+),
+terms AS (
+  SELECT week, d1,
+         CAST(d AS DOUBLE) * n1 / n AS e1,
+         CASE WHEN n > 1 THEN
+           CAST(d AS DOUBLE) * (CAST(n1 AS DOUBLE) / n)
+             * (1 - CAST(n1 AS DOUBLE) / n)
+             * (CAST(n - d AS DOUBLE) / (n - 1))
+         ELSE 0.0 END AS v
+  FROM risk WHERE d > 0
+)
+SELECT CAST(SUM(d1) AS BIGINT) AS o1,
+       list_reduce(list(e1 ORDER BY week), (a, b) -> a + b) AS e1,
+       list_reduce(list(v ORDER BY week), (a, b) -> a + b) AS var_lr,
+       (SUM(d1) - list_reduce(list(e1 ORDER BY week), (a, b) -> a + b))
+         / sqrt(list_reduce(list(v ORDER BY week), (a, b) -> a + b)) AS z
+FROM terms
+""",
+    tags=("orders", "survival", "statistics"),
+)
+def q_orders_logrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same one-shuffle plan as Kaplan-Meier, then horizon-bounded window
+    math and a 1-row fold: survival INFERENCE at the cost of the curves."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    lt = (
+        li.groupBy("l_orderkey")
+        .agg(F.max("l_shipdate").alias("ship_done"))
+        .join(
+            o.where(
+                (F.col("o_orderpriority") == _LOGRANK_G1)
+                | (F.col("o_orderpriority") == _LOGRANK_G2)
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .select(
+            F.when(F.col("o_orderpriority") == _LOGRANK_G1, 1)
+            .otherwise(0)
+            .alias("g1"),
+            F.datediff(
+                F.col("ship_done").cast("date"), F.col("o_orderdate").cast("date")
+            ).alias("t_days"),
+        )
+    )
+    obs = lt.select(
+        "g1",
+        F.floor(
+            F.least(F.greatest(F.col("t_days"), F.lit(0)), F.lit(_HORIZON_DAYS))
+            / float(_WEEK)
+        )
+        .cast("long")
+        .alias("week"),
+        F.when(F.col("t_days") <= _HORIZON_DAYS, 1).otherwise(0).alias("ev"),
+    )
+    grp = obs.groupBy("week").agg(
+        F.sum(F.when(F.col("g1") == 1, F.col("ev")).otherwise(0))
+        .cast("long")
+        .alias("d1"),
+        F.sum("ev").cast("long").alias("d"),
+        F.sum("g1").cast("long").alias("l1"),
+        F.count(F.lit(1)).cast("long").alias("l"),
+    )
+    total_w = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    prior_w = Window.orderBy("week").rowsBetween(Window.unboundedPreceding, -1)
+    risk = grp.select(
+        "week",
+        "d1",
+        "d",
+        (
+            F.sum("l1").over(total_w)
+            - F.coalesce(F.sum("l1").over(prior_w), F.lit(0))
+        )
+        .cast("long")
+        .alias("n1"),
+        (
+            F.sum("l").over(total_w)
+            - F.coalesce(F.sum("l").over(prior_w), F.lit(0))
+        )
+        .cast("long")
+        .alias("n"),
+    )
+    n1d = F.col("n1").cast("double")
+    nd = F.col("n")
+    e1 = F.col("d").cast("double") * F.col("n1") / nd
+    v = F.when(
+        nd > 1,
+        F.col("d").cast("double")
+        * (n1d / nd)
+        * (1 - n1d / nd)
+        * ((nd - F.col("d")).cast("double") / (nd - 1)),
+    ).otherwise(F.lit(0.0))
+    terms = risk.where(F.col("d") > 0).select(
+        "week", "d1", e1.alias("e1"), v.alias("v")
+    )
+    fold = lambda col: F.aggregate(  # noqa: E731
+        F.array_sort(F.collect_list(F.struct(F.col("week"), F.col(col).alias("x")))),
+        F.lit(0.0),
+        lambda acc, s: acc + s["x"],
+    )
+    agg = terms.agg(
+        F.sum("d1").cast("long").alias("o1"),
+        fold("e1").alias("e1"),
+        fold("v").alias("var_lr"),
+    )
+    return agg.select(
+        "o1",
+        "e1",
+        "var_lr",
+        ((F.col("o1") - F.col("e1")) / F.sqrt(F.col("var_lr"))).alias("z"),
+    )

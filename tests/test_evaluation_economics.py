@@ -781,3 +781,71 @@ def test_load_factor_bounds(spark, sf_dir):
         assert r["load_factor"] == pytest.approx(
             r["peak_hour_events"] * r["n_hours"] / r["n_events"], rel=1e-12
         )
+
+
+# ---------------------------------------------------------------------------
+# batch 12: log-rank / BPE surfacing
+
+
+def test_logrank_python_replay(spark, sf_dir):
+    """Replay O/E/V from the same lifetime relation the query derives."""
+    from collections import defaultdict
+
+    from pyspark.sql import functions as F
+
+    from procurement_data_pipeline_spark.sources.tables import load_table
+
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    lt = (
+        li.groupBy("l_orderkey")
+        .agg(F.max("l_shipdate").alias("sd"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .where(F.col("o_orderpriority").isin(["1-URGENT", "5-LOW"]))
+        .select(
+            (F.col("o_orderpriority") == "1-URGENT").cast("int").alias("g1"),
+            F.datediff(F.col("sd").cast("date"), F.col("o_orderdate").cast("date")).alias("t"),
+        )
+        .collect()
+    )
+    per_week = defaultdict(lambda: [0, 0, 0, 0])  # d1, d, l1, l
+    for r in lt:
+        t = min(max(r["t"], 0), 120)
+        week = t // 7
+        ev = 1 if r["t"] <= 120 else 0
+        c = per_week[week]
+        c[0] += ev if r["g1"] else 0
+        c[1] += ev
+        c[2] += r["g1"]
+        c[3] += 1
+    weeks = sorted(per_week)
+    tot1 = sum(per_week[w][2] for w in weeks)
+    tot = sum(per_week[w][3] for w in weeks)
+    o1 = e1 = v = 0.0
+    left1, left = 0, 0
+    for w in weeks:
+        d1, d, l1, l = per_week[w]
+        n1, n = tot1 - left1, tot - left
+        if d > 0:
+            o1 += d1
+            e1 += d * n1 / n
+            if n > 1:
+                v += d * (n1 / n) * (1 - n1 / n) * ((n - d) / (n - 1))
+        left1 += l1
+        left += l
+    (row,) = load_all()["orders_logrank"].builder(spark, sf_dir).collect()
+    assert row["o1"] == int(o1)
+    assert row["e1"] == pytest.approx(e1, rel=1e-9)
+    assert row["var_lr"] == pytest.approx(v, rel=1e-9)
+    assert row["z"] == pytest.approx((o1 - e1) / v**0.5, rel=1e-9)
+
+
+def test_bpe_vocab_query_shape(spark, sf_dir):
+    rows = load_all()["docs_bpe_vocab"].builder(spark, sf_dir).collect()
+    assert rows
+    ranks = [r["merge_rank"] for r in rows]
+    assert ranks == list(range(1, len(rows) + 1))
+    for r in rows:
+        assert r["merged_token"] == r["left"] + r["right"]
+        assert r["total_tokens"] <= r["total_words"] * 40  # sane segmentation
+        assert r["total_tokens"] >= r["total_words"]  # >= one token per word

@@ -77,6 +77,7 @@ BNLJ_ALLOWED = {
     "docs_langid_kappa",  # broadcast single-row chance-agreement scalar
     "events_ab_qte",  # broadcast 9-row decile dimension × 2-row arm relation
     "part_multi_sourcing",  # broadcast single-row part-total scalar
+    "docs_bpe_vocab",  # merge table × broadcast single-row segment-stats scalar
 }
 
 SF_DIR = "/root/testdata/sf0.001"
