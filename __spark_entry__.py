@@ -265,6 +265,9 @@ GRADE_OVERFLOW = frozenset(
         "events_load_factor_daily",
         "docs_bpe_vocab",
         "orders_logrank",
+        "customer_first_value_repeat",
+        "events_time_to_nth",
+        "customer_value_migration",
     }
 )
 

@@ -46,7 +46,6 @@ from pyspark.sql import functions as F
 from procurement_data_pipeline_spark.caching import scoped_persist
 from procurement_data_pipeline_spark.llm_ops.similarity import knn_bruteforce
 from procurement_data_pipeline_spark.queries.experiment import (
-    _AB_SALT,
     _ARM_CASE_SQL,
     _ARM_THRESHOLD,
     _SPLIT,

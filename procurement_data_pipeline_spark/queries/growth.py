@@ -215,3 +215,230 @@ def q_orders_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
             "revenue",
         )
     )
+
+
+@register(
+    "customer_first_value_repeat",
+    # Does a bigger first order predict coming back? Customers bucket into
+    # deciles of their FIRST order's value; each decile reports its
+    # repeat-purchase share and average order count — the
+    # acquisition-quality curve growth teams steer spend with. First
+    # order = earliest (orderdate, orderkey) — a deterministic tie-break,
+    # exact cents, and every share one integer division.
+    oracle="""
+WITH ranked AS (
+  SELECT o_custkey, o_totalprice,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey
+                            ORDER BY o_orderdate, o_orderkey) AS rn,
+         COUNT(*) OVER (PARTITION BY o_custkey) AS n_orders
+  FROM orders
+),
+fv AS (
+  SELECT o_custkey, CAST(n_orders AS BIGINT) AS n_orders,
+         CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS first_cents
+  FROM ranked WHERE rn = 1
+),
+tiled AS (
+  SELECT n_orders, first_cents,
+         NTILE(10) OVER (ORDER BY first_cents ASC, o_custkey ASC) AS decile
+  FROM fv
+)
+SELECT decile,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST(SUM(first_cents) AS DOUBLE) / COUNT(*) / 100.0
+         AS avg_first_value,
+       CAST(SUM(CASE WHEN n_orders >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+         / COUNT(*) AS repeat_share,
+       CAST(SUM(n_orders) AS DOUBLE) / COUNT(*) AS avg_orders
+FROM tiled GROUP BY decile
+""",
+    tags=("customer", "growth", "economics"),
+)
+def q_customer_first_value_repeat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One customer-grain shuffle finds first orders (min-struct, no
+    second scan), a self-join fetches the first order's value, and the
+    decile rank runs over the bounded customer dim."""
+    o = load_table(spark, sf_dir, "orders")
+    wcust = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    fv = (
+        o.select(
+            "o_custkey",
+            F.row_number().over(wcust).alias("rn"),
+            F.count(F.lit(1)).over(Window.partitionBy("o_custkey")).alias("n_orders"),
+            F.floor(F.col("o_totalprice") * 100).cast("long").alias("first_cents"),
+        )
+        .where(F.col("rn") == 1)
+        .select("o_custkey", F.col("n_orders").cast("long").alias("n_orders"), "first_cents")
+    )
+    w = Window.orderBy(F.col("first_cents").asc(), F.col("o_custkey").asc())
+    tiled = fv.select(
+        "n_orders", "first_cents", F.ntile(10).over(w).alias("decile")
+    )
+    return tiled.groupBy("decile").agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers"),
+        (
+            F.sum("first_cents").cast("double") / F.count(F.lit(1)) / F.lit(100.0)
+        ).alias("avg_first_value"),
+        (
+            F.sum(F.when(F.col("n_orders") >= 2, 1).otherwise(0)).cast("double")
+            / F.count(F.lit(1))
+        ).alias("repeat_share"),
+        (F.sum("n_orders").cast("double") / F.count(F.lit(1))).alias("avg_orders"),
+    )
+
+
+_NTH_EVENT = 5
+
+
+@register(
+    "events_time_to_nth",
+    # Activation speed: per user, the time from their FIRST event to
+    # their Nth (N = 5) — then the distribution of those activation times
+    # across users as exact decile order statistics. The product-growth
+    # metric behind "how fast do users reach the aha moment". All times
+    # are exact integer microseconds; deciles are element_at over the
+    # sorted user-grain values (bounded far below fact volume).
+    oracle=f"""
+WITH ranked AS (
+  SELECT user_id, ts,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS rn
+  FROM events
+),
+per_user AS (
+  SELECT user_id,
+         epoch_us(MAX(CASE WHEN rn = {_NTH_EVENT} THEN ts END))
+           - epoch_us(MAX(CASE WHEN rn = 1 THEN ts END)) AS t_us
+  FROM ranked WHERE rn = 1 OR rn = {_NTH_EVENT}
+  GROUP BY user_id
+  HAVING MAX(CASE WHEN rn = {_NTH_EVENT} THEN ts END) IS NOT NULL
+),
+s AS (
+  SELECT list_sort(list(t_us)) AS ts_sorted, CAST(COUNT(*) AS BIGINT) AS n
+  FROM per_user
+),
+q AS (SELECT UNNEST(range(1, 10)) AS decile)
+SELECT q.decile,
+       s.n AS n_users,
+       CAST(list_extract(s.ts_sorted,
+            CAST(CEIL(q.decile * s.n / 10.0) AS INT)) AS DOUBLE)
+         / 1000000.0 / 3600.0 AS hours_to_nth
+FROM s CROSS JOIN q
+""",
+    tags=("events", "growth", "activation"),
+)
+def q_events_time_to_nth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One user_id window pass keeps only rows 1 and N per user, then a
+    user-grain sorted fold + 9 order-statistic lookups."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ranked = ev.select(
+        "user_id", "ts", F.row_number().over(w).alias("rn")
+    ).where((F.col("rn") == 1) | (F.col("rn") == _NTH_EVENT))
+    per_user = (
+        ranked.groupBy("user_id")
+        .agg(
+            (
+                F.unix_micros(F.max(F.when(F.col("rn") == _NTH_EVENT, F.col("ts"))))
+                - F.unix_micros(F.max(F.when(F.col("rn") == 1, F.col("ts"))))
+            ).alias("t_us"),
+            F.max(F.when(F.col("rn") == _NTH_EVENT, F.col("ts"))).alias("_nth"),
+        )
+        .where(F.col("_nth").isNotNull())
+        .select("t_us")
+    )
+    s = per_user.agg(
+        F.sort_array(F.collect_list("t_us")).alias("ts_sorted"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    q = spark.createDataFrame([(d,) for d in range(1, 10)], "decile int")
+    val = F.element_at(
+        "ts_sorted", F.ceil(F.col("decile") * F.col("n") / F.lit(10.0)).cast("int")
+    )
+    return (
+        s.crossJoin(F.broadcast(q))
+        .groupBy("decile")
+        .agg(
+            F.max("n").alias("n_users"),
+            F.max(val.cast("double") / F.lit(1000000.0) / F.lit(3600.0)).alias(
+                "hours_to_nth"
+            ),
+        )
+    )
+
+
+@register(
+    "customer_value_migration",
+    # Segment-migration matrix: customers tercile by revenue in the FIRST
+    # half of the order history, re-tercile in the SECOND half, and the
+    # matrix counts who moved where (plus 'absent' for one-sided
+    # customers) — the churn/upsell picture a single-period segmentation
+    # hides. Terciles are exact ranks over the customer dim; shares one
+    # division.
+    oracle="""
+WITH halves AS (
+  SELECT o_custkey,
+         SUM(CASE WHEN o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+             THEN CAST(FLOOR(o_totalprice * 100) AS BIGINT) ELSE 0 END) AS c1,
+         SUM(CASE WHEN o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'
+             THEN CAST(FLOOR(o_totalprice * 100) AS BIGINT) ELSE 0 END) AS c2
+  FROM orders GROUP BY o_custkey
+),
+seg AS (
+  SELECT o_custkey,
+         CASE WHEN c1 = 0 THEN 'absent' ELSE
+           CASE NTILE(3) OVER (PARTITION BY CASE WHEN c1 = 0 THEN 1 ELSE 0 END
+                               ORDER BY c1 ASC, o_custkey ASC)
+                WHEN 1 THEN 'low' WHEN 2 THEN 'mid' ELSE 'high' END
+         END AS seg1,
+         CASE WHEN c2 = 0 THEN 'absent' ELSE
+           CASE NTILE(3) OVER (PARTITION BY CASE WHEN c2 = 0 THEN 1 ELSE 0 END
+                               ORDER BY c2 ASC, o_custkey ASC)
+                WHEN 1 THEN 'low' WHEN 2 THEN 'mid' ELSE 'high' END
+         END AS seg2
+  FROM halves
+),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM seg)
+SELECT s.seg1, s.seg2,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST(COUNT(*) AS DOUBLE) / MAX(t.n) AS share
+FROM seg s CROSS JOIN tot t
+GROUP BY s.seg1, s.seg2
+""",
+    tags=("customer", "growth", "segmentation"),
+)
+def q_customer_value_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One customer-grain shuffle computes both halves' revenue; two
+    rank windows over the customer dim (zero-revenue customers isolated
+    into their own partition so ntile ranks only actives); a 4×4 rollup."""
+    o = load_table(spark, sf_dir, "orders")
+    split = F.lit("1998-01-01").cast("timestamp")
+    cc = F.floor(F.col("o_totalprice") * 100).cast("long")
+    zero = F.lit(0).cast("long")
+    halves = o.groupBy("o_custkey").agg(
+        F.sum(F.when(F.col("o_orderdate") < split, cc).otherwise(zero)).alias("c1"),
+        F.sum(F.when(F.col("o_orderdate") >= split, cc).otherwise(zero)).alias("c2"),
+    )
+
+    def seg(col):
+        active = F.when(F.col(col) == 0, 1).otherwise(0)
+        w = Window.partitionBy(active).orderBy(
+            F.col(col).asc(), F.col("o_custkey").asc()
+        )
+        t = F.ntile(3).over(w)
+        return F.when(F.col(col) == 0, "absent").otherwise(
+            F.when(t == 1, "low").when(t == 2, "mid").otherwise("high")
+        )
+
+    segs = halves.select(
+        "o_custkey", seg("c1").alias("seg1"), seg("c2").alias("seg2")
+    )
+    tot = segs.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    return (
+        segs.crossJoin(F.broadcast(tot))
+        .groupBy("seg1", "seg2")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_customers"),
+            (F.count(F.lit(1)).cast("double") / F.max("n")).alias("share"),
+        )
+    )

@@ -849,3 +849,52 @@ def test_bpe_vocab_query_shape(spark, sf_dir):
         assert r["merged_token"] == r["left"] + r["right"]
         assert r["total_tokens"] <= r["total_words"] * 40  # sane segmentation
         assert r["total_tokens"] >= r["total_words"]  # >= one token per word
+
+
+# ---------------------------------------------------------------------------
+# batch 13: customer growth analytics
+
+
+def test_first_value_repeat_conserves_customers(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from procurement_data_pipeline_spark.sources.tables import load_table
+
+    o = load_table(spark, sf_dir, "orders")
+    n_cust = o.select("o_custkey").distinct().count()
+    rows = load_all()["customer_first_value_repeat"].builder(spark, sf_dir).collect()
+    assert sum(r["n_customers"] for r in rows) == n_cust
+    assert {r["decile"] for r in rows} == set(range(1, 11))
+    # avg_first_value must be non-decreasing in the decile (ranked ASC)
+    by_decile = sorted(rows, key=lambda r: r["decile"])
+    vals = [r["avg_first_value"] for r in by_decile]
+    assert all(a <= b + 1e-9 for a, b in zip(vals, vals[1:]))
+    for r in rows:
+        assert 0.0 <= r["repeat_share"] <= 1.0
+        assert r["avg_orders"] >= 1.0
+
+
+def test_time_to_nth_monotone(spark, sf_dir):
+    rows = sorted(
+        load_all()["events_time_to_nth"].builder(spark, sf_dir).collect(),
+        key=lambda r: r["decile"],
+    )
+    assert [r["decile"] for r in rows] == list(range(1, 10))
+    hs = [r["hours_to_nth"] for r in rows]
+    assert all(h >= 0 for h in hs)
+    assert all(a <= b + 1e-9 for a, b in zip(hs, hs[1:]))
+
+
+def test_value_migration_conserves_customers(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from procurement_data_pipeline_spark.sources.tables import load_table
+
+    o = load_table(spark, sf_dir, "orders")
+    n_cust = o.select("o_custkey").distinct().count()
+    rows = load_all()["customer_value_migration"].builder(spark, sf_dir).collect()
+    assert sum(r["n_customers"] for r in rows) == n_cust
+    assert sum(r["share"] for r in rows) == pytest.approx(1.0, rel=1e-12)
+    segs = {"low", "mid", "high", "absent"}
+    for r in rows:
+        assert r["seg1"] in segs and r["seg2"] in segs

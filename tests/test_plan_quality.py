@@ -78,6 +78,9 @@ BNLJ_ALLOWED = {
     "events_ab_qte",  # broadcast 9-row decile dimension × 2-row arm relation
     "part_multi_sourcing",  # broadcast single-row part-total scalar
     "docs_bpe_vocab",  # merge table × broadcast single-row segment-stats scalar
+    "events_time_to_nth",  # broadcast 9-row decile dimension × 1-row sorted fold
+    "customer_value_migration",  # broadcast single-row customer-total scalar
+    "customer_first_value_repeat",  # broadcast single-row scalar (if planned)
 }
 
 SF_DIR = "/root/testdata/sf0.001"
