@@ -268,6 +268,8 @@ GRADE_OVERFLOW = frozenset(
         "customer_first_value_repeat",
         "events_time_to_nth",
         "customer_value_migration",
+        "events_growth_accounting",
+        "part_brand_return_rate",
     }
 )
 

@@ -442,3 +442,164 @@ def q_customer_value_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.count(F.lit(1)).cast("double") / F.max("n")).alias("share"),
         )
     )
+
+
+@register(
+    "events_growth_accounting",
+    # Daily growth accounting (the new/retained/resurrected/churned
+    # decomposition): every DAU number explained as new + retained +
+    # resurrected, with yesterday's churn alongside — the identity
+    # dau_today = new + retained + resurrected (and
+    # dau_yesterday = retained + churned) holds EXACTLY by construction,
+    # so the decomposition self-audits. One dedup to (user, day) pairs,
+    # one user-window pass computing previous-active-day and first-day,
+    # one day-grain rollup — all exact integer counts.
+    oracle="""
+WITH pairs AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
+  FROM events
+),
+flagged AS (
+  SELECT user_id, day,
+         LAG(day) OVER (PARTITION BY user_id ORDER BY day) AS prev_day,
+         MIN(day) OVER (PARTITION BY user_id) AS first_day
+  FROM pairs
+),
+classified AS (
+  SELECT day,
+         CASE WHEN day = first_day THEN 'new'
+              WHEN prev_day = day - INTERVAL 1 DAY THEN 'retained'
+              ELSE 'resurrected' END AS state
+  FROM flagged
+),
+churn AS (
+  -- active on day d, not on d+1 → churned as of d+1
+  SELECT f.day + INTERVAL 1 DAY AS day, CAST(COUNT(*) AS BIGINT) AS churned
+  FROM flagged f
+  LEFT JOIN pairs p ON p.user_id = f.user_id
+                   AND p.day = f.day + INTERVAL 1 DAY
+  WHERE p.user_id IS NULL
+  GROUP BY f.day + INTERVAL 1 DAY
+),
+rollup AS (
+  SELECT day,
+         CAST(SUM(CASE WHEN state = 'new' THEN 1 ELSE 0 END) AS BIGINT)
+           AS new_users,
+         CAST(SUM(CASE WHEN state = 'retained' THEN 1 ELSE 0 END) AS BIGINT)
+           AS retained,
+         CAST(SUM(CASE WHEN state = 'resurrected' THEN 1 ELSE 0 END) AS BIGINT)
+           AS resurrected,
+         CAST(COUNT(*) AS BIGINT) AS dau
+  FROM classified GROUP BY day
+)
+SELECT CAST(r.day AS DATE) AS day, r.new_users, r.retained, r.resurrected,
+       COALESCE(c.churned, 0) AS churned, r.dau
+FROM rollup r LEFT JOIN churn c ON c.day = r.day
+""",
+    tags=("events", "growth", "accounting"),
+)
+def q_events_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The (user, day) dedup is the only fact-sized shuffle; the state
+    classification is one user-partition window; churn is an anti-join of
+    the SAME pair relation against its day+1 shift."""
+    ev = load_table(spark, sf_dir, "events")
+    pairs = ev.select(
+        "user_id", F.date_trunc("day", F.col("ts")).cast("date").alias("day")
+    ).distinct()
+    from procurement_data_pipeline_spark.caching import scoped_persist
+
+    pairs = scoped_persist(pairs)
+    w = Window.partitionBy("user_id").orderBy("day")
+    flagged = pairs.select(
+        "user_id",
+        "day",
+        F.lag("day").over(w).alias("prev_day"),
+        F.min("day").over(Window.partitionBy("user_id")).alias("first_day"),
+    )
+    state = (
+        F.when(F.col("day") == F.col("first_day"), "new")
+        .when(F.col("prev_day") == F.date_sub(F.col("day"), 1), "retained")
+        .otherwise("resurrected")
+    )
+    rollup = (
+        flagged.select("day", state.alias("state"))
+        .groupBy("day")
+        .agg(
+            F.sum(F.when(F.col("state") == "new", 1).otherwise(0))
+            .cast("long")
+            .alias("new_users"),
+            F.sum(F.when(F.col("state") == "retained", 1).otherwise(0))
+            .cast("long")
+            .alias("retained"),
+            F.sum(F.when(F.col("state") == "resurrected", 1).otherwise(0))
+            .cast("long")
+            .alias("resurrected"),
+            F.count(F.lit(1)).cast("long").alias("dau"),
+        )
+    )
+    nxt = pairs.select(
+        F.col("user_id").alias("u2"), F.col("day").alias("d2")
+    )
+    churn = (
+        flagged.join(
+            nxt,
+            (F.col("user_id") == F.col("u2"))
+            & (F.col("d2") == F.date_add(F.col("day"), 1)),
+            "left_anti",
+        )
+        .groupBy(F.date_add(F.col("day"), 1).alias("day"))
+        .agg(F.count(F.lit(1)).cast("long").alias("churned"))
+    )
+    return rollup.join(churn, "day", "left").select(
+        "day",
+        "new_users",
+        "retained",
+        "resurrected",
+        F.coalesce(F.col("churned"), F.lit(0).cast("long")).alias("churned"),
+        "dau",
+    )
+
+
+@register(
+    "part_brand_return_rate",
+    # Return-rate by brand: share of shipped quantity (and revenue) that
+    # came back (l_returnflag = 'R') — the quality/fit signal behind
+    # assortment reviews. Exact milli-quantities and cents; each share is
+    # ONE integer division.
+    oracle="""
+WITH lines AS (
+  SELECT p.p_brand,
+         CAST(FLOOR(l.l_quantity * 1000) AS BIGINT) AS qm,
+         CAST(FLOOR(l.l_extendedprice * 100) AS BIGINT) AS rc,
+         CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END AS ret
+  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+)
+SELECT p_brand,
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       CAST(SUM(ret) AS BIGINT) AS n_returned,
+       CAST(SUM(ret * qm) AS DOUBLE) / SUM(qm) AS qty_return_share,
+       CAST(SUM(ret * rc) AS DOUBLE) / SUM(rc) AS revenue_return_share
+FROM lines GROUP BY p_brand
+""",
+    tags=("part", "quality", "retail"),
+)
+def q_part_brand_return_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One broadcast dim join + one brand-grain aggregate."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    lines = li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey")).select(
+        "p_brand",
+        F.floor(F.col("l_quantity") * 1000).cast("long").alias("qm"),
+        F.floor(F.col("l_extendedprice") * 100).cast("long").alias("rc"),
+        F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("ret"),
+    )
+    return lines.groupBy("p_brand").agg(
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+        F.sum("ret").cast("long").alias("n_returned"),
+        (
+            F.sum(F.col("ret") * F.col("qm")).cast("double") / F.sum("qm")
+        ).alias("qty_return_share"),
+        (
+            F.sum(F.col("ret") * F.col("rc")).cast("double") / F.sum("rc")
+        ).alias("revenue_return_share"),
+    )

@@ -898,3 +898,39 @@ def test_value_migration_conserves_customers(spark, sf_dir):
     segs = {"low", "mid", "high", "absent"}
     for r in rows:
         assert r["seg1"] in segs and r["seg2"] in segs
+
+
+# ---------------------------------------------------------------------------
+# batch 14: growth accounting / return rates
+
+
+def test_growth_accounting_identities(spark, sf_dir):
+    """dau = new + retained + resurrected on every day, and yesterday's
+    dau = today's retained + today's churned (the self-auditing identity
+    of the decomposition)."""
+    rows = sorted(
+        load_all()["events_growth_accounting"].builder(spark, sf_dir).collect(),
+        key=lambda r: r["day"],
+    )
+    assert rows
+    by_day = {r["day"]: r for r in rows}
+    for r in rows:
+        assert r["dau"] == r["new_users"] + r["retained"] + r["resurrected"]
+    for prev, cur in zip(rows, rows[1:]):
+        if (cur["day"] - prev["day"]).days == 1:
+            assert prev["dau"] == cur["retained"] + cur["churned"], (
+                prev,
+                cur,
+            )
+    # first day is all-new
+    assert rows[0]["retained"] == 0 and rows[0]["resurrected"] == 0
+    assert rows[0]["dau"] == rows[0]["new_users"]
+
+
+def test_brand_return_rate_bounds(spark, sf_dir):
+    rows = load_all()["part_brand_return_rate"].builder(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["n_returned"] <= r["n_lines"]
+        assert 0.0 <= r["qty_return_share"] <= 1.0
+        assert 0.0 <= r["revenue_return_share"] <= 1.0
