@@ -270,6 +270,8 @@ GRADE_OVERFLOW = frozenset(
         "customer_value_migration",
         "events_growth_accounting",
         "part_brand_return_rate",
+        "docs_dedup_savings",
+        "events_error_pchart",
     }
 )
 

@@ -653,3 +653,74 @@ def q_events_load_factor_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.max("n") * F.count(F.lit(1))).cast("double") / F.sum("n")
         ).alias("load_factor"),
     )
+
+
+@register(
+    "events_error_pchart",
+    # p-chart (attribute control chart) on the daily error-event share —
+    # the SPC form for PROPORTIONS, next to supplier_spc_chart's I-MR for
+    # continuous measures. Center line p̄ is the pooled share; per-day 3σ
+    # limits shrink with that day's volume (√(p̄(1−p̄)/n)); a day outside
+    # its limits is a statistically real service regression, not noise.
+    # Exact integer counts → one pooled division → a pinned-order IEEE
+    # chain with a correctly-rounded sqrt per day.
+    oracle="""
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT)
+           AS errs
+  FROM events GROUP BY CAST(ts AS DATE)
+),
+pooled AS (
+  SELECT CAST(SUM(errs) AS DOUBLE) / CAST(SUM(n) AS BIGINT) AS pbar FROM daily
+)
+SELECT d.day, d.n, d.errs,
+       CAST(d.errs AS DOUBLE) / d.n AS p_day,
+       p.pbar,
+       GREATEST(p.pbar - 3 * sqrt(p.pbar * (1 - p.pbar) / d.n), 0.0) AS lcl,
+       p.pbar + 3 * sqrt(p.pbar * (1 - p.pbar) / d.n) AS ucl,
+       CAST(CASE WHEN CAST(d.errs AS DOUBLE) / d.n
+                      > p.pbar + 3 * sqrt(p.pbar * (1 - p.pbar) / d.n)
+                  OR CAST(d.errs AS DOUBLE) / d.n
+                      < GREATEST(p.pbar - 3 * sqrt(p.pbar * (1 - p.pbar) / d.n),
+                                 0.0)
+            THEN 1 ELSE 0 END AS INTEGER) AS out_of_control
+FROM daily d CROSS JOIN pooled p
+""",
+    tags=("events", "monitoring", "spc"),
+)
+def q_events_error_pchart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One day-grain count + a 1-row pooled-rate broadcast."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = scoped_persist(
+        ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0))
+            .cast("long")
+            .alias("errs"),
+        )
+    )
+    pooled = daily.agg(
+        (
+            F.sum("errs").cast("double") / F.sum("n").cast("long")
+        ).alias("pbar")
+    )
+    j = daily.crossJoin(F.broadcast(pooled))
+    p_day = F.col("errs").cast("double") / F.col("n")
+    sig = F.sqrt(F.col("pbar") * (1 - F.col("pbar")) / F.col("n"))
+    lcl = F.greatest(F.col("pbar") - 3 * sig, F.lit(0.0))
+    ucl = F.col("pbar") + 3 * sig
+    return j.select(
+        "day",
+        "n",
+        "errs",
+        p_day.alias("p_day"),
+        "pbar",
+        lcl.alias("lcl"),
+        ucl.alias("ucl"),
+        F.when((p_day > ucl) | (p_day < lcl), 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("out_of_control"),
+    )

@@ -573,3 +573,68 @@ def q_docs_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
         "total_tokens",
         "total_words",
     )
+
+
+@register(
+    "docs_dedup_savings",
+    # Dedup planning readout: per source, how many documents and TOKENS
+    # would exact dedup remove (non-canonical copies of each content
+    # fingerprint — MIN(doc_id) is the keeper, the docs_dedup_exact
+    # convention) — the number that justifies running the dedup pass at
+    # all. Exact integer counts; shares one division.
+    oracle=f"""
+WITH fp AS (
+  SELECT doc_id, source,
+         md5({_NORM}) AS fingerprint,
+         CAST({_WORDS_N} AS BIGINT) AS n_tokens
+  FROM documents
+),
+keep AS (
+  SELECT fingerprint, MIN(doc_id) AS keep_doc_id FROM fp GROUP BY fingerprint
+)
+SELECT f.source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN f.doc_id != k.keep_doc_id THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_dropped,
+       CAST(SUM(f.n_tokens) AS BIGINT) AS total_tokens,
+       CAST(SUM(CASE WHEN f.doc_id != k.keep_doc_id THEN f.n_tokens ELSE 0 END)
+            AS BIGINT) AS tokens_saved,
+       CAST(SUM(CASE WHEN f.doc_id != k.keep_doc_id THEN f.n_tokens ELSE 0 END)
+            AS DOUBLE) / SUM(f.n_tokens) AS token_savings_share
+FROM fp f JOIN keep k ON k.fingerprint = f.fingerprint
+GROUP BY f.source
+""",
+    tags=("llm", "dedup", "curation"),
+)
+def q_docs_dedup_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One fingerprint shuffle (the dedup pass itself) + a source-grain
+    rollup — the report costs nothing beyond the dedup it justifies."""
+    from procurement_data_pipeline_spark.llm_ops.text import fingerprint, words
+
+    docs = load_table(spark, sf_dir, "documents")
+    fp = docs.select(
+        "doc_id",
+        "source",
+        fingerprint("text").alias("fingerprint"),
+        F.size(words("text")).cast("long").alias("n_tokens"),
+    )
+    keep = fp.groupBy("fingerprint").agg(F.min("doc_id").alias("keep_doc_id"))
+    dropped = F.when(F.col("doc_id") != F.col("keep_doc_id"), 1).otherwise(0)
+    return (
+        fp.join(keep, "fingerprint")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(dropped).cast("long").alias("n_dropped"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+            F.sum(F.when(dropped == 1, F.col("n_tokens")).otherwise(F.lit(0)))
+            .cast("long")
+            .alias("tokens_saved"),
+            (
+                F.sum(
+                    F.when(dropped == 1, F.col("n_tokens")).otherwise(F.lit(0))
+                ).cast("double")
+                / F.sum("n_tokens")
+            ).alias("token_savings_share"),
+        )
+    )

@@ -934,3 +934,33 @@ def test_brand_return_rate_bounds(spark, sf_dir):
         assert 0 <= r["n_returned"] <= r["n_lines"]
         assert 0.0 <= r["qty_return_share"] <= 1.0
         assert 0.0 <= r["revenue_return_share"] <= 1.0
+
+
+# ---------------------------------------------------------------------------
+# batch 15: dedup savings / p-chart
+
+
+def test_dedup_savings_reconciles_with_dedup_exact(spark, sf_dir):
+    reg = load_all()
+    fp_groups = reg["docs_dedup_exact"].builder(spark, sf_dir).collect()
+    dropped_total = sum(r["n_docs"] - 1 for r in fp_groups)
+    rows = reg["docs_dedup_savings"].builder(spark, sf_dir).collect()
+    assert sum(r["n_dropped"] for r in rows) == dropped_total
+    for r in rows:
+        assert 0 <= r["n_dropped"] < r["n_docs"] or (
+            r["n_dropped"] == 0 and r["n_docs"] >= 0
+        )
+        assert 0 <= r["tokens_saved"] <= r["total_tokens"]
+        assert r["token_savings_share"] == pytest.approx(
+            r["tokens_saved"] / r["total_tokens"], rel=1e-12
+        )
+
+
+def test_pchart_limits_bracket_center(spark, sf_dir):
+    rows = load_all()["events_error_pchart"].builder(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r["lcl"] <= r["pbar"] <= r["ucl"]
+        assert r["p_day"] == pytest.approx(r["errs"] / r["n"], abs=0)
+        expect_flag = 1 if (r["p_day"] > r["ucl"] or r["p_day"] < r["lcl"]) else 0
+        assert r["out_of_control"] == expect_flag

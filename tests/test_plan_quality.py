@@ -81,6 +81,7 @@ BNLJ_ALLOWED = {
     "events_time_to_nth",  # broadcast 9-row decile dimension × 1-row sorted fold
     "customer_value_migration",  # broadcast single-row customer-total scalar
     "customer_first_value_repeat",  # broadcast single-row scalar (if planned)
+    "events_error_pchart",  # broadcast single-row pooled-rate scalar
 }
 
 SF_DIR = "/root/testdata/sf0.001"
