@@ -272,6 +272,13 @@ GRADE_OVERFLOW = frozenset(
         "part_brand_return_rate",
         "docs_dedup_savings",
         "events_error_pchart",
+        "part_purchase_price_variance",
+        "part_bullwhip_ratio",
+        "brand_maverick_spend",
+        "part_kraljic_matrix",
+        "orders_rmst",
+        "orders_competing_risks",
+        "events_mcnemar_conversion",
     }
 )
 

@@ -515,3 +515,87 @@ def q_events_value_drift_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
             "chi2",
         )
     )
+
+
+_MCNEMAR_CRIT = 3.841458820694124  # chi²(1) 95% critical value, pinned
+
+
+@register(
+    "events_mcnemar_conversion",
+    # McNemar's test on PAIRED conversion: did the same user population's
+    # purchase behavior change between the pre- and post-period? Unlike a
+    # two-proportion z-test (which treats the halves as independent
+    # samples), McNemar conditions on the DISCORDANT pairs only —
+    # b (converted pre, lapsed post) vs c (new converters post) — which
+    # is the correct paired design when both observations come from the
+    # same user. χ² = (b−c)²/(b+c), 1 df.
+    #
+    # Exactness: per-user period flags and the 2×2 cell counts are exact
+    # integers; the statistic is one division; the significance flag
+    # compares against the literal-pinned χ²(1) critical value on both
+    # engines. NULLIF guards the degenerate b+c=0 case identically.
+    #
+    # Scale shape: one shuffle to user grain with map-side partials, then
+    # a global scalar aggregate. 100×-safe.
+    oracle=f"""
+WITH per_user AS (
+  SELECT user_id,
+         MAX(CASE WHEN event_type = 'purchase'
+                   AND ts < TIMESTAMP '{_SPLIT} 00:00:00'
+                  THEN 1 ELSE 0 END) AS p1,
+         MAX(CASE WHEN event_type = 'purchase'
+                   AND ts >= TIMESTAMP '{_SPLIT} 00:00:00'
+                  THEN 1 ELSE 0 END) AS p2
+  FROM events GROUP BY user_id
+),
+cells AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+         CAST(SUM(p1 * p2) AS BIGINT) AS both_periods,
+         CAST(SUM(p1 * (1 - p2)) AS BIGINT) AS pre_only,
+         CAST(SUM((1 - p1) * p2) AS BIGINT) AS post_only,
+         CAST(SUM((1 - p1) * (1 - p2)) AS BIGINT) AS neither
+  FROM per_user
+)
+SELECT n_users, both_periods, pre_only, post_only, neither,
+       CAST((pre_only - post_only) * (pre_only - post_only) AS DOUBLE)
+         / CAST(NULLIF(pre_only + post_only, 0) AS DOUBLE) AS mcnemar_chi2,
+       CAST((pre_only - post_only) * (pre_only - post_only) AS DOUBLE)
+         / CAST(NULLIF(pre_only + post_only, 0) AS DOUBLE)
+         > {_MCNEMAR_CRIT!r} AS significant
+FROM cells
+""",
+    tags=("events", "experiment", "paired-test"),
+)
+def q_events_mcnemar_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    split = F.lit(_SPLIT).cast("timestamp")
+    is_purchase = F.col("event_type") == "purchase"
+    per_user = ev.groupBy("user_id").agg(
+        F.max(
+            F.when(is_purchase & (F.col("ts") < split), 1).otherwise(0)
+        ).alias("p1"),
+        F.max(
+            F.when(is_purchase & (F.col("ts") >= split), 1).otherwise(0)
+        ).alias("p2"),
+    )
+    p1, p2 = F.col("p1"), F.col("p2")
+    cells = per_user.agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum(p1 * p2).cast("long").alias("both_periods"),
+        F.sum(p1 * (1 - p2)).cast("long").alias("pre_only"),
+        F.sum((1 - p1) * p2).cast("long").alias("post_only"),
+        F.sum((1 - p1) * (1 - p2)).cast("long").alias("neither"),
+    )
+    diff = F.col("pre_only") - F.col("post_only")
+    chi2 = (diff * diff).cast("double") / F.nullif(
+        F.col("pre_only") + F.col("post_only"), F.lit(0)
+    ).cast("double")
+    return cells.select(
+        "n_users",
+        "both_periods",
+        "pre_only",
+        "post_only",
+        "neither",
+        chi2.alias("mcnemar_chi2"),
+        (chi2 > F.lit(_MCNEMAR_CRIT)).alias("significant"),
+    )

@@ -446,3 +446,349 @@ def q_orders_logrank(spark: SparkSession, sf_dir: str) -> DataFrame:
         "var_lr",
         ((F.col("o1") - F.col("e1")) / F.sqrt(F.col("var_lr"))).alias("z"),
     )
+
+
+_W_MAX = _HORIZON_DAYS // _WEEK  # last week index on the censoring grid
+
+
+@register(
+    "orders_rmst",
+    # Restricted mean survival time per priority class: the single-number
+    # summary of the KM curve a planning review actually quotes ("urgent
+    # orders take 3.1 weeks on average, capped at the horizon"). On the
+    # weekly grid, RMST = Σ_{w=0..W} S(w) = E[#weeks survived within the
+    # horizon] — so it needs the DENSE week grid (weeks with no
+    # events/censoring contribute their unchanged S too), built here as a
+    # bounded priorities × 18-row cross.
+    #
+    # Exactness: the running survival product AND its running sum are a
+    # COUPLED ordered fold, so both engines fold the same [factor]
+    # elements in the same week order with a 2-element DOUBLE-LIST
+    # accumulator [S, Σ] (list, not struct: DuckDB's list_reduce
+    # mis-evaluates struct accumulators whose field reads another field —
+    # see tests/test_replenishment.py::test_duckdb_struct_fold_hazard).
+    # Counts are exact integers; factors are one division each; weeks
+    # with an empty risk set pin factor = 1.0 identically (KM convention:
+    # the curve stays flat once nobody is at risk).
+    #
+    # Scale shape: identical to orders_kaplan_meier (one orderkey
+    # shuffle, then a 5×18-row grid) — the fold runs over 18 elements.
+    oracle=f"""
+WITH lt AS (
+  SELECT o.o_orderkey, o.o_orderpriority AS priority,
+         date_diff('day', CAST(o.o_orderdate AS DATE),
+                   CAST(MAX(l.l_shipdate) AS DATE)) AS t_days
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  GROUP BY o.o_orderkey, o.o_orderpriority, o.o_orderdate
+),
+obs AS (
+  SELECT priority,
+         CAST(FLOOR(LEAST(GREATEST(t_days, 0), {_HORIZON_DAYS}) / {_WEEK}.0)
+              AS BIGINT) AS week,
+         CASE WHEN t_days <= {_HORIZON_DAYS} THEN 1 ELSE 0 END AS ev
+  FROM lt
+),
+grp AS (
+  SELECT priority, week,
+         CAST(SUM(ev) AS BIGINT) AS d_events,
+         CAST(SUM(1 - ev) AS BIGINT) AS c_censored
+  FROM obs GROUP BY priority, week
+),
+grid AS (
+  SELECT p.priority, t.w AS week
+  FROM (SELECT DISTINCT priority FROM obs) p
+  CROSS JOIN range(0, {_W_MAX + 1}) t(w)
+),
+dense AS (
+  SELECT g.priority, g.week,
+         COALESCE(gr.d_events, 0) AS d_events,
+         COALESCE(gr.c_censored, 0) AS c_censored
+  FROM grid g LEFT JOIN grp gr
+    ON gr.priority = g.priority AND gr.week = g.week
+),
+risk AS (
+  SELECT priority, week, d_events,
+         SUM(d_events + c_censored) OVER (PARTITION BY priority)
+         - COALESCE(SUM(d_events + c_censored)
+             OVER (PARTITION BY priority ORDER BY week
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS n_risk
+  FROM dense
+),
+f AS (
+  SELECT priority, n_risk, week,
+         CASE WHEN n_risk = 0 THEN 1.0
+              ELSE 1.0 - CAST(d_events AS DOUBLE) / CAST(n_risk AS DOUBLE)
+         END AS factor
+  FROM risk
+),
+folded AS (
+  SELECT priority,
+         CAST(MAX(CASE WHEN week = 0 THEN n_risk END) AS BIGINT) AS n_orders,
+         list_reduce(
+           list_prepend(CAST([1.0, 0.0] AS DOUBLE[]),
+                        list([factor] ORDER BY week)),
+           (a, x) -> [a[1] * x[1], a[2] + a[1] * x[1]]
+         ) AS acc
+  FROM f GROUP BY priority
+)
+SELECT priority, n_orders,
+       acc[2] AS rmst_weeks,
+       acc[2] * 7.0 AS rmst_days
+FROM folded
+""",
+    tags=("orders", "survival", "lifecycle"),
+)
+def q_orders_rmst(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    lt = (
+        li.groupBy("l_orderkey")
+        .agg(F.max("l_shipdate").alias("ship_done"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            F.col("o_orderpriority").alias("priority"),
+            F.datediff(
+                F.col("ship_done").cast("date"), F.col("o_orderdate").cast("date")
+            ).alias("t_days"),
+        )
+    )
+    obs = lt.select(
+        "priority",
+        F.floor(
+            F.least(F.greatest(F.col("t_days"), F.lit(0)), F.lit(_HORIZON_DAYS))
+            / float(_WEEK)
+        )
+        .cast("long")
+        .alias("week"),
+        F.when(F.col("t_days") <= _HORIZON_DAYS, 1).otherwise(0).alias("ev"),
+    )
+    grp = obs.groupBy("priority", "week").agg(
+        F.sum("ev").cast("long").alias("d_events"),
+        F.sum(1 - F.col("ev")).cast("long").alias("c_censored"),
+    )
+    grid = (
+        obs.select("priority")
+        .distinct()
+        .crossJoin(
+            spark.range(0, _W_MAX + 1).select(F.col("id").alias("week"))
+        )
+    )
+    dense = (
+        grid.join(grp, ["priority", "week"], "left")
+        .na.fill({"d_events": 0, "c_censored": 0})
+    )
+    total_w = Window.partitionBy("priority")
+    prior_w = (
+        Window.partitionBy("priority")
+        .orderBy("week")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    leaving = F.col("d_events") + F.col("c_censored")
+    risk = dense.withColumn(
+        "n_risk",
+        (
+            F.sum(leaving).over(total_w)
+            - F.coalesce(F.sum(leaving).over(prior_w), F.lit(0))
+        ).cast("long"),
+    )
+    factor = F.when(F.col("n_risk") == 0, F.lit(1.0)).otherwise(
+        F.lit(1.0)
+        - F.col("d_events").cast("double") / F.col("n_risk").cast("double")
+    )
+    folded = (
+        risk.withColumn("factor", factor)
+        .groupBy("priority")
+        .agg(
+            F.max(F.when(F.col("week") == 0, F.col("n_risk")))
+            .cast("long")
+            .alias("n_orders"),
+            F.aggregate(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("week", F.col("factor").alias("x")))
+                    ),
+                    lambda s: s["x"],
+                ),
+                F.array(F.lit(1.0), F.lit(0.0)),
+                lambda a, x: F.array(a[0] * x, a[1] + a[0] * x),
+            ).alias("acc"),
+        )
+    )
+    return folded.select(
+        "priority",
+        "n_orders",
+        F.col("acc")[1].alias("rmst_weeks"),
+        (F.col("acc")[1] * F.lit(7.0)).alias("rmst_days"),
+    )
+
+
+@register(
+    "orders_competing_risks",
+    # Aalen-Johansen cumulative incidence under COMPETING events: an
+    # order's first completion is either a clean fulfillment or a
+    # return-tainted one (any line flagged R), and the two risks compete
+    # — naive "1 − KM of returns alone" OVERSTATES return incidence
+    # because fulfilled orders can never return later. CIF_k(w) =
+    # Σ_{j≤w} S(j−1)·d_kj/n_j with S the all-cause KM survival.
+    #
+    # Exactness: the three running quantities [S, CIF_ret, CIF_ful] are
+    # one coupled ordered fold over [factor, h_ret, h_ful] triples
+    # (DOUBLE-LIST accumulator, same frame-ordered windowed list on both
+    # engines); every hazard is one division of exact integers. The
+    # conservation identity S + CIF_ret + CIF_ful = 1 holds exactly in
+    # exact arithmetic interval-by-interval and is asserted to 1e-12 in
+    # tests.
+    #
+    # Scale shape: one orderkey shuffle (order-level event typing), a
+    # small (priority, week) rollup, windows over ≤18 rows per group.
+    oracle=f"""
+WITH lt AS (
+  SELECT o.o_orderkey, o.o_orderpriority AS priority,
+         date_diff('day', CAST(o.o_orderdate AS DATE),
+                   CAST(MAX(l.l_shipdate) AS DATE)) AS t_days,
+         MAX(CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END) AS returned
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  GROUP BY o.o_orderkey, o.o_orderpriority, o.o_orderdate
+),
+obs AS (
+  SELECT priority,
+         CAST(FLOOR(LEAST(GREATEST(t_days, 0), {_HORIZON_DAYS}) / {_WEEK}.0)
+              AS BIGINT) AS week,
+         CASE WHEN t_days <= {_HORIZON_DAYS} THEN returned ELSE 0 END AS ev_ret,
+         CASE WHEN t_days <= {_HORIZON_DAYS} THEN 1 - returned ELSE 0 END AS ev_ful,
+         CASE WHEN t_days <= {_HORIZON_DAYS} THEN 0 ELSE 1 END AS cens
+  FROM lt
+),
+grp AS (
+  SELECT priority, week,
+         CAST(SUM(ev_ret) AS BIGINT) AS d_ret,
+         CAST(SUM(ev_ful) AS BIGINT) AS d_ful,
+         CAST(SUM(cens) AS BIGINT) AS c_censored
+  FROM obs GROUP BY priority, week
+),
+risk AS (
+  SELECT priority, week, d_ret, d_ful, c_censored,
+         SUM(d_ret + d_ful + c_censored) OVER (PARTITION BY priority)
+         - COALESCE(SUM(d_ret + d_ful + c_censored)
+             OVER (PARTITION BY priority ORDER BY week
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS n_risk
+  FROM grp
+),
+f AS (
+  SELECT priority, week, d_ret, d_ful, c_censored, n_risk,
+         1.0 - CAST(d_ret + d_ful AS DOUBLE) / CAST(n_risk AS DOUBLE)
+           AS factor,
+         CAST(d_ret AS DOUBLE) / CAST(n_risk AS DOUBLE) AS h_ret,
+         CAST(d_ful AS DOUBLE) / CAST(n_risk AS DOUBLE) AS h_ful
+  FROM risk
+),
+folded AS (
+  SELECT priority, week, CAST(n_risk AS BIGINT) AS n_risk, d_ret, d_ful,
+         list_reduce(
+           list_prepend(
+             CAST([1.0, 0.0, 0.0] AS DOUBLE[]),
+             list([factor, h_ret, h_ful])
+               OVER (PARTITION BY priority ORDER BY week
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+           (a, x) -> [a[1] * x[1], a[2] + a[1] * x[2], a[3] + a[1] * x[3]]
+         ) AS acc
+  FROM f
+)
+SELECT priority, week, n_risk,
+       d_ret AS d_returned, d_ful AS d_fulfilled,
+       acc[1] AS survival,
+       acc[2] AS cif_returned,
+       acc[3] AS cif_fulfilled
+FROM folded
+""",
+    tags=("orders", "survival", "competing-risks"),
+)
+def q_orders_competing_risks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    lt = (
+        li.groupBy("l_orderkey")
+        .agg(
+            F.max("l_shipdate").alias("ship_done"),
+            F.max(
+                F.when(F.col("l_returnflag") == "R", 1).otherwise(0)
+            ).alias("returned"),
+        )
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            F.col("o_orderpriority").alias("priority"),
+            F.datediff(
+                F.col("ship_done").cast("date"), F.col("o_orderdate").cast("date")
+            ).alias("t_days"),
+            "returned",
+        )
+    )
+    in_h = F.col("t_days") <= _HORIZON_DAYS
+    obs = lt.select(
+        "priority",
+        F.floor(
+            F.least(F.greatest(F.col("t_days"), F.lit(0)), F.lit(_HORIZON_DAYS))
+            / float(_WEEK)
+        )
+        .cast("long")
+        .alias("week"),
+        F.when(in_h, F.col("returned")).otherwise(0).alias("ev_ret"),
+        F.when(in_h, 1 - F.col("returned")).otherwise(0).alias("ev_ful"),
+        F.when(in_h, 0).otherwise(1).alias("cens"),
+    )
+    grp = obs.groupBy("priority", "week").agg(
+        F.sum("ev_ret").cast("long").alias("d_ret"),
+        F.sum("ev_ful").cast("long").alias("d_ful"),
+        F.sum("cens").cast("long").alias("c_censored"),
+    )
+    total_w = Window.partitionBy("priority")
+    prior_w = (
+        Window.partitionBy("priority")
+        .orderBy("week")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    leaving = F.col("d_ret") + F.col("d_ful") + F.col("c_censored")
+    risk = grp.withColumn(
+        "n_risk",
+        (
+            F.sum(leaving).over(total_w)
+            - F.coalesce(F.sum(leaving).over(prior_w), F.lit(0))
+        ).cast("long"),
+    )
+    nd = F.col("n_risk").cast("double")
+    f = risk.select(
+        "priority",
+        "week",
+        "n_risk",
+        "d_ret",
+        "d_ful",
+        (
+            F.lit(1.0) - (F.col("d_ret") + F.col("d_ful")).cast("double") / nd
+        ).alias("factor"),
+        (F.col("d_ret").cast("double") / nd).alias("h_ret"),
+        (F.col("d_ful").cast("double") / nd).alias("h_ful"),
+    )
+    fold_w = (
+        Window.partitionBy("priority")
+        .orderBy("week")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    acc = F.aggregate(
+        F.collect_list(F.array("factor", "h_ret", "h_ful")).over(fold_w),
+        F.array(F.lit(1.0), F.lit(0.0), F.lit(0.0)),
+        lambda a, x: F.array(
+            a[0] * x[0], a[1] + a[0] * x[1], a[2] + a[0] * x[2]
+        ),
+    )
+    return f.withColumn("acc", acc).select(
+        "priority",
+        "week",
+        "n_risk",
+        F.col("d_ret").alias("d_returned"),
+        F.col("d_ful").alias("d_fulfilled"),
+        F.col("acc")[0].alias("survival"),
+        F.col("acc")[1].alias("cif_returned"),
+        F.col("acc")[2].alias("cif_fulfilled"),
+    )

@@ -82,6 +82,7 @@ BNLJ_ALLOWED = {
     "customer_value_migration",  # broadcast single-row customer-total scalar
     "customer_first_value_repeat",  # broadcast single-row scalar (if planned)
     "events_error_pchart",  # broadcast single-row pooled-rate scalar
+    "part_kraljic_matrix",  # broadcast two 1-row median order-statistic scalars
 }
 
 SF_DIR = "/root/testdata/sf0.001"
