@@ -279,6 +279,19 @@ GRADE_OVERFLOW = frozenset(
         "orders_rmst",
         "orders_competing_risks",
         "events_mcnemar_conversion",
+        "events_dft_daily_power",
+        "events_peak_concurrency",
+        "docs_vocab_growth",
+        "events_cramers_v",
+        "events_value_variance_ratio",
+        "docs_template_clusters",
+        "events_value_emd",
+        "docs_source_hellinger",
+        "emb_dim_anova",
+        "part_newsvendor_quantiles",
+        "supplier_lead_time_percentiles",
+        "lineitem_volume_discount_curve",
+        "customer_purchase_regularity",
     }
 )
 

@@ -121,6 +121,27 @@ def main() -> None:
         "orders_revenue_acf",
         "emb_label_centroid_drift",
         "events_stickiness_dau_wau",
+        # Eighth-session tier (sourcing, survival, load-shape, separation):
+        "part_purchase_price_variance",
+        "part_bullwhip_ratio",
+        "brand_maverick_spend",
+        "part_kraljic_matrix",
+        "orders_rmst",
+        "orders_competing_risks",
+        "events_mcnemar_conversion",
+        "events_dft_daily_power",
+        "events_peak_concurrency",
+        "docs_vocab_growth",
+        "events_cramers_v",
+        "events_value_variance_ratio",
+        "docs_template_clusters",
+        "events_value_emd",
+        "docs_source_hellinger",
+        "emb_dim_anova",
+        "part_newsvendor_quantiles",
+        "supplier_lead_time_percentiles",
+        "lineitem_volume_discount_curve",
+        "customer_purchase_regularity",
     ]
     extended_specs = {n: specs[n] for n in extended_names if n in specs}
     unknown_extended = [n for n in extended_names if n not in specs]

@@ -29,6 +29,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from procurement_data_pipeline_spark.llm_ops.kmv import hash_frac_sql
 from procurement_data_pipeline_spark.llm_ops.text import normalize_text, word_count
 from procurement_data_pipeline_spark.registry import REGISTRY, register
 from procurement_data_pipeline_spark.sources.tables import load_table
@@ -637,4 +638,142 @@ def q_docs_dedup_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / F.sum("n_tokens")
             ).alias("token_savings_share"),
         )
+    )
+
+
+_WORDS_SQL = f"string_split({_NORM}, ' ')"
+_GROWTH_LEVELS = 7  # nested hash samples at thresholds 2^0 .. 2^-6
+
+
+@register(
+    "docs_vocab_growth",
+    # Heaps-law vocabulary-growth curve WITHOUT a global sort: instead of
+    # "distinct tokens in the first k documents" (which needs a total
+    # order over the corpus — one task at 100 TB), the curve is read off
+    # NESTED HASH SAMPLES: level ℓ = documents whose md5 fraction is
+    # < 2^-ℓ, so level 6 ⊂ level 5 ⊂ … ⊂ level 0 = everything, and each
+    # level is an unbiased ~n/2^ℓ-doc subcorpus. A token is in level ℓ's
+    # vocabulary iff its deepest containing document reaches ℓ — one
+    # max-aggregation per token, then 7-row suffix sums. Everything is
+    # exact integers (the 52-bit hash-fraction contract from
+    # llm_ops/kmv); type-token ratio is one division.
+    #
+    # Scale shape: one doc-grain pass (depth + word count), one
+    # token-grain shuffle for max-depth, two 7-row windows. No global
+    # ordering anywhere. 100×-safe.
+    oracle=f"""
+WITH d AS (
+  SELECT {hash_frac_sql("md5(CAST(doc_id AS VARCHAR))")} AS frac,
+         {_WORDS_SQL} AS ws
+  FROM documents
+),
+docs2 AS (
+  SELECT CASE
+           WHEN frac < 0.015625 THEN 6
+           WHEN frac < 0.03125 THEN 5
+           WHEN frac < 0.0625 THEN 4
+           WHEN frac < 0.125 THEN 3
+           WHEN frac < 0.25 THEN 2
+           WHEN frac < 0.5 THEN 1
+           ELSE 0
+         END AS depth,
+         ws
+  FROM d
+),
+doc_by_depth AS (
+  SELECT depth, CAST(COUNT(*) AS BIGINT) AS n_docs_d,
+         CAST(SUM(len(ws)) AS BIGINT) AS toks_d
+  FROM docs2 GROUP BY 1
+),
+word_depth AS (
+  SELECT w, MAX(depth) AS maxd
+  FROM (SELECT depth, unnest(ws) AS w FROM docs2)
+  GROUP BY 1
+),
+vocab_by_depth AS (
+  SELECT maxd AS depth, CAST(COUNT(*) AS BIGINT) AS vocab_d
+  FROM word_depth GROUP BY 1
+),
+lvl AS (SELECT CAST(l AS BIGINT) AS level FROM range(0, {_GROWTH_LEVELS}) t(l)),
+joined AS (
+  SELECT lvl.level,
+         COALESCE(db.n_docs_d, 0) AS n_docs_d,
+         COALESCE(db.toks_d, 0) AS toks_d,
+         COALESCE(vb.vocab_d, 0) AS vocab_d
+  FROM lvl
+  LEFT JOIN doc_by_depth db ON db.depth = lvl.level
+  LEFT JOIN vocab_by_depth vb ON vb.depth = lvl.level
+),
+suffix AS (
+  SELECT level,
+         CAST(SUM(n_docs_d) OVER (ORDER BY level DESC
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_docs,
+         CAST(SUM(toks_d) OVER (ORDER BY level DESC
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_tokens,
+         CAST(SUM(vocab_d) OVER (ORDER BY level DESC
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS vocab_size
+  FROM joined
+)
+SELECT level, n_docs, n_tokens, vocab_size,
+       CAST(vocab_size AS DOUBLE) / CAST(NULLIF(n_tokens, 0) AS DOUBLE)
+         AS type_token_ratio
+FROM suffix
+""",
+    tags=("llm", "text", "vocabulary", "sampling"),
+)
+def q_docs_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from procurement_data_pipeline_spark.llm_ops.kmv import hash_frac
+    from procurement_data_pipeline_spark.llm_ops.sampling import hash_key
+    from procurement_data_pipeline_spark.llm_ops.text import words
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        hash_frac(hash_key("doc_id")).alias("frac"), words("text").alias("ws")
+    )
+    depth = (
+        F.when(F.col("frac") < 0.015625, 6)
+        .when(F.col("frac") < 0.03125, 5)
+        .when(F.col("frac") < 0.0625, 4)
+        .when(F.col("frac") < 0.125, 3)
+        .when(F.col("frac") < 0.25, 2)
+        .when(F.col("frac") < 0.5, 1)
+        .otherwise(0)
+    )
+    docs2 = docs.select(depth.alias("depth"), "ws")
+    doc_by_depth = docs2.groupBy("depth").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs_d"),
+        F.sum(F.size("ws")).cast("long").alias("toks_d"),
+    )
+    vocab_by_depth = (
+        docs2.select("depth", F.explode("ws").alias("w"))
+        .groupBy("w")
+        .agg(F.max("depth").alias("depth"))
+        .groupBy("depth")
+        .agg(F.count(F.lit(1)).cast("long").alias("vocab_d"))
+    )
+    lvl = spark.range(0, _GROWTH_LEVELS).select(F.col("id").alias("level"))
+    joined = (
+        lvl.join(doc_by_depth, lvl.level == doc_by_depth.depth, "left")
+        .drop("depth")
+        .join(vocab_by_depth, lvl.level == vocab_by_depth.depth, "left")
+        .drop("depth")
+        .na.fill({"n_docs_d": 0, "toks_d": 0, "vocab_d": 0})
+    )
+    suf_w = Window.orderBy(F.col("level").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    suffix = joined.select(
+        "level",
+        F.sum("n_docs_d").over(suf_w).cast("long").alias("n_docs"),
+        F.sum("toks_d").over(suf_w).cast("long").alias("n_tokens"),
+        F.sum("vocab_d").over(suf_w).cast("long").alias("vocab_size"),
+    )
+    return suffix.select(
+        "level",
+        "n_docs",
+        "n_tokens",
+        "vocab_size",
+        (
+            F.col("vocab_size").cast("double")
+            / F.nullif(F.col("n_tokens"), F.lit(0)).cast("double")
+        ).alias("type_token_ratio"),
     )

@@ -83,6 +83,8 @@ BNLJ_ALLOWED = {
     "customer_first_value_repeat",  # broadcast single-row scalar (if planned)
     "events_error_pchart",  # broadcast single-row pooled-rate scalar
     "part_kraljic_matrix",  # broadcast two 1-row median order-statistic scalars
+    "orders_rmst",  # bounded priorities × 18-row dense week-grid cross
+    "events_cramers_v",  # broadcast single-row margins-total scalar
 }
 
 SF_DIR = "/root/testdata/sf0.001"
