@@ -292,6 +292,16 @@ GRADE_OVERFLOW = frozenset(
         "supplier_lead_time_percentiles",
         "lineitem_volume_discount_curve",
         "customer_purchase_regularity",
+        "orders_seasonal_strength",
+        "events_rate_spikes",
+        "supplier_share_momentum",
+        "nation_trade_balance",
+        "emb_norm_quality",
+        "emb_label_confusion",
+        "orders_priority_sla",
+        "part_slow_movers",
+        "orders_ljung_box",
+        "supplier_disruption_premium",
     }
 )
 

@@ -142,6 +142,17 @@ def main() -> None:
         "supplier_lead_time_percentiles",
         "lineitem_volume_discount_curve",
         "customer_purchase_regularity",
+        # ninth-session batch: flow/health analytics
+        "orders_seasonal_strength",
+        "events_rate_spikes",
+        "supplier_share_momentum",
+        "nation_trade_balance",
+        "emb_norm_quality",
+        "emb_label_confusion",
+        "orders_priority_sla",
+        "part_slow_movers",
+        "orders_ljung_box",
+        "supplier_disruption_premium",
     ]
     extended_specs = {n: specs[n] for n in extended_names if n in specs}
     unknown_extended = [n for n in extended_names if n not in specs]

@@ -34,7 +34,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from procurement_data_pipeline_spark.caching import scoped_persist
-from procurement_data_pipeline_spark.registry import register
+from procurement_data_pipeline_spark.registry import REGISTRY, register
 from procurement_data_pipeline_spark.sources.tables import load_table
 
 # ---------------------------------------------------------------------------
@@ -594,4 +594,98 @@ def q_part_multi_sourcing(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "part_share"
             ),
         )
+    )
+
+
+# chi²(7) 95% critical value, literal-pinned (transcendental-free contract)
+_LJUNG_BOX_CRIT = 14.067140449340169
+
+
+@register(
+    "orders_ljung_box",
+    # Ljung-Box portmanteau test over the declared orders_revenue_acf
+    # correlogram (oracle COMPOSED verbatim, so the two can never drift):
+    # Q = n(n+2)·Σ_{k=1..m} r_k²/(n−k), tested against the pinned χ²(7)
+    # critical value. The white-noise gate a forecaster runs BEFORE
+    # trusting any fitted model's residual story — individually small
+    # autocorrelations can still be jointly significant, which is exactly
+    # what the portmanteau form detects and per-lag eyeballing misses.
+    #
+    # Exactness: r_k are the ACF query's pinned doubles; the Σ is a
+    # 7-element ordered fold by lag; each term is one division
+    # (r·r/(n−k)); the n(n+2) scale and the significance comparison
+    # against the pinned literal are engine-identical.
+    #
+    # Scale shape: the ACF subplan (day-grain collapse + calendar-bounded
+    # lag join) plus a 1-row scalar n_days broadcast. 100×-safe.
+    oracle=f"""
+WITH acf_rows AS ({REGISTRY['orders_revenue_acf'].oracle}),
+nd AS (
+  SELECT CAST(COUNT(DISTINCT CAST(o_orderdate AS DATE)) AS BIGINT) AS n
+  FROM orders
+),
+terms AS (
+  SELECT a.lag, a.acf, nd.n,
+         a.acf * a.acf / CAST(nd.n - a.lag AS DOUBLE) AS term
+  FROM acf_rows a CROSS JOIN nd
+  WHERE a.acf IS NOT NULL
+),
+q AS (
+  SELECT CAST(MAX(n) AS BIGINT) AS n_days,
+         CAST(COUNT(*) AS BIGINT) AS m_lags,
+         CAST(MAX(n) AS DOUBLE) * CAST(MAX(n) + 2 AS DOUBLE)
+           * list_reduce(
+               list_prepend(CAST(0 AS DOUBLE), list(term ORDER BY lag)),
+               (acc, x) -> acc + x) AS q_stat
+  FROM terms
+)
+SELECT n_days, m_lags, q_stat,
+       q_stat > {_LJUNG_BOX_CRIT!r} AS significant
+FROM q
+""",
+    tags=("orders", "timeseries", "diagnostics"),
+)
+def q_orders_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from procurement_data_pipeline_spark.registry import REGISTRY
+
+    acf = REGISTRY["orders_revenue_acf"].builder(spark, sf_dir)
+    o = load_table(spark, sf_dir, "orders")
+    nd = o.agg(
+        F.countDistinct(F.col("o_orderdate").cast("date")).cast("long").alias("n")
+    )
+    terms = (
+        acf.where(F.col("acf").isNotNull())
+        .crossJoin(F.broadcast(nd))
+        .select(
+            "lag",
+            "n",
+            (
+                F.col("acf") * F.col("acf")
+                / (F.col("n") - F.col("lag")).cast("double")
+            ).alias("term"),
+        )
+    )
+    q = terms.agg(
+        F.max("n").cast("long").alias("n_days"),
+        F.count(F.lit(1)).cast("long").alias("m_lags"),
+        (
+            F.max("n").cast("double")
+            * (F.max("n") + 2).cast("double")
+            * F.aggregate(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("lag", F.col("term").alias("x")))
+                    ),
+                    lambda st: st["x"],
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        ).alias("q_stat"),
+    )
+    return q.select(
+        "n_days",
+        "m_lags",
+        "q_stat",
+        (F.col("q_stat") > F.lit(_LJUNG_BOX_CRIT)).alias("significant"),
     )

@@ -392,3 +392,148 @@ def q_part_kraljic_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_supp").cast("double") / F.count(F.lit(1)).cast("double")
         ).alias("avg_suppliers"),
     )
+
+
+_UNIT_SCALE = 1_000_000  # unit-cost quantization: micro-cents per unit
+
+
+@register(
+    "supplier_disruption_premium",
+    # What-if resilience costing: if each part's CHEAPEST supplier
+    # disappeared, what would shifting its whole volume to the runner-up
+    # cost? The sourcing-risk number a resilience review pairs with the
+    # Kraljic matrix (bottleneck quadrant + high premium = the real
+    # exposure). Single-sourced parts have no runner-up — counted
+    # separately as the unbounded-risk bucket.
+    #
+    # Exactness: per-(part, supplier) unit cost is quantized to integer
+    # micro-cents (FLOOR of ONE correctly-rounded division of exact cent
+    # and unit totals — identical in both engines); cheapest/runner-up
+    # are deterministic ranks (unit cost, suppkey); the switch cost
+    # Σ qty·(u2−u1) is an exact integer; presentation dollars and the
+    # share are pinned division chains.
+    #
+    # Scale shape: one shuffle to (part, supplier) grain with map-side
+    # partials, a supplier-bounded window per part, a broadcast dim, a
+    # brand rollup. 100×-safe.
+    oracle=f"""
+WITH ps AS (
+  SELECT l_partkey AS partkey, l_suppkey AS suppkey,
+         SUM(CAST(FLOOR(l_extendedprice * 100) AS HUGEINT)) AS spend_c,
+         SUM(CAST(FLOOR(l_quantity) AS HUGEINT)) AS qty
+  FROM lineitem GROUP BY 1, 2
+),
+unit AS (
+  SELECT partkey, suppkey, spend_c, qty,
+         CAST(FLOOR(CAST(spend_c AS DOUBLE) / CAST(qty AS DOUBLE)
+                    * {_UNIT_SCALE}) AS BIGINT) AS u
+  FROM ps WHERE qty > 0
+),
+ranked AS (
+  SELECT partkey, suppkey, spend_c, qty, u,
+         ROW_NUMBER() OVER (PARTITION BY partkey ORDER BY u, suppkey) AS rk,
+         COUNT(*) OVER (PARTITION BY partkey) AS n_supp,
+         SUM(qty) OVER (PARTITION BY partkey) AS part_qty
+  FROM unit
+),
+per_part AS (
+  SELECT partkey,
+         MAX(n_supp) AS n_supp,
+         MAX(part_qty) AS part_qty,
+         MAX(CASE WHEN rk = 1 THEN u END) AS u1,
+         MAX(CASE WHEN rk = 2 THEN u END) AS u2,
+         SUM(spend_c) AS spend_c
+  FROM ranked GROUP BY partkey
+),
+b AS (
+  SELECT p.p_brand AS brand,
+         CAST(COUNT(*) AS BIGINT) AS n_parts,
+         CAST(SUM(CASE WHEN pp.n_supp = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_single_sourced,
+         SUM(pp.spend_c) AS spend_c,
+         SUM(CASE WHEN pp.n_supp > 1
+                  THEN pp.part_qty * (pp.u2 - pp.u1)
+                  ELSE CAST(0 AS HUGEINT) END) AS switch_e6
+  FROM per_part pp JOIN part p ON p.p_partkey = pp.partkey
+  GROUP BY 1
+)
+SELECT brand, n_parts, n_single_sourced,
+       CAST(spend_c AS DOUBLE) / 100.0 AS total_spend,
+       CAST(switch_e6 AS DOUBLE) / {_UNIT_SCALE}.0 / 100.0 AS switch_cost,
+       CAST(switch_e6 AS DOUBLE) / {_UNIT_SCALE}.0
+         / CAST(spend_c AS DOUBLE) AS switch_cost_share
+FROM b
+""",
+    tags=("procurement", "risk", "what-if", "supplier"),
+)
+def q_supplier_disruption_premium(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        "l_suppkey",
+        cents("l_extendedprice").alias("val_c"),
+        F.floor(F.col("l_quantity")).cast("long").alias("qty"),
+    )
+    ps = li.groupBy(
+        F.col("l_partkey").alias("partkey"), F.col("l_suppkey").alias("suppkey")
+    ).agg(
+        F.sum(_dec(F.col("val_c"))).alias("spend_c"),
+        F.sum(_dec(F.col("qty"))).alias("qty"),
+    )
+    unit = ps.where(F.col("qty") > 0).withColumn(
+        "u",
+        F.floor(
+            F.col("spend_c").cast("double")
+            / F.col("qty").cast("double")
+            * _UNIT_SCALE
+        ).cast("long"),
+    )
+    by_part = Window.partitionBy("partkey")
+    ranked = unit.select(
+        "partkey",
+        "spend_c",
+        "qty",
+        "u",
+        F.row_number().over(by_part.orderBy("u", "suppkey")).alias("rk"),
+        F.count(F.lit(1)).over(by_part).alias("n_supp"),
+        F.sum("qty").over(by_part).alias("part_qty"),
+    )
+    per_part = ranked.groupBy("partkey").agg(
+        F.max("n_supp").alias("n_supp"),
+        F.max("part_qty").alias("part_qty"),
+        F.max(F.when(F.col("rk") == 1, F.col("u"))).alias("u1"),
+        F.max(F.when(F.col("rk") == 2, F.col("u"))).alias("u2"),
+        F.sum("spend_c").alias("spend_c"),
+    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    zero = F.lit(0).cast("decimal(38,0)")
+    b = (
+        per_part.join(F.broadcast(part), per_part.partkey == part.p_partkey)
+        .groupBy(F.col("p_brand").alias("brand"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_parts"),
+            F.sum(F.when(F.col("n_supp") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_single_sourced"),
+            F.sum("spend_c").alias("spend_c"),
+            F.sum(
+                F.when(
+                    F.col("n_supp") > 1,
+                    F.col("part_qty") * (F.col("u2") - F.col("u1")),
+                ).otherwise(zero)
+            ).alias("switch_e6"),
+        )
+    )
+    return b.select(
+        "brand",
+        "n_parts",
+        "n_single_sourced",
+        dollars(F.col("spend_c")).alias("total_spend"),
+        (
+            F.col("switch_e6").cast("double") / F.lit(float(_UNIT_SCALE)) / 100.0
+        ).alias("switch_cost"),
+        (
+            F.col("switch_e6").cast("double")
+            / F.lit(float(_UNIT_SCALE))
+            / F.col("spend_c").cast("double")
+        ).alias("switch_cost_share"),
+    )

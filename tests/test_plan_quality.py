@@ -85,6 +85,9 @@ BNLJ_ALLOWED = {
     "part_kraljic_matrix",  # broadcast two 1-row median order-statistic scalars
     "orders_rmst",  # bounded priorities × 18-row dense week-grid cross
     "events_cramers_v",  # broadcast single-row margins-total scalar
+    "supplier_share_momentum",  # broadcast 1-row split-day + totals scalars
+    "part_slow_movers",  # broadcast single-row as-of-date scalar
+    "orders_ljung_box",  # broadcast 1-row n_days scalar into the 7-lag ACF
 }
 
 SF_DIR = "/root/testdata/sf0.001"
