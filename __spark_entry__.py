@@ -302,6 +302,9 @@ GRADE_OVERFLOW = frozenset(
         "part_slow_movers",
         "orders_ljung_box",
         "supplier_disruption_premium",
+        "part_triangle_stats",
+        "part_also_bought_cosine",
+        "events_ewma_chart",
     }
 )
 

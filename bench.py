@@ -153,6 +153,9 @@ def main() -> None:
         "part_slow_movers",
         "orders_ljung_box",
         "supplier_disruption_premium",
+        "part_triangle_stats",
+        "part_also_bought_cosine",
+        "events_ewma_chart",
     ]
     extended_specs = {n: specs[n] for n in extended_names if n in specs}
     unknown_extended = [n for n in extended_names if n not in specs]

@@ -351,3 +351,126 @@ def q_orders_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("z") < -1.96, "decreasing")
         .otherwise("no_trend"),
     )
+
+
+# EWMA control-chart constants, literal-pinned at import so both engines
+# consume the identical double (the λ/(2−λ) width needs a sqrt — IEEE
+# correctly-rounded, so the Python value equals what either engine would
+# compute, but pinning removes even the expression-shape dependence).
+_EWMA_LAMBDA = 0.2
+_EWMA_WIDTH = (0.2 / 1.8) ** 0.5  # sqrt(λ/(2−λ)) — asymptotic limit factor
+
+
+@register(
+    "events_ewma_chart",
+    # EWMA control chart over daily event volume: z_t = λ·x_t + (1−λ)·z_{t−1}
+    # seeded at the process mean — the drift detector that reacts to small
+    # sustained shifts a 3σ Shewhart chart misses (its memory integrates
+    # them). Asymptotic control limits mean ± 3σ·sqrt(λ/(2−λ)); the
+    # early-sample exact limits are tighter, so asymptotic flags are
+    # conservative for the first few days.
+    #
+    # Exactness: daily counts are integers; moments stay in BIGINT (counts
+    # squared are far inside 2^63 at any plausible scale — a 1e9-event/day
+    # pipeline is ~1e18·days only past 10^2.5 years); each day's EWMA is an
+    # ORDERED FOLD over the day-ordered prefix of the count array with
+    # identical literals, so every intermediate double matches bit-for-bit
+    # (the same contract as Kaplan-Meier / Croston).
+    #
+    # Scale shape: one shuffle to the day grain; the fold relation is
+    # CALENDAR-bounded (days², not events²) — the prefix arrays total
+    # ~days²·8 bytes (50 MB at 7 years), independent of fact volume. The
+    # 1-row stats+array scalar broadcasts (allowlisted BNLJ).
+    oracle=f"""
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS x
+  FROM events GROUP BY 1
+),
+idx AS (
+  SELECT day, x,
+         CAST(ROW_NUMBER() OVER (ORDER BY day) AS BIGINT) AS t
+  FROM daily
+),
+g AS (
+  SELECT list(CAST(x AS DOUBLE) ORDER BY day) AS arr,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS s1,
+         CAST(SUM(x * x) AS BIGINT) AS s2
+  FROM daily
+),
+stats AS (
+  SELECT arr,
+         CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mean_x,
+         sqrt(CAST(n * s2 - s1 * s1 AS DOUBLE)
+              / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))) AS sigma_x
+  FROM g
+)
+SELECT i.day, i.x,
+       list_reduce(
+         list_prepend(st.mean_x, list_slice(st.arr, 1, i.t)),
+         (acc, v) -> acc * {1.0 - _EWMA_LAMBDA!r} + v * {_EWMA_LAMBDA!r}
+       ) AS ewma,
+       st.mean_x + 3.0 * st.sigma_x * {_EWMA_WIDTH!r} AS ucl,
+       st.mean_x - 3.0 * st.sigma_x * {_EWMA_WIDTH!r} AS lcl,
+       list_reduce(
+         list_prepend(st.mean_x, list_slice(st.arr, 1, i.t)),
+         (acc, v) -> acc * {1.0 - _EWMA_LAMBDA!r} + v * {_EWMA_LAMBDA!r}
+       ) NOT BETWEEN
+         st.mean_x - 3.0 * st.sigma_x * {_EWMA_WIDTH!r}
+         AND st.mean_x + 3.0 * st.sigma_x * {_EWMA_WIDTH!r} AS breach
+FROM idx i CROSS JOIN stats st
+""",
+    tags=("events", "spc", "timeseries"),
+)
+def q_events_ewma_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.count(F.lit(1)).cast("long").alias("x")
+    )
+    idx = daily.withColumn(
+        "t", F.row_number().over(Window.orderBy("day")).cast("long")
+    )
+    g = daily.agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.struct("day", F.col("x").cast("double").alias("v"))
+                )
+            ),
+            lambda st: st["v"],
+        ).alias("arr"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("s1"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("s2"),
+    )
+    stats = g.select(
+        "arr",
+        (F.col("s1").cast("double") / F.col("n").cast("double")).alias(
+            "mean_x"
+        ),
+        F.sqrt(
+            (F.col("n") * F.col("s2") - F.col("s1") * F.col("s1")).cast(
+                "double"
+            )
+            / (F.col("n").cast("double") * F.col("n").cast("double"))
+        ).alias("sigma_x"),
+    )
+    lam, width = F.lit(_EWMA_LAMBDA), F.lit(_EWMA_WIDTH)
+    ewma = F.aggregate(
+        F.slice(F.col("arr"), F.lit(1), F.col("t").cast("int")),
+        F.col("mean_x"),
+        lambda acc, v: acc * F.lit(1.0 - _EWMA_LAMBDA) + v * lam,
+    )
+    ucl = F.col("mean_x") + F.lit(3.0) * F.col("sigma_x") * width
+    lcl = F.col("mean_x") - F.lit(3.0) * F.col("sigma_x") * width
+    return (
+        idx.crossJoin(F.broadcast(stats))
+        .select(
+            "day",
+            "x",
+            ewma.alias("ewma"),
+            ucl.alias("ucl"),
+            lcl.alias("lcl"),
+            ((ewma < lcl) | (ewma > ucl)).alias("breach"),
+        )
+    )

@@ -88,6 +88,7 @@ BNLJ_ALLOWED = {
     "supplier_share_momentum",  # broadcast 1-row split-day + totals scalars
     "part_slow_movers",  # broadcast single-row as-of-date scalar
     "orders_ljung_box",  # broadcast 1-row n_days scalar into the 7-lag ACF
+    "events_ewma_chart",  # broadcast 1-row mean/sigma/day-array scalar
 }
 
 SF_DIR = "/root/testdata/sf0.001"
