@@ -1,0 +1,277 @@
+"""Multi-version parquet tables: snapshot isolation, time travel, rollback.
+
+The repo's manifest-committed operators (ivm.py's join views, erasure.py's
+targeted rewrites, incremental.py's rollups) each keep ONE current state.
+This module adds the remaining table-format capability those leave on the
+table — the Delta/Iceberg snapshot model, over plain parquet and the
+Hadoop FileSystem API alone (reference analogue: the staging-table swap in
+/root/reference/sql/ddl.sql and docker/dags/procurement_dag.py keeps only
+"current"; versioning is a beyond-reference capability):
+
+* every write (append / overwrite / rollback) produces an IMMUTABLE
+  version: data files land in a fresh ``commit-{N}/`` directory, then a
+  one-file JSON manifest ``_log/v{N}.json`` naming the version's full
+  file list is published atomically;
+* readers resolve a manifest FIRST and read exactly its files — a writer
+  crashed before publishing leaves an orphan commit directory that no
+  reader can observe (same invisibility argument as ivm.read_view);
+* ``read_table(..., version=k)`` is time travel; ``rollback`` publishes a
+  NEW version whose file list equals an old one (history is append-only —
+  an audit can always see that the rollback happened and when);
+* optimistic concurrency: the manifest publish is a create-no-overwrite
+  rename, so two writers racing to publish the same version number cannot
+  both win — the loser raises :class:`ConcurrentWriteError` and must
+  retry on top of the new latest (the Delta/Iceberg commit protocol).
+* ``vacuum`` deletes data files referenced ONLY by expired versions —
+  storage stays O(live data + retained history), not O(all writes ever).
+
+100 TB shape: manifests hold file PATHS (thousands of entries, not
+rows), reads plan from one small JSON, appends touch only new files, and
+the atomic-publish rename is a metadata operation on hdfs:// and file://
+(on object stores it degrades to a small-object copy — same correctness,
+the standard caveat). Nothing here scans data except the write itself.
+"""
+
+from __future__ import annotations
+
+import json
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+from procurement_data_pipeline_spark.operators.erasure import (
+    _fs_path,
+    _read_text,
+    _write_text,
+)
+from procurement_data_pipeline_spark.operators.fileindex import (
+    _list_parquet_files,
+)
+
+_LOG_DIR = "_log"
+_VERSION_WIDTH = 8  # v00000001.json … — lexicographic == numeric order
+
+
+class ConcurrentWriteError(RuntimeError):
+    """Another writer published this version number first — retry on top
+    of the new latest version."""
+
+
+def _log_path(table_path: str) -> str:
+    return table_path.rstrip("/") + "/" + _LOG_DIR
+
+
+def _manifest_uri(table_path: str, version: int) -> str:
+    return f"{_log_path(table_path)}/v{version:0{_VERSION_WIDTH}d}.json"
+
+
+def _list_versions(spark: SparkSession, table_path: str) -> list[int]:
+    fs, log_p, _ = _fs_path(spark, _log_path(table_path))
+    if not fs.exists(log_p):
+        return []
+    out = []
+    for st in fs.listStatus(log_p):
+        name = st.getPath().getName()
+        if name.startswith("v") and name.endswith(".json"):
+            out.append(int(name[1:-5]))
+    return sorted(out)
+
+
+def _read_manifest(spark: SparkSession, table_path: str, version: int) -> dict:
+    uri = _manifest_uri(table_path, version)
+    fs, p, _ = _fs_path(spark, uri)
+    if not fs.exists(p):
+        known = _list_versions(spark, table_path)
+        raise ValueError(
+            f"version {version} does not exist at {table_path} "
+            f"(available: {known or 'none'}; it may have been vacuumed)"
+        )
+    return json.loads(_read_text(spark, uri))
+
+
+def _publish(spark: SparkSession, table_path: str, manifest: dict) -> None:
+    """Atomically create ``_log/v{N}.json`` — the commit point.
+
+    Write to a unique temp name first (a crash mid-write must never leave
+    a half manifest under the live name), then rename. Hadoop-FS rename
+    returns False when the destination exists, which IS the optimistic-
+    concurrency check: the loser's temp is removed and it raises.
+    """
+    version = manifest["version"]
+    final = _manifest_uri(table_path, version)
+    tmp = f"{_log_path(table_path)}/.tmp-{version}-{uuid.uuid4().hex}"
+    fs, final_p, jvm = _fs_path(spark, final)
+    fs.mkdirs(jvm.org.apache.hadoop.fs.Path(_log_path(table_path)))
+    _write_text(spark, tmp, json.dumps(manifest, sort_keys=True))
+    tmp_p = jvm.org.apache.hadoop.fs.Path(tmp)
+    if fs.exists(final_p) or not fs.rename(tmp_p, final_p):
+        fs.delete(tmp_p, False)
+        raise ConcurrentWriteError(
+            f"version {version} at {table_path} was published by another "
+            "writer — re-read the latest version and retry"
+        )
+
+
+def latest_version(spark: SparkSession, table_path: str) -> int | None:
+    vs = _list_versions(spark, table_path)
+    return vs[-1] if vs else None
+
+
+def versioned_write(
+    spark: SparkSession,
+    df: DataFrame,
+    table_path: str,
+    mode: str = "append",
+) -> dict:
+    """Write ``df`` as the next version of the table at ``table_path``.
+
+    ``mode='append'`` keeps every file of the current latest version and
+    adds the new ones; ``mode='overwrite'`` makes the new files the whole
+    table. Returns the published manifest. Raises
+    :class:`ConcurrentWriteError` if another writer got the version number
+    first (the data files it wrote become an invisible orphan commit that
+    ``vacuum`` will collect — nothing is ever half-visible).
+    """
+    if mode not in ("append", "overwrite"):
+        raise ValueError(f"mode must be append|overwrite, got {mode!r}")
+    base = latest_version(spark, table_path)
+    prev_files: list[str] = []
+    if base is not None and mode == "append":
+        prev_files = _read_manifest(spark, table_path, base)["files"]
+    next_v = (base or 0) + 1
+    commit_dir = f"{table_path.rstrip('/')}/commit-{next_v:0{_VERSION_WIDTH}d}-{uuid.uuid4().hex[:8]}"
+    df.write.mode("error").parquet(commit_dir)
+    try:
+        new_files = sorted(_list_parquet_files(spark, commit_dir))
+    except Exception:  # empty df → Spark writes no data files
+        new_files = []
+    manifest = {
+        "version": next_v,
+        "op": mode,
+        "base_version": base,
+        "files": prev_files + new_files,
+        "n_files": len(prev_files) + len(new_files),
+        "schema": df.schema.json(),
+    }
+    try:
+        _publish(spark, table_path, manifest)
+    except ConcurrentWriteError:
+        fs, commit_p, _ = _fs_path(spark, commit_dir)
+        fs.delete(commit_p, True)  # orphan data, no reader ever saw it
+        raise
+    return manifest
+
+
+def read_table(
+    spark: SparkSession, table_path: str, version: int | None = None
+) -> DataFrame:
+    """The table's contents at ``version`` (default: latest). Resolves the
+    manifest first and reads exactly its files — concurrent writers and
+    crashed commits are invisible by construction."""
+    if version is None:
+        version = latest_version(spark, table_path)
+        if version is None:
+            raise ValueError(f"no versions published at {table_path}")
+    man = _read_manifest(spark, table_path, version)
+    if not man["files"]:
+        schema = StructType.fromJson(json.loads(man["schema"]))
+        return spark.createDataFrame([], schema)
+    return spark.read.parquet(*man["files"])
+
+
+def rollback(spark: SparkSession, table_path: str, to_version: int) -> dict:
+    """Publish a NEW version whose contents equal ``to_version`` — history
+    stays append-only, so the rollback itself is auditable (op/base)."""
+    target = _read_manifest(spark, table_path, to_version)
+    base = latest_version(spark, table_path)
+    manifest = {
+        "version": base + 1,
+        "op": "rollback",
+        "base_version": to_version,
+        "files": target["files"],
+        "n_files": len(target["files"]),
+        "schema": target["schema"],
+    }
+    _publish(spark, table_path, manifest)
+    return manifest
+
+
+def history(spark: SparkSession, table_path: str) -> list[dict]:
+    """Every retained version's manifest metadata, oldest first (file
+    lists elided to counts — the audit view, not the read path)."""
+    out = []
+    for v in _list_versions(spark, table_path):
+        man = _read_manifest(spark, table_path, v)
+        out.append(
+            {
+                "version": man["version"],
+                "op": man["op"],
+                "base_version": man["base_version"],
+                "n_files": man["n_files"],
+            }
+        )
+    return out
+
+
+def vacuum(
+    spark: SparkSession, table_path: str, keep_last: int = 2
+) -> dict:
+    """Expire all but the newest ``keep_last`` versions: their manifests
+    are removed and every data file or commit directory no RETAINED
+    version references is deleted. Time travel to an expired version then
+    fails loudly (:func:`read_table` names the surviving versions).
+
+    Contract: run from a maintenance window with NO writer in flight — a
+    writer between its data write and its manifest publish looks exactly
+    like a crashed orphan, and sweeping its files would let it publish a
+    manifest naming deleted data (Delta has the same hazard and guards it
+    with a wall-clock retention window; this operator states the contract
+    instead of trusting clocks).
+    """
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1")
+    versions = _list_versions(spark, table_path)
+    if len(versions) <= keep_last:
+        return {"expired_versions": 0, "deleted_files": 0}
+    keep, drop = versions[-keep_last:], versions[:-keep_last]
+    live: set[str] = set()
+    for v in keep:
+        live.update(_read_manifest(spark, table_path, v)["files"])
+    fs, root_p, jvm = _fs_path(spark, table_path)
+    hpath = jvm.org.apache.hadoop.fs.Path
+    deleted = 0
+    # sweep data files commit-dir by commit-dir; drop dirs left empty
+    # (orphan commits from losing writers have no manifest at all and are
+    # swept by the same walk)
+    for st in fs.listStatus(root_p):
+        name = st.getPath().getName()
+        if not (st.isDirectory() and name.startswith("commit-")):
+            continue
+        all_gone = True
+        for fst in fs.listStatus(st.getPath()):
+            # compare FULLY-QUALIFIED URIs: manifests store Path.toString()
+            # (e.g. file:/…) — rebuilding from the user-form table_path
+            # would never match and would sweep live data
+            f_uri = fst.getPath().toString()
+            if f_uri in live:
+                all_gone = False
+            elif fst.getPath().getName().endswith(".parquet"):
+                fs.delete(fst.getPath(), False)
+                deleted += 1
+        if all_gone:
+            fs.delete(st.getPath(), True)
+    for v in drop:
+        fs.delete(hpath(_manifest_uri(table_path, v)), False)
+    return {"expired_versions": len(drop), "deleted_files": deleted}
+
+
+__all__ = [
+    "ConcurrentWriteError",
+    "versioned_write",
+    "read_table",
+    "rollback",
+    "history",
+    "latest_version",
+    "vacuum",
+]

@@ -1,0 +1,142 @@
+"""Versioned-table operator: snapshot isolation, time travel, rollback,
+optimistic concurrency, vacuum, and crash-window invisibility."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from procurement_data_pipeline_spark.operators.erasure import _write_text
+from procurement_data_pipeline_spark.operators.versioning import (
+    ConcurrentWriteError,
+    history,
+    latest_version,
+    read_table,
+    rollback,
+    vacuum,
+    versioned_write,
+)
+
+
+def _df(spark, ids):
+    return spark.createDataFrame([(i, f"r{i}") for i in ids], "id long, s string")
+
+
+def _ids(df):
+    return sorted(r["id"] for r in df.collect())
+
+
+def test_append_overwrite_time_travel(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    m1 = versioned_write(spark, _df(spark, [1, 2, 3]), t, mode="append")
+    assert m1["version"] == 1 and m1["base_version"] is None
+    m2 = versioned_write(spark, _df(spark, [4, 5]), t, mode="append")
+    assert m2["version"] == 2
+    m3 = versioned_write(spark, _df(spark, [9]), t, mode="overwrite")
+    assert m3["version"] == 3 and m3["n_files"] < m2["n_files"]
+    assert _ids(read_table(spark, t)) == [9]
+    # time travel: every historical version still reads exactly
+    assert _ids(read_table(spark, t, version=1)) == [1, 2, 3]
+    assert _ids(read_table(spark, t, version=2)) == [1, 2, 3, 4, 5]
+    assert latest_version(spark, t) == 3
+    with pytest.raises(ValueError, match="version 7 does not exist"):
+        read_table(spark, t, version=7)
+
+
+def test_rollback_is_append_only_history(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    versioned_write(spark, _df(spark, [1, 2]), t)
+    versioned_write(spark, _df(spark, [3]), t, mode="overwrite")
+    man = rollback(spark, t, to_version=1)
+    assert man["version"] == 3 and man["op"] == "rollback"
+    assert _ids(read_table(spark, t)) == [1, 2]
+    # the overwritten state is still reachable — history never rewrites
+    assert _ids(read_table(spark, t, version=2)) == [3]
+    ops = [(h["version"], h["op"], h["base_version"]) for h in history(spark, t)]
+    assert ops == [(1, "append", None), (2, "overwrite", 1), (3, "rollback", 1)]
+
+
+def test_concurrent_publish_loses_cleanly(spark, tmp_path, monkeypatch):
+    t = str(tmp_path / "tbl")
+    m1 = versioned_write(spark, _df(spark, [1]), t)
+    # interleave the race: OUR writer reads latest=1, then ANOTHER writer
+    # publishes v2 before our publish — modeled by pinning the stale read
+    from procurement_data_pipeline_spark.operators import versioning as V
+
+    monkeypatch.setattr(V, "latest_version", lambda *_: 1)
+    fake = {
+        "version": 2,
+        "op": "append",
+        "base_version": 1,
+        "files": json.loads(json.dumps(m1["files"])),
+        "n_files": m1["n_files"],
+        "schema": _df(spark, [1]).schema.json(),
+    }
+    _write_text(spark, f"{t}/_log/v00000002.json", json.dumps(fake))
+    with pytest.raises(ConcurrentWriteError):
+        versioned_write(spark, _df(spark, [2]), t, mode="append")
+    monkeypatch.undo()
+    # the loser's data files were rolled back — a retry lands cleanly as v3
+    m = versioned_write(spark, _df(spark, [2]), t, mode="append")
+    assert m["version"] == 3
+    assert _ids(read_table(spark, t)) == [1, 2]
+    # no leftover commit dir from the losing attempt
+    commits = [p.name for p in (tmp_path / "tbl").iterdir() if p.name.startswith("commit-")]
+    assert len(commits) == 2
+
+
+def test_crashed_writer_is_invisible(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    versioned_write(spark, _df(spark, [1]), t)
+    # a writer that crashed after writing data but before publishing:
+    _df(spark, [99]).write.parquet(f"{t}/commit-00000002-deadbeef")
+    # and one that crashed mid-manifest-write (temp name, never renamed):
+    _write_text(spark, f"{t}/_log/.tmp-2-cafe", "{not even json")
+    assert latest_version(spark, t) == 1
+    assert _ids(read_table(spark, t)) == [1]
+    # the next real write is unaffected
+    versioned_write(spark, _df(spark, [2]), t)
+    assert _ids(read_table(spark, t)) == [1, 2]
+
+
+def test_vacuum_expires_history_and_orphans(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    versioned_write(spark, _df(spark, [1]), t)
+    versioned_write(spark, _df(spark, [2]), t, mode="overwrite")
+    versioned_write(spark, _df(spark, [3]), t, mode="append")
+    _df(spark, [99]).write.parquet(f"{t}/commit-00000099-orphan")
+    audit = vacuum(spark, t, keep_last=2)
+    assert audit["expired_versions"] == 1 and audit["deleted_files"] >= 1
+    # retained versions read exactly; expired version fails loudly
+    assert _ids(read_table(spark, t, version=3)) == [2, 3]
+    assert _ids(read_table(spark, t, version=2)) == [2]
+    with pytest.raises(ValueError, match="may have been vacuumed"):
+        read_table(spark, t, version=1)
+    # v1's data file (overwritten at v2, so referenced by nothing retained)
+    # and the orphan commit are both gone
+    leftovers = sorted(p.name for p in (tmp_path / "tbl").iterdir())
+    assert "commit-00000099-orphan" not in leftovers
+    assert not any(n.startswith("commit-00000001") for n in leftovers)
+    # idempotent: a second vacuum finds nothing
+    assert vacuum(spark, t, keep_last=2) == {
+        "expired_versions": 0,
+        "deleted_files": 0,
+    }
+
+
+def test_empty_version_roundtrips_schema(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    versioned_write(spark, _df(spark, [1]), t)
+    empty = _df(spark, [1]).where("id < 0")
+    man = versioned_write(spark, empty, t, mode="overwrite")
+    got = read_table(spark, t, version=man["version"])
+    assert got.count() == 0
+    assert got.schema == empty.schema
+
+
+def test_vacuum_guards_keep_last(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    versioned_write(spark, _df(spark, [1]), t)
+    with pytest.raises(ValueError, match="keep_last"):
+        vacuum(spark, t, keep_last=0)
