@@ -305,6 +305,7 @@ GRADE_OVERFLOW = frozenset(
         "part_triangle_stats",
         "part_also_bought_cosine",
         "events_ewma_chart",
+        "events_littles_law",
     }
 )
 

@@ -156,6 +156,7 @@ def main() -> None:
         "part_triangle_stats",
         "part_also_bought_cosine",
         "events_ewma_chart",
+        "events_littles_law",
     ]
     extended_specs = {n: specs[n] for n in extended_names if n in specs}
     unknown_extended = [n for n in extended_names if n not in specs]

@@ -123,6 +123,7 @@ def versioned_write(
     df: DataFrame,
     table_path: str,
     mode: str = "append",
+    extra: dict | None = None,
 ) -> dict:
     """Write ``df`` as the next version of the table at ``table_path``.
 
@@ -154,6 +155,11 @@ def versioned_write(
         "n_files": len(prev_files) + len(new_files),
         "schema": df.schema.json(),
     }
+    if extra:
+        reserved = set(manifest) & set(extra)
+        if reserved:
+            raise ValueError(f"extra metadata shadows manifest keys: {reserved}")
+        manifest.update(extra)
     try:
         _publish(spark, table_path, manifest)
     except ConcurrentWriteError:

@@ -272,3 +272,170 @@ def q_events_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("conc").cast("long").alias("peak_concurrency"),
         F.sum("n_started").cast("long").alias("sessions_started"),
     )
+
+
+_US_PER_DAY = 86_400_000_000
+
+
+@register(
+    "events_littles_law",
+    # Little's law readout per day: L (time-average concurrent sessions),
+    # λ (session starts per hour), W (mean duration of sessions started
+    # that day) — the capacity-planning triple whose steady-state identity
+    # L = λ·W tells a planner whether load comes from MORE sessions or
+    # LONGER ones. The global conservation ∫active dt = Σ durations is
+    # exact by Fubini and asserted in the model test.
+    #
+    # Exactness: sessions come from the SAME gap rule as
+    # events_sessionization; per-day overlaps are pure integer microsecond
+    # clips (LEAST/GREATEST of exact epochs) whose sum telescopes to the
+    # exact duration; L/λ/W are pinned division chains over exact integers.
+    #
+    # Scale shape: one user_id shuffle to build sessions, an explode
+    # bounded by days-per-session (gap-bounded sessions span ≤ 2 calendar
+    # days), then day-grain rollups with map-side partials. No global
+    # window, no carry pass — the integral is additive per (session, day).
+    oracle=f"""
+WITH pts AS (
+  SELECT user_id, ts, epoch_us(ts) AS ts_us, event_id,
+         CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER
+                     (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+                   > {SESSION_GAP_MIN} * 60 * 1000000
+              OR LAG(epoch_us(ts)) OVER
+                     (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+                   IS NULL
+              THEN 1 ELSE 0 END AS is_start
+  FROM events
+),
+sess AS (
+  SELECT user_id, ts_us,
+         SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                             ROWS UNBOUNDED PRECEDING) AS sess_no
+  FROM pts
+),
+bounds AS (
+  SELECT user_id, sess_no,
+         CAST(MIN(ts_us) AS BIGINT) AS s_us,
+         CAST(MAX(ts_us) AS BIGINT) AS e_us
+  FROM sess GROUP BY 1, 2
+),
+clipped AS (
+  SELECT CAST(u.g AS DATE) AS day,
+         CAST(LEAST(b.e_us, epoch_us(CAST(u.g AS TIMESTAMP)) + {_US_PER_DAY})
+              - GREATEST(b.s_us, epoch_us(CAST(u.g AS TIMESTAMP)))
+              AS BIGINT) AS overlap_us,
+         CASE WHEN CAST(u.g AS DATE) = CAST(make_timestamp(b.s_us) AS DATE)
+              THEN 1 ELSE 0 END AS started,
+         CASE WHEN CAST(u.g AS DATE) = CAST(make_timestamp(b.s_us) AS DATE)
+              THEN b.e_us - b.s_us ELSE 0 END AS dur_started_us
+  FROM bounds b,
+       LATERAL (
+         SELECT unnest(generate_series(
+           CAST(make_timestamp(b.s_us) AS DATE),
+           CAST(make_timestamp(b.e_us) AS DATE),
+           INTERVAL 1 DAY)) AS g
+       ) u
+)
+SELECT day,
+       CAST(SUM(started) AS BIGINT) AS n_started,
+       CAST(COUNT(*) AS BIGINT) AS n_active_sessions,
+       CAST(SUM(overlap_us) AS BIGINT) AS active_us,
+       CAST(SUM(overlap_us) AS DOUBLE) / {float(_US_PER_DAY)!r} AS l_avg,
+       CAST(SUM(started) AS DOUBLE) / 24.0 AS lambda_starts_per_hour,
+       CASE WHEN SUM(started) > 0 THEN
+         (CAST(SUM(dur_started_us) AS DOUBLE)
+            / CAST(SUM(started) AS DOUBLE)) / 60000000.0
+       END AS w_mean_min
+FROM clipped
+GROUP BY day
+""",
+    tags=("events", "capacity", "littles-law"),
+)
+def q_events_littles_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.unix_micros(F.col("ts")).alias("ts_us"), "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    pts = ev.withColumn(
+        "is_start",
+        F.when(
+            F.lag("ts_us").over(w).isNull()
+            | (
+                F.col("ts_us") - F.lag("ts_us").over(w)
+                > SESSION_GAP_MIN * 60 * 1_000_000
+            ),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    sess = pts.withColumn(
+        "sess_no",
+        F.sum("is_start").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    bounds = sess.groupBy("user_id", "sess_no").agg(
+        F.min("ts_us").cast("long").alias("s_us"),
+        F.max("ts_us").cast("long").alias("e_us"),
+    )
+    clipped = bounds.select(
+        F.explode(
+            F.sequence(
+                F.timestamp_micros(F.col("s_us")).cast("date"),
+                F.timestamp_micros(F.col("e_us")).cast("date"),
+            )
+        ).alias("day"),
+        "s_us",
+        "e_us",
+    ).select(
+        "day",
+        (
+            F.least(
+                F.col("e_us"),
+                F.unix_micros(F.col("day").cast("timestamp"))
+                + F.lit(_US_PER_DAY),
+            )
+            - F.greatest(
+                F.col("s_us"), F.unix_micros(F.col("day").cast("timestamp"))
+            )
+        )
+        .cast("long")
+        .alias("overlap_us"),
+        F.when(
+            F.col("day") == F.timestamp_micros(F.col("s_us")).cast("date"),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .alias("started"),
+        F.when(
+            F.col("day") == F.timestamp_micros(F.col("s_us")).cast("date"),
+            F.col("e_us") - F.col("s_us"),
+        )
+        .otherwise(F.lit(0))
+        .alias("dur_started_us"),
+    )
+    agg = clipped.groupBy("day").agg(
+        F.sum("started").cast("long").alias("n_started"),
+        F.count(F.lit(1)).cast("long").alias("n_active_sessions"),
+        F.sum("overlap_us").cast("long").alias("active_us"),
+        F.sum("dur_started_us").cast("long").alias("dur_started_us"),
+    )
+    return agg.select(
+        "day",
+        "n_started",
+        "n_active_sessions",
+        "active_us",
+        (F.col("active_us").cast("double") / F.lit(float(_US_PER_DAY))).alias(
+            "l_avg"
+        ),
+        (F.col("n_started").cast("double") / F.lit(24.0)).alias(
+            "lambda_starts_per_hour"
+        ),
+        F.when(
+            F.col("n_started") > 0,
+            (
+                F.col("dur_started_us").cast("double")
+                / F.col("n_started").cast("double")
+            )
+            / F.lit(60000000.0),
+        ).alias("w_mean_min"),
+    )

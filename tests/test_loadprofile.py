@@ -146,3 +146,59 @@ def test_vocab_growth_matches_python_and_is_nested(spark, sf_dir):
         assert a["n_tokens"] >= b["n_tokens"]
     # level 0 covers the whole corpus
     assert rows[0]["n_docs"] == len(docs)
+
+
+def test_littles_law_matches_python_and_conserves(spark, sf_dir):
+    """Per-day L/λ/W vs a Python interval replay, plus the exact Fubini
+    conservation Σ_day ∫active dt == Σ session durations."""
+    import datetime as dt
+    from collections import defaultdict
+
+    import duckdb
+
+    from procurement_data_pipeline_spark.queries.events import SESSION_GAP_MIN
+    from procurement_data_pipeline_spark.registry import load_all
+
+    rows = duckdb.sql(
+        f"SELECT user_id, epoch_us(ts), event_id "
+        f"FROM '{sf_dir}/events.parquet' ORDER BY user_id, 2, 3"
+    ).fetchall()
+    gap = SESSION_GAP_MIN * 60 * 1_000_000
+    sessions = []
+    prev_user = prev_ts = None
+    for uid, ts_us, _eid in rows:
+        if uid != prev_user or ts_us - prev_ts > gap:
+            sessions.append([ts_us, ts_us])
+        else:
+            sessions[-1][1] = ts_us
+        prev_user, prev_ts = uid, ts_us
+    us_day = 86_400_000_000
+    epoch = dt.date(1970, 1, 1)
+    per_day = defaultdict(lambda: [0, 0, 0, 0])  # started, active, ovl, dur
+    for s, e in sessions:
+        d0, d1 = s // us_day, e // us_day
+        for d in range(d0, d1 + 1):
+            st = per_day[epoch + dt.timedelta(days=d)]
+            st[1] += 1
+            st[2] += min(e, (d + 1) * us_day) - max(s, d * us_day)
+            if d == d0:
+                st[0] += 1
+                st[3] += e - s
+    got = {
+        r["day"]: r
+        for r in load_all()["events_littles_law"].builder(spark, sf_dir).collect()
+    }
+    assert set(got) == set(per_day)
+    for day, (n_st, n_act, ovl, dur) in per_day.items():
+        r = got[day]
+        assert r["n_started"] == n_st
+        assert r["n_active_sessions"] == n_act
+        assert r["active_us"] == ovl
+        assert r["l_avg"] == float(ovl) / float(us_day)
+        assert r["lambda_starts_per_hour"] == float(n_st) / 24.0
+        if n_st:
+            assert r["w_mean_min"] == (float(dur) / float(n_st)) / 60000000.0
+    # Fubini: the day-clipped integral telescopes to exactly the durations
+    assert sum(r["active_us"] for r in got.values()) == sum(
+        e - s for s, e in sessions
+    )
