@@ -169,6 +169,66 @@ def versioned_write(
     return manifest
 
 
+def optimize_table(
+    spark: SparkSession,
+    table_path: str,
+    zorder_cols: list[str] | None = None,
+    target_files: int | None = None,
+    bucket_mode: str = "width",
+) -> dict:
+    """Rewrite the latest version's contents into fewer / better-clustered
+    files and publish the result as a new version — Delta/Iceberg
+    ``OPTIMIZE [ZORDER BY]`` on this format. Contents are identical by
+    construction (one read, one write of the same rows); only the file
+    layout changes, so readers pruning via footer stats (operators/
+    fileindex) get the z-order benefit without any logical change. The
+    pre-optimize version remains time-travelable until vacuumed.
+
+    Append-heavy tables (the streaming sink writes one commit per
+    microbatch) are exactly the small-file case this exists for.
+    """
+    base = latest_version(spark, table_path)
+    if base is None:
+        raise ValueError(f"no versions published at {table_path}")
+    df = read_table(spark, table_path, version=base)
+    next_v = base + 1
+    commit_dir = (
+        f"{table_path.rstrip('/')}/commit-{next_v:0{_VERSION_WIDTH}d}"
+        f"-{uuid.uuid4().hex[:8]}"
+    )
+    if zorder_cols:
+        from procurement_data_pipeline_spark.catalog import z_order_write
+
+        z_order_write(
+            df,
+            commit_dir,
+            zorder_cols,
+            num_files=target_files,
+            mode="overwrite",
+            bucket_mode=bucket_mode,
+        )
+    else:
+        out = df.coalesce(target_files) if target_files else df
+        out.write.mode("error").parquet(commit_dir)
+    new_files = sorted(_list_parquet_files(spark, commit_dir))
+    manifest = {
+        "version": next_v,
+        "op": "optimize",
+        "base_version": base,
+        "files": new_files,
+        "n_files": len(new_files),
+        "schema": df.schema.json(),
+        "zorder_cols": zorder_cols or [],
+    }
+    try:
+        _publish(spark, table_path, manifest)
+    except ConcurrentWriteError:
+        fs, commit_p, _ = _fs_path(spark, commit_dir)
+        fs.delete(commit_p, True)
+        raise
+    return manifest
+
+
 def read_table(
     spark: SparkSession, table_path: str, version: int | None = None
 ) -> DataFrame:
@@ -275,6 +335,7 @@ def vacuum(
 __all__ = [
     "ConcurrentWriteError",
     "versioned_write",
+    "optimize_table",
     "read_table",
     "rollback",
     "history",

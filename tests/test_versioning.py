@@ -140,3 +140,42 @@ def test_vacuum_guards_keep_last(spark, tmp_path):
     versioned_write(spark, _df(spark, [1]), t)
     with pytest.raises(ValueError, match="keep_last"):
         vacuum(spark, t, keep_last=0)
+
+
+def test_optimize_compacts_without_changing_contents(spark, tmp_path):
+    from procurement_data_pipeline_spark.operators.versioning import (
+        optimize_table,
+    )
+
+    t = str(tmp_path / "tbl")
+    # many tiny appends — the streaming-sink small-file shape
+    for i in range(4):
+        versioned_write(spark, _df(spark, [2 * i, 2 * i + 1]), t)
+    before = _ids(read_table(spark, t))
+    n_files_before = history(spark, t)[-1]["n_files"]
+    man = optimize_table(spark, t, target_files=1)
+    assert man["op"] == "optimize" and man["n_files"] == 1 < n_files_before
+    assert _ids(read_table(spark, t)) == before
+    # pre-optimize version still time-travels until vacuumed
+    assert _ids(read_table(spark, t, version=4)) == before
+    vacuum(spark, t, keep_last=1)
+    with pytest.raises(ValueError):
+        read_table(spark, t, version=4)
+    assert _ids(read_table(spark, t)) == before
+
+
+def test_optimize_zorder_layout(spark, tmp_path):
+    from procurement_data_pipeline_spark.operators.versioning import (
+        optimize_table,
+    )
+
+    t = str(tmp_path / "tbl")
+    df = spark.createDataFrame(
+        [(i, i * 7 % 100) for i in range(500)], "x long, y long"
+    )
+    versioned_write(spark, df, t)
+    man = optimize_table(spark, t, zorder_cols=["x", "y"], target_files=4)
+    assert man["zorder_cols"] == ["x", "y"] and man["n_files"] == 4
+    got = read_table(spark, t)
+    assert got.count() == 500
+    assert sorted(r["x"] for r in got.collect()) == list(range(500))
