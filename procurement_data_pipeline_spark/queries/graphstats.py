@@ -104,35 +104,68 @@ def q_part_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.p").alias("pa"), F.col("b.p").alias("pb"))
         .distinct()
     )
-    # edges feed three join sides plus the degree rollup — persist so the
-    # lineitem self-join + distinct runs once (harness releases after use).
+    # edges feed the orientation joins plus the degree rollup — persist so
+    # the lineitem self-join + distinct runs once (harness releases later).
     e = scoped_persist(edges)
-    tri = (
-        e.alias("e1")
-        .join(e.alias("e2"), F.col("e2.pa") == F.col("e1.pb"))
-        .join(
-            e.alias("e3"),
-            (F.col("e3.pa") == F.col("e1.pa"))
-            & (F.col("e3.pb") == F.col("e2.pb")),
-        )
+    deg = (
+        e.select(F.col("pa").alias("v"))
+        .unionAll(e.select(F.col("pb").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).cast("long").alias("degree"))
+    )
+    # DEGREE-ORDERED orientation (Suri & Vassilvitskii's compact-forward
+    # MR form): point every edge from its lower-(degree, id) endpoint to
+    # the higher one. Each triangle then has exactly ONE apex (its
+    # smallest corner in that total order) and is enumerated once as a
+    # wedge at the apex closed by one oriented edge — identical output to
+    # the oracle's id-canonical a<b<c enumeration, but the per-vertex
+    # wedge fan-out is bounded by the ORIENTED out-degree (O(sqrt(m))
+    # worst case) instead of a hub's full forward degree. That bound is
+    # what survives a skewed co-purchase graph at 100×; the id-only
+    # orientation blows up on the first staple part in every basket (a
+    # degree-d hub costs d² wedges; degree-ordering makes a hub the HI
+    # endpoint of every edge, so it apexes no wedge at all). Measured
+    # trade at sf0.1 (near-uniform TPC-H baskets, no real hubs): ~35%
+    # slower than the id-canonical form — the two orientation joins are
+    # the skew-insurance premium, paid knowingly.
+    dkey = deg.select(
+        "v", F.struct(F.col("degree"), F.col("v").alias("vid")).alias("k")
+    )
+    ka = dkey.select(F.col("v").alias("_va"), F.col("k").alias("ka"))
+    kb = dkey.select(F.col("v").alias("_vb"), F.col("k").alias("kb"))
+    oriented = scoped_persist(
+        e.join(ka, e["pa"] == ka["_va"])
+        .join(kb, e["pb"] == kb["_vb"])
         .select(
-            F.col("e1.pa").alias("a"),
-            F.col("e1.pb").alias("b"),
-            F.col("e2.pb").alias("c"),
+            F.when(F.col("ka") < F.col("kb"), F.col("pa"))
+            .otherwise(F.col("pb"))
+            .alias("lo"),
+            F.when(F.col("ka") < F.col("kb"), F.col("pb"))
+            .otherwise(F.col("pa"))
+            .alias("hi"),
+            F.when(F.col("ka") < F.col("kb"), F.col("kb"))
+            .otherwise(F.col("ka"))
+            .alias("hik"),
         )
     )
+    w1 = oriented.select(
+        F.col("lo").alias("a"), F.col("hi").alias("b"), F.col("hik").alias("bk")
+    )
+    w2 = oriented.select(
+        F.col("lo").alias("a2"), F.col("hi").alias("c"), F.col("hik").alias("ck")
+    )
+    wedges = (
+        w1.join(w2, (F.col("a") == F.col("a2")) & (F.col("bk") < F.col("ck")))
+        .select("a", "b", "c")
+    )
+    closing = oriented.select(F.col("lo").alias("b"), F.col("hi").alias("c"))
+    tri = wedges.join(closing, ["b", "c"])
     tri_v = (
         tri.select(F.col("a").alias("v"))
         .unionAll(tri.select(F.col("b").alias("v")))
         .unionAll(tri.select(F.col("c").alias("v")))
         .groupBy("v")
         .agg(F.count(F.lit(1)).cast("long").alias("triangles"))
-    )
-    deg = (
-        e.select(F.col("pa").alias("v"))
-        .unionAll(e.select(F.col("pb").alias("v")))
-        .groupBy("v")
-        .agg(F.count(F.lit(1)).cast("long").alias("degree"))
     )
     return (
         deg.join(tri_v, deg["v"] == tri_v["v"], "left")
