@@ -306,6 +306,7 @@ GRADE_OVERFLOW = frozenset(
         "part_also_bought_cosine",
         "events_ewma_chart",
         "events_littles_law",
+        "orders_seasonal_decompose",
     }
 )
 

@@ -157,6 +157,7 @@ def main() -> None:
         "part_also_bought_cosine",
         "events_ewma_chart",
         "events_littles_law",
+        "orders_seasonal_decompose",
     ]
     extended_specs = {n: specs[n] for n in extended_names if n in specs}
     unknown_extended = [n for n in extended_names if n not in specs]

@@ -726,3 +726,128 @@ def q_events_value_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "orders_seasonal_decompose",
+    # Classical additive decomposition of monthly revenue: trend from the
+    # CENTERED 12-month moving average (half-weight endpoints), monthly
+    # seasonal indices centered to sum to zero, remainder as what's left —
+    # the decomposition a planner eyeballs before choosing between Holt
+    # (orders_holt_trend) and Holt-Winters (orders_holt_winters), and the
+    # component view behind orders_seasonal_strength's single eta².
+    #
+    # Exactness: the centered MA keeps an INTEGER numerator (24·MA =
+    # lag6 + 2·Σ[-5..+5] + lead6 of exact cents); the detrended series is
+    # the integer 24·c − num; each month-of-year's raw index is ONE
+    # division of exact integers; centering subtracts a 12-element
+    # ORDERED-FOLD mean (identical doubles both engines); remainder is a
+    # pinned two-op chain. Edge months (no full ±6 window) carry NULL
+    # trend/remainder exactly like the textbook NA edges — integer + NULL
+    # nulls the whole chain identically in both engines.
+    #
+    # Scale shape: facts collapse to the month grain first (one shuffle);
+    # every window/fold after runs on ≤ a few hundred month rows at ANY
+    # fact volume, and the 12-row seasonal relation broadcasts back.
+    oracle="""
+WITH monthly AS (
+  SELECT CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT) AS mi,
+         CAST(year(o_orderdate) AS INTEGER) AS yr,
+         CAST(month(o_orderdate) AS INTEGER) AS mon,
+         CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS HUGEINT)) AS BIGINT) AS c
+  FROM orders GROUP BY 1, 2, 3
+),
+ma AS (
+  SELECT mi, yr, mon, c,
+         LAG(c, 6) OVER w + 2 * SUM(c) OVER
+           (ORDER BY mi ROWS BETWEEN 5 PRECEDING AND 5 FOLLOWING)
+         + LEAD(c, 6) OVER w AS num24
+  FROM monthly
+  WINDOW w AS (ORDER BY mi)
+),
+detr AS (
+  SELECT mi, yr, mon, c, num24, 24 * c - num24 AS d24 FROM ma
+),
+raw_season AS (
+  SELECT mon,
+         CAST(SUM(d24) AS DOUBLE)
+           / (24.0 * CAST(COUNT(d24) AS DOUBLE)) AS raw
+  FROM detr WHERE d24 IS NOT NULL GROUP BY mon
+),
+centered AS (
+  SELECT mon,
+         raw - (SELECT list_reduce(
+                  list_prepend(CAST(0 AS DOUBLE), list(raw ORDER BY mon)),
+                  (a, x) -> a + x) / 12.0
+                FROM raw_season) AS seasonal_cents
+  FROM raw_season
+)
+SELECT d.yr, d.mon,
+       d.c AS revenue_cents,
+       CAST(d.num24 AS DOUBLE) / 24.0 AS trend_cents,
+       s.seasonal_cents,
+       CAST(d.d24 AS DOUBLE) / 24.0 - s.seasonal_cents AS remainder_cents
+FROM detr d JOIN centered s USING (mon)
+""",
+    tags=("orders", "timeseries", "decomposition"),
+)
+def q_orders_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate"))
+        .cast("long")
+        .alias("mi"),
+        F.year("o_orderdate").cast("int").alias("yr"),
+        F.month("o_orderdate").cast("int").alias("mon"),
+    ).agg(F.sum(cents("o_totalprice").cast("decimal(38,0)")).cast("long").alias("c"))
+    w = Window.orderBy("mi")
+    wsum = Window.orderBy("mi").rowsBetween(-5, 5)
+    detr = monthly.select(
+        "mi",
+        "yr",
+        "mon",
+        "c",
+        (
+            F.lag("c", 6).over(w)
+            + 2 * F.sum("c").over(wsum)
+            + F.lead("c", 6).over(w)
+        ).alias("num24"),
+    ).withColumn("d24", 24 * F.col("c") - F.col("num24"))
+    raw_season = (
+        detr.where(F.col("d24").isNotNull())
+        .groupBy("mon")
+        .agg(
+            (
+                F.sum("d24").cast("double")
+                / (F.lit(24.0) * F.count("d24").cast("double"))
+            ).alias("raw")
+        )
+    )
+    mean_raw = raw_season.agg(
+        (
+            F.aggregate(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("mon", F.col("raw").alias("x")))
+                    ),
+                    lambda st: st["x"],
+                ),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            )
+            / F.lit(12.0)
+        ).alias("mean_raw")
+    )
+    centered = raw_season.crossJoin(F.broadcast(mean_raw)).select(
+        "mon", (F.col("raw") - F.col("mean_raw")).alias("seasonal_cents")
+    )
+    return detr.join(F.broadcast(centered), "mon").select(
+        "yr",
+        "mon",
+        F.col("c").alias("revenue_cents"),
+        (F.col("num24").cast("double") / F.lit(24.0)).alias("trend_cents"),
+        "seasonal_cents",
+        (
+            F.col("d24").cast("double") / F.lit(24.0) - F.col("seasonal_cents")
+        ).alias("remainder_cents"),
+    )

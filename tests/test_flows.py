@@ -149,3 +149,60 @@ def test_trade_balance_matches_python(spark, sf_dir):
         assert r["exports"] == float(exp.get(nk, 0)) / 100.0
         assert r["imports"] == float(imp.get(nk, 0)) / 100.0
         assert r["balance"] == float(exp.get(nk, 0) - imp.get(nk, 0)) / 100.0
+
+
+def test_seasonal_decompose_matches_python(spark, sf_dir):
+    monthly = defaultdict(int)
+    for y, m, c in duckdb.sql(
+        f"SELECT year(o_orderdate), month(o_orderdate), "
+        f"CAST(FLOOR(o_totalprice * 100) AS BIGINT) "
+        f"FROM '{sf_dir}/orders.parquet'"
+    ).fetchall():
+        monthly[y * 12 + m] += c
+    mis = sorted(monthly)
+    assert mis == list(range(mis[0], mis[-1] + 1)), "month spine has gaps"
+    num24 = {}
+    for i, mi in enumerate(mis):
+        if 6 <= i < len(mis) - 6:
+            num24[mi] = (
+                monthly[mis[i - 6]]
+                + 2 * sum(monthly[mis[j]] for j in range(i - 5, i + 6))
+                + monthly[mis[i + 6]]
+            )
+    d24 = {mi: 24 * monthly[mi] - n for mi, n in num24.items()}
+    per_mon = defaultdict(list)
+    for mi, d in d24.items():
+        per_mon[(mi - 1) % 12 + 1].append(d)
+    raw = {
+        mon: float(sum(v)) / (24.0 * float(len(v))) for mon, v in per_mon.items()
+    }
+    mean_raw = 0.0
+    for mon in sorted(raw):
+        mean_raw += raw[mon]
+    mean_raw /= 12.0
+    seasonal = {mon: r - mean_raw for mon, r in raw.items()}
+    rows = (
+        load_all()["orders_seasonal_decompose"].builder(spark, sf_dir).collect()
+    )
+    assert len(rows) == len(mis)
+    for r in rows:
+        mi = r["yr"] * 12 + r["mon"]
+        assert r["revenue_cents"] == monthly[mi]
+        assert r["seasonal_cents"] == seasonal[r["mon"]]
+        if mi in num24:
+            assert r["trend_cents"] == float(num24[mi]) / 24.0
+            assert r["remainder_cents"] == (
+                float(d24[mi]) / 24.0 - seasonal[r["mon"]]
+            )
+            # additive identity up to float rounding of the pinned chains
+            assert (
+                abs(
+                    r["revenue_cents"]
+                    - (r["trend_cents"] + r["seasonal_cents"] + r["remainder_cents"])
+                )
+                < 1e-6
+            )
+        else:
+            assert r["trend_cents"] is None and r["remainder_cents"] is None
+    # centered: the 12 indices sum to ~0
+    assert abs(sum(seasonal.values())) < 1e-9 * max(abs(v) for v in seasonal.values())

@@ -89,6 +89,7 @@ BNLJ_ALLOWED = {
     "part_slow_movers",  # broadcast single-row as-of-date scalar
     "orders_ljung_box",  # broadcast 1-row n_days scalar into the 7-lag ACF
     "events_ewma_chart",  # broadcast 1-row mean/sigma/day-array scalar
+    "orders_seasonal_decompose",  # broadcast 1-row seasonal-mean scalar
 }
 
 SF_DIR = "/root/testdata/sf0.001"
