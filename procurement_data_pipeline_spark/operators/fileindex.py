@@ -62,15 +62,21 @@ def _open_target(uri: str) -> tuple:
     return path, filesystem
 
 
-def footer_stats(spark: SparkSession, path: str, cols: list[str]) -> DataFrame:
+def footer_stats(
+    spark: SparkSession, path: str | list[str], cols: list[str]
+) -> DataFrame:
     """Per-file min/max/row-count for ``cols``, reading only parquet footers.
+
+    ``path`` is a directory to list recursively, or an explicit list of
+    file URIs (the versioned-table case, where one version's files span
+    several commit directories).
 
     Output schema: ``file string, n_rows long`` plus ``min_<c>, max_<c>``
     (double) per requested column. A column chunk without statistics yields
     NULL bounds — :func:`prune_files` treats NULL as "cannot prune", never
     as "skip", so missing stats degrade to a full scan, not wrong results.
     """
-    files = _list_parquet_files(spark, path)
+    files = path if isinstance(path, list) else _list_parquet_files(spark, path)
     schema = "file string, n_rows long, " + ", ".join(
         f"min_{c} double, max_{c} double" for c in cols
     )

@@ -246,6 +246,126 @@ def read_table(
     return spark.read.parquet(*man["files"])
 
 
+def merge_into(
+    spark: SparkSession,
+    table_path: str,
+    updates: DataFrame,
+    key_col: str,
+    when_matched: str = "update",
+    validate: bool = True,
+) -> dict:
+    """Copy-on-write MERGE: upsert (``when_matched='update'``) or targeted
+    delete (``'delete'``) against the latest version, rewriting ONLY the
+    files whose footer envelope can contain an affected key — untouched
+    files carry into the new version verbatim (zero IO), the Delta MERGE
+    shape. Publishes op='merge'; the pre-merge version stays
+    time-travelable until vacuumed.
+
+    * update: rows matching an update key are replaced by the update row;
+      update rows matching nothing are inserted. ``updates`` must have the
+      table's schema and (checked when ``validate``) unique keys — a
+      duplicate key would insert twice.
+    * delete: rows matching an update key are removed; only ``key_col``
+      of ``updates`` is read.
+
+    Affected keys are collected to the driver for precise file pruning
+    (the same bounded-batch contract as operators/erasure.py — MERGE
+    batches are request-sized; chunk larger sets, each call is atomic).
+    Footer stats are float64-rounded, so envelopes are widened one ulp
+    each way — pruning can only ever keep extra files, never lose a match.
+    """
+    import bisect
+    import math
+
+    from procurement_data_pipeline_spark.operators.fileindex import (
+        footer_stats,
+    )
+
+    if when_matched not in ("update", "delete"):
+        raise ValueError(f"when_matched must be update|delete, got {when_matched!r}")
+    base = latest_version(spark, table_path)
+    if base is None:
+        raise ValueError(f"no versions published at {table_path}")
+    man = _read_manifest(spark, table_path, base)
+    if when_matched == "update":
+        table_cols = sorted(
+            f["name"] for f in json.loads(man["schema"])["fields"]
+        )
+        if sorted(updates.columns) != table_cols:
+            raise ValueError(
+                f"updates schema {sorted(updates.columns)} != table {table_cols}"
+            )
+    raw_keys = [
+        r[key_col] for r in updates.select(key_col).distinct().collect()
+    ]
+    if any(k is None for k in raw_keys):
+        raise ValueError("updates carry a NULL merge key — merge keys must be non-null")
+    keys = sorted(raw_keys)
+    if not keys:
+        raise ValueError("updates carry no keys")
+    if validate and when_matched == "update":
+        n_rows = updates.count()
+        if n_rows != len(keys):
+            raise ValueError(
+                f"updates must be key-unique: {n_rows} rows, {len(keys)} keys"
+            )
+
+    stats = footer_stats(spark, man["files"], [key_col]).collect() if man["files"] else []
+
+    def admits(r) -> bool:
+        lo, hi = r[f"min_{key_col}"], r[f"max_{key_col}"]
+        if lo is None or hi is None:
+            return True  # no stats → cannot prune
+        lo, hi = lo - math.ulp(lo), hi + math.ulp(hi)
+        i = bisect.bisect_left(keys, lo)
+        return i < len(keys) and keys[i] <= hi
+
+    touched = [r["file"] for r in stats if admits(r)]
+    untouched = [f for f in man["files"] if f not in set(touched)]
+    next_v = base + 1
+    commit_dir = (
+        f"{table_path.rstrip('/')}/commit-{next_v:0{_VERSION_WIDTH}d}"
+        f"-{uuid.uuid4().hex[:8]}"
+    )
+    parts = []
+    if touched:
+        old = spark.read.parquet(*touched)
+        parts.append(old.filter(~old[key_col].isin(keys)))
+    if when_matched == "update":
+        parts.append(updates)
+    new_files: list[str] = []
+    if parts:
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        out.write.mode("error").parquet(commit_dir)
+        try:
+            new_files = sorted(_list_parquet_files(spark, commit_dir))
+        except Exception:  # all touched rows deleted, nothing inserted
+            new_files = []
+    manifest = {
+        "version": next_v,
+        "op": "merge",
+        "base_version": base,
+        "files": untouched + new_files,
+        "n_files": len(untouched) + len(new_files),
+        "schema": man["schema"],
+        "merge": {
+            "when_matched": when_matched,
+            "n_keys": len(keys),
+            "files_rewritten": len(touched),
+            "files_untouched": len(untouched),
+        },
+    }
+    try:
+        _publish(spark, table_path, manifest)
+    except ConcurrentWriteError:
+        fs, commit_p, _ = _fs_path(spark, commit_dir)
+        fs.delete(commit_p, True)
+        raise
+    return manifest
+
+
 def rollback(spark: SparkSession, table_path: str, to_version: int) -> dict:
     """Publish a NEW version whose contents equal ``to_version`` — history
     stays append-only, so the rollback itself is auditable (op/base)."""
@@ -336,6 +456,7 @@ __all__ = [
     "ConcurrentWriteError",
     "versioned_write",
     "optimize_table",
+    "merge_into",
     "read_table",
     "rollback",
     "history",

@@ -179,3 +179,81 @@ def test_optimize_zorder_layout(spark, tmp_path):
     got = read_table(spark, t)
     assert got.count() == 500
     assert sorted(r["x"] for r in got.collect()) == list(range(500))
+
+
+def test_merge_into_upsert_prunes_untouched_files(spark, tmp_path):
+    from procurement_data_pipeline_spark.operators.versioning import merge_into
+
+    t = str(tmp_path / "tbl")
+    # two disjoint-key files in separate versions → disjoint envelopes
+    versioned_write(spark, _df(spark, [1, 2, 3]).coalesce(1), t)
+    versioned_write(spark, _df(spark, [100, 101]).coalesce(1), t)
+    updates = spark.createDataFrame(
+        [(2, "UPDATED"), (50, "INSERTED")], "id long, s string"
+    )
+    man = merge_into(spark, t, updates, key_col="id")
+    assert man["op"] == "merge"
+    assert man["merge"]["files_rewritten"] == 1  # only the low-key file
+    assert man["merge"]["files_untouched"] == 1
+    got = {r["id"]: r["s"] for r in read_table(spark, t).collect()}
+    assert got == {1: "r1", 2: "UPDATED", 3: "r3", 50: "INSERTED",
+                   100: "r100", 101: "r101"}
+    # pre-merge version is still exact
+    assert _ids(read_table(spark, t, version=2)) == [1, 2, 3, 100, 101]
+    # the untouched file is carried VERBATIM (same URI in both manifests)
+    from procurement_data_pipeline_spark.operators.versioning import (
+        _read_manifest,
+    )
+
+    before, after = _read_manifest(spark, t, 2), _read_manifest(spark, t, 3)
+    assert set(after["files"]) & set(before["files"])
+
+
+def test_merge_into_delete_mode(spark, tmp_path):
+    from procurement_data_pipeline_spark.operators.versioning import merge_into
+
+    t = str(tmp_path / "tbl")
+    versioned_write(spark, _df(spark, [1, 2, 3, 4]), t)
+    dels = spark.createDataFrame([(2,), (4,), (999,)], "id long")
+    man = merge_into(spark, t, dels, key_col="id", when_matched="delete")
+    assert _ids(read_table(spark, t)) == [1, 3]
+    assert man["merge"]["when_matched"] == "delete"
+    assert _ids(read_table(spark, t, version=1)) == [1, 2, 3, 4]
+
+
+def test_merge_into_guards(spark, tmp_path):
+    from procurement_data_pipeline_spark.operators.versioning import merge_into
+
+    t = str(tmp_path / "tbl")
+    versioned_write(spark, _df(spark, [1]), t)
+    with pytest.raises(ValueError, match="key-unique"):
+        merge_into(
+            spark,
+            t,
+            spark.createDataFrame([(1, "a"), (1, "b")], "id long, s string"),
+            key_col="id",
+        )
+    with pytest.raises(ValueError, match="NULL merge key"):
+        merge_into(
+            spark,
+            t,
+            spark.createDataFrame([(None, "a")], "id long, s string"),
+            key_col="id",
+        )
+    with pytest.raises(ValueError, match="schema"):
+        merge_into(
+            spark,
+            t,
+            spark.createDataFrame([(1,)], "id long"),
+            key_col="id",
+        )
+    # delete everything → empty but schema'd table
+    merge_into(
+        spark,
+        t,
+        spark.createDataFrame([(1,)], "id long"),
+        key_col="id",
+        when_matched="delete",
+    )
+    got = read_table(spark, t)
+    assert got.count() == 0 and "s" in got.columns
