@@ -124,6 +124,7 @@ def versioned_write(
     table_path: str,
     mode: str = "append",
     extra: dict | None = None,
+    merge_schema: bool = False,
 ) -> dict:
     """Write ``df`` as the next version of the table at ``table_path``.
 
@@ -138,8 +139,38 @@ def versioned_write(
         raise ValueError(f"mode must be append|overwrite, got {mode!r}")
     base = latest_version(spark, table_path)
     prev_files: list[str] = []
+    schema_json = df.schema.json()
     if base is not None and mode == "append":
-        prev_files = _read_manifest(spark, table_path, base)["files"]
+        prev = _read_manifest(spark, table_path, base)
+        prev_files = prev["files"]
+        if prev["schema"] != schema_json:
+            prev_fields = {
+                f["name"]: f["type"]
+                for f in json.loads(prev["schema"])["fields"]
+            }
+            new_fields = {
+                f["name"]: f["type"] for f in json.loads(schema_json)["fields"]
+            }
+            changed = {
+                n
+                for n in prev_fields.keys() & new_fields.keys()
+                if prev_fields[n] != new_fields[n]
+            }
+            if changed or not merge_schema:
+                raise ValueError(
+                    "append schema differs from the table"
+                    + (f" (retyped columns: {sorted(changed)})" if changed else "")
+                    + " — mixed-schema files would read back wrong; pass "
+                    "merge_schema=True to ADD columns (old rows read NULL)"
+                )
+            # widening evolution: union of fields, old files backfill NULL
+            # through the manifest-pinned read schema
+            merged = json.loads(prev["schema"])
+            have = set(prev_fields)
+            merged["fields"] += [
+                f for f in json.loads(schema_json)["fields"] if f["name"] not in have
+            ]
+            schema_json = json.dumps(merged)
     next_v = (base or 0) + 1
     commit_dir = f"{table_path.rstrip('/')}/commit-{next_v:0{_VERSION_WIDTH}d}-{uuid.uuid4().hex[:8]}"
     df.write.mode("error").parquet(commit_dir)
@@ -153,7 +184,7 @@ def versioned_write(
         "base_version": base,
         "files": prev_files + new_files,
         "n_files": len(prev_files) + len(new_files),
-        "schema": df.schema.json(),
+        "schema": schema_json,
     }
     if extra:
         reserved = set(manifest) & set(extra)
@@ -240,10 +271,13 @@ def read_table(
         if version is None:
             raise ValueError(f"no versions published at {table_path}")
     man = _read_manifest(spark, table_path, version)
+    schema = StructType.fromJson(json.loads(man["schema"]))
     if not man["files"]:
-        schema = StructType.fromJson(json.loads(man["schema"]))
         return spark.createDataFrame([], schema)
-    return spark.read.parquet(*man["files"])
+    # the manifest schema PINS the read: after widening evolution, files
+    # written before a column existed read it back as NULL (and every
+    # version reads with ITS OWN schema — time travel sees old shapes)
+    return spark.read.schema(schema).parquet(*man["files"])
 
 
 def merge_into(

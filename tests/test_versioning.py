@@ -257,3 +257,26 @@ def test_merge_into_guards(spark, tmp_path):
     )
     got = read_table(spark, t)
     assert got.count() == 0 and "s" in got.columns
+
+
+def test_schema_evolution_widening_only(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    versioned_write(spark, _df(spark, [1, 2]), t)
+    wide = spark.createDataFrame(
+        [(3, "r3", 9.5)], "id long, s string, score double"
+    )
+    # silent mixed-schema appends are refused…
+    with pytest.raises(ValueError, match="merge_schema=True"):
+        versioned_write(spark, wide, t, mode="append")
+    # …and a retyped column is refused even WITH merge_schema
+    retyped = spark.createDataFrame([("x", "r")], "id string, s string")
+    with pytest.raises(ValueError, match="retyped"):
+        versioned_write(spark, retyped, t, mode="append", merge_schema=True)
+    man = versioned_write(spark, wide, t, mode="append", merge_schema=True)
+    got = read_table(spark, t)
+    assert set(got.columns) == {"id", "s", "score"}
+    vals = {r["id"]: r["score"] for r in got.collect()}
+    assert vals == {1: None, 2: None, 3: 9.5}  # old rows backfill NULL
+    # time travel reads the OLD shape, not the widened one
+    assert set(read_table(spark, t, version=1).columns) == {"id", "s"}
+    assert man["version"] == 2
