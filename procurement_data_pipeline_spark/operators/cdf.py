@@ -1,0 +1,98 @@
+"""Change data feed over versioned tables: row-level deltas between versions.
+
+Delta's CDF answers "what changed between version i and j?" without the
+consumer diffing snapshots itself. The versioned format's manifests make
+the common case FREE: any range whose end-version file set is a superset
+of the start's (pure appends — every streaming-sink microbatch, every
+plain append, every dedup-index ingest) has its delta sitting verbatim in
+the added files; ``table_changes`` just reads them and tags inserts. Zero
+joins, zero scans of pre-existing data — at 100 TB this is the difference
+between a CDC read costing O(new rows) and one costing O(table).
+
+Ranges that include overwrites / merges / rollbacks fall back to a keyed
+``snapshot_diff`` (operators/cdc.py) of the two endpoint snapshots — the
+general, always-correct path (one full-outer join). OPTIMIZE rewrites are
+recognized by row-identity, not file-identity: the fallback diff returns
+the correct empty changelog.
+
+Output schema matches snapshot_diff: ``key_cols, old_<c>…, new_<c>…,
+change_type`` — downstream consumers (incremental refreshers, audit
+sinks) cannot tell which path produced the feed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from procurement_data_pipeline_spark.operators.cdc import snapshot_diff
+from procurement_data_pipeline_spark.operators.versioning import (
+    _read_manifest,
+    latest_version,
+    read_table,
+)
+
+
+def table_changes(
+    spark: SparkSession,
+    table_path: str,
+    from_version: int,
+    to_version: int | None = None,
+    key_cols: list[str] | None = None,
+) -> DataFrame:
+    """Row-level changelog from ``from_version`` (exclusive) to
+    ``to_version`` (inclusive, default latest).
+
+    ``key_cols`` is required only when the range is not pure-append (an
+    overwrite / merge / rollback needs a keyed diff); the pure-append fast
+    path works without keys and reads ONLY the added files.
+    """
+    if to_version is None:
+        to_version = latest_version(spark, table_path)
+        if to_version is None:
+            raise ValueError(f"no versions published at {table_path}")
+    if not 0 <= from_version <= to_version:
+        raise ValueError(
+            f"need 0 <= from_version <= to_version, got {from_version}..{to_version}"
+        )
+    new_man = _read_manifest(spark, table_path, to_version)
+    old_files: set[str] = set()
+    if from_version > 0:
+        old_files = set(_read_manifest(spark, table_path, from_version)["files"])
+    new_files = set(new_man["files"])
+
+    if old_files <= new_files:
+        # pure-append range: the delta IS the added files
+        added = sorted(new_files - old_files)
+        to_df = read_table(spark, table_path, version=to_version)
+        cols = [c for c in to_df.columns]
+        keys = key_cols or []
+        compare = [c for c in cols if c not in keys]
+        if not added:
+            base = to_df.limit(0)
+        else:
+            base = spark.read.schema(to_df.schema).parquet(*added)
+        return base.select(
+            *keys,
+            *[F.lit(None).cast(base.schema[c].dataType).alias(f"old_{c}") for c in compare],
+            *[F.col(c).alias(f"new_{c}") for c in compare],
+            F.lit("insert").alias("change_type"),
+        )
+
+    if not key_cols:
+        raise ValueError(
+            f"versions {from_version}..{to_version} include a rewrite "
+            "(overwrite/merge/rollback/optimize) — key_cols are required "
+            "for the snapshot diff"
+        )
+    old_df = (
+        read_table(spark, table_path, version=from_version)
+        if from_version > 0
+        else read_table(spark, table_path, version=to_version).limit(0)
+    )
+    return snapshot_diff(
+        old_df, read_table(spark, table_path, version=to_version), key_cols
+    )
+
+
+__all__ = ["table_changes"]
