@@ -66,11 +66,17 @@ def ingest_batch(
 
     Returns ``(accepted, audit)``: the accepted rows (one per content
     never seen before — intra-batch duplicates keep the min id, matching
-    drop_exact_duplicates' precedence) and an audit dict. The accepted
-    rows are returned BEFORE the index append is published, so callers
-    write their data sink first and treat the index publish as the commit
-    point — a crash in between re-runs the whole batch, and the anti-join
-    then rejects what the previous attempt already indexed (idempotent).
+    drop_exact_duplicates' precedence) and an audit dict.
+
+    Crash contract, stated precisely: the INDEX is exactly-once (one
+    atomic publish), but index and data sink are two commits, so a crash
+    between them leaves one ahead of the other. A replay re-accepts rows
+    the index missed — the data sink must therefore be idempotent per
+    batch (keyed overwrite, or the batch-id-skipping
+    streaming/versioned_sink). When the data sink is itself a versioned
+    table, prefer plans/ingestion.py's single-table design (fingerprint
+    as a corpus column), which closes the window entirely with ONE
+    publish.
 
     The anti-join pins the index's file list at call time (read_table
     resolves the manifest eagerly) and the append never deletes files, so
