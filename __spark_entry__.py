@@ -307,6 +307,8 @@ GRADE_OVERFLOW = frozenset(
         "events_ewma_chart",
         "events_littles_law",
         "orders_seasonal_decompose",
+        "emb_cluster_purity",
+        "nation_part_lq",
     }
 )
 

@@ -158,6 +158,8 @@ def main() -> None:
         "events_ewma_chart",
         "events_littles_law",
         "orders_seasonal_decompose",
+        "emb_cluster_purity",
+        "nation_part_lq",
     ]
     extended_specs = {n: specs[n] for n in extended_names if n in specs}
     unknown_extended = [n for n in extended_names if n not in specs]
