@@ -96,7 +96,12 @@ LIMIT {_TOP_TRIANGLE_PARTS}
 )
 def q_part_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
-    pc = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+    # dedupe (order, part) BEFORE the self-join — same edge set, but the
+    # join input shrinks by the repeat-lines factor and the pair blowup
+    # by its square
+    pc = li.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    ).distinct()
     edges = (
         pc.alias("a")
         .join(pc.alias("b"), F.col("a.o") == F.col("b.o"))
@@ -128,44 +133,62 @@ def q_part_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # trade at sf0.1 (near-uniform TPC-H baskets, no real hubs): ~35%
     # slower than the id-canonical form — the two orientation joins are
     # the skew-insurance premium, paid knowingly.
-    dkey = deg.select(
-        "v", F.struct(F.col("degree"), F.col("v").alias("vid")).alias("k")
+    # (degree, id) orientation carried as PLAIN LONG columns, never a
+    # struct: struct comparators fall out of whole-stage codegen, and the
+    # wedge join evaluates this predicate ~sum(out_deg²) times. The
+    # dimension-scale degree table broadcasts — the 2×|E| orientation
+    # joins must not shuffle the edge list.
+    ka = F.broadcast(deg.select(F.col("v").alias("_va"), F.col("degree").alias("da")))
+    kb = F.broadcast(deg.select(F.col("v").alias("_vb"), F.col("degree").alias("db")))
+    a_first = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("pa") < F.col("pb"))
     )
-    ka = dkey.select(F.col("v").alias("_va"), F.col("k").alias("ka"))
-    kb = dkey.select(F.col("v").alias("_vb"), F.col("k").alias("kb"))
     oriented = scoped_persist(
-        e.join(ka, e["pa"] == ka["_va"])
-        .join(kb, e["pb"] == kb["_vb"])
+        e.join(ka, e["pa"] == F.col("_va"))
+        .join(kb, e["pb"] == F.col("_vb"))
         .select(
-            F.when(F.col("ka") < F.col("kb"), F.col("pa"))
-            .otherwise(F.col("pb"))
-            .alias("lo"),
-            F.when(F.col("ka") < F.col("kb"), F.col("pb"))
-            .otherwise(F.col("pa"))
-            .alias("hi"),
-            F.when(F.col("ka") < F.col("kb"), F.col("kb"))
-            .otherwise(F.col("ka"))
-            .alias("hik"),
+            F.when(a_first, F.col("pa")).otherwise(F.col("pb")).alias("lo"),
+            F.when(a_first, F.col("pb")).otherwise(F.col("pa")).alias("hi"),
+            F.when(a_first, F.col("db")).otherwise(F.col("da")).alias("hid"),
         )
     )
-    w1 = oriented.select(
-        F.col("lo").alias("a"), F.col("hi").alias("b"), F.col("hik").alias("bk")
+    # EDGE-ITERATOR counting: for each oriented edge (u,v), the triangles
+    # it bases are |N_out(u) ∩ N_out(v)| — computed as one array_intersect
+    # against the BROADCAST out-adjacency (dimension-scale: parts ×
+    # avg-degree; without the hint the same plan degrades to a shuffle
+    # join and stays correct). This replaces materializing Σ out_deg²
+    # wedge rows through a shuffle (~7·10⁷ at sf0.1) with an in-codegen
+    # set intersection per edge; only the actual triangle corners (the
+    # exploded intersections) ever hit a shuffle.
+    adj = F.broadcast(
+        oriented.groupBy(F.col("lo").alias("_u"))
+        .agg(F.sort_array(F.collect_list("hi")).alias("nbrs"))
     )
-    w2 = oriented.select(
-        F.col("lo").alias("a2"), F.col("hi").alias("c"), F.col("hik").alias("ck")
+    per_edge = (
+        oriented.join(adj, oriented["lo"] == F.col("_u"))
+        .drop("_u")
+        .withColumnRenamed("nbrs", "nbrs_u")
+        .join(
+            adj.withColumnRenamed("nbrs", "nbrs_v"),
+            oriented["hi"] == F.col("_u"),
+        )
+        .select(
+            "lo",
+            "hi",
+            F.array_intersect(F.col("nbrs_u"), F.col("nbrs_v")).alias("common"),
+        )
+        .withColumn("k", F.size("common").cast("long"))
+        .where(F.col("k") > 0)
     )
-    wedges = (
-        w1.join(w2, (F.col("a") == F.col("a2")) & (F.col("bk") < F.col("ck")))
-        .select("a", "b", "c")
-    )
-    closing = oriented.select(F.col("lo").alias("b"), F.col("hi").alias("c"))
-    tri = wedges.join(closing, ["b", "c"])
+    pe = scoped_persist(per_edge)
     tri_v = (
-        tri.select(F.col("a").alias("v"))
-        .unionAll(tri.select(F.col("b").alias("v")))
-        .unionAll(tri.select(F.col("c").alias("v")))
+        pe.select(F.col("lo").alias("v"), F.col("k").alias("n"))
+        .unionAll(pe.select(F.col("hi").alias("v"), F.col("k").alias("n")))
+        .unionAll(
+            pe.select(F.explode("common").alias("v"), F.lit(1).cast("long").alias("n"))
+        )
         .groupBy("v")
-        .agg(F.count(F.lit(1)).cast("long").alias("triangles"))
+        .agg(F.sum("n").cast("long").alias("triangles"))
     )
     return (
         deg.join(tri_v, deg["v"] == tri_v["v"], "left")
