@@ -16,9 +16,14 @@ from procurement_data_pipeline_spark.registry import load_all
 
 
 def _order_parts(sf_dir):
+    import os
+
+    p = f"{sf_dir}/lineitem.parquet"
+    if os.path.isdir(p):  # Spark directory layout in synthetic fixtures
+        p = f"{p}/*.parquet"
     by_order = defaultdict(set)
     for ok, pk in duckdb.sql(
-        f"SELECT l_orderkey, l_partkey FROM '{sf_dir}/lineitem.parquet'"
+        f"SELECT l_orderkey, l_partkey FROM read_parquet('{p}')"
     ).fetchall():
         by_order[ok].add(pk)
     return by_order
@@ -124,3 +129,52 @@ def test_ewma_chart_matches_python(spark, sf_dir):
         r = by_day[d]
         assert r["ewma"] == prev * (1.0 - _EWMA_LAMBDA) + r["x"] * _EWMA_LAMBDA
         prev = r["ewma"]
+
+
+def test_triangle_stats_on_hub_graph(spark, tmp_path):
+    """A staple part in EVERY basket — the skew shape the degree-ordered
+    orientation exists for. Correctness must hold (the hub's count and
+    clustering included), and the replay verifies every top-25 row."""
+    rows = []
+    # 40 orders of 3 parts each: hub part 0 + a rotating pair
+    for o in range(40):
+        rows += [(o, 0), (o, 1 + (o % 8)), (o, 9 + (o % 5))]
+    li = spark.createDataFrame(
+        [(o, p, 1.0) for o, p in rows],
+        "l_orderkey long, l_partkey long, l_quantity double",
+    )
+    sf = str(tmp_path / "hub")
+    li.write.parquet(sf + "/lineitem.parquet")
+
+    by_order = _order_parts(sf)
+    edges = set()
+    for parts in by_order.values():
+        for a, b in combinations(sorted(parts), 2):
+            edges.add((a, b))
+    adj = defaultdict(set)
+    for a, b in edges:
+        adj[a].add(b)
+        adj[b].add(a)
+    tri = defaultdict(int)
+    for a, b in edges:
+        for c in adj[a] & adj[b]:
+            if b < c:
+                tri[a] += 1
+                tri[b] += 1
+                tri[c] += 1
+    expected = []
+    for v in adj:
+        d, t = len(adj[v]), tri.get(v, 0)
+        clust = (2.0 * t) / float(d * (d - 1)) if d >= 2 else 0.0
+        expected.append((v, d, t, clust))
+    expected.sort(key=lambda r: (-r[2], r[0]))
+    from procurement_data_pipeline_spark.registry import load_all
+
+    rows_got = load_all()["part_triangle_stats"].builder(spark, sf).collect()
+    got = [
+        (r["part"], r["degree"], r["triangles"], r["clustering"])
+        for r in rows_got
+    ]
+    assert got == expected[:25]
+    hub = got[0]
+    assert hub[0] == 0 and hub[1] == 13  # the hub leads, fully connected
