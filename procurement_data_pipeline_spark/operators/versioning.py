@@ -241,7 +241,10 @@ def optimize_table(
     else:
         out = df.coalesce(target_files) if target_files else df
         out.write.mode("error").parquet(commit_dir)
-    new_files = sorted(_list_parquet_files(spark, commit_dir))
+    try:
+        new_files = sorted(_list_parquet_files(spark, commit_dir))
+    except Exception:  # empty table → no data files written
+        new_files = []
     manifest = {
         "version": next_v,
         "op": "optimize",
@@ -344,17 +347,23 @@ def merge_into(
                 f"updates must be key-unique: {n_rows} rows, {len(keys)} keys"
             )
 
-    stats = footer_stats(spark, man["files"], [key_col]).collect() if man["files"] else []
+    numeric_key = all(isinstance(k, (int, float)) and not isinstance(k, bool) for k in keys)
+    if numeric_key and man["files"]:
+        stats = footer_stats(spark, man["files"], [key_col]).collect()
 
-    def admits(r) -> bool:
-        lo, hi = r[f"min_{key_col}"], r[f"max_{key_col}"]
-        if lo is None or hi is None:
-            return True  # no stats → cannot prune
-        lo, hi = lo - math.ulp(lo), hi + math.ulp(hi)
-        i = bisect.bisect_left(keys, lo)
-        return i < len(keys) and keys[i] <= hi
+        def admits(r) -> bool:
+            lo, hi = r[f"min_{key_col}"], r[f"max_{key_col}"]
+            if lo is None or hi is None:
+                return True  # no stats → cannot prune
+            lo, hi = lo - math.ulp(lo), hi + math.ulp(hi)
+            i = bisect.bisect_left(keys, lo)
+            return i < len(keys) and keys[i] <= hi
 
-    touched = [r["file"] for r in stats if admits(r)]
+        touched = [r["file"] for r in stats if admits(r)]
+    else:
+        # non-numeric keys: footer_stats' float envelope doesn't apply —
+        # fall back to rewriting every file (correct, just unpruned)
+        touched = list(man["files"])
     untouched = [f for f in man["files"] if f not in set(touched)]
     next_v = base + 1
     commit_dir = (
@@ -364,7 +373,11 @@ def merge_into(
     parts = []
     if touched:
         old = spark.read.parquet(*touched)
-        parts.append(old.filter(~old[key_col].isin(keys)))
+        # NULL-keyed table rows are never "matched": ~isin over NULL is
+        # NULL (falsy) and would silently delete them — keep explicitly
+        parts.append(
+            old.filter(old[key_col].isNull() | ~old[key_col].isin(keys))
+        )
     if when_matched == "update":
         parts.append(updates)
     new_files: list[str] = []

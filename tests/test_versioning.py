@@ -280,3 +280,38 @@ def test_schema_evolution_widening_only(spark, tmp_path):
     # time travel reads the OLD shape, not the widened one
     assert set(read_table(spark, t, version=1).columns) == {"id", "s"}
     assert man["version"] == 2
+
+
+def test_merge_preserves_null_keyed_rows(spark, tmp_path):
+    from procurement_data_pipeline_spark.operators.versioning import merge_into
+
+    t = str(tmp_path / "tbl")
+    df = spark.createDataFrame(
+        [(1, "a"), (None, "nullkey"), (2, "b")], "id long, s string"
+    )
+    versioned_write(spark, df, t)
+    merge_into(
+        spark,
+        t,
+        spark.createDataFrame([(2,)], "id long"),
+        key_col="id",
+        when_matched="delete",
+    )
+    got = {(r["id"], r["s"]) for r in read_table(spark, t).collect()}
+    # the NULL-keyed row must survive — it matches nothing
+    assert got == {(1, "a"), (None, "nullkey")}
+
+
+def test_merge_string_keys_fall_back_unpruned(spark, tmp_path):
+    from procurement_data_pipeline_spark.operators.versioning import merge_into
+
+    t = str(tmp_path / "tbl")
+    df = spark.createDataFrame(
+        [("k1", 1), ("k2", 2)], "name string, v long"
+    )
+    versioned_write(spark, df, t)
+    ups = spark.createDataFrame([("k2", 20), ("k3", 30)], "name string, v long")
+    man = merge_into(spark, t, ups, key_col="name")
+    assert man["merge"]["files_untouched"] == 0  # pruning disabled, stated
+    got = {r["name"]: r["v"] for r in read_table(spark, t).collect()}
+    assert got == {"k1": 1, "k2": 20, "k3": 30}
