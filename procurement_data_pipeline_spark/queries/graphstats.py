@@ -1,4 +1,4 @@
-"""Declared queries: co-purchase graph statistics and behavioral flow.
+"""Declared queries: co-purchase graph cohesion statistics.
 
 * part_triangle_stats — exact triangle counts + local clustering
   coefficient over the co-purchase graph (parts adjacent when some order
@@ -129,10 +129,11 @@ def q_part_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # what survives a skewed co-purchase graph at 100×; the id-only
     # orientation blows up on the first staple part in every basket (a
     # degree-d hub costs d² wedges; degree-ordering makes a hub the HI
-    # endpoint of every edge, so it apexes no wedge at all). Measured
-    # trade at sf0.1 (near-uniform TPC-H baskets, no real hubs): ~35%
-    # slower than the id-canonical form — the two orientation joins are
-    # the skew-insurance premium, paid knowingly.
+    # endpoint of every edge, so it apexes no wedge at all). Combined
+    # with the edge-iterator intersection below, the oriented form is
+    # ALSO the fastest measured here: 8.8 s warm at sf0.1 vs 19 s for
+    # wedge-join enumeration (uniform graph — the skew case only widens
+    # the gap). Hub-graph correctness is test-pinned.
     # (degree, id) orientation carried as PLAIN LONG columns, never a
     # struct: struct comparators fall out of whole-stage codegen, and the
     # wedge join evaluates this predicate ~sum(out_deg²) times. The
