@@ -430,6 +430,22 @@ def rollback(spark: SparkSession, table_path: str, to_version: int) -> dict:
     return manifest
 
 
+def register_versioned_view(
+    spark: SparkSession,
+    name: str,
+    table_path: str,
+    version: int | None = None,
+) -> None:
+    """Expose a versioned table to ``spark.sql`` as a temp view.
+
+    The view pins the MANIFEST resolved now (snapshot isolation for the
+    SQL user: concurrent writers don't shift a running query's data);
+    re-register to pick up a newer version. With ``version`` this is SQL
+    time travel: ``register_versioned_view(spark, "t_v3", path, 3)``.
+    """
+    read_table(spark, table_path, version=version).createOrReplaceTempView(name)
+
+
 def history(spark: SparkSession, table_path: str) -> list[dict]:
     """Every retained version's manifest metadata, oldest first (file
     lists elided to counts — the audit view, not the read path)."""
@@ -507,6 +523,7 @@ __all__ = [
     "read_table",
     "rollback",
     "history",
+    "register_versioned_view",
     "latest_version",
     "vacuum",
 ]

@@ -315,3 +315,24 @@ def test_merge_string_keys_fall_back_unpruned(spark, tmp_path):
     assert man["merge"]["files_untouched"] == 0  # pruning disabled, stated
     got = {r["name"]: r["v"] for r in read_table(spark, t).collect()}
     assert got == {"k1": 1, "k2": 20, "k3": 30}
+
+
+def test_register_versioned_view_sql_time_travel(spark, tmp_path):
+    from procurement_data_pipeline_spark.operators.versioning import (
+        register_versioned_view,
+    )
+
+    t = str(tmp_path / "tbl")
+    versioned_write(spark, _df(spark, [1, 2]), t)
+    versioned_write(spark, _df(spark, [3]), t, mode="overwrite")
+    register_versioned_view(spark, "vt_latest", t)
+    register_versioned_view(spark, "vt_v1", t, version=1)
+    assert spark.sql("SELECT COUNT(*) n FROM vt_latest").collect()[0]["n"] == 1
+    assert (
+        spark.sql("SELECT SUM(id) s FROM vt_v1").collect()[0]["s"] == 3
+    )  # 1 + 2
+    # snapshot isolation: a later write does NOT shift the registered view
+    versioned_write(spark, _df(spark, [9]), t, mode="append")
+    assert spark.sql("SELECT COUNT(*) n FROM vt_latest").collect()[0]["n"] == 1
+    spark.catalog.dropTempView("vt_latest")
+    spark.catalog.dropTempView("vt_v1")
