@@ -79,18 +79,35 @@ GRADE_DEMOTED = frozenset(
         "docs_token_stats",
         "docs_hash_sample",
         "tpch_q14_promo_revenue",
+        # round-6 rotation (rationale above):
+        "tpch_q12_priority_lines",
+        "tpch_q19_disjunctive_revenue",
+        "docs_stratified_sample",
+        "events_value_quantiles",
+        "events_click_attribution",
     }
 )
 
-# Round-6 rotation candidates (deliberate, not applied — the r5 window is
-# pinned): strongest overflow entries by evidence and operator novelty are
+# Round-6 rotation (deliberate, VERDICT r5 item 3): the strongest overflow
+# entries by evidence and operator novelty rotate INTO the graded window —
 # lineitem_bloom_pruned_revenue (runtime filtering), events_kmv_type_overlap
 # (set-intersection sketch), events_ab_cuped (experiment tier),
 # orders_kaplan_meier (ordered-fold survival), docs_cluster_safe_split
-# (leakage-safe split). Weakest graded siblings to demote in exchange:
-# tpch_q12/q19 (conditional-agg pattern ×3 in window), docs_stratified_sample
-# (mechanism shared with graded splits), events_value_quantiles (exact twin
-# of the approx variant), events_props_json-style JSON duplicates.
+# (leakage-safe split; it sat at position 51, first past the window).
+# Five weakest graded siblings demote in exchange, each a pattern another
+# window member still covers:
+#   tpch_q12_priority_lines      — conditional-agg pattern also graded via
+#                                  q4 (EXISTS + count) and q6/q17 scalars
+#   tpch_q19_disjunctive_revenue — disjunctive filter+agg; pushdown class
+#                                  still graded via q6, join class via q17
+#   docs_stratified_sample       — md5-filter sampling mechanism now graded
+#                                  via docs_cluster_safe_split (which adds
+#                                  the connected-components leakage rule)
+#   events_value_quantiles       — exact twin of the approx variant; pure
+#                                  order statistics also graded in
+#                                  events_retention_cohorts' percentiles
+#   events_click_attribution     — same as-of/last-touch mechanism as
+#                                  events_asof_last_click (stays graded)
 #
 # New oracle-backed queries added AFTER the round-5 window was pinned.
 # They register in modules that import before queries/curation.py, so
@@ -101,6 +118,23 @@ GRADE_DEMOTED = frozenset(
 # candidates for a future deliberate rotation, never an accidental one.
 GRADE_OVERFLOW = frozenset(
     {
+        # registration-order stragglers that would otherwise flow into the
+        # slots the round-6 rotation reserves for the promoted five (each
+        # is a weaker sibling: 2level == single-window pack_sequences
+        # equivalence-tested, temperature == corpus_mix variant, the rest
+        # are docs-profiling shapes already graded via docs_profile/
+        # docs_corpus_curation/docs_pack_sequences):
+        # round-6 additions (versioned-table oracle evidence — graded-slot
+        # candidates for round 7):
+        "versioned_time_travel",
+        "versioned_merge_current",
+        "versioned_cdf_inserts",
+        "docs_pack_sequences_2level",
+        "docs_corpus_mix_temperature",
+        "docs_quality_weighted_sample",
+        "docs_oov_rate",
+        "docs_length_buckets",
+        "docs_chunking",
         "docs_tfidf_topterms",
         "events_user_state_scd2",
         "emb_kmeans",
@@ -182,12 +216,8 @@ GRADE_OVERFLOW = frozenset(
         "part_price_size_skyline",
         "events_type_mode_per_user",
         "orders_revenue_bridge",
-        "lineitem_bloom_pruned_revenue",
         "events_kmv_distinct_users",
-        "events_kmv_type_overlap",
-        "events_ab_cuped",
         "events_value_bootstrap_ci",
-        "orders_kaplan_meier",
         "orders_forecast_backtest",
         "events_ab_welch",
         "part_reorder_points",

@@ -1,14 +1,28 @@
 """Benchmark harness: run the headline queries at $SPARK_GRAFT_SF_DIR.
 
-Prints ONE JSON line:
-  {"metric": "...", "value": <total sec>, "unit": "sec",
-   "queries": {"q": sec, ...}, "sf": <sf>,
-   "extended": {"total_sec": ..., "queries": {...}}}
+Output contract (the driver captures only the LAST 2000 characters of
+stdout and parses the final line as JSON — round 5's single fat line
+overflowed that window and shipped no parsed bench number):
+
+* FINAL stdout line: a COMPACT JSON object — headline metric, per-query
+  mins, sf, and a fixed-cost calibration time — guaranteed well under the
+  driver's tail capture.
+* everything else (extended tier, raw per-pass spreads, errors) goes to
+  the sidecar file ``BENCH_EXTENDED.json`` next to this script and to an
+  EARLIER stdout line, so the full evidence stays auditable without ever
+  crowding the parsed line.
 
 The headline set (specs registered with bench=True) is FROZEN for
 round-over-round comparability — "value" always means the same 19 queries.
 The curation/sketch/ANN tier is timed separately under "extended" so new
 operators get performance evidence without moving the headline metric.
+
+``calibration_sec`` times a fixed CPU-bound query (a seeded in-memory
+range-aggregate, no IO, constant size regardless of sf) with the same
+min-of-3 estimator. The container shares cores with other tenants; a
+round where every query AND the calibration row shift together is ambient
+load, while a query that moves against a flat calibration row is a real
+regression — the separation round 5 could not make.
 
 Each query is built lazily and executed via a count-style full materialization
 (``df.write.format("noop")`` — runs the whole plan, no driver collect cost,
@@ -213,6 +227,24 @@ def main() -> None:
                     passes.setdefault(name, []).append(round(elapsed, 4))
         return passes
 
+    def run_calibration() -> list[float]:
+        """Fixed-cost CPU reference: same work every round, every machine.
+
+        A pure in-memory range aggregate (no parquet, no shuffle of data
+        rows, size independent of sf) whose only cost driver is available
+        CPU — the ambient-load dipstick for the headline numbers.
+        """
+        times: list[float] = []
+        for i in range(4):  # pass 0 is the warm-up (codegen compile)
+            t0 = time.perf_counter()
+            spark.range(0, 200_000_000, 1, 32).selectExpr(
+                "sum(id % 97) as s", "count(*) as n"
+            ).write.format("noop").mode("overwrite").save()
+            if i > 0:
+                times.append(round(time.perf_counter() - t0, 4))
+        return times
+
+    calib_passes = run_calibration()
     passes = bench_group(bench_specs, 3)
     ext_passes = bench_group(extended_specs, 2)
 
@@ -226,23 +258,52 @@ def main() -> None:
     ext_timings = {
         name: min(ts) for name, ts in ext_passes.items() if name not in errors
     }
-    out = {
+    sidecar = {
         "metric": "headline_queries_total_sec",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        "calibration_sec": min(calib_passes),
+        "calibration_passes": calib_passes,
         "extended": {
             "total_sec": round(sum(ext_timings.values()), 4),
             "queries": ext_timings,
             "passes": ext_passes,
         },
+        "passes": passes,  # raw per-pass timings → variance is auditable
     }
-    if passes:
-        out["passes"] = passes  # raw per-pass timings → variance is auditable
     if errors:
-        out["errors"] = errors
-    print(json.dumps(out))
+        sidecar["errors"] = errors
+    sidecar_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_EXTENDED.json"
+    )
+    with open(sidecar_path, "w") as f:
+        json.dump(sidecar, f, indent=1, sort_keys=True)
+    # full evidence on an EARLY line (truncated by the driver's tail
+    # capture — the sidecar is the durable copy)…
+    print(json.dumps(sidecar))
+    compact = {
+        "metric": "headline_queries_total_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "calibration_sec": min(calib_passes),
+    }
+    if errors:
+        compact["error_queries"] = sorted(errors)[:10]
+    line = json.dumps(compact)
+    # …and the parsed line LAST, with a hard budget: the driver keeps only
+    # the final 2000 characters of stdout. If the compact form ever
+    # outgrows it, shed detail rather than the whole artifact.
+    if len(line) >= 1800:
+        compact.pop("error_queries", None)
+        line = json.dumps(compact)
+    if len(line) >= 1800:
+        compact["queries"] = {}
+        line = json.dumps(compact)
+    print(line)
 
 
 if __name__ == "__main__":

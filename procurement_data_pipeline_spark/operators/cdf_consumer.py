@@ -5,9 +5,11 @@ versions"; a real consumer also has to REMEMBER where it left off, survive
 crashes, and never skip or double-apply a range. This module is that
 consumer harness:
 
-* the cursor (last fully-processed version) lives in its own one-file
-  atomic store, advanced only AFTER the handler returns — a crash
-  anywhere re-presents the same range on the next call (at-least-once);
+* the cursor (last fully-processed version) lives in an append-only
+  directory of versioned cursor files (read = newest), advanced only
+  AFTER the handler returns — a crash anywhere re-presents the same range
+  on the next call (at-least-once), and no crash point can leave the
+  cursor absent or regressed (see :func:`read_cursor`);
 * handlers that are idempotent per range (overwrite-by-range, merge by
   key, versioned-table appends keyed by source version) therefore get
   exactly-once end-to-end — the same contract foreachBatch gives
@@ -40,25 +42,52 @@ from procurement_data_pipeline_spark.operators.versioning import (
 )
 
 
-def read_cursor(spark: SparkSession, cursor_path: str) -> int:
-    """Last fully-processed version; 0 before the first successful run."""
+def _cursor_versions(spark: SparkSession, cursor_path: str) -> list[int]:
     fs, p, _ = _fs_path(spark, cursor_path)
     if not fs.exists(p):
+        return []
+    out = []
+    for st in fs.listStatus(p):
+        name = st.getPath().getName()
+        if name.startswith("cursor-v") and name.endswith(".json"):
+            out.append(int(name[len("cursor-v") : -5]))
+    return sorted(out)
+
+
+def read_cursor(spark: SparkSession, cursor_path: str) -> int:
+    """Last fully-processed version; 0 before the first successful run.
+
+    The cursor is a DIRECTORY of append-only ``cursor-v{N}.json`` files
+    (read = max N), not one live file: a delete-then-rename single-file
+    scheme has a crash point where NO cursor exists, which read_cursor
+    would report as 0 and the next poll would re-present every range ever
+    handled — double-apply under the very exactly-once contract this
+    module promises. Here no crash point can make the cursor absent or
+    regress: either the new file is fully visible (rename is the commit)
+    or the old max still stands (at-least-once replay of one range).
+    """
+    vs = _cursor_versions(spark, cursor_path)
+    if not vs:
         return 0
-    return int(json.loads(_read_text(spark, cursor_path))["version"])
+    latest = f"{cursor_path.rstrip('/')}/cursor-v{vs[-1]:08d}.json"
+    return int(json.loads(_read_text(spark, latest))["version"])
 
 
 def _advance_cursor(spark: SparkSession, cursor_path: str, version: int) -> None:
-    # one small file, written via create-then-rename so a crash mid-write
-    # never leaves a torn cursor under the live name
-    tmp = cursor_path + ".tmp"
+    # write a NEW cursor file via tmp + rename-to-fresh-name (atomic on
+    # file:// and hdfs:// — the destination never pre-exists), then prune
+    # superseded files; a crash mid-prune just leaves harmless extras
+    tmp = f"{cursor_path.rstrip('/')}/.tmp-{version}"
+    final = f"{cursor_path.rstrip('/')}/cursor-v{version:08d}.json"
+    fs, dir_p, jvm = _fs_path(spark, cursor_path)
+    fs.mkdirs(dir_p)
     _write_text(spark, tmp, json.dumps({"version": version}))
-    fs, p, jvm = _fs_path(spark, cursor_path)
-    tmp_p = jvm.org.apache.hadoop.fs.Path(tmp)
-    if fs.exists(p):
-        fs.delete(p, False)
-    if not fs.rename(tmp_p, p):
+    hpath = jvm.org.apache.hadoop.fs.Path
+    if not fs.rename(hpath(tmp), hpath(final)):
+        fs.delete(hpath(tmp), False)
         raise IOError(f"could not advance cursor at {cursor_path}")
+    for v in _cursor_versions(spark, cursor_path)[:-1]:
+        fs.delete(hpath(f"{cursor_path.rstrip('/')}/cursor-v{v:08d}.json"), False)
 
 
 def consume_changes(

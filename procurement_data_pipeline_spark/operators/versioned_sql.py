@@ -1,0 +1,180 @@
+"""SQL surface for the versioned table format: ``CALL versioned.<cmd>``.
+
+``register_versioned_view`` already exposes versioned READS to
+``spark.sql``; this module completes the surface so a SQL-only user can
+drive the whole table lifecycle — write, snapshot, MERGE, rollback,
+OPTIMIZE, vacuum, history, time travel — without importing any Python
+module, the way Delta exposes ``CALL``/procedure syntax on engines that
+lack DML extensions (Iceberg's Spark procedures use the same shape:
+``CALL catalog.system.rollback_to_snapshot(...)``).
+
+:func:`sql` is a drop-in superset of ``spark.sql``: statements that don't
+match ``CALL versioned.<cmd>(...)`` are delegated verbatim, so a session
+can interleave plain SQL (view definitions, SELECTs) with table commands:
+
+    sql(spark, "CREATE OR REPLACE TEMP VIEW ups AS SELECT ...")
+    sql(spark, "CALL versioned.merge('/data/t', 'ups', key_col => 'id')")
+    sql(spark, "CALL versioned.snapshot('/data/t', 't')")
+    sql(spark, "SELECT * FROM t WHERE ...")
+
+Argument syntax follows Spark/Iceberg procedures: positional literals
+first, then ``name => literal`` keyword pairs. Literals are SQL-ish:
+``'str'``, integers, ``true``/``false``, ``['a','b']`` arrays. DataFrame
+inputs (merge source, write source) are named TEMP VIEWS — the SQL-native
+way to pass a relation.
+
+Every command returns a DataFrame (commands with nothing to report return
+a one-row summary of the published manifest), so the result of a CALL can
+be inspected exactly like a query result.
+"""
+
+from __future__ import annotations
+
+import ast
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+
+from procurement_data_pipeline_spark.operators import versioning as V
+
+_CALL_RE = re.compile(
+    r"^\s*CALL\s+versioned\.([A-Za-z_]\w*)\s*\((.*)\)\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+def _split_top_level(s: str) -> list[str]:
+    """Split on commas not nested inside quotes or brackets."""
+    out, depth, quote, start = [], 0, None, 0
+    for i, ch in enumerate(s):
+        if quote:
+            if ch == quote:
+                quote = None
+            continue
+        if ch in "'\"":
+            quote = ch
+        elif ch in "([":
+            depth += 1
+        elif ch in ")]":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            out.append(s[start:i])
+            start = i + 1
+    tail = s[start:]
+    if tail.strip():
+        out.append(tail)
+    return [t.strip() for t in out]
+
+
+def _literal(tok: str):
+    low = tok.lower()
+    if low in ("true", "false"):
+        return low == "true"
+    if low in ("null", "none"):
+        return None
+    return ast.literal_eval(tok)  # 'str', 123, 1.5, ['a','b'] — all valid
+
+
+def _parse_args(argstr: str) -> tuple[list, dict]:
+    args: list = []
+    kwargs: dict = {}
+    if not argstr.strip():
+        return args, kwargs
+    for tok in _split_top_level(argstr):
+        m = re.match(r"^([A-Za-z_]\w*)\s*=>\s*(.+)$", tok, re.DOTALL)
+        if m:
+            kwargs[m.group(1)] = _literal(m.group(2).strip())
+        elif kwargs:
+            raise ValueError(
+                f"positional argument {tok!r} after keyword arguments"
+            )
+        else:
+            args.append(_literal(tok))
+    return args, kwargs
+
+
+def _manifest_df(spark: SparkSession, man: dict) -> DataFrame:
+    row = {
+        "version": man.get("version"),
+        "op": man.get("op"),
+        "base_version": man.get("base_version"),
+        "n_files": man.get("n_files"),
+    }
+    return spark.createDataFrame(
+        [tuple(row.values())],
+        "version int, op string, base_version int, n_files int",
+    )
+
+
+def sql(spark: SparkSession, statement: str) -> DataFrame:
+    """``spark.sql`` plus the ``CALL versioned.<cmd>(...)`` procedures."""
+    m = _CALL_RE.match(statement)
+    if not m:
+        return spark.sql(statement)
+    cmd, (args, kw) = m.group(1).lower(), _parse_args(m.group(2))
+
+    if cmd == "write":
+        path, source = args
+        man = V.versioned_write(
+            spark,
+            spark.table(source),
+            path,
+            mode=kw.get("mode", "append"),
+            merge_schema=kw.get("merge_schema", False),
+        )
+        return _manifest_df(spark, man)
+    if cmd == "merge":
+        path, source = args
+        man = V.merge_into(
+            spark,
+            path,
+            spark.table(source),
+            key_col=kw["key_col"],
+            when_matched=kw.get("when_matched", "update"),
+        )
+        return _manifest_df(spark, man)
+    if cmd == "rollback":
+        path, to_version = args
+        return _manifest_df(spark, V.rollback(spark, path, to_version))
+    if cmd == "optimize":
+        path = args[0]
+        man = V.optimize_table(
+            spark,
+            path,
+            zorder_cols=kw.get("zorder"),
+            target_files=kw.get("target_files"),
+        )
+        return _manifest_df(spark, man)
+    if cmd == "vacuum":
+        path = args[0]
+        res = V.vacuum(spark, path, keep_last=kw.get("keep_last", 2))
+        return spark.createDataFrame(
+            [(res["expired_versions"], res["deleted_files"])],
+            "expired_versions int, deleted_files int",
+        )
+    if cmd == "history":
+        rows = V.history(spark, args[0])
+        return spark.createDataFrame(
+            [
+                (h["version"], h["op"], h["base_version"], h["n_files"])
+                for h in rows
+            ],
+            "version int, op string, base_version int, n_files int",
+        )
+    if cmd in ("snapshot", "time_travel"):
+        # snapshot(path, view_name [, version => k]) — registers the view
+        # AND returns it; time_travel(path, version, view_name) is sugar
+        if cmd == "time_travel":
+            path, version, name = args
+        else:
+            path, name = args
+            version = kw.get("version")
+        V.register_versioned_view(spark, name, path, version=version)
+        return spark.table(name)
+    raise ValueError(
+        f"unknown procedure CALL versioned.{cmd} — known: write, merge, "
+        "rollback, optimize, vacuum, history, snapshot, time_travel"
+    )
+
+
+__all__ = ["sql"]

@@ -4,9 +4,11 @@ The repo's manifest-committed operators (ivm.py's join views, erasure.py's
 targeted rewrites, incremental.py's rollups) each keep ONE current state.
 This module adds the remaining table-format capability those leave on the
 table — the Delta/Iceberg snapshot model, over plain parquet and the
-Hadoop FileSystem API alone (reference analogue: the staging-table swap in
-/root/reference/sql/ddl.sql and docker/dags/procurement_dag.py keeps only
-"current"; versioning is a beyond-reference capability):
+Hadoop FileSystem API alone (closest reference analogue: the
+copy-to-processed archive step in
+/root/reference/docker/dags/procurement_dag.py:197-308, which keeps only
+the current files plus a flat archive; versioning is a beyond-reference
+capability):
 
 * every write (append / overwrite / rollback) produces an IMMUTABLE
   version: data files land in a fresh ``commit-{N}/`` directory, then a
@@ -94,9 +96,23 @@ def _publish(spark: SparkSession, table_path: str, manifest: dict) -> None:
     """Atomically create ``_log/v{N}.json`` — the commit point.
 
     Write to a unique temp name first (a crash mid-write must never leave
-    a half manifest under the live name), then rename. Hadoop-FS rename
-    returns False when the destination exists, which IS the optimistic-
-    concurrency check: the loser's temp is removed and it raises.
+    a half manifest under the live name), then claim the live name with a
+    create-no-overwrite primitive. The primitive is per-filesystem,
+    because "rename fails when the destination exists" is NOT a portable
+    contract:
+
+    * ``file://`` — POSIX rename OVERWRITES, so two writers racing inside
+      an exists/rename window could both believe they committed (the
+      round-5 hazard). ``java.nio.Files.createLink`` is a hard link —
+      O_EXCL-atomic at the kernel, publishes the FULL temp content in one
+      metadata operation, and throws ``FileAlreadyExistsException`` for
+      the loser. No check-then-act window at all.
+    * ``hdfs://`` (and any FS with HDFS rename semantics) — rename is
+      atomic and returns False when the destination exists; that return
+      value IS the claim.
+    * object stores without atomic no-overwrite (raw S3A) — neither
+      primitive is safe; like Delta, this format needs an external
+      coordination service there. Stated, not papered over.
     """
     version = manifest["version"]
     final = _manifest_uri(table_path, version)
@@ -105,12 +121,44 @@ def _publish(spark: SparkSession, table_path: str, manifest: dict) -> None:
     fs.mkdirs(jvm.org.apache.hadoop.fs.Path(_log_path(table_path)))
     _write_text(spark, tmp, json.dumps(manifest, sort_keys=True))
     tmp_p = jvm.org.apache.hadoop.fs.Path(tmp)
-    if fs.exists(final_p) or not fs.rename(tmp_p, final_p):
+    lost = False
+    if (final_p.toUri().getScheme() or fs.getUri().getScheme()) == "file":
+        try:
+            # java.io.File(...).toPath() sidesteps Paths.get's varargs
+            # signature, which py4j cannot bind
+            jvm.java.nio.file.Files.createLink(
+                jvm.java.io.File(final_p.toUri().getPath()).toPath(),
+                jvm.java.io.File(
+                    fs.makeQualified(tmp_p).toUri().getPath()
+                ).toPath(),
+            )
+        except Exception as e:  # py4j surfaces the Java exception class in str()
+            if "FileAlreadyExistsException" not in str(e):
+                raise
+            lost = True
         fs.delete(tmp_p, False)
+    else:
+        lost = fs.exists(final_p) or not fs.rename(tmp_p, final_p)
+        if lost:
+            fs.delete(tmp_p, False)
+    if lost:
         raise ConcurrentWriteError(
             f"version {version} at {table_path} was published by another "
             "writer — re-read the latest version and retry"
         )
+
+
+def _commit_files(spark: SparkSession, commit_dir: str) -> list[str]:
+    """The data files a just-completed write produced under ``commit_dir``.
+
+    The parquet committer always creates the directory (a ``_SUCCESS``
+    marker and at least one part file even for an empty DataFrame), so a
+    listing failure here is a REAL filesystem error and must propagate:
+    round 5 swallowed it into ``new_files = []``, which would publish a
+    manifest without the just-written files — silent data loss reported
+    as success (e.g. optimize_table publishing an empty table as latest).
+    """
+    return sorted(_list_parquet_files(spark, commit_dir))
 
 
 def latest_version(spark: SparkSession, table_path: str) -> int | None:
@@ -174,10 +222,7 @@ def versioned_write(
     next_v = (base or 0) + 1
     commit_dir = f"{table_path.rstrip('/')}/commit-{next_v:0{_VERSION_WIDTH}d}-{uuid.uuid4().hex[:8]}"
     df.write.mode("error").parquet(commit_dir)
-    try:
-        new_files = sorted(_list_parquet_files(spark, commit_dir))
-    except Exception:  # empty df → Spark writes no data files
-        new_files = []
+    new_files = _commit_files(spark, commit_dir)
     manifest = {
         "version": next_v,
         "op": mode,
@@ -241,10 +286,7 @@ def optimize_table(
     else:
         out = df.coalesce(target_files) if target_files else df
         out.write.mode("error").parquet(commit_dir)
-    try:
-        new_files = sorted(_list_parquet_files(spark, commit_dir))
-    except Exception:  # empty table → no data files written
-        new_files = []
+    new_files = _commit_files(spark, commit_dir)
     manifest = {
         "version": next_v,
         "op": "optimize",
@@ -372,7 +414,13 @@ def merge_into(
     )
     parts = []
     if touched:
-        old = spark.read.parquet(*touched)
+        # read with the MANIFEST-pinned schema, exactly like read_table:
+        # after widening evolution the touched files have mixed physical
+        # schemas, and letting Spark infer from an arbitrary pre-evolution
+        # file would silently NULL the widened column in rewritten rows
+        # (or fail unionByName with the updates)
+        pinned = StructType.fromJson(json.loads(man["schema"]))
+        old = spark.read.schema(pinned).parquet(*touched)
         # NULL-keyed table rows are never "matched": ~isin over NULL is
         # NULL (falsy) and would silently delete them — keep explicitly
         parts.append(
@@ -386,10 +434,7 @@ def merge_into(
         for p in parts[1:]:
             out = out.unionByName(p)
         out.write.mode("error").parquet(commit_dir)
-        try:
-            new_files = sorted(_list_parquet_files(spark, commit_dir))
-        except Exception:  # all touched rows deleted, nothing inserted
-            new_files = []
+        new_files = _commit_files(spark, commit_dir)
     manifest = {
         "version": next_v,
         "op": "merge",

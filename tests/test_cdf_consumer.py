@@ -76,3 +76,49 @@ def test_consume_rewrite_range_with_keys(spark, tmp_path):
         key_cols=["id"],
     )
     assert [(r["id"], r["change_type"]) for r in rows] == [(2, "delete")]
+
+
+def test_cursor_advance_has_no_absent_window(spark, tmp_path):
+    """ADVICE r5: the old delete-then-rename advance had a crash point
+    with NO cursor on disk (read → 0 → every handled range re-presented).
+    The versioned-cursor-file scheme must (a) survive torn temp writes,
+    (b) never report 0 once a range was handled, (c) prune superseded
+    cursor files only after the newer one is visible."""
+    from procurement_data_pipeline_spark.operators.cdf_consumer import (
+        _cursor_versions,
+    )
+    from procurement_data_pipeline_spark.operators.erasure import _write_text
+
+    t, cur = str(tmp_path / "tbl"), str(tmp_path / "cursor")
+    versioned_write(spark, _df(spark, [1, 2]), t)
+    consume_changes(spark, t, cur, lambda f, a, b: None)
+    assert read_cursor(spark, cur) == 1
+    # a crash mid-advance leaves only a torn temp — the committed cursor
+    # still stands
+    _write_text(spark, cur + "/.tmp-99", "{torn")
+    assert read_cursor(spark, cur) == 1
+    versioned_write(spark, _df(spark, [3]), t)
+    consume_changes(spark, t, cur, lambda f, a, b: None)
+    assert read_cursor(spark, cur) == 2
+    # superseded cursor files are pruned; the newest always remains
+    assert _cursor_versions(spark, cur) == [2]
+
+
+def test_cursor_survives_extra_uncollected_files(spark, tmp_path):
+    """A crash between rename and prune leaves multiple cursor files —
+    read must take the newest, and the next advance cleans up."""
+    from procurement_data_pipeline_spark.operators.cdf_consumer import (
+        _cursor_versions,
+    )
+    from procurement_data_pipeline_spark.operators.erasure import _write_text
+
+    t, cur = str(tmp_path / "tbl"), str(tmp_path / "cursor")
+    versioned_write(spark, _df(spark, [1]), t)
+    consume_changes(spark, t, cur, lambda f, a, b: None)
+    # simulate a stale un-pruned predecessor
+    _write_text(spark, cur + "/cursor-v00000000.json", '{"version": 0}')
+    assert read_cursor(spark, cur) == 1
+    versioned_write(spark, _df(spark, [2]), t)
+    consume_changes(spark, t, cur, lambda f, a, b: None)
+    assert read_cursor(spark, cur) == 2
+    assert _cursor_versions(spark, cur) == [2]

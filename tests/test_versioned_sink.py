@@ -2,6 +2,10 @@
 
 from __future__ import annotations
 
+import shutil
+
+import pytest
+
 from procurement_data_pipeline_spark.operators.versioning import (
     history,
     read_table,
@@ -42,12 +46,13 @@ def _ids(df):
 
 def test_each_batch_is_one_version(spark, tmp_path):
     src, table = str(tmp_path / "src"), str(tmp_path / "tbl")
+    ckpt = str(tmp_path / "ckpt")
     _write_sources(spark, src)
-    _run(spark, src, table, str(tmp_path / "ckpt"))
+    _run(spark, src, table, ckpt)
     assert _ids(read_table(spark, table)) == [1, 2, 3]
     hist = history(spark, table)
     assert [h["op"] for h in hist] == ["append", "append"]
-    assert last_committed_batch(spark, table) == 1
+    assert last_committed_batch(spark, table) == (ckpt, 1)
     # every microbatch is a time-travel point
     assert len(_ids(read_table(spark, table, version=1))) == 1 or len(
         _ids(read_table(spark, table, version=1))
@@ -55,27 +60,46 @@ def test_each_batch_is_one_version(spark, tmp_path):
     assert _ids(read_table(spark, table, version=2)) == [1, 2, 3]
 
 
-def test_replay_is_exactly_once(spark, tmp_path):
+def test_lost_checkpoint_replay_is_exactly_once(spark, tmp_path):
     src, table = str(tmp_path / "src"), str(tmp_path / "tbl")
+    ckpt = str(tmp_path / "ckpt")
     _write_sources(spark, src)
-    _run(spark, src, table, str(tmp_path / "ckpt1"))
+    _run(spark, src, table, ckpt)
     before = _ids(read_table(spark, table))
     n_versions = len(history(spark, table))
-    # a lost checkpoint replays every batch from scratch with the same
-    # monotone ids — the at-least-once worst case; the sink must no-op
-    _run(spark, src, table, str(tmp_path / "ckpt2"))
+    # a LOST checkpoint (same location, contents gone) replays every batch
+    # from scratch with the same monotone ids — the at-least-once worst
+    # case; the sink must no-op because the stream identity still matches
+    shutil.rmtree(ckpt)
+    _run(spark, src, table, ckpt)
     assert _ids(read_table(spark, table)) == before
     assert len(history(spark, table)) == n_versions
 
 
-def test_interleaved_batch_write_does_not_hide_stream_state(spark, tmp_path):
+def test_foreign_checkpoint_raises_instead_of_silent_skip(spark, tmp_path):
     src, table = str(tmp_path / "src"), str(tmp_path / "tbl")
     _write_sources(spark, src)
-    _run(spark, src, table, str(tmp_path / "ckpt"))
+    _run(spark, src, table, str(tmp_path / "ckpt1"))
+    # a DIFFERENT checkpoint restarts batch ids at 0; batch-id-only replay
+    # detection would silently drop every batch it delivers — the sink
+    # must refuse loudly instead (StreamIdentityError inside foreachBatch
+    # surfaces as the query's terminal exception)
+    with pytest.raises(Exception, match="StreamIdentityError|not comparable"):
+        _run(spark, src, table, str(tmp_path / "ckpt2"))
+    assert _ids(read_table(spark, table)) == [1, 2, 3]  # table unharmed
+
+
+def test_interleaved_batch_write_does_not_hide_stream_state(spark, tmp_path):
+    src, table = str(tmp_path / "src"), str(tmp_path / "tbl")
+    ckpt = str(tmp_path / "ckpt")
+    _write_sources(spark, src)
+    _run(spark, src, table, ckpt)
     # a maintenance write (no stream_batch_id) lands on top
     extra_df = spark.createDataFrame([(9, "z")], "id long, s string")
     versioned_write(spark, extra_df, table, mode="append")
-    assert last_committed_batch(spark, table) == 1  # scans past it
-    # replayed stream still no-ops; the manual row survives
-    _run(spark, src, table, str(tmp_path / "ckpt3"))
+    assert last_committed_batch(spark, table) == (ckpt, 1)  # scans past it
+    # replayed stream (lost checkpoint, same identity) still no-ops; the
+    # manual row survives
+    shutil.rmtree(ckpt)
+    _run(spark, src, table, ckpt)
     assert _ids(read_table(spark, table)) == [1, 2, 3, 9]

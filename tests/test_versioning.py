@@ -336,3 +336,107 @@ def test_register_versioned_view_sql_time_travel(spark, tmp_path):
     assert spark.sql("SELECT COUNT(*) n FROM vt_latest").collect()[0]["n"] == 1
     spark.catalog.dropTempView("vt_latest")
     spark.catalog.dropTempView("vt_v1")
+
+
+def test_merge_after_widening_reads_pinned_schema(spark, tmp_path):
+    """ADVICE r5 (high): touched files mix pre- and post-evolution physical
+    schemas; merge must read them with the MANIFEST schema, or Spark
+    infers from one arbitrary file and a merge silently NULLs (or fails
+    unionByName on) the widened column."""
+    from procurement_data_pipeline_spark.operators.versioning import merge_into
+
+    t = str(tmp_path / "tbl")
+    versioned_write(spark, _df(spark, [1, 2]), t)  # pre-evolution files
+    wide = spark.createDataFrame(
+        [(3, "r3", 9.5), (4, "r4", 4.5)], "id long, s string, score double"
+    )
+    versioned_write(spark, wide, t, mode="append", merge_schema=True)
+
+    # update-merge touching BOTH schema generations: old bug could fail on
+    # unionByName or NULL the widened column of rewritten rows
+    ups = spark.createDataFrame(
+        [(1, "r1x", 1.5), (3, "r3x", 3.5)], "id long, s string, score double"
+    )
+    merge_into(spark, t, ups, key_col="id")
+    got = {r["id"]: (r["s"], r["score"]) for r in read_table(spark, t).collect()}
+    assert got == {
+        1: ("r1x", 1.5),
+        2: ("r2", None),  # pre-evolution row, rewritten, still NULL
+        3: ("r3x", 3.5),
+        4: ("r4", 4.5),  # post-evolution row must KEEP its value
+    }
+
+    # delete-merge across both generations keeps widened values intact
+    merge_into(
+        spark,
+        t,
+        spark.createDataFrame([(1,), (4,)], "id long"),
+        key_col="id",
+        when_matched="delete",
+    )
+    got = {r["id"]: r["score"] for r in read_table(spark, t).collect()}
+    assert got == {2: None, 3: 3.5}
+
+
+def test_publish_race_has_exactly_one_winner(spark, tmp_path):
+    """ADVICE r5: on file:// the exists/rename pair is a TOCTOU window —
+    the commit point must be a true create-no-overwrite primitive, so N
+    writers racing the same version number produce exactly one winner."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from procurement_data_pipeline_spark.operators import versioning as V
+
+    t = str(tmp_path / "tbl")
+    versioned_write(spark, _df(spark, [1]), t)
+    schema = _df(spark, [1]).schema.json()
+
+    def attempt(i: int) -> bool:
+        man = {
+            "version": 2,
+            "op": "append",
+            "base_version": 1,
+            "files": [],
+            "n_files": 0,
+            "schema": schema,
+            "writer": i,
+        }
+        try:
+            V._publish(spark, t, man)
+            return True
+        except ConcurrentWriteError:
+            return False
+
+    with ThreadPoolExecutor(max_workers=8) as ex:
+        wins = list(ex.map(attempt, range(8)))
+    assert sum(wins) == 1
+    # the winning manifest is intact JSON (no torn writes under the race)
+    man = V._read_manifest(spark, t, 2)
+    assert man["version"] == 2 and man["writer"] == wins.index(True)
+    # no temp files leak from the losers
+    leftovers = [
+        p.name
+        for p in (tmp_path / "tbl" / "_log").iterdir()
+        if p.name.startswith(".tmp-")
+    ]
+    assert leftovers == []
+
+
+def test_listing_failure_propagates_not_empty_manifest(spark, tmp_path, monkeypatch):
+    """ADVICE r5: a transient listing failure after a successful write must
+    PROPAGATE — round 5 swallowed it into files=[], publishing a manifest
+    missing the just-written data (silent loss reported as success)."""
+    from procurement_data_pipeline_spark.operators import versioning as V
+
+    t = str(tmp_path / "tbl")
+    versioned_write(spark, _df(spark, [1]), t)
+
+    def boom(*_a, **_k):
+        raise IOError("transient listing failure")
+
+    monkeypatch.setattr(V, "_list_parquet_files", boom)
+    with pytest.raises(IOError, match="transient"):
+        versioned_write(spark, _df(spark, [2]), t, mode="append")
+    monkeypatch.undo()
+    # nothing was published for the failed attempt
+    assert latest_version(spark, t) == 1
+    assert _ids(read_table(spark, t)) == [1]

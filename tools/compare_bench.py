@@ -31,6 +31,18 @@ def _group(doc: dict, key: str) -> dict[str, float]:
 
 def compare(old: dict, new: dict, threshold: float) -> int:
     worst_rc = 0
+    # calibration normalization (round 6+): both sides carry a fixed-cost
+    # CPU reference; dividing every ratio by the calibration ratio removes
+    # uniform ambient-load shifts BEFORE the targeted-regression test, so
+    # "the machine was busy" can no longer mask or mimic a real regression
+    calib = None
+    if old.get("calibration_sec") and new.get("calibration_sec"):
+        calib = new["calibration_sec"] / old["calibration_sec"]
+        print(
+            f"calibration: {old['calibration_sec']:.3f}s -> "
+            f"{new['calibration_sec']:.3f}s (ambient factor x{calib:.2f}; "
+            "per-query ratios below are normalized by it)"
+        )
     for section in ("queries", "extended"):
         o, n = _group(old, section), _group(new, section)
         shared = sorted(set(o) & set(n))
@@ -40,6 +52,8 @@ def compare(old: dict, new: dict, threshold: float) -> int:
         print(f"\n== {section} ({len(shared)} shared queries) ==")
         for q in shared:
             r = n[q] / o[q] if o[q] else float("inf")
+            if calib:
+                r /= calib
             ratios.append(r)
             flag = " <-- " if r > threshold else ""
             print(f"{q:42s} {o[q]:7.3f}s -> {n[q]:7.3f}s  x{r:.2f}{flag}")
