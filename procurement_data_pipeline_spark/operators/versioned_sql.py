@@ -121,6 +121,7 @@ def sql(spark: SparkSession, statement: str) -> DataFrame:
             path,
             mode=kw.get("mode", "append"),
             merge_schema=kw.get("merge_schema", False),
+            stats_cols=kw.get("stats_cols"),
         )
         return _manifest_df(spark, man)
     if cmd == "merge":
@@ -161,6 +162,18 @@ def sql(spark: SparkSession, statement: str) -> DataFrame:
             ],
             "version int, op string, base_version int, n_files int",
         )
+    if cmd == "scan":
+        # scan(path, col, lo => a, hi => b [, version => k]) — the
+        # data-skipping read (manifest-stats file pruning + exact residual)
+        path, col = args
+        return V.scan_table(
+            spark,
+            path,
+            col,
+            lo=kw.get("lo"),
+            hi=kw.get("hi"),
+            version=kw.get("version"),
+        )
     if cmd in ("snapshot", "time_travel"):
         # snapshot(path, view_name [, version => k]) — registers the view
         # AND returns it; time_travel(path, version, view_name) is sugar
@@ -173,7 +186,7 @@ def sql(spark: SparkSession, statement: str) -> DataFrame:
         return spark.table(name)
     raise ValueError(
         f"unknown procedure CALL versioned.{cmd} — known: write, merge, "
-        "rollback, optimize, vacuum, history, snapshot, time_travel"
+        "rollback, optimize, vacuum, history, snapshot, time_travel, scan"
     )
 
 

@@ -148,6 +148,102 @@ def _publish(spark: SparkSession, table_path: str, manifest: dict) -> None:
         )
 
 
+def _file_stats(
+    spark: SparkSession, files: list[str], stats_cols: list[str]
+) -> dict:
+    """Per-file ``{uri: {"n_rows": n, "<col>": [min, max]}}`` read from
+    parquet footers (operators/fileindex distributes the footer reads; the
+    collect here is manifest-scale — one small row per FILE, never rows of
+    data — the same bounded-collect contract the manifest itself is)."""
+    if not files or not stats_cols:
+        return {}
+    from procurement_data_pipeline_spark.operators.fileindex import (
+        footer_stats,
+    )
+
+    out: dict = {}
+    for r in footer_stats(spark, files, stats_cols).collect():
+        ent: dict = {"n_rows": r["n_rows"]}
+        for c in stats_cols:
+            ent[c] = [r[f"min_{c}"], r[f"max_{c}"]]
+        out[r["file"]] = ent
+    return out
+
+
+def plan_scan(
+    spark: SparkSession,
+    table_path: str,
+    col: str,
+    lo: float | None = None,
+    hi: float | None = None,
+    version: int | None = None,
+) -> tuple[list[str], int]:
+    """Data-skipping file plan for ``lo <= col <= hi`` at ``version``:
+    ``(files that can match, total files in the version)``. Planned
+    entirely from the manifest — zero data IO. A file without a stats
+    entry (written before stats were enabled, or NULL footer bounds) is
+    always kept: missing stats degrade to reading, never to skipping.
+    Envelopes are widened one ulp each way because footer stats are
+    float64-rounded — identical safety argument to merge_into's pruning."""
+    import math
+
+    if version is None:
+        version = latest_version(spark, table_path)
+        if version is None:
+            raise ValueError(f"no versions published at {table_path}")
+    man = _read_manifest(spark, table_path, version)
+    stats = man.get("stats", {})
+    if col not in man.get("stats_cols", []):
+        return list(man["files"]), len(man["files"])  # no stats → no pruning
+    kept = []
+    for f in man["files"]:
+        ent = stats.get(f)
+        if ent is None or ent.get(col) is None:
+            kept.append(f)
+            continue
+        fmin, fmax = ent[col]
+        if fmin is None or fmax is None:
+            kept.append(f)
+            continue
+        fmin, fmax = fmin - math.ulp(fmin), fmax + math.ulp(fmax)
+        if (lo is None or fmax >= lo) and (hi is None or fmin <= hi):
+            kept.append(f)
+    return kept, len(man["files"])
+
+
+def scan_table(
+    spark: SparkSession,
+    table_path: str,
+    col: str,
+    lo: float | None = None,
+    hi: float | None = None,
+    version: int | None = None,
+) -> DataFrame:
+    """``read_table`` + ``WHERE lo <= col <= hi``, opening ONLY the files
+    :func:`plan_scan` keeps. The residual filter is still applied to the
+    rows read, so the result is exact whether or not a file was prunable —
+    stats only ever save IO, never decide correctness."""
+    from pyspark.sql import functions as F
+
+    if version is None:
+        version = latest_version(spark, table_path)
+        if version is None:
+            raise ValueError(f"no versions published at {table_path}")
+    man = _read_manifest(spark, table_path, version)
+    schema = StructType.fromJson(json.loads(man["schema"]))
+    kept, _total = plan_scan(spark, table_path, col, lo, hi, version)
+    df = (
+        spark.read.schema(schema).parquet(*kept)
+        if kept
+        else spark.createDataFrame([], schema)
+    )
+    if lo is not None:
+        df = df.filter(F.col(col) >= lo)
+    if hi is not None:
+        df = df.filter(F.col(col) <= hi)
+    return df
+
+
 def _commit_files(spark: SparkSession, commit_dir: str) -> list[str]:
     """The data files a just-completed write produced under ``commit_dir``.
 
@@ -173,6 +269,7 @@ def versioned_write(
     mode: str = "append",
     extra: dict | None = None,
     merge_schema: bool = False,
+    stats_cols: list[str] | None = None,
 ) -> dict:
     """Write ``df`` as the next version of the table at ``table_path``.
 
@@ -182,15 +279,29 @@ def versioned_write(
     :class:`ConcurrentWriteError` if another writer got the version number
     first (the data files it wrote become an invisible orphan commit that
     ``vacuum`` will collect — nothing is ever half-visible).
+
+    ``stats_cols`` opts the table into MANIFEST-LEVEL DATA SKIPPING (the
+    Delta stats / Iceberg manifest-metrics shape): per-file [min, max] for
+    the named numeric columns are read from the just-written parquet
+    footers and stored in the manifest, so :func:`scan_table` can plan a
+    range query from ONE small JSON and open only the files that can
+    match — at 100 TB the difference between a point-lookup costing
+    O(matching files) and O(table). Once set, the column set is sticky:
+    later appends/OPTIMIZE/MERGE maintain stats automatically (pass
+    ``stats_cols`` again only to change it).
     """
     if mode not in ("append", "overwrite"):
         raise ValueError(f"mode must be append|overwrite, got {mode!r}")
     base = latest_version(spark, table_path)
     prev_files: list[str] = []
+    prev_stats: dict = {}
     schema_json = df.schema.json()
-    if base is not None and mode == "append":
-        prev = _read_manifest(spark, table_path, base)
+    prev = _read_manifest(spark, table_path, base) if base is not None else None
+    if prev is not None and stats_cols is None:
+        stats_cols = prev.get("stats_cols")
+    if prev is not None and mode == "append":
         prev_files = prev["files"]
+        prev_stats = prev.get("stats", {})
         if prev["schema"] != schema_json:
             prev_fields = {
                 f["name"]: f["type"]
@@ -231,6 +342,19 @@ def versioned_write(
         "n_files": len(prev_files) + len(new_files),
         "schema": schema_json,
     }
+    if stats_cols:
+        manifest["stats_cols"] = list(stats_cols)
+        # reuse carried files' entries when the column set is unchanged;
+        # backfill anything missing (enabling stats on an existing table,
+        # or a column-set change, is a one-commit upgrade)
+        same_cols = prev is not None and prev.get("stats_cols") == list(stats_cols)
+        carried = (
+            {f: prev_stats[f] for f in prev_files if f in prev_stats}
+            if same_cols
+            else {}
+        )
+        to_compute = [f for f in prev_files + new_files if f not in carried]
+        manifest["stats"] = {**carried, **_file_stats(spark, to_compute, stats_cols)}
     if extra:
         reserved = set(manifest) & set(extra)
         if reserved:
@@ -296,6 +420,10 @@ def optimize_table(
         "schema": df.schema.json(),
         "zorder_cols": zorder_cols or [],
     }
+    stats_cols = _read_manifest(spark, table_path, base).get("stats_cols")
+    if stats_cols:
+        manifest["stats_cols"] = stats_cols
+        manifest["stats"] = _file_stats(spark, new_files, stats_cols)
     try:
         _publish(spark, table_path, manifest)
     except ConcurrentWriteError:
@@ -449,6 +577,13 @@ def merge_into(
             "files_untouched": len(untouched),
         },
     }
+    if man.get("stats_cols"):
+        prev_stats = man.get("stats", {})
+        manifest["stats_cols"] = man["stats_cols"]
+        manifest["stats"] = {
+            **{f: prev_stats[f] for f in untouched if f in prev_stats},
+            **_file_stats(spark, new_files, man["stats_cols"]),
+        }
     try:
         _publish(spark, table_path, manifest)
     except ConcurrentWriteError:
@@ -471,6 +606,9 @@ def rollback(spark: SparkSession, table_path: str, to_version: int) -> dict:
         "n_files": len(target["files"]),
         "schema": target["schema"],
     }
+    if target.get("stats_cols"):  # identical files → identical stats
+        manifest["stats_cols"] = target["stats_cols"]
+        manifest["stats"] = target.get("stats", {})
     _publish(spark, table_path, manifest)
     return manifest
 
@@ -566,6 +704,8 @@ __all__ = [
     "optimize_table",
     "merge_into",
     "read_table",
+    "scan_table",
+    "plan_scan",
     "rollback",
     "history",
     "register_versioned_view",

@@ -11,7 +11,8 @@ versioned fixture from the round's `orders` table —
     v3  merge    DELETE WHERE o_orderkey % 97 == 0  (copy-on-write)
 
 — then reads it back through the format's own read paths (time travel,
-latest-after-merge, change feed) and aggregates. The DuckDB oracle
+latest-after-merge, change feed, manifest-stats pruned range scan) and
+aggregates. The DuckDB oracle
 reproduces the SAME final relation straight from `orders`, so a hash match
 verifies the whole write→manifest→read roundtrip, not just the agg.
 
@@ -38,8 +39,7 @@ from procurement_data_pipeline_spark.operators.cdf import table_changes
 from procurement_data_pipeline_spark.operators.versioning import (
     merge_into,
     read_table,
-)
-from procurement_data_pipeline_spark.operators.versioning import (
+    scan_table,
     versioned_write,
 )
 from procurement_data_pipeline_spark.registry import register
@@ -64,7 +64,11 @@ def _fixture(spark: SparkSession, sf_dir: str) -> str:
         F.floor(F.col("o_totalprice") * 100).cast("long").alias("price_cents"),
     )
     versioned_write(
-        spark, orders.filter(F.col("o_orderkey") % 10 < 5), path, mode="append"
+        spark,
+        orders.filter(F.col("o_orderkey") % 10 < 5),
+        path,
+        mode="append",
+        stats_cols=["o_orderkey"],  # sticky: later writes maintain stats
     )
     versioned_write(
         spark, orders.filter(F.col("o_orderkey") % 10 >= 5), path, mode="append"
@@ -155,4 +159,34 @@ def versioned_cdf_inserts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("new_price_cents").cast("long").alias("total_cents"),
         )
         .orderBy("o_orderpriority")
+    )
+
+
+_SCAN_LO, _SCAN_HI = 10_000, 40_000
+
+
+@register(
+    "versioned_pruned_scan",
+    oracle=f"""
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS total_cents
+FROM orders
+WHERE o_orderkey BETWEEN {_SCAN_LO} AND {_SCAN_HI}
+  AND o_orderkey % 97 <> 0
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""",
+    tags=("versioning", "data-skipping"),
+)
+def versioned_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range scan through the manifest's per-file stats (scan_table): the
+    plan opens only files whose [min, max] envelope intersects the key
+    range — Delta-style data skipping, planned from one JSON. The residual
+    filter keeps the result exact regardless of pruning, and the oracle
+    hash certifies that pruning lost nothing."""
+    path = _fixture(spark, sf_dir)
+    return _priority_rollup(
+        scan_table(spark, path, "o_orderkey", lo=_SCAN_LO, hi=_SCAN_HI)
     )

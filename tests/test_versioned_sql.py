@@ -92,3 +92,13 @@ def test_call_arg_literals_with_nested_commas(spark, tmp_path):
     ).collect()[0]
     assert man["op"] == "optimize"
     spark.catalog.dropTempView("zsrc")
+
+
+def test_sql_scan_with_stats(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    sql(spark, "CREATE OR REPLACE TEMP VIEW ssrc AS "
+               "SELECT id, id * 2 AS v FROM RANGE(0, 100)")
+    sql(spark, f"CALL versioned.write('{t}', 'ssrc', stats_cols => ['id'])")
+    got = sql(spark, f"CALL versioned.scan('{t}', 'id', lo => 10, hi => 12)")
+    assert sorted(r["id"] for r in got.collect()) == [10, 11, 12]
+    spark.catalog.dropTempView("ssrc")

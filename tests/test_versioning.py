@@ -440,3 +440,83 @@ def test_listing_failure_propagates_not_empty_manifest(spark, tmp_path, monkeypa
     # nothing was published for the failed attempt
     assert latest_version(spark, t) == 1
     assert _ids(read_table(spark, t)) == [1]
+
+
+def _df_range(spark, lo, hi):
+    return (
+        spark.range(lo, hi)
+        .selectExpr("id", "CAST(id AS STRING) AS s")
+        .coalesce(1)
+    )
+
+
+def test_manifest_stats_prune_scan(spark, tmp_path):
+    """Data skipping: per-file [min,max] in the manifest lets scan_table
+    open only the files a range predicate can match — planned from one
+    JSON, zero data IO for pruned files — and the result stays exact."""
+    from procurement_data_pipeline_spark.operators.versioning import (
+        plan_scan,
+        scan_table,
+    )
+
+    t = str(tmp_path / "tbl")
+    versioned_write(spark, _df_range(spark, 0, 100), t, stats_cols=["id"])
+    versioned_write(spark, _df_range(spark, 100, 200), t)  # sticky stats
+    versioned_write(spark, _df_range(spark, 200, 300), t)
+    kept, total = plan_scan(spark, t, "id", lo=120, hi=150)
+    assert total == 3 and len(kept) == 1  # only the middle file can match
+    got = scan_table(spark, t, "id", lo=120, hi=150)
+    assert sorted(r["id"] for r in got.collect()) == list(range(120, 151))
+    # boundary values survive the ulp widening (never pruned away)
+    assert scan_table(spark, t, "id", lo=199, hi=200).count() == 2
+    # open ranges prune one-sided
+    kept, _ = plan_scan(spark, t, "id", lo=250)
+    assert len(kept) == 1
+    # a column without stats never prunes
+    kept, _ = plan_scan(spark, t, "s", lo=0, hi=1)
+    assert len(kept) == 3
+
+
+def test_stats_maintained_by_merge_optimize_rollback(spark, tmp_path):
+    from procurement_data_pipeline_spark.operators.versioning import (
+        merge_into,
+        optimize_table,
+        plan_scan,
+        scan_table,
+    )
+
+    t = str(tmp_path / "tbl")
+    versioned_write(spark, _df_range(spark, 0, 100), t, stats_cols=["id"])
+    versioned_write(spark, _df_range(spark, 100, 200), t)
+    # merge rewrites only the touched file; stats carry + recompute
+    ups = spark.createDataFrame([(50, "FIFTY")], "id long, s string")
+    man = merge_into(spark, t, ups, key_col="id")
+    assert man["merge"]["files_untouched"] == 1
+    assert set(man["stats"]) == set(man["files"])
+    got = scan_table(spark, t, "id", lo=50, hi=50).collect()
+    assert [(r["id"], r["s"]) for r in got] == [(50, "FIFTY")]
+    # optimize recomputes stats for the compacted layout
+    man = optimize_table(spark, t, target_files=1)
+    assert man["stats_cols"] == ["id"] and len(man["stats"]) == len(man["files"])
+    kept, total = plan_scan(spark, t, "id", lo=10, hi=20)
+    assert (len(kept), total) == (1, 1)
+    # rollback carries the target version's stats verbatim
+    rb = rollback(spark, t, to_version=2)
+    assert set(rb["stats"]) == set(rb["files"])
+    kept, total = plan_scan(spark, t, "id", lo=120, hi=130)
+    assert total == 2 and len(kept) == 1
+
+
+def test_stats_backfill_on_enable(spark, tmp_path):
+    """Enabling stats_cols on an existing table backfills older files in
+    the same commit — a one-commit upgrade, not a rewrite."""
+    from procurement_data_pipeline_spark.operators.versioning import plan_scan
+
+    t = str(tmp_path / "tbl")
+    versioned_write(spark, _df_range(spark, 0, 100), t)  # no stats yet
+    man = versioned_write(
+        spark, _df_range(spark, 100, 200), t, stats_cols=["id"]
+    )
+    assert set(man["stats"]) == set(man["files"])  # old file backfilled
+    kept, total = plan_scan(spark, t, "id", lo=150, hi=160)
+    assert (len(kept), total) == (1, 2)
