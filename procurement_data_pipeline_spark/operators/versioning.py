@@ -148,6 +148,28 @@ def _publish(spark: SparkSession, table_path: str, manifest: dict) -> None:
         )
 
 
+_STATS_TYPES = ("byte", "short", "integer", "long", "float", "double")
+
+
+def _validate_stats_cols(schema: StructType, stats_cols: list[str]) -> None:
+    """Stats columns must exist and be plainly numeric: the manifest holds
+    float64 envelopes (fileindex footer stats), so a string/date/decimal
+    column would fail the float conversion DEEP in the write — after the
+    data landed, before the publish. Refuse up front instead."""
+    fields = {f.name: f.dataType.typeName() for f in schema.fields}
+    bad = [
+        c
+        for c in stats_cols
+        if fields.get(c) not in _STATS_TYPES
+    ]
+    if bad:
+        raise ValueError(
+            f"stats_cols must be numeric columns of the table; got "
+            f"{ {c: fields.get(c, '<missing>') for c in bad} } — supported "
+            f"types: {_STATS_TYPES}"
+        )
+
+
 def _file_stats(
     spark: SparkSession, files: list[str], stats_cols: list[str]
 ) -> dict:
@@ -198,6 +220,8 @@ def plan_scan(
     kept = []
     for f in man["files"]:
         ent = stats.get(f)
+        if ent is not None and ent.get("n_rows") == 0:
+            continue  # provably empty file (Spark writes one per empty task)
         if ent is None or ent.get(col) is None:
             kept.append(f)
             continue
@@ -292,6 +316,8 @@ def versioned_write(
     """
     if mode not in ("append", "overwrite"):
         raise ValueError(f"mode must be append|overwrite, got {mode!r}")
+    if stats_cols:
+        _validate_stats_cols(df.schema, stats_cols)
     base = latest_version(spark, table_path)
     prev_files: list[str] = []
     prev_stats: dict = {}

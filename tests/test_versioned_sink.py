@@ -103,3 +103,27 @@ def test_interleaved_batch_write_does_not_hide_stream_state(spark, tmp_path):
     shutil.rmtree(ckpt)
     _run(spark, src, table, ckpt)
     assert _ids(read_table(spark, table)) == [1, 2, 3, 9]
+
+
+def test_streaming_sink_maintains_sticky_stats(spark, tmp_path):
+    """A table created with stats_cols keeps maintaining per-file stats
+    through the streaming sink's appends (stats are sticky in
+    versioned_write) — the microbatch files are immediately prunable."""
+    from procurement_data_pipeline_spark.operators.versioning import (
+        _read_manifest,
+        latest_version,
+        plan_scan,
+    )
+
+    src, table = str(tmp_path / "src"), str(tmp_path / "tbl")
+    seed = spark.createDataFrame([(0, "seed")], "id long, s string")
+    versioned_write(spark, seed, table, stats_cols=["id"])
+    _write_sources(spark, src)  # ids 1,2 then 3, one file per batch
+    _run(spark, src, table, str(tmp_path / "ckpt"))
+    man = _read_manifest(spark, table, latest_version(spark, table))
+    assert man["stats_cols"] == ["id"]
+    assert set(man["stats"]) == set(man["files"])
+    kept, total = plan_scan(spark, table, "id", lo=3, hi=3)
+    # only the one microbatch file that can hold id=3 survives the plan
+    # (microbatches may split into several part files — don't assume 1:1)
+    assert total == len(man["files"]) and len(kept) == 1

@@ -520,3 +520,15 @@ def test_stats_backfill_on_enable(spark, tmp_path):
     assert set(man["stats"]) == set(man["files"])  # old file backfilled
     kept, total = plan_scan(spark, t, "id", lo=150, hi=160)
     assert (len(kept), total) == (1, 2)
+
+
+def test_stats_cols_must_be_numeric(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    with pytest.raises(ValueError, match="numeric columns"):
+        versioned_write(
+            spark, _df_range(spark, 0, 10), t, stats_cols=["s"]
+        )
+    with pytest.raises(ValueError, match="missing"):
+        versioned_write(
+            spark, _df_range(spark, 0, 10), t, stats_cols=["nope"]
+        )
