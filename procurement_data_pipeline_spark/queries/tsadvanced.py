@@ -193,16 +193,78 @@ def q_orders_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("b.dn") - F.col("a.dn")).cast("double")
         ).alias("slope"),
     )
-    wp = Window.partitionBy("priority")
-    ranked = pairs.select(
+    # DISTRIBUTED SELECTION instead of a full per-priority sort: the rank
+    # window above this used to sort all ~14M slope pairs inside FIVE
+    # partitions (one per priority) — five single-threaded 3M-row sorts,
+    # 10.3 s of the query's 7.8-12 s at sf0.1. Selecting two order
+    # statistics doesn't need a full sort: bucket the slopes by a MONOTONE
+    # quantization (floor of an affine map is weakly monotone under IEEE
+    # rounding, so bucket order == slope order and ties share a bucket),
+    # count per bucket (map-side combine), locate the buckets holding
+    # ranks (m+1)//2 and (m+2)//2 from the tiny cumulative table, and sort
+    # ONLY those buckets' rows (~m/B each). The VALUE at a global rank is
+    # unchanged — bucket boundaries affect where work happens, never which
+    # slope is selected — so the oracle's full-sort form hashes
+    # identically. Warm sf0.1: 7.7-8.9 s → 6.8-7.8 s (the floor is the 3
+    # uncached passes over the 14M generated pairs); the real payoff is
+    # shape: the old plan sorted the WHOLE pair relation in 5 partitions
+    # (one per priority — parallelism capped at the group count at any
+    # scale), this one leaves only O(m/B) rows in the final sort.
+    _B = 8192
+    # stats is 5 rows but sits under BOTH downstream actions (the bucket
+    # expression references it) — persist it or every action replays its
+    # pairs scan; pairs themselves stay UNCACHED: they regenerate from the
+    # persisted daily grain in ~1.5 s per pass at sf0.1, cheaper than
+    # materializing 14M rows
+    stats = scoped_persist(
+        pairs.groupBy("priority").agg(
+            F.min("slope").alias("_mn"), F.max("slope").alias("_mx")
+        )
+    )
+    bucketed = pairs.join(F.broadcast(stats), "priority").select(
         "priority",
         "slope",
-        F.row_number().over(wp.orderBy("slope")).alias("rn"),
-        F.count(F.lit(1)).over(wp).alias("m"),
+        F.when(F.col("_mx") == F.col("_mn"), F.lit(0))
+        .otherwise(
+            F.least(
+                F.lit(_B - 1),
+                F.floor(
+                    (F.col("slope") - F.col("_mn"))
+                    / (F.col("_mx") - F.col("_mn"))
+                    * _B
+                ),
+            )
+        )
+        .cast("long")
+        .alias("bkt"),
     )
-    sel = ranked.filter(
-        (F.col("rn") == F.expr("(m + 1) div 2"))
-        | (F.col("rn") == F.expr("(m + 2) div 2"))
+    bcnt = bucketed.groupBy("priority", "bkt").agg(F.count(F.lit(1)).alias("c"))
+    wp0 = Window.partitionBy("priority")
+    cand = (
+        bcnt.withColumn("m", F.sum("c").over(wp0))
+        .withColumn(
+            "cum_before",
+            F.sum("c").over(wp0.orderBy("bkt")) - F.col("c"),
+        )
+        .withColumn("k1", F.expr("(m + 1) div 2"))
+        .withColumn("k2", F.expr("(m + 2) div 2"))
+        .where(
+            (
+                (F.col("k1") > F.col("cum_before"))
+                & (F.col("k1") <= F.col("cum_before") + F.col("c"))
+            )
+            | (
+                (F.col("k2") > F.col("cum_before"))
+                & (F.col("k2") <= F.col("cum_before") + F.col("c"))
+            )
+        )
+        .select("priority", "bkt", "cum_before", "k1", "k2", "m")
+    )
+    w2 = Window.partitionBy("priority", "bkt").orderBy("slope")
+    sel = (
+        bucketed.join(F.broadcast(cand), ["priority", "bkt"])
+        .withColumn("grank", F.row_number().over(w2) + F.col("cum_before"))
+        .where((F.col("grank") == F.col("k1")) | (F.col("grank") == F.col("k2")))
     )
     nd = daily.groupBy("priority").agg(F.count(F.lit(1)).alias("nd_days"))
     return (
