@@ -130,6 +130,7 @@ GRADE_OVERFLOW = frozenset(
         "versioned_merge_current",
         "versioned_cdf_inserts",
         "versioned_pruned_scan",
+        "docs_curriculum_schedule",
         "docs_pack_sequences_2level",
         "docs_corpus_mix_temperature",
         "docs_quality_weighted_sample",

@@ -240,13 +240,19 @@ def main() -> None:
         CPU — the ambient-load dipstick for the headline numbers.
         """
         times: list[float] = []
-        for i in range(4):  # pass 0 is the warm-up (codegen compile)
-            t0 = time.perf_counter()
-            spark.range(0, 200_000_000, 1, 32).selectExpr(
-                "sum(id % 97) as s", "count(*) as n"
-            ).write.format("noop").mode("overwrite").save()
-            if i > 0:
-                times.append(round(time.perf_counter() - t0, 4))
+        try:
+            for i in range(4):  # pass 0 is the warm-up (codegen compile)
+                t0 = time.perf_counter()
+                spark.range(0, 200_000_000, 1, 32).selectExpr(
+                    "sum(id % 97) as s", "count(*) as n"
+                ).write.format("noop").mode("overwrite").save()
+                if i > 0:
+                    times.append(round(time.perf_counter() - t0, 4))
+        except Exception as e:  # noqa: BLE001 — a broken calibration must
+            # never cost the round its whole bench artifact
+            errors.setdefault(
+                "_calibration", f"{type(e).__name__}: {e}".split("\n")[0][:300]
+            )
         return times
 
     calib_passes = run_calibration()
@@ -269,7 +275,7 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
-        "calibration_sec": min(calib_passes),
+        "calibration_sec": min(calib_passes) if calib_passes else None,
         "calibration_passes": calib_passes,
         "extended": {
             "total_sec": round(sum(ext_timings.values()), 4),
@@ -294,7 +300,7 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
-        "calibration_sec": min(calib_passes),
+        "calibration_sec": min(calib_passes) if calib_passes else None,
     }
     if errors:
         compact["error_queries"] = sorted(errors)[:10]
