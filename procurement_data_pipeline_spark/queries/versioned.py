@@ -9,6 +9,7 @@ versioned fixture from the round's `orders` table —
     v1  append   orders with o_orderkey % 10 < 5
     v2  append   the remaining orders           (v2 == all of orders)
     v3  merge    DELETE WHERE o_orderkey % 97 == 0  (copy-on-write)
+    v4  optimize ZORDER (o_orderkey, price_cents)   (content-identical)
 
 — then reads it back through the format's own read paths (time travel,
 latest-after-merge, change feed, manifest-stats pruned range scan) and
@@ -38,6 +39,7 @@ from pyspark.sql import functions as F
 from procurement_data_pipeline_spark.operators.cdf import table_changes
 from procurement_data_pipeline_spark.operators.versioning import (
     merge_into,
+    optimize_table,
     read_table,
     scan_table,
     versioned_write,
@@ -79,6 +81,18 @@ def _fixture(spark: SparkSession, sf_dir: str) -> str:
         orders.filter(F.col("o_orderkey") % 97 == 0).select("o_orderkey"),
         key_col="o_orderkey",
         when_matched="delete",
+    )
+    # v4: OPTIMIZE ZORDER — content-identical by contract; stats recompute
+    # for the re-clustered files, so the pruned scan below (and the hash
+    # of every latest-reading query) certifies compaction + Z-order +
+    # stats maintenance end-to-end, not just pytest-level identity
+    # 8 z-ordered files at every sf: enough files that the range scan has
+    # something to prune, few enough that the layout is a real compaction
+    optimize_table(
+        spark,
+        path,
+        zorder_cols=["o_orderkey", "price_cents"],
+        target_files=8,
     )
     _BUILT[key] = path
     return path
@@ -126,8 +140,9 @@ def versioned_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("versioning", "merge"),
 )
 def versioned_merge_current(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Read latest after the copy-on-write DELETE merge — the footer-pruned
-    rewrite must drop exactly the matched keys and nothing else."""
+    """Read latest after the copy-on-write DELETE merge AND the OPTIMIZE
+    ZORDER rewrite — the footer-pruned merge must drop exactly the matched
+    keys, and compaction must be content-identical (hash-certified)."""
     path = _fixture(spark, sf_dir)
     return _priority_rollup(read_table(spark, path))
 
