@@ -109,6 +109,16 @@ GRADE_DEMOTED = frozenset(
 #   events_click_attribution     — same as-of/last-touch mechanism as
 #                                  events_asof_last_click (stays graded)
 #
+# Round-7 rotation candidates (deliberate, not applied — the r6 window is
+# pinned): the versioned-table oracle queries are the strongest new
+# evidence class (versioned_time_travel / versioned_merge_current /
+# versioned_cdf_inserts / versioned_pruned_scan hash the table format's
+# own read paths), plus docs_curriculum_schedule (phased-sampling tier).
+# Weakest graded siblings if slots are needed: tpch_q17/q18 (scalar-
+# subquery + group-filter patterns also covered by q2/q20/q21),
+# events_value_moving_avg (window mechanism also graded via
+# events_asof_last_click's frames).
+#
 # New oracle-backed queries added AFTER the round-5 window was pinned.
 # They register in modules that import before queries/curation.py, so
 # without this set they would silently displace the round-4 tier from the
