@@ -67,12 +67,19 @@ def _split_top_level(s: str) -> list[str]:
 
 
 def _literal(tok: str):
+    tok = tok.strip()
     low = tok.lower()
     if low in ("true", "false"):
         return low == "true"
     if low in ("null", "none"):
         return None
-    return ast.literal_eval(tok)  # 'str', 123, 1.5, ['a','b'] — all valid
+    if tok.startswith("[") and tok.endswith("]"):
+        # recurse per element so SQL-ish true/false/null work INSIDE
+        # arrays too (ast.literal_eval alone rejects them — found by the
+        # round-trip property test)
+        inner = tok[1:-1].strip()
+        return [_literal(t) for t in _split_top_level(inner)] if inner else []
+    return ast.literal_eval(tok)  # 'str', 123, 1.5 — python literals
 
 
 def _parse_args(argstr: str) -> tuple[list, dict]:

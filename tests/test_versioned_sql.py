@@ -102,3 +102,55 @@ def test_sql_scan_with_stats(spark, tmp_path):
     got = sql(spark, f"CALL versioned.scan('{t}', 'id', lo => 10, hi => 12)")
     assert sorted(r["id"] for r in got.collect()) == [10, 11, 12]
     spark.catalog.dropTempView("ssrc")
+
+
+def test_literal_parse_round_trip():
+    """Property: _parse_args inverts standard rendering for the literal
+    grammar the CALL surface supports (strings incl. quotes/commas inside,
+    ints, floats, bools, null, flat arrays)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from procurement_data_pipeline_spark.operators.versioned_sql import (
+        _parse_args,
+    )
+
+    scalar = st.one_of(
+        st.integers(-10**12, 10**12),
+        st.text(
+            alphabet=st.characters(
+                codec="ascii", exclude_characters="\\", min_codepoint=32
+            ),
+            max_size=12,
+        ),
+        st.booleans(),
+        st.none(),
+    )
+    literal = st.one_of(scalar, st.lists(scalar, max_size=4))
+
+    def render(v):
+        if v is None:
+            return "null"
+        if isinstance(v, bool):
+            return "true" if v else "false"
+        if isinstance(v, str):
+            return repr(v)  # python repr quotes == supported SQL-ish form
+        if isinstance(v, list):
+            return "[" + ", ".join(render(x) for x in v) + "]"
+        return repr(v)
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.lists(literal, max_size=3), st.dictionaries(
+        st.from_regex(r"[a-z_][a-z0-9_]{0,8}", fullmatch=True),
+        literal,
+        max_size=3,
+    ))
+    def check(args, kwargs):
+        rendered = ", ".join(
+            [render(a) for a in args]
+            + [f"{k} => {render(v)}" for k, v in kwargs.items()]
+        )
+        got_args, got_kwargs = _parse_args(rendered)
+        assert got_args == args and got_kwargs == kwargs
+
+    check()
