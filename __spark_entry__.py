@@ -85,6 +85,27 @@ GRADE_DEMOTED = frozenset(
         "docs_stratified_sample",
         "events_value_quantiles",
         "events_click_attribution",
+        # round-7 rotation: the four versioned-table oracle queries plus
+        # docs_curriculum_schedule promote into the window (VERDICT r6
+        # item 2 — they hash the table format's OWN read paths, the
+        # strongest new evidence class). Five weakest graded siblings
+        # demote in exchange, each a pattern another window member covers:
+        #   tpch_q17_small_quantity  — correlated scalar subquery also
+        #                              graded via q2 (min-cost) and q15
+        #   tpch_q18_large_volume    — group-filter + join pattern also
+        #                              graded via q20/q21
+        #   events_value_moving_avg  — window-frame mechanism also graded
+        #                              via events_asof_last_click's frames
+        #   tpch_q4_order_priority   — EXISTS/semi-join + count pattern
+        #                              also graded via q21 (multi-EXISTS)
+        #                              and q22 (anti-join)
+        #   supplier_shipping_cohorts — cohort-bucketing mechanism also
+        #                              graded via events_retention_cohorts
+        "tpch_q17_small_quantity",
+        "tpch_q18_large_volume",
+        "events_value_moving_avg",
+        "tpch_q4_order_priority",
+        "supplier_shipping_cohorts",
     }
 )
 
@@ -109,15 +130,9 @@ GRADE_DEMOTED = frozenset(
 #   events_click_attribution     — same as-of/last-touch mechanism as
 #                                  events_asof_last_click (stays graded)
 #
-# Round-7 rotation candidates (deliberate, not applied — the r6 window is
-# pinned): the versioned-table oracle queries are the strongest new
-# evidence class (versioned_time_travel / versioned_merge_current /
-# versioned_cdf_inserts / versioned_pruned_scan hash the table format's
-# own read paths), plus docs_curriculum_schedule (phased-sampling tier).
-# Weakest graded siblings if slots are needed: tpch_q17/q18 (scalar-
-# subquery + group-filter patterns also covered by q2/q20/q21),
-# events_value_moving_avg (window mechanism also graded via
-# events_asof_last_click's frames).
+# Round-7 rotation APPLIED (see the round-7 entries in GRADE_DEMOTED):
+# versioned_time_travel / versioned_merge_current / versioned_cdf_inserts /
+# versioned_pruned_scan / docs_curriculum_schedule promoted into the window.
 #
 # New oracle-backed queries added AFTER the round-5 window was pinned.
 # They register in modules that import before queries/curation.py, so
@@ -134,13 +149,12 @@ GRADE_OVERFLOW = frozenset(
         # equivalence-tested, temperature == corpus_mix variant, the rest
         # are docs-profiling shapes already graded via docs_profile/
         # docs_corpus_curation/docs_pack_sequences):
-        # round-6 additions (versioned-table oracle evidence — graded-slot
-        # candidates for round 7):
-        "versioned_time_travel",
-        "versioned_merge_current",
-        "versioned_cdf_inserts",
-        "versioned_pruned_scan",
-        "docs_curriculum_schedule",
+        # (round-7: versioned_time_travel / versioned_merge_current /
+        # versioned_cdf_inserts / versioned_pruned_scan /
+        # docs_curriculum_schedule rotated OUT of overflow INTO the graded
+        # window — see GRADE_DEMOTED above. The round-7 compound-predicate
+        # variant lands in overflow, locally checked:)
+        "versioned_compound_scan",
         "docs_pack_sequences_2level",
         "docs_corpus_mix_temperature",
         "docs_quality_weighted_sample",

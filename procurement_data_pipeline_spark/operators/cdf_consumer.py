@@ -54,6 +54,32 @@ def _cursor_versions(spark: SparkSession, cursor_path: str) -> list[int]:
     return sorted(out)
 
 
+def _migrate_legacy_cursor(spark: SparkSession, cursor_path: str) -> None:
+    """Releases before the directory scheme stored the cursor as ONE json
+    FILE at ``cursor_path``. Left in place it is invisible to the
+    directory listing (read would report 0 and replay every range ever
+    handled) and ``_advance_cursor`` would fail mkdirs over it. Migration
+    is crash-safe in two steps: park the file under a sibling name (so
+    the path can become a directory), then commit it as the first
+    ``cursor-v{N}.json``. A crash between the steps leaves the sibling,
+    which the next call resumes from; the sibling is deleted only after
+    the directory entry is fully committed."""
+    fs, p, jvm = _fs_path(spark, cursor_path)
+    hpath = jvm.org.apache.hadoop.fs.Path
+    legacy_str = cursor_path.rstrip("/") + ".legacy-migrating"
+    legacy = hpath(legacy_str)
+    if fs.exists(p) and fs.getFileStatus(p).isFile():
+        if not fs.rename(p, legacy):
+            raise IOError(f"could not migrate legacy cursor file {cursor_path}")
+    if fs.exists(legacy):
+        version = int(json.loads(_read_text(spark, legacy_str))["version"])
+        if version > 0:
+            _advance_cursor(spark, cursor_path, version)
+        else:
+            fs.mkdirs(p)
+        fs.delete(legacy, False)
+
+
 def read_cursor(spark: SparkSession, cursor_path: str) -> int:
     """Last fully-processed version; 0 before the first successful run.
 
@@ -66,6 +92,7 @@ def read_cursor(spark: SparkSession, cursor_path: str) -> int:
     regress: either the new file is fully visible (rename is the commit)
     or the old max still stands (at-least-once replay of one range).
     """
+    _migrate_legacy_cursor(spark, cursor_path)
     vs = _cursor_versions(spark, cursor_path)
     if not vs:
         return 0
@@ -88,6 +115,18 @@ def _advance_cursor(spark: SparkSession, cursor_path: str, version: int) -> None
         raise IOError(f"could not advance cursor at {cursor_path}")
     for v in _cursor_versions(spark, cursor_path)[:-1]:
         fs.delete(hpath(f"{cursor_path.rstrip('/')}/cursor-v{v:08d}.json"), False)
+    # sweep torn .tmp-{v} files a crash left behind — safe once the rename
+    # for a version ≤ ours has committed (ours just did); a .tmp for a
+    # NEWER version (concurrent writer mid-flight) is left alone
+    for st in fs.listStatus(dir_p):
+        name = st.getPath().getName()
+        if name.startswith(".tmp-"):
+            try:
+                tv = int(name[len(".tmp-"):])
+            except ValueError:
+                continue
+            if tv <= version:
+                fs.delete(st.getPath(), False)
 
 
 def consume_changes(

@@ -63,7 +63,10 @@ def _open_target(uri: str) -> tuple:
 
 
 def footer_stats(
-    spark: SparkSession, path: str | list[str], cols: list[str]
+    spark: SparkSession,
+    path: str | list[str],
+    cols: list[str],
+    col_types: dict[str, str] | None = None,
 ) -> DataFrame:
     """Per-file min/max/row-count for ``cols``, reading only parquet footers.
 
@@ -72,13 +75,25 @@ def footer_stats(
     several commit directories).
 
     Output schema: ``file string, n_rows long`` plus ``min_<c>, max_<c>``
-    (double) per requested column. A column chunk without statistics yields
-    NULL bounds — :func:`prune_files` treats NULL as "cannot prune", never
-    as "skip", so missing stats degrade to a full scan, not wrong results.
+    per requested column — ``double`` by default; pass
+    ``col_types={"c": "string"|"date"}`` (Spark ``typeName()`` strings) to
+    keep string/date bounds in their own type instead of a lossy float
+    cast. Parquet writers may TRUNCATE long byte-array statistics, but the
+    stored min/max remain valid bounds by spec (max is padded upward), so
+    string envelopes are safe for pruning even when inexact. A column
+    chunk without statistics yields NULL bounds — :func:`prune_files`
+    treats NULL as "cannot prune", never as "skip", so missing stats
+    degrade to a full scan, not wrong results.
     """
     files = path if isinstance(path, list) else _list_parquet_files(spark, path)
+    col_types = col_types or {}
+
+    def _sql_type(c: str) -> str:
+        t = col_types.get(c)
+        return t if t in ("string", "date") else "double"
+
     schema = "file string, n_rows long, " + ", ".join(
-        f"min_{c} double, max_{c} double" for c in cols
+        f"min_{c} {_sql_type(c)}, max_{c} {_sql_type(c)}" for c in cols
     )
 
     def read_footers(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -102,8 +117,13 @@ def footer_stats(
                                 break
                             lo = st.min if lo is None else min(lo, st.min)
                             hi = st.max if hi is None else max(hi, st.max)
-                    rec[f"min_{c}"] = None if lo is None else float(lo)
-                    rec[f"max_{c}"] = None if hi is None else float(hi)
+                    numeric = _sql_type(c) == "double"
+                    rec[f"min_{c}"] = (
+                        None if lo is None else (float(lo) if numeric else lo)
+                    )
+                    rec[f"max_{c}"] = (
+                        None if hi is None else (float(hi) if numeric else hi)
+                    )
                 rows.append(rec)
             yield pd.DataFrame(
                 rows,

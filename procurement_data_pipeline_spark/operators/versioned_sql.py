@@ -43,27 +43,80 @@ _CALL_RE = re.compile(
 )
 
 
+def _scan_string(s: str, i: int) -> int:
+    """``s[i]`` opens a string literal; return the index just past its
+    closing quote. Honors backslash escapes (python-style) and SQL
+    standard doubled-quote escaping (``'it''s'``), so a quote character
+    INSIDE a string can never terminate it early (the round-6 hypothesis
+    counterexample was the two-char string ``'"`` whose repr's escaped
+    quote closed the scan and fused adjacent arguments)."""
+    q, n = s[i], len(s)
+    i += 1
+    while i < n:
+        ch = s[i]
+        if ch == "\\" and i + 1 < n:
+            i += 2
+            continue
+        if ch == q:
+            if i + 1 < n and s[i + 1] == q:  # SQL '' doubling
+                i += 2
+                continue
+            return i + 1
+        i += 1
+    raise ValueError(f"unterminated string literal in {s!r}")
+
+
 def _split_top_level(s: str) -> list[str]:
     """Split on commas not nested inside quotes or brackets."""
-    out, depth, quote, start = [], 0, None, 0
-    for i, ch in enumerate(s):
-        if quote:
-            if ch == quote:
-                quote = None
-            continue
+    out, depth, start, i, n = [], 0, 0, 0, len(s)
+    while i < n:
+        ch = s[i]
         if ch in "'\"":
-            quote = ch
-        elif ch in "([":
+            i = _scan_string(s, i)
+            continue
+        if ch in "([":
             depth += 1
         elif ch in ")]":
             depth -= 1
         elif ch == "," and depth == 0:
             out.append(s[start:i])
             start = i + 1
+        i += 1
     tail = s[start:]
     if tail.strip():
         out.append(tail)
     return [t.strip() for t in out]
+
+
+def _string_literal(tok: str) -> str:
+    """Decode exactly ONE quoted string token. SQL ``''`` doubling is
+    normalized to a backslash escape before ``ast.literal_eval`` (which
+    would otherwise see ``'it''s'`` as python adjacent-string
+    concatenation and silently yield ``'its'``); trailing content after
+    the closing quote — the fused-token shape — is a hard error, never a
+    silent concatenation."""
+    q, n = tok[0], len(tok)
+    body, i = [], 1
+    while i < n:
+        ch = tok[i]
+        if ch == "\\" and i + 1 < n:
+            body.append(ch)
+            body.append(tok[i + 1])
+            i += 2
+            continue
+        if ch == q:
+            if i + 1 < n and tok[i + 1] == q:  # SQL '' doubling
+                body.append("\\" + q)
+                i += 2
+                continue
+            if i != n - 1:
+                raise ValueError(
+                    f"unexpected content after string literal: {tok!r}"
+                )
+            return ast.literal_eval(q + "".join(body) + q)
+        body.append(ch)
+        i += 1
+    raise ValueError(f"unterminated string literal: {tok!r}")
 
 
 def _literal(tok: str):
@@ -73,13 +126,15 @@ def _literal(tok: str):
         return low == "true"
     if low in ("null", "none"):
         return None
+    if tok.startswith(("'", '"')):
+        return _string_literal(tok)
     if tok.startswith("[") and tok.endswith("]"):
         # recurse per element so SQL-ish true/false/null work INSIDE
         # arrays too (ast.literal_eval alone rejects them — found by the
         # round-trip property test)
         inner = tok[1:-1].strip()
         return [_literal(t) for t in _split_top_level(inner)] if inner else []
-    return ast.literal_eval(tok)  # 'str', 123, 1.5 — python literals
+    return ast.literal_eval(tok)  # 123, 1.5 — python numeric literals
 
 
 def _parse_args(argstr: str) -> tuple[list, dict]:
@@ -171,14 +226,31 @@ def sql(spark: SparkSession, statement: str) -> DataFrame:
         )
     if cmd == "scan":
         # scan(path, col, lo => a, hi => b [, version => k]) — the
-        # data-skipping read (manifest-stats file pruning + exact residual)
+        # data-skipping read (manifest-stats file pruning + exact
+        # residual). Compound form: col/lo/hi as SAME-LENGTH arrays AND
+        # the ranges together in one manifest pass:
+        #   scan(path, ['d','k'], lo => ['2024-01-01', 10], hi => [null, 20])
         path, col = args
+        lo, hi = kw.get("lo"), kw.get("hi")
+        if isinstance(col, list):
+            los = lo if lo is not None else [None] * len(col)
+            his = hi if hi is not None else [None] * len(col)
+            if len(los) != len(col) or len(his) != len(col):
+                raise ValueError(
+                    "compound scan needs lo/hi arrays matching col's length"
+                )
+            return V.scan_table(
+                spark,
+                path,
+                predicates={c: (l, h) for c, l, h in zip(col, los, his)},
+                version=kw.get("version"),
+            )
         return V.scan_table(
             spark,
             path,
             col,
-            lo=kw.get("lo"),
-            hi=kw.get("hi"),
+            lo=lo,
+            hi=hi,
             version=kw.get("version"),
         )
     if cmd in ("snapshot", "time_travel"):

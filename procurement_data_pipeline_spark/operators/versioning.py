@@ -148,14 +148,17 @@ def _publish(spark: SparkSession, table_path: str, manifest: dict) -> None:
         )
 
 
-_STATS_TYPES = ("byte", "short", "integer", "long", "float", "double")
+_NUMERIC_STATS_TYPES = ("byte", "short", "integer", "long", "float", "double")
+_STATS_TYPES = _NUMERIC_STATS_TYPES + ("string", "date")
 
 
 def _validate_stats_cols(schema: StructType, stats_cols: list[str]) -> None:
-    """Stats columns must exist and be plainly numeric: the manifest holds
-    float64 envelopes (fileindex footer stats), so a string/date/decimal
-    column would fail the float conversion DEEP in the write — after the
-    data landed, before the publish. Refuse up front instead."""
+    """Stats columns must exist and be scalar orderable types the manifest
+    can encode: numeric (float64 envelopes), string (kept verbatim — the
+    lakehouse category prune), or date (ISO-encoded; lexicographic equals
+    chronological, the reference's own partition-pruning key shape). An
+    unsupported type would fail DEEP in the write — after the data landed,
+    before the publish. Refuse up front instead."""
     fields = {f.name: f.dataType.typeName() for f in schema.fields}
     bad = [
         c
@@ -164,14 +167,40 @@ def _validate_stats_cols(schema: StructType, stats_cols: list[str]) -> None:
     ]
     if bad:
         raise ValueError(
-            f"stats_cols must be numeric columns of the table; got "
-            f"{ {c: fields.get(c, '<missing>') for c in bad} } — supported "
-            f"types: {_STATS_TYPES}"
+            f"stats_cols must be numeric/string/date columns of the table; "
+            f"got { {c: fields.get(c, '<missing>') for c in bad} } — "
+            f"supported types: {_STATS_TYPES}"
         )
 
 
+def _schema_col_types(schema_json: str) -> dict[str, str]:
+    """{column: Spark typeName} for the TOP-LEVEL scalar columns of a
+    schema JSON (nested types carry a dict — stats validation already
+    excludes them, so the str() form is only ever read for scalars)."""
+    return {
+        f["name"]: (f["type"] if isinstance(f["type"], str) else "struct")
+        for f in json.loads(schema_json)["fields"]
+    }
+
+
+def _encode_bound(v, typ: str):
+    """Manifest-JSON encoding of one stats bound: dates become ISO strings
+    (lexicographic == chronological, so pruning compares strings exactly);
+    strings pass through; numerics are float64 (the ulp-widened class)."""
+    if v is None:
+        return None
+    if typ == "date":
+        return v.isoformat() if hasattr(v, "isoformat") else str(v)
+    if typ == "string":
+        return v
+    return float(v)
+
+
 def _file_stats(
-    spark: SparkSession, files: list[str], stats_cols: list[str]
+    spark: SparkSession,
+    files: list[str],
+    stats_cols: list[str],
+    col_types: dict[str, str] | None = None,
 ) -> dict:
     """Per-file ``{uri: {"n_rows": n, "<col>": [min, max]}}`` read from
     parquet footers (operators/fileindex distributes the footer reads; the
@@ -183,30 +212,54 @@ def _file_stats(
         footer_stats,
     )
 
+    col_types = col_types or {}
     out: dict = {}
-    for r in footer_stats(spark, files, stats_cols).collect():
+    for r in footer_stats(spark, files, stats_cols, col_types=col_types).collect():
         ent: dict = {"n_rows": r["n_rows"]}
         for c in stats_cols:
-            ent[c] = [r[f"min_{c}"], r[f"max_{c}"]]
+            typ = col_types.get(c, "double")
+            ent[c] = [
+                _encode_bound(r[f"min_{c}"], typ),
+                _encode_bound(r[f"max_{c}"], typ),
+            ]
         out[r["file"]] = ent
     return out
+
+
+def _merged_predicates(
+    col, lo, hi, predicates: dict | None
+) -> dict[str, tuple]:
+    preds = {c: (b[0], b[1]) for c, b in (predicates or {}).items()}
+    if col is not None:
+        preds[col] = (lo, hi)
+    return {
+        c: (l, h) for c, (l, h) in preds.items()
+        if l is not None or h is not None
+    }
 
 
 def plan_scan(
     spark: SparkSession,
     table_path: str,
-    col: str,
-    lo: float | None = None,
-    hi: float | None = None,
+    col: str | None = None,
+    lo=None,
+    hi=None,
     version: int | None = None,
+    predicates: dict[str, tuple] | None = None,
 ) -> tuple[list[str], int]:
-    """Data-skipping file plan for ``lo <= col <= hi`` at ``version``:
-    ``(files that can match, total files in the version)``. Planned
-    entirely from the manifest — zero data IO. A file without a stats
-    entry (written before stats were enabled, or NULL footer bounds) is
-    always kept: missing stats degrade to reading, never to skipping.
-    Envelopes are widened one ulp each way because footer stats are
-    float64-rounded — identical safety argument to merge_into's pruning."""
+    """Data-skipping file plan at ``version``: ``(files that can match,
+    total files in the version)``. Accepts ONE range as ``(col, lo, hi)``
+    and/or several AND-ed ranges as ``predicates={col: (lo, hi)}`` — the
+    Delta/Iceberg compound-predicate shape (a real 100 TB scan prunes on
+    date AND key range AND category in one manifest pass; each extra
+    predicate can only shrink the file set). Planned entirely from the
+    manifest — zero data IO. A file without a stats entry (written before
+    stats were enabled, or NULL footer bounds) is kept: missing stats
+    degrade to reading, never to skipping. Numeric envelopes are widened
+    one ulp each way because footer stats are float64-rounded; string and
+    date bounds are exact (dates compare as ISO strings — lexicographic
+    equals chronological), so no widening applies."""
+    import datetime
     import math
 
     if version is None:
@@ -215,22 +268,48 @@ def plan_scan(
             raise ValueError(f"no versions published at {table_path}")
     man = _read_manifest(spark, table_path, version)
     stats = man.get("stats", {})
-    if col not in man.get("stats_cols", []):
-        return list(man["files"]), len(man["files"])  # no stats → no pruning
+    stats_cols = man.get("stats_cols", [])
+    col_types = _schema_col_types(man["schema"])
+    preds = _merged_predicates(col, lo, hi, predicates)
+    # only columns with manifest stats can prune; the residual filter in
+    # scan_table still applies the full predicate set
+    preds = {c: b for c, b in preds.items() if c in stats_cols}
+    if not stats:
+        return list(man["files"]), len(man["files"])
+
+    def norm(v, typ):
+        if v is None:
+            return None
+        if typ == "date":
+            if isinstance(v, (datetime.date, datetime.datetime)):
+                return v.isoformat()[:10]
+            return str(v)
+        if typ == "string":
+            return v
+        return float(v)
+
     kept = []
     for f in man["files"]:
         ent = stats.get(f)
         if ent is not None and ent.get("n_rows") == 0:
             continue  # provably empty file (Spark writes one per empty task)
-        if ent is None or ent.get(col) is None:
+        if ent is None:
             kept.append(f)
             continue
-        fmin, fmax = ent[col]
-        if fmin is None or fmax is None:
-            kept.append(f)
-            continue
-        fmin, fmax = fmin - math.ulp(fmin), fmax + math.ulp(fmax)
-        if (lo is None or fmax >= lo) and (hi is None or fmin <= hi):
+        admit = True
+        for c, (l, h) in preds.items():
+            bounds = ent.get(c)
+            if bounds is None or bounds[0] is None or bounds[1] is None:
+                continue  # missing bounds → this column cannot prune
+            fmin, fmax = bounds
+            typ = col_types.get(c, "double")
+            if typ in _NUMERIC_STATS_TYPES or typ == "double":
+                fmin, fmax = fmin - math.ulp(fmin), fmax + math.ulp(fmax)
+            ln, hn = norm(l, typ), norm(h, typ)
+            if (ln is not None and fmax < ln) or (hn is not None and fmin > hn):
+                admit = False
+                break
+        if admit:
             kept.append(f)
     return kept, len(man["files"])
 
@@ -238,15 +317,16 @@ def plan_scan(
 def scan_table(
     spark: SparkSession,
     table_path: str,
-    col: str,
-    lo: float | None = None,
-    hi: float | None = None,
+    col: str | None = None,
+    lo=None,
+    hi=None,
     version: int | None = None,
+    predicates: dict[str, tuple] | None = None,
 ) -> DataFrame:
-    """``read_table`` + ``WHERE lo <= col <= hi``, opening ONLY the files
-    :func:`plan_scan` keeps. The residual filter is still applied to the
-    rows read, so the result is exact whether or not a file was prunable —
-    stats only ever save IO, never decide correctness."""
+    """``read_table`` + ``WHERE lo <= col <= hi [AND ...]``, opening ONLY
+    the files :func:`plan_scan` keeps. The residual filter is still
+    applied to the rows read, so the result is exact whether or not a file
+    was prunable — stats only ever save IO, never decide correctness."""
     from pyspark.sql import functions as F
 
     if version is None:
@@ -255,16 +335,19 @@ def scan_table(
             raise ValueError(f"no versions published at {table_path}")
     man = _read_manifest(spark, table_path, version)
     schema = StructType.fromJson(json.loads(man["schema"]))
-    kept, _total = plan_scan(spark, table_path, col, lo, hi, version)
+    kept, _total = plan_scan(
+        spark, table_path, col, lo, hi, version, predicates=predicates
+    )
     df = (
         spark.read.schema(schema).parquet(*kept)
         if kept
         else spark.createDataFrame([], schema)
     )
-    if lo is not None:
-        df = df.filter(F.col(col) >= lo)
-    if hi is not None:
-        df = df.filter(F.col(col) <= hi)
+    for c, (l, h) in _merged_predicates(col, lo, hi, predicates).items():
+        if l is not None:
+            df = df.filter(F.col(c) >= F.lit(l))
+        if h is not None:
+            df = df.filter(F.col(c) <= F.lit(h))
     return df
 
 
@@ -323,8 +406,10 @@ def versioned_write(
     prev_stats: dict = {}
     schema_json = df.schema.json()
     prev = _read_manifest(spark, table_path, base) if base is not None else None
+    inherited_stats = False
     if prev is not None and stats_cols is None:
         stats_cols = prev.get("stats_cols")
+        inherited_stats = stats_cols is not None
     if prev is not None and mode == "append":
         prev_files = prev["files"]
         prev_stats = prev.get("stats", {})
@@ -356,6 +441,25 @@ def versioned_write(
                 f for f in json.loads(schema_json)["fields"] if f["name"] not in have
             ]
             schema_json = json.dumps(merged)
+    if inherited_stats and stats_cols:
+        # sticky stats_cols must survive contact with the NEW effective
+        # schema (ADVICE r6): an overwrite that drops/retypes a stats
+        # column silently drops it from the set (stats follow the data);
+        # on append the merged schema keeps every prior column unchanged,
+        # so a stale entry here is a broken manifest — refuse loudly
+        # rather than publish NULL bounds against a phantom column
+        eligible = {
+            c for c, t in _schema_col_types(schema_json).items()
+            if t in _STATS_TYPES
+        }
+        stale = [c for c in stats_cols if c not in eligible]
+        if stale and mode == "overwrite":
+            stats_cols = [c for c in stats_cols if c in eligible] or None
+        elif stale:
+            raise ValueError(
+                f"inherited stats_cols {stale} are no longer valid columns "
+                "of the append schema — the table manifest is inconsistent"
+            )
     next_v = (base or 0) + 1
     commit_dir = f"{table_path.rstrip('/')}/commit-{next_v:0{_VERSION_WIDTH}d}-{uuid.uuid4().hex[:8]}"
     df.write.mode("error").parquet(commit_dir)
@@ -380,7 +484,12 @@ def versioned_write(
             else {}
         )
         to_compute = [f for f in prev_files + new_files if f not in carried]
-        manifest["stats"] = {**carried, **_file_stats(spark, to_compute, stats_cols)}
+        manifest["stats"] = {
+            **carried,
+            **_file_stats(
+                spark, to_compute, stats_cols, _schema_col_types(schema_json)
+            ),
+        }
     if extra:
         reserved = set(manifest) & set(extra)
         if reserved:
@@ -449,7 +558,9 @@ def optimize_table(
     stats_cols = _read_manifest(spark, table_path, base).get("stats_cols")
     if stats_cols:
         manifest["stats_cols"] = stats_cols
-        manifest["stats"] = _file_stats(spark, new_files, stats_cols)
+        manifest["stats"] = _file_stats(
+            spark, new_files, stats_cols, _schema_col_types(df.schema.json())
+        )
     try:
         _publish(spark, table_path, manifest)
     except ConcurrentWriteError:
@@ -543,22 +654,36 @@ def merge_into(
                 f"updates must be key-unique: {n_rows} rows, {len(keys)} keys"
             )
 
-    numeric_key = all(isinstance(k, (int, float)) and not isinstance(k, bool) for k in keys)
-    if numeric_key and man["files"]:
-        stats = footer_stats(spark, man["files"], [key_col]).collect()
+    if all(isinstance(k, (int, float)) and not isinstance(k, bool) for k in keys):
+        key_kind = "numeric"
+    elif all(isinstance(k, str) for k in keys):
+        # string keys prune too: parquet string stats may be truncated but
+        # remain valid bounds by spec (max padded upward), and the bisect
+        # envelope check needs only validity, never exactness
+        key_kind = "string"
+    else:
+        key_kind = None
+    if key_kind and man["files"]:
+        stats = footer_stats(
+            spark,
+            man["files"],
+            [key_col],
+            col_types={key_col: "string"} if key_kind == "string" else None,
+        ).collect()
 
         def admits(r) -> bool:
             lo, hi = r[f"min_{key_col}"], r[f"max_{key_col}"]
             if lo is None or hi is None:
                 return True  # no stats → cannot prune
-            lo, hi = lo - math.ulp(lo), hi + math.ulp(hi)
+            if key_kind == "numeric":  # float64 envelope → ulp-widen
+                lo, hi = lo - math.ulp(lo), hi + math.ulp(hi)
             i = bisect.bisect_left(keys, lo)
             return i < len(keys) and keys[i] <= hi
 
         touched = [r["file"] for r in stats if admits(r)]
     else:
-        # non-numeric keys: footer_stats' float envelope doesn't apply —
-        # fall back to rewriting every file (correct, just unpruned)
+        # mixed/other-typed keys: no safe envelope — fall back to
+        # rewriting every file (correct, just unpruned)
         touched = list(man["files"])
     untouched = [f for f in man["files"] if f not in set(touched)]
     next_v = base + 1
@@ -608,7 +733,10 @@ def merge_into(
         manifest["stats_cols"] = man["stats_cols"]
         manifest["stats"] = {
             **{f: prev_stats[f] for f in untouched if f in prev_stats},
-            **_file_stats(spark, new_files, man["stats_cols"]),
+            **_file_stats(
+                spark, new_files, man["stats_cols"],
+                _schema_col_types(man["schema"]),
+            ),
         }
     try:
         _publish(spark, table_path, manifest)

@@ -64,13 +64,17 @@ def _fixture(spark: SparkSession, sf_dir: str) -> str:
         "o_orderkey",
         "o_orderpriority",
         F.floor(F.col("o_totalprice") * 100).cast("long").alias("price_cents"),
+        F.to_date("o_orderdate").alias("o_orderdate"),
     )
     versioned_write(
         spark,
         orders.filter(F.col("o_orderkey") % 10 < 5),
         path,
         mode="append",
-        stats_cols=["o_orderkey"],  # sticky: later writes maintain stats
+        # sticky: later writes maintain stats. One column per stats type
+        # class — numeric envelope (ulp-widened), date (ISO-encoded), and
+        # string — so the graded scans certify all three prune paths
+        stats_cols=["o_orderkey", "price_cents", "o_orderdate", "o_orderpriority"],
     )
     versioned_write(
         spark, orders.filter(F.col("o_orderkey") % 10 >= 5), path, mode="append"
@@ -204,4 +208,50 @@ def versioned_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = _fixture(spark, sf_dir)
     return _priority_rollup(
         scan_table(spark, path, "o_orderkey", lo=_SCAN_LO, hi=_SCAN_HI)
+    )
+
+
+_CS_DATE_LO, _CS_DATE_HI = "1996-01-01", "1999-12-31"
+_CS_KEY_HI = 7_000
+_CS_PRICE_HI = 20_000_000  # cents
+
+
+@register(
+    "versioned_compound_scan",
+    oracle=f"""
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS total_cents
+FROM orders
+WHERE CAST(o_orderdate AS DATE) >= DATE '{_CS_DATE_LO}'
+  AND CAST(o_orderdate AS DATE) <= DATE '{_CS_DATE_HI}'
+  AND o_orderkey <= {_CS_KEY_HI}
+  AND CAST(FLOOR(o_totalprice * 100) AS BIGINT) <= {_CS_PRICE_HI}
+  AND o_orderkey % 97 <> 0
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""",
+    tags=("versioning", "data-skipping"),
+)
+def versioned_compound_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compound-predicate data skipping: a DATE range (the reference's own
+    partition-pruning key shape — sql/net_demand.sql filters orders by
+    date) AND-ed with a key bound and a price bound, planned in ONE
+    manifest pass. The key and price predicates each prune z-ordered
+    files the other keeps (the fixture's ZORDER clusters both), the date
+    predicate exercises the ISO-string stats path, and the residual
+    filter keeps the result exact — the oracle hash certifies no prune
+    path lost anything."""
+    path = _fixture(spark, sf_dir)
+    return _priority_rollup(
+        scan_table(
+            spark,
+            path,
+            predicates={
+                "o_orderdate": (_CS_DATE_LO, _CS_DATE_HI),
+                "o_orderkey": (None, _CS_KEY_HI),
+                "price_cents": (None, _CS_PRICE_HI),
+            },
+        )
     )

@@ -122,3 +122,58 @@ def test_cursor_survives_extra_uncollected_files(spark, tmp_path):
     consume_changes(spark, t, cur, lambda f, a, b: None)
     assert read_cursor(spark, cur) == 2
     assert _cursor_versions(spark, cur) == [2]
+
+
+def test_legacy_single_file_cursor_migrates(spark, tmp_path):
+    """ADVICE r6 (medium): a pre-directory-scheme cursor was ONE json
+    FILE at cursor_path. read_cursor must migrate it — not silently
+    report 0 (replaying every range) or crash mkdirs-over-file."""
+    from procurement_data_pipeline_spark.operators.cdf_consumer import (
+        _cursor_versions,
+    )
+    from procurement_data_pipeline_spark.operators.erasure import _write_text
+
+    t, cur = str(tmp_path / "tbl"), str(tmp_path / "cursor")
+    versioned_write(spark, _df(spark, [1, 2]), t)
+    versioned_write(spark, _df(spark, [3]), t)
+    # old layout: single live file holding the committed version
+    _write_text(spark, cur, '{"version": 1}')
+    assert read_cursor(spark, cur) == 1          # migrated, not 0
+    assert _cursor_versions(spark, cur) == [1]   # now the directory scheme
+    seen = []
+    consume_changes(spark, t, cur, lambda f, a, b: seen.append((a, b)))
+    assert seen == [(1, 2)]                      # only the unhandled range
+    assert read_cursor(spark, cur) == 2
+
+
+def test_legacy_cursor_migration_crash_window_resumes(spark, tmp_path):
+    """A crash between parking the legacy file and committing the
+    directory entry leaves only the .legacy-migrating sibling — the next
+    read resumes the migration instead of reporting 0."""
+    from procurement_data_pipeline_spark.operators.erasure import _write_text
+
+    cur = str(tmp_path / "cursor")
+    _write_text(spark, cur + ".legacy-migrating", '{"version": 3}')
+    assert read_cursor(spark, cur) == 3
+
+
+def test_advance_sweeps_committed_torn_tmps(spark, tmp_path):
+    """ADVICE r6: torn .tmp-{v} files from a crash mid-write must be
+    swept once a cursor ≥ v commits; a tmp for a NEWER version (a writer
+    still in flight) is left alone."""
+    from procurement_data_pipeline_spark.operators.cdf_consumer import (
+        _advance_cursor,
+    )
+    from procurement_data_pipeline_spark.operators.erasure import (
+        _fs_path,
+        _write_text,
+    )
+
+    cur = str(tmp_path / "cursor")
+    _write_text(spark, cur + "/.tmp-1", "{torn")
+    _write_text(spark, cur + "/.tmp-2", "{torn")
+    _write_text(spark, cur + "/.tmp-9", "{torn")
+    _advance_cursor(spark, cur, 2)
+    fs, p, _ = _fs_path(spark, cur)
+    names = sorted(st.getPath().getName() for st in fs.listStatus(p))
+    assert names == [".tmp-9", "cursor-v00000002.json"]

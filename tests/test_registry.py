@@ -65,7 +65,6 @@ GRADED_50 = (
     "events_sessionization",
     "events_retention_cohorts",
     "events_rollup_daily_type",
-    "events_value_moving_avg",
     "agg_orders_daily",
     "net_demand_mrp",
     "preferred_suppliers",
@@ -84,10 +83,7 @@ GRADED_50 = (
     "tpch_q3_shipping_priority",
     "tpch_q5_local_supplier_revenue",
     "tpch_q6_revenue_forecast",
-    "tpch_q4_order_priority",
     "tpch_q10_returned_items",
-    "tpch_q17_small_quantity",
-    "tpch_q18_large_volume",
     "tpch_q13_customer_distribution",
     "tpch_q15_top_supplier",
     "tpch_q22_dormant_customers",
@@ -100,19 +96,22 @@ GRADED_50 = (
     "tpch_q20_concentrated_suppliers",
     "tpch_q21_waiting_supplier",
     "events_asof_last_click",
-    "supplier_shipping_cohorts",
     "events_funnel",
     "docs_corpus_mix",
     "docs_decontaminate",
     "docs_pack_sequences",
     "docs_repetition_metrics",
     "docs_vocab_topk",
-    # round-6 rotation (see __spark_entry__.GRADE_DEMOTED rationale):
     "docs_cluster_safe_split",
     "lineitem_bloom_pruned_revenue",
     "events_kmv_type_overlap",
     "events_ab_cuped",
     "orders_kaplan_meier",
+    "versioned_time_travel",
+    "versioned_merge_current",
+    "versioned_cdf_inserts",
+    "versioned_pruned_scan",
+    "docs_curriculum_schedule",
 )
 
 

@@ -302,19 +302,39 @@ def test_merge_preserves_null_keyed_rows(spark, tmp_path):
     assert got == {(1, "a"), (None, "nullkey")}
 
 
-def test_merge_string_keys_fall_back_unpruned(spark, tmp_path):
+def test_merge_string_keys_prune_untouched_files(spark, tmp_path):
+    """String merge keys prune via footer string stats (round 7): a file
+    whose [min, max] name envelope cannot contain any update key carries
+    into the new version untouched. Parquet may truncate long string
+    stats, but the stored bounds stay valid by spec, so the envelope
+    check is safe."""
     from procurement_data_pipeline_spark.operators.versioning import merge_into
 
     t = str(tmp_path / "tbl")
-    df = spark.createDataFrame(
-        [("k1", 1), ("k2", 2)], "name string, v long"
-    )
-    versioned_write(spark, df, t)
-    ups = spark.createDataFrame([("k2", 20), ("k3", 30)], "name string, v long")
+    a = spark.createDataFrame([("a1", 1), ("a2", 2)], "name string, v long")
+    z = spark.createDataFrame([("z1", 9), ("z2", 8)], "name string, v long")
+    versioned_write(spark, a.coalesce(1), t)
+    versioned_write(spark, z.coalesce(1), t)
+    ups = spark.createDataFrame([("z1", 90), ("z9", 70)], "name string, v long")
     man = merge_into(spark, t, ups, key_col="name")
-    assert man["merge"]["files_untouched"] == 0  # pruning disabled, stated
+    assert man["merge"]["files_untouched"] == 1  # the a-file never reread
     got = {r["name"]: r["v"] for r in read_table(spark, t).collect()}
-    assert got == {"k1": 1, "k2": 20, "k3": 30}
+    assert got == {"a1": 1, "a2": 2, "z1": 90, "z2": 8, "z9": 70}
+
+
+def test_merge_mixed_type_keys_fall_back_unpruned(spark, tmp_path):
+    """Keys that are neither all-numeric nor all-string have no safe
+    envelope — every file rewrites (correct, just unpruned)."""
+    from procurement_data_pipeline_spark.operators.versioning import merge_into
+
+    t = str(tmp_path / "tbl")
+    df = spark.createDataFrame([(True, 1), (False, 2)], "flag boolean, v long")
+    versioned_write(spark, df.coalesce(1), t)
+    ups = spark.createDataFrame([(True, 10)], "flag boolean, v long")
+    man = merge_into(spark, t, ups, key_col="flag")
+    assert man["merge"]["files_untouched"] == 0
+    got = {r["flag"]: r["v"] for r in read_table(spark, t).collect()}
+    assert got == {True: 10, False: 2}
 
 
 def test_register_versioned_view_sql_time_travel(spark, tmp_path):
@@ -522,13 +542,126 @@ def test_stats_backfill_on_enable(spark, tmp_path):
     assert (len(kept), total) == (1, 2)
 
 
-def test_stats_cols_must_be_numeric(spark, tmp_path):
+def test_stats_cols_type_gate(spark, tmp_path):
+    """numeric/string/date stats columns are accepted; anything else
+    (boolean, arrays, …) refuses UP FRONT — not deep in the write."""
     t = str(tmp_path / "tbl")
-    with pytest.raises(ValueError, match="numeric columns"):
-        versioned_write(
-            spark, _df_range(spark, 0, 10), t, stats_cols=["s"]
-        )
+    bools = spark.createDataFrame([(True, 1)], "b boolean, v long")
+    with pytest.raises(ValueError, match="numeric/string/date"):
+        versioned_write(spark, bools, t, stats_cols=["b"])
     with pytest.raises(ValueError, match="missing"):
         versioned_write(
             spark, _df_range(spark, 0, 10), t, stats_cols=["nope"]
         )
+    # string columns are now in the supported set
+    man = versioned_write(spark, _df_range(spark, 0, 10), t, stats_cols=["s"])
+    assert man["stats_cols"] == ["s"]
+
+
+def test_compound_predicate_pruning(spark, tmp_path):
+    """AND-ed predicates prune in one manifest pass and keep STRICTLY
+    fewer files than either predicate alone; the residual filter keeps
+    the result exact."""
+    from procurement_data_pipeline_spark.operators.versioning import (
+        plan_scan,
+        scan_table,
+    )
+
+    t = str(tmp_path / "tbl")
+
+    def two_col(arange, brange):
+        rows = [(a, b) for a, b in zip(range(*arange), range(*brange))]
+        return spark.createDataFrame(rows, "a long, b long").coalesce(1)
+
+    versioned_write(spark, two_col((0, 11), (0, 11)), t, stats_cols=["a", "b"])
+    versioned_write(spark, two_col((0, 11), (20, 31)), t)
+    versioned_write(spark, two_col((20, 31), (0, 11)), t)
+    kept_a, total = plan_scan(spark, t, "a", hi=10)
+    kept_b, _ = plan_scan(spark, t, "b", hi=10)
+    kept_ab, _ = plan_scan(
+        spark, t, predicates={"a": (None, 10), "b": (None, 10)}
+    )
+    assert total == 3 and len(kept_a) == 2 and len(kept_b) == 2
+    assert len(kept_ab) == 1  # strictly fewer than either alone
+    got = scan_table(spark, t, predicates={"a": (None, 10), "b": (None, 10)})
+    want = read_table(spark, t).filter("a <= 10 AND b <= 10")
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_string_and_date_stats_pruning(spark, tmp_path):
+    """Date and string manifest stats prune with exact (ulp-free) boundary
+    semantics: a file whose envelope TOUCHES the predicate boundary is
+    kept; one strictly outside is pruned. Dates compare as ISO strings."""
+    import datetime
+
+    from procurement_data_pipeline_spark.operators.versioning import (
+        plan_scan,
+        scan_table,
+    )
+
+    t = str(tmp_path / "tbl")
+
+    def month(y, m, cat):
+        d1 = datetime.date(y, m, 1)
+        d2 = datetime.date(y, m, 28)
+        return spark.createDataFrame(
+            [(d1, cat, 1), (d2, cat, 2)], "d date, cat string, v long"
+        ).coalesce(1)
+
+    versioned_write(spark, month(2024, 1, "alpha"), t, stats_cols=["d", "cat"])
+    versioned_write(spark, month(2024, 2, "beta"), t)
+    versioned_write(spark, month(2024, 3, "gamma"), t)
+    # date range covering feb only → 1 file
+    kept, total = plan_scan(
+        spark, t, "d", lo="2024-02-01", hi="2024-02-28"
+    )
+    assert (total, len(kept)) == (3, 1)
+    # boundary: hi exactly on jan's max date keeps jan (never pruned away)
+    kept, _ = plan_scan(spark, t, "d", hi="2024-01-28")
+    assert len(kept) == 1
+    # ...and one day earlier still keeps it (file min is 01-01)
+    kept, _ = plan_scan(spark, t, "d", hi="2024-01-01")
+    assert len(kept) == 1
+    # but a hi before the file's min prunes everything
+    kept, _ = plan_scan(spark, t, "d", hi="2023-12-31")
+    assert len(kept) == 0
+    # datetime.date bounds normalize identically to ISO strings
+    kept, _ = plan_scan(spark, t, "d", lo=datetime.date(2024, 3, 1))
+    assert len(kept) == 1
+    # string category pruning, exact boundaries
+    kept, _ = plan_scan(spark, t, "cat", lo="beta", hi="beta")
+    assert len(kept) == 1
+    kept, _ = plan_scan(spark, t, "cat", hi="aardvark")
+    assert len(kept) == 0
+    # scan_table residual stays exact for date + string predicates
+    got = scan_table(
+        spark, t, predicates={"d": ("2024-02-01", None), "cat": (None, "beta")}
+    )
+    assert sorted(r["v"] for r in got.collect()) == [1, 2]
+    assert {r["cat"] for r in got.collect()} == {"beta"}
+
+
+def test_sticky_stats_cols_revalidated_on_overwrite(spark, tmp_path):
+    """ADVICE r6: inherited stats_cols must survive contact with the new
+    schema. An overwrite that drops a stats column drops it from the
+    sticky set (instead of perpetuating NULL bounds against a phantom
+    column); remaining columns keep pruning."""
+    from procurement_data_pipeline_spark.operators.versioning import plan_scan
+
+    t = str(tmp_path / "tbl")
+    df = spark.createDataFrame([(1, 10, "x")], "a long, b long, s string")
+    versioned_write(spark, df, t, stats_cols=["a", "b"])
+    # overwrite WITHOUT b: sticky set intersects down to ["a"]
+    df2 = spark.createDataFrame([(5, "y"), (6, "z")], "a long, s string")
+    man = versioned_write(spark, df2.coalesce(1), t, mode="overwrite")
+    assert man["stats_cols"] == ["a"]
+    assert all("b" not in ent or True for ent in man["stats"].values())
+    kept, total = plan_scan(spark, t, "a", lo=99)
+    assert (total, len(kept)) == (1, 0)
+    # overwrite dropping EVERY stats column turns stats off cleanly
+    df3 = spark.createDataFrame([("w",)], "s string")
+    man = versioned_write(spark, df3, t, mode="overwrite")
+    assert "stats_cols" not in man
+    # ...and a later append inherits the off state without error
+    man = versioned_write(spark, df3, t, mode="append")
+    assert "stats_cols" not in man
