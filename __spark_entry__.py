@@ -155,6 +155,7 @@ GRADE_OVERFLOW = frozenset(
         # window — see GRADE_DEMOTED above. The round-7 compound-predicate
         # variant lands in overflow, locally checked:)
         "versioned_compound_scan",
+        "versioned_clustered_scan",
         "docs_pack_sequences_2level",
         "docs_corpus_mix_temperature",
         "docs_quality_weighted_sample",

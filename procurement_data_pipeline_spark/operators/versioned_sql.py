@@ -184,6 +184,8 @@ def sql(spark: SparkSession, statement: str) -> DataFrame:
             mode=kw.get("mode", "append"),
             merge_schema=kw.get("merge_schema", False),
             stats_cols=kw.get("stats_cols"),
+            cluster_by=kw.get("cluster_by"),
+            cluster_files=kw.get("cluster_files"),
         )
         return _manifest_df(spark, man)
     if cmd == "merge":

@@ -377,6 +377,8 @@ def versioned_write(
     extra: dict | None = None,
     merge_schema: bool = False,
     stats_cols: list[str] | None = None,
+    cluster_by: list[str] | None = None,
+    cluster_files: int | None = None,
 ) -> dict:
     """Write ``df`` as the next version of the table at ``table_path``.
 
@@ -396,9 +398,33 @@ def versioned_write(
     O(matching files) and O(table). Once set, the column set is sticky:
     later appends/OPTIMIZE/MERGE maintain stats automatically (pass
     ``stats_cols`` again only to change it).
+
+    ``cluster_by`` hash-repartitions the batch on the named columns before
+    writing (ONE shuffle), so every file's [min, max] envelope for those
+    columns is as tight as the value distribution allows — combined with
+    ``stats_cols`` this gives PARTITION-PRUNING semantics without hive
+    directory layout. That is a deliberate design choice, not a gap:
+    hive ``k=v`` paths exist to make directory-LISTING catalogs prunable,
+    but a manifest-based format already knows every file's bounds from
+    one small JSON (Iceberg's "hidden partitioning" argument), avoids the
+    small-file explosion of high-cardinality partition keys, and never
+    couples query shape to physical paths. ``cluster_by`` columns are
+    auto-added to the stats set when stats are enabled. The repartition is
+    ADVISORY by default (AQE right-sizes the shuffle output — the 100 TB
+    shape); pass ``cluster_files`` to pin an exact file count (AQE never
+    coalesces explicit counts — useful when the batch is small but the
+    layout must still separate cluster keys into distinct files).
     """
     if mode not in ("append", "overwrite"):
         raise ValueError(f"mode must be append|overwrite, got {mode!r}")
+    if cluster_by:
+        missing = [c for c in cluster_by if c not in df.columns]
+        if missing:
+            raise ValueError(f"cluster_by columns not in DataFrame: {missing}")
+        if stats_cols is not None:
+            stats_cols = list(stats_cols) + [
+                c for c in cluster_by if c not in stats_cols
+            ]
     if stats_cols:
         _validate_stats_cols(df.schema, stats_cols)
     base = latest_version(spark, table_path)
@@ -462,7 +488,17 @@ def versioned_write(
             )
     next_v = (base or 0) + 1
     commit_dir = f"{table_path.rstrip('/')}/commit-{next_v:0{_VERSION_WIDTH}d}-{uuid.uuid4().hex[:8]}"
-    df.write.mode("error").parquet(commit_dir)
+    out = df
+    if cluster_by:
+        from pyspark.sql import functions as F
+
+        cols = [F.col(c) for c in cluster_by]
+        out = (
+            df.repartition(cluster_files, *cols)
+            if cluster_files
+            else df.repartition(*cols)
+        )
+    out.write.mode("error").parquet(commit_dir)
     new_files = _commit_files(spark, commit_dir)
     manifest = {
         "version": next_v,
@@ -472,6 +508,8 @@ def versioned_write(
         "n_files": len(prev_files) + len(new_files),
         "schema": schema_json,
     }
+    if cluster_by:
+        manifest["cluster_by"] = list(cluster_by)
     if stats_cols:
         manifest["stats_cols"] = list(stats_cols)
         # reuse carried files' entries when the column set is unchanged;

@@ -133,16 +133,27 @@ def q_emb_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
                     }
                 )
 
+    # the Gram agg is the only data-proportional job; its OUTPUT is dim²
+    # rows (4096), corpus-independent — coalesce(1) so every iteration
+    # below runs as single-partition 64-row arithmetic instead of paying
+    # 32-task shuffle overhead per step (the right shape at ANY corpus
+    # size: iteration cost is a function of dim, not rows)
     g = scoped_persist(
         q.mapInPandas(gram_partials, "i int, j int, p long")
         .groupBy("i", "j")
         .agg(F.sum(F.col("p").cast("decimal(38,0)")).alias("g"))
+        .coalesce(1)
     )
     w = g.select("j").distinct().select(
         "j", F.lit(1000000).cast("decimal(38,0)").alias("w")
     )
     for _ in range(_N_ITER):
-        u = (
+        # u feeds BOTH m's aggregate and the renormalized w — persist it
+        # or the unpersisted subtree is evaluated twice per iteration and
+        # the duplication COMPOUNDS through the unrolled lineage
+        # (2^k re-evaluations of the first sweep by iteration k; measured
+        # at sf0.1 round 7: warm 6.0 s → 0.8 s, cold 16.5 s → 9.7 s)
+        u = scoped_persist(
             g.join(F.broadcast(w), "j")
             .groupBy("i")
             .agg(F.sum((F.col("g") * F.col("w")).cast("decimal(38,0)")).alias("u"))

@@ -213,15 +213,18 @@ def q_orders_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
     _B = 8192
     # stats is 5 rows but sits under BOTH downstream actions (the bucket
     # expression references it) — persist it or every action replays its
-    # pairs scan; pairs themselves stay UNCACHED: they regenerate from the
-    # persisted daily grain in ~1.5 s per pass at sf0.1, cheaper than
-    # materializing 14M rows
+    # pairs scan. bucketed (below) is ALSO persisted: measured at sf0.1,
+    # materializing the ~14M narrow (priority, slope, bkt) rows once beats
+    # regenerating the pair join for the bcnt and sel passes — warm
+    # 7.0 s → 5.45 s, cold 18.4 → 15.9 (round-7 measurement; the round-6
+    # no-persist choice predated the bucket-selection rewrite that made
+    # the pair join the dominant repeated cost)
     stats = scoped_persist(
         pairs.groupBy("priority").agg(
             F.min("slope").alias("_mn"), F.max("slope").alias("_mx")
         )
     )
-    bucketed = pairs.join(F.broadcast(stats), "priority").select(
+    bucketed = scoped_persist(pairs.join(F.broadcast(stats), "priority").select(
         "priority",
         "slope",
         F.when(F.col("_mx") == F.col("_mn"), F.lit(0))
@@ -237,7 +240,7 @@ def q_orders_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cast("long")
         .alias("bkt"),
-    )
+    ))
     bcnt = bucketed.groupBy("priority", "bkt").agg(F.count(F.lit(1)).alias("c"))
     wp0 = Window.partitionBy("priority")
     cand = (

@@ -255,3 +255,62 @@ def versioned_compound_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             },
         )
     )
+
+
+_CLUSTERED: dict[str, str] = {}
+
+
+def _clustered_fixture(spark: SparkSession, sf_dir: str) -> str:
+    """One cluster_by=['o_orderpriority'] write of orders: every file's
+    priority envelope covers ~one value, so the equality scan below gets
+    hive-partition pruning from plain manifest stats (no k=v dirs)."""
+    key = os.path.abspath(sf_dir)
+    if key in _CLUSTERED:
+        return _CLUSTERED[key]
+    tag = re.sub(r"[^A-Za-z0-9_.-]", "_", key).strip("_")
+    path = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_clustered_orders_{tag}"
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.floor(F.col("o_totalprice") * 100).cast("long").alias("price_cents"),
+    )
+    versioned_write(
+        spark,
+        orders,
+        path,
+        stats_cols=["o_orderkey"],
+        cluster_by=["o_orderpriority"],
+        cluster_files=16,
+    )
+    _CLUSTERED[key] = path
+    return path
+
+
+@register(
+    "versioned_clustered_scan",
+    oracle="""
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS total_cents
+FROM orders
+WHERE o_orderpriority = '1-URGENT'
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""",
+    tags=("versioning", "clustering", "data-skipping"),
+)
+def versioned_clustered_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-pruning semantics WITHOUT hive directories: cluster_by
+    hash-routes each priority into its own file(s), the manifest's string
+    stats make the equality predicate prune every other file, and the
+    residual filter keeps the result exact (the oracle hash certifies
+    it). This is the Iceberg hidden-partitioning argument re-expressed on
+    the repo's own table format."""
+    path = _clustered_fixture(spark, sf_dir)
+    return _priority_rollup(
+        scan_table(spark, path, "o_orderpriority", lo="1-URGENT", hi="1-URGENT")
+    )

@@ -90,6 +90,7 @@ BNLJ_ALLOWED = {
     "orders_ljung_box",  # broadcast 1-row n_days scalar into the 7-lag ACF
     "events_ewma_chart",  # broadcast 1-row mean/sigma/day-array scalar
     "orders_seasonal_decompose",  # broadcast 1-row seasonal-mean scalar
+    "events_user_state_cdc",  # broadcast 1-row stream-midpoint scalar
 }
 
 SF_DIR = "/root/testdata/sf0.001"

@@ -665,3 +665,33 @@ def test_sticky_stats_cols_revalidated_on_overwrite(spark, tmp_path):
     # ...and a later append inherits the off state without error
     man = versioned_write(spark, df3, t, mode="append")
     assert "stats_cols" not in man
+
+
+def test_cluster_by_gives_partition_pruning_semantics(spark, tmp_path):
+    """cluster_by hash-repartitions on the named columns so each file's
+    stats envelope covers few distinct values — an equality predicate
+    then prunes like hive partitioning would, WITHOUT k=v directory
+    layout (the manifest already knows every file's bounds)."""
+    from pyspark.sql import functions as F
+
+    from procurement_data_pipeline_spark.operators.versioning import (
+        plan_scan,
+        scan_table,
+    )
+
+    t = str(tmp_path / "tbl")
+    df = spark.range(0, 1000).select(
+        "id",
+        F.concat(F.lit("cat_"), (F.col("id") % 8).cast("string")).alias("cat"),
+    )
+    man = versioned_write(
+        spark, df, t, stats_cols=["id"], cluster_by=["cat"], cluster_files=8
+    )
+    # cluster_by columns join the stats set automatically
+    assert man["cluster_by"] == ["cat"] and "cat" in man["stats_cols"]
+    kept, total = plan_scan(spark, t, "cat", lo="cat_3", hi="cat_3")
+    assert len(kept) < total  # equality predicate prunes clustered files
+    got = scan_table(spark, t, "cat", lo="cat_3", hi="cat_3")
+    assert got.count() == 125 and {r["cat"] for r in got.collect()} == {"cat_3"}
+    with pytest.raises(ValueError, match="cluster_by columns"):
+        versioned_write(spark, df, t, cluster_by=["nope"])
