@@ -27,7 +27,7 @@ from pyspark.sql import functions as F
 
 from procurement_data_pipeline_spark.operators.cdc import snapshot_diff
 from procurement_data_pipeline_spark.operators.versioning import (
-    _read_manifest,
+    _resolve_manifest,
     latest_version,
     read_table,
 )
@@ -55,10 +55,12 @@ def table_changes(
         raise ValueError(
             f"need 0 <= from_version <= to_version, got {from_version}..{to_version}"
         )
-    new_man = _read_manifest(spark, table_path, to_version)
+    new_man = _resolve_manifest(spark, table_path, to_version)
     old_files: set[str] = set()
     if from_version > 0:
-        old_files = set(_read_manifest(spark, table_path, from_version)["files"])
+        old_files = set(
+            _resolve_manifest(spark, table_path, from_version)["files"]
+        )
     new_files = set(new_man["files"])
 
     if old_files <= new_files:

@@ -92,6 +92,59 @@ def _read_manifest(spark: SparkSession, table_path: str, version: int) -> dict:
     return json.loads(_read_text(spark, uri))
 
 
+# Incremental (delta) manifests — the 100 TB metadata shape. A full
+# manifest names EVERY file of its version, so at ~1M files each append
+# would serialize an O(table) JSON; Delta/Iceberg instead log per-commit
+# adds/removes with periodic full checkpoints. Same here: once a table
+# has ≥ _DELTA_MIN_FILES files, append/merge commits write only their
+# adds/removes (+ per-file stats for the adds) keyed by ``delta_of``; a
+# full manifest is still forced every _CHECKPOINT_EVERY versions so a
+# read resolves at most that many small JSONs. Overwrite / rollback /
+# optimize replace the file list wholesale and stay full. ``vacuum``
+# materializes a ``c{N}.json`` checkpoint for any retained delta whose
+# base manifest is being expired, so resolution never needs an expired
+# version.
+_DELTA_MIN_FILES = 64
+_CHECKPOINT_EVERY = 16
+
+
+def _ckpt_uri(table_path: str, version: int) -> str:
+    return f"{_log_path(table_path)}/c{version:0{_VERSION_WIDTH}d}.json"
+
+
+def _resolve_manifest(spark: SparkSession, table_path: str, version: int) -> dict:
+    """The manifest with ``files`` (and ``stats``) MATERIALIZED: full
+    manifests return as-is; delta manifests fold their adds/removes onto
+    the resolved base (preferring a vacuum-written checkpoint so expired
+    bases are never needed). Chain length is bounded by
+    _CHECKPOINT_EVERY, so resolution is a handful of small JSON reads —
+    never data IO."""
+    man = _read_manifest(spark, table_path, version)
+    if "delta_of" not in man:
+        return man
+    ckpt = _ckpt_uri(table_path, version)
+    fs, ckpt_p, _ = _fs_path(spark, ckpt)
+    if fs.exists(ckpt_p):
+        return json.loads(_read_text(spark, ckpt))
+    base = _resolve_manifest(spark, table_path, man["delta_of"])
+    removes = set(man.get("removes", []))
+    files = [f for f in base["files"] if f not in removes] + list(man["adds"])
+    out = {
+        k: v
+        for k, v in man.items()
+        if k not in ("delta_of", "adds", "removes", "stats_adds")
+    }
+    out["files"] = files
+    if man.get("stats_cols"):
+        base_stats = base.get("stats", {})
+        adds_stats = man.get("stats_adds", {})
+        out["stats"] = {
+            **{f: base_stats[f] for f in files if f in base_stats},
+            **adds_stats,
+        }
+    return out
+
+
 def _publish(spark: SparkSession, table_path: str, manifest: dict) -> None:
     """Atomically create ``_log/v{N}.json`` — the commit point.
 
@@ -266,7 +319,7 @@ def plan_scan(
         version = latest_version(spark, table_path)
         if version is None:
             raise ValueError(f"no versions published at {table_path}")
-    man = _read_manifest(spark, table_path, version)
+    man = _resolve_manifest(spark, table_path, version)
     stats = man.get("stats", {})
     stats_cols = man.get("stats_cols", [])
     col_types = _schema_col_types(man["schema"])
@@ -333,7 +386,7 @@ def scan_table(
         version = latest_version(spark, table_path)
         if version is None:
             raise ValueError(f"no versions published at {table_path}")
-    man = _read_manifest(spark, table_path, version)
+    man = _resolve_manifest(spark, table_path, version)
     schema = StructType.fromJson(json.loads(man["schema"]))
     kept, _total = plan_scan(
         spark, table_path, col, lo, hi, version, predicates=predicates
@@ -431,7 +484,7 @@ def versioned_write(
     prev_files: list[str] = []
     prev_stats: dict = {}
     schema_json = df.schema.json()
-    prev = _read_manifest(spark, table_path, base) if base is not None else None
+    prev = _resolve_manifest(spark, table_path, base) if base is not None else None
     inherited_stats = False
     if prev is not None and stats_cols is None:
         stats_cols = prev.get("stats_cols")
@@ -500,34 +553,61 @@ def versioned_write(
         )
     out.write.mode("error").parquet(commit_dir)
     new_files = _commit_files(spark, commit_dir)
+    same_cols = prev is not None and prev.get("stats_cols") == (
+        list(stats_cols) if stats_cols else None
+    )
+    # delta manifest (see the _DELTA_MIN_FILES block): appends to a big
+    # table log only their adds — O(commit), not O(table) metadata. A
+    # stats-column change forces a full manifest (the backfill is a
+    # one-commit upgrade); every _CHECKPOINT_EVERY-th version is full so
+    # resolution chains stay short.
+    is_delta = (
+        mode == "append"
+        and prev is not None
+        and len(prev_files) >= _DELTA_MIN_FILES
+        and next_v % _CHECKPOINT_EVERY != 0
+        and (stats_cols is None or same_cols)
+    )
     manifest = {
         "version": next_v,
         "op": mode,
         "base_version": base,
-        "files": prev_files + new_files,
         "n_files": len(prev_files) + len(new_files),
         "schema": schema_json,
     }
+    if is_delta:
+        manifest["delta_of"] = base
+        manifest["adds"] = new_files
+        manifest["removes"] = []
+    else:
+        manifest["files"] = prev_files + new_files
     if cluster_by:
         manifest["cluster_by"] = list(cluster_by)
     if stats_cols:
         manifest["stats_cols"] = list(stats_cols)
-        # reuse carried files' entries when the column set is unchanged;
-        # backfill anything missing (enabling stats on an existing table,
-        # or a column-set change, is a one-commit upgrade)
-        same_cols = prev is not None and prev.get("stats_cols") == list(stats_cols)
-        carried = (
-            {f: prev_stats[f] for f in prev_files if f in prev_stats}
-            if same_cols
-            else {}
+        new_stats = _file_stats(
+            spark, new_files, stats_cols, _schema_col_types(schema_json)
         )
-        to_compute = [f for f in prev_files + new_files if f not in carried]
-        manifest["stats"] = {
-            **carried,
-            **_file_stats(
-                spark, to_compute, stats_cols, _schema_col_types(schema_json)
-            ),
-        }
+        if is_delta:
+            manifest["stats_adds"] = new_stats
+        else:
+            # reuse carried files' entries when the column set is
+            # unchanged; backfill anything missing (enabling stats on an
+            # existing table, or a column-set change, is a one-commit
+            # upgrade)
+            carried = (
+                {f: prev_stats[f] for f in prev_files if f in prev_stats}
+                if same_cols
+                else {}
+            )
+            to_compute = [f for f in prev_files if f not in carried]
+            manifest["stats"] = {
+                **carried,
+                **_file_stats(
+                    spark, to_compute, stats_cols, _schema_col_types(schema_json)
+                ),
+                **new_stats,
+            }
     if extra:
         reserved = set(manifest) & set(extra)
         if reserved:
@@ -618,7 +698,7 @@ def read_table(
         version = latest_version(spark, table_path)
         if version is None:
             raise ValueError(f"no versions published at {table_path}")
-    man = _read_manifest(spark, table_path, version)
+    man = _resolve_manifest(spark, table_path, version)
     schema = StructType.fromJson(json.loads(man["schema"]))
     if not man["files"]:
         return spark.createDataFrame([], schema)
@@ -668,7 +748,7 @@ def merge_into(
     base = latest_version(spark, table_path)
     if base is None:
         raise ValueError(f"no versions published at {table_path}")
-    man = _read_manifest(spark, table_path, base)
+    man = _resolve_manifest(spark, table_path, base)
     if when_matched == "update":
         table_cols = sorted(
             f["name"] for f in json.loads(man["schema"])["fields"]
@@ -752,11 +832,17 @@ def merge_into(
             out = out.unionByName(p)
         out.write.mode("error").parquet(commit_dir)
         new_files = _commit_files(spark, commit_dir)
+    # delta manifest on big tables: log only the rewritten files as
+    # removes + the rewrite output as adds — a MERGE touching k files
+    # costs O(k) metadata, never O(table) (see the _DELTA_MIN_FILES block)
+    is_delta = (
+        len(man["files"]) >= _DELTA_MIN_FILES
+        and next_v % _CHECKPOINT_EVERY != 0
+    )
     manifest = {
         "version": next_v,
         "op": "merge",
         "base_version": base,
-        "files": untouched + new_files,
         "n_files": len(untouched) + len(new_files),
         "schema": man["schema"],
         "merge": {
@@ -766,16 +852,26 @@ def merge_into(
             "files_untouched": len(untouched),
         },
     }
+    if is_delta:
+        manifest["delta_of"] = base
+        manifest["adds"] = new_files
+        manifest["removes"] = list(touched)
+    else:
+        manifest["files"] = untouched + new_files
     if man.get("stats_cols"):
         prev_stats = man.get("stats", {})
         manifest["stats_cols"] = man["stats_cols"]
-        manifest["stats"] = {
-            **{f: prev_stats[f] for f in untouched if f in prev_stats},
-            **_file_stats(
-                spark, new_files, man["stats_cols"],
-                _schema_col_types(man["schema"]),
-            ),
-        }
+        new_stats = _file_stats(
+            spark, new_files, man["stats_cols"],
+            _schema_col_types(man["schema"]),
+        )
+        if is_delta:
+            manifest["stats_adds"] = new_stats
+        else:
+            manifest["stats"] = {
+                **{f: prev_stats[f] for f in untouched if f in prev_stats},
+                **new_stats,
+            }
     try:
         _publish(spark, table_path, manifest)
     except ConcurrentWriteError:
@@ -788,7 +884,7 @@ def merge_into(
 def rollback(spark: SparkSession, table_path: str, to_version: int) -> dict:
     """Publish a NEW version whose contents equal ``to_version`` — history
     stays append-only, so the rollback itself is auditable (op/base)."""
-    target = _read_manifest(spark, table_path, to_version)
+    target = _resolve_manifest(spark, table_path, to_version)
     base = latest_version(spark, table_path)
     manifest = {
         "version": base + 1,
@@ -859,11 +955,31 @@ def vacuum(
     if len(versions) <= keep_last:
         return {"expired_versions": 0, "deleted_files": 0}
     keep, drop = versions[-keep_last:], versions[:-keep_last]
+    dropset = set(drop)
     live: set[str] = set()
     for v in keep:
-        live.update(_read_manifest(spark, table_path, v)["files"])
+        live.update(_resolve_manifest(spark, table_path, v)["files"])
     fs, root_p, jvm = _fs_path(spark, table_path)
     hpath = jvm.org.apache.hadoop.fs.Path
+    # a retained DELTA manifest whose base is being expired must first be
+    # materialized as a c{N}.json checkpoint (resolution prefers it), or
+    # expiring the base would orphan the chain. Any retained delta whose
+    # base is itself retained resolves through that base's own checkpoint,
+    # so the direct-base rule covers transitive chains. Checkpoint writes
+    # are tmp+rename and idempotent — a crash mid-vacuum just reruns.
+    for v in keep:
+        raw = _read_manifest(spark, table_path, v)
+        if raw.get("delta_of") in dropset:
+            ckpt = _ckpt_uri(table_path, v)
+            ckpt_p = hpath(ckpt)
+            if not fs.exists(ckpt_p):
+                resolved = _resolve_manifest(spark, table_path, v)
+                tmp = f"{_log_path(table_path)}/.ctmp-{v}-{uuid.uuid4().hex}"
+                _write_text(spark, tmp, json.dumps(resolved, sort_keys=True))
+                if not fs.rename(hpath(tmp), ckpt_p):
+                    fs.delete(hpath(tmp), False)
+                    if not fs.exists(ckpt_p):
+                        raise IOError(f"could not write checkpoint {ckpt}")
     deleted = 0
     # sweep data files commit-dir by commit-dir; drop dirs left empty
     # (orphan commits from losing writers have no manifest at all and are
@@ -887,6 +1003,13 @@ def vacuum(
             fs.delete(st.getPath(), True)
     for v in drop:
         fs.delete(hpath(_manifest_uri(table_path, v)), False)
+        fs.delete(hpath(_ckpt_uri(table_path, v)), False)  # absent → no-op
+    # sweep torn .ctmp-* checkpoint temps a crashed vacuum left behind
+    log_p = hpath(_log_path(table_path))
+    if fs.exists(log_p):
+        for st in fs.listStatus(log_p):
+            if st.getPath().getName().startswith(".ctmp-"):
+                fs.delete(st.getPath(), False)
     return {"expired_versions": len(drop), "deleted_files": deleted}
 
 

@@ -695,3 +695,88 @@ def test_cluster_by_gives_partition_pruning_semantics(spark, tmp_path):
     assert got.count() == 125 and {r["cat"] for r in got.collect()} == {"cat_3"}
     with pytest.raises(ValueError, match="cluster_by columns"):
         versioned_write(spark, df, t, cluster_by=["nope"])
+
+
+@pytest.fixture()
+def delta_mode(monkeypatch):
+    """Force incremental manifests at toy scale: every table qualifies,
+    checkpoint every 4th version."""
+    from procurement_data_pipeline_spark.operators import versioning as V
+
+    monkeypatch.setattr(V, "_DELTA_MIN_FILES", 0)
+    monkeypatch.setattr(V, "_CHECKPOINT_EVERY", 4)
+
+
+def test_delta_manifest_append_chain(spark, tmp_path, delta_mode):
+    """Appends on a big table log only their adds (O(commit) metadata);
+    every k-th version is a full checkpoint manifest; reads and stats
+    resolve identically through the chain."""
+    from procurement_data_pipeline_spark.operators.versioning import (
+        _read_manifest,
+        plan_scan,
+    )
+
+    t = str(tmp_path / "tbl")
+    for i in range(6):
+        versioned_write(
+            spark,
+            _df_range(spark, 100 * i, 100 * (i + 1)),
+            t,
+            stats_cols=["id"] if i == 0 else None,
+        )
+    raws = {v: _read_manifest(spark, t, v) for v in range(1, 7)}
+    # v1 full (no base), v2/v3 delta, v4 full (checkpoint), v5/v6 delta
+    assert [("delta_of" in raws[v]) for v in range(1, 7)] == [
+        False, True, True, False, True, True,
+    ]
+    assert raws[3]["adds"] and raws[3]["removes"] == []
+    assert "files" not in raws[3] and "stats" not in raws[3]
+    assert set(raws[3]["stats_adds"]) == set(raws[3]["adds"])
+    # resolution: every version reads its exact contents
+    for v in range(1, 7):
+        assert _ids(read_table(spark, t, version=v)) == list(range(100 * v))
+        assert raws[v]["n_files"] == v  # one coalesced file per append
+    # stats pruning works through the delta chain
+    kept, total = plan_scan(spark, t, "id", lo=250, hi=260)
+    assert (len(kept), total) == (1, 6)
+
+
+def test_delta_merge_and_vacuum_checkpoints(spark, tmp_path, delta_mode):
+    """MERGE logs removes+adds as a delta; vacuum materializes a c{N}
+    checkpoint for retained deltas whose base is expired, then reads stay
+    exact, expired versions refuse, and a rerun is a no-op."""
+    from procurement_data_pipeline_spark.operators.versioning import (
+        _ckpt_uri,
+        _read_manifest,
+        merge_into,
+    )
+    from procurement_data_pipeline_spark.operators.erasure import _fs_path
+
+    t = str(tmp_path / "tbl")
+    versioned_write(spark, _df_range(spark, 0, 100), t, stats_cols=["id"])
+    versioned_write(spark, _df_range(spark, 100, 200), t)
+    ups = spark.createDataFrame([(50, "FIFTY"), (250, "NEW")], "id long, s string")
+    man = merge_into(spark, t, ups, key_col="id")  # v3: delta with removes
+    raw3 = _read_manifest(spark, t, 3)
+    assert raw3["delta_of"] == 2 and raw3["removes"] and raw3["adds"]
+    assert man["merge"]["files_untouched"] == 1
+    got = {r["id"]: r["s"] for r in read_table(spark, t).collect()}
+    assert got[50] == "FIFTY" and got[250] == "NEW" and len(got) == 201
+    # expire v1/v2 — v3 is a delta of v2, so vacuum must checkpoint it
+    audit = vacuum(spark, t, keep_last=1)
+    assert audit["expired_versions"] == 2
+    fs, ckpt_p, _ = _fs_path(spark, _ckpt_uri(t, 3))
+    assert fs.exists(ckpt_p)
+    got2 = {r["id"]: r["s"] for r in read_table(spark, t).collect()}
+    assert got2 == got
+    with pytest.raises(ValueError, match="does not exist"):
+        read_table(spark, t, version=2)
+    assert vacuum(spark, t, keep_last=1) == {
+        "expired_versions": 0,
+        "deleted_files": 0,
+    }
+    # stats still prune through the checkpointed manifest
+    from procurement_data_pipeline_spark.operators.versioning import plan_scan
+
+    kept, total = plan_scan(spark, t, "id", lo=250, hi=250)
+    assert len(kept) < total

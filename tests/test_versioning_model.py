@@ -51,10 +51,20 @@ def _read(spark, t, version=None):
     }
 
 
+@pytest.mark.parametrize("manifests", ["full", "delta"])
 @pytest.mark.parametrize("seed", [7, 23])
-def test_random_walk_matches_model(spark, tmp_path, seed):
+def test_random_walk_matches_model(spark, tmp_path, seed, manifests, monkeypatch):
+    if manifests == "delta":
+        # force incremental manifests at toy scale: every append/merge
+        # logs adds/removes, checkpoint every 3rd version — the random
+        # walk then exercises delta resolution under arbitrary
+        # interleavings including rollback/vacuum checkpointing
+        from procurement_data_pipeline_spark.operators import versioning as V
+
+        monkeypatch.setattr(V, "_DELTA_MIN_FILES", 0)
+        monkeypatch.setattr(V, "_CHECKPOINT_EVERY", 3)
     rng = random.Random(seed)
-    t = str(tmp_path / f"tbl{seed}")
+    t = str(tmp_path / f"tbl{seed}{manifests}")
     next_id = 0
 
     def fresh_rows(k):
