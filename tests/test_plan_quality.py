@@ -210,10 +210,13 @@ def test_zscore_single_moments_pass(audits):
 
 def test_cdc_diff_joins_on_the_key(audits):
     # The snapshot diff must plan as a keyed join (SMJ/BHJ), never a
-    # nested loop — and both snapshot windows share one shuffle each.
+    # nested loop over FACT rows; the one allowed BNLJ is the broadcast
+    # 1-row stream-midpoint scalar (round-7: replaced a driver collect so
+    # the query is a single job — its agg adds the third exchange).
     s = audits["events_user_state_cdc"]
-    assert s["bnlj"] == 0 and s["cartesian"] == 0, s
-    assert s["exchanges"] <= 2, s
+    assert s["bnlj"] <= 1 and s["cartesian"] == 0, s
+    assert s["smj"] + s["broadcast_joins"] >= 1, s  # the keyed diff join
+    assert s["exchanges"] <= 3, s
 
 
 def test_correlation_single_moments_pass(audits):
