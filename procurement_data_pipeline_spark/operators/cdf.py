@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 
 from procurement_data_pipeline_spark.operators.cdc import snapshot_diff
 from procurement_data_pipeline_spark.operators.versioning import (
+    _read_manifest,
     _resolve_manifest,
     latest_version,
     read_table,
@@ -55,17 +56,39 @@ def table_changes(
         raise ValueError(
             f"need 0 <= from_version <= to_version, got {from_version}..{to_version}"
         )
-    new_man = _resolve_manifest(spark, table_path, to_version)
-    old_files: set[str] = set()
+    added: list[str] | None = None
     if from_version > 0:
-        old_files = set(
-            _resolve_manifest(spark, table_path, from_version)["files"]
-        )
-    new_files = set(new_man["files"])
+        # delta-manifest fast path: when every commit in (from, to] is an
+        # append DELTA, the changed files are exactly the union of their
+        # adds — O(changed versions) raw manifest reads, never a full
+        # file-list materialization + set diff (which is O(table files)
+        # of driver work on a million-file table)
+        adds: list[str] = []
+        fast = True
+        for v in range(from_version + 1, to_version + 1):
+            raw = _read_manifest(spark, table_path, v)
+            if (
+                raw.get("op") != "append"
+                or "delta_of" not in raw
+                or raw.get("removes")
+            ):
+                fast = False
+                break
+            adds.extend(raw["adds"])
+        if fast:
+            added = sorted(adds)
+    if added is None:
+        old_files: set[str] = set()
+        if from_version > 0:
+            old_files = set(
+                _resolve_manifest(spark, table_path, from_version)["files"]
+            )
+        new_files = set(_resolve_manifest(spark, table_path, to_version)["files"])
+        if old_files <= new_files:
+            added = sorted(new_files - old_files)
 
-    if old_files <= new_files:
+    if added is not None:
         # pure-append range: the delta IS the added files
-        added = sorted(new_files - old_files)
         to_df = read_table(spark, table_path, version=to_version)
         cols = [c for c in to_df.columns]
         keys = key_cols or []

@@ -65,3 +65,42 @@ def test_optimize_is_a_no_change_feed(spark, tmp_path):
     assert [(r["new_id"], r["change_type"]) for r in feed.collect()] == [
         (7, "insert")
     ]
+
+
+def test_delta_manifest_fast_path_reads_only_adds(spark, tmp_path, monkeypatch):
+    """Under incremental manifests, a pure-append range is answered from
+    the raw delta manifests' adds — O(changed versions) metadata, never a
+    full file-list diff (and still never a join in the plan). A range
+    crossing a MERGE delta (non-empty removes) falls back to the keyed
+    diff and stays exact."""
+    from procurement_data_pipeline_spark.operators import versioning as V
+
+    monkeypatch.setattr(V, "_DELTA_MIN_FILES", 0)
+    monkeypatch.setattr(V, "_CHECKPOINT_EVERY", 100)  # no full checkpoints
+    t = str(tmp_path / "tbl")
+    versioned_write(spark, _df(spark, [1, 2]), t)
+    versioned_write(spark, _df(spark, [3]), t)
+    versioned_write(spark, _df(spark, [4, 5]), t)
+    # the fast path must answer WITHOUT materializing any full file list
+    # (read_table still resolves internally for the schema — only cdf's
+    # own set-diff binding is forbidden)
+    from procurement_data_pipeline_spark.operators import cdf as cdf_mod
+
+    def boom(*a, **k):
+        raise AssertionError("fast path must not materialize file lists")
+
+    monkeypatch.setattr(cdf_mod, "_resolve_manifest", boom)
+    feed = table_changes(spark, t, from_version=1, to_version=3)
+    got = sorted((r["new_id"], r["change_type"]) for r in feed.collect())
+    assert got == [(3, "insert"), (4, "insert"), (5, "insert")]
+    monkeypatch.setattr(cdf_mod, "_resolve_manifest", V._resolve_manifest)
+    plan = feed._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
+    # a merge in the range breaks the fast path → keyed diff, same rows
+    ups = spark.createDataFrame([(2, "UPD")], "id long, s string")
+    merge_into(spark, t, ups, key_col="id")
+    fed = {
+        r["id"]: r
+        for r in table_changes(spark, t, 3, key_cols=["id"]).collect()
+    }
+    assert fed[2]["change_type"] == "update" and fed[2]["new_s"] == "UPD"
