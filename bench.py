@@ -179,6 +179,9 @@ def main() -> None:
         "versioned_time_travel",
         "versioned_merge_current",
         "versioned_pruned_scan",
+        # Round-7 tier (compound/clustered data skipping):
+        "versioned_compound_scan",
+        "versioned_clustered_scan",
     ]
     extended_specs = {n: specs[n] for n in extended_names if n in specs}
     unknown_extended = [n for n in extended_names if n not in specs]

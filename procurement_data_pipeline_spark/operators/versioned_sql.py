@@ -255,6 +255,23 @@ def sql(spark: SparkSession, statement: str) -> DataFrame:
             hi=hi,
             version=kw.get("version"),
         )
+    if cmd == "changes":
+        # changes(path, from_version [, to => m, key_col => 'id']) — the
+        # change data feed as a SQL procedure; completes the SQL-only
+        # lifecycle (a downstream can poll CDC without Python imports)
+        from procurement_data_pipeline_spark.operators.cdf import (
+            table_changes,
+        )
+
+        path, from_version = args
+        key_col = kw.get("key_col")
+        return table_changes(
+            spark,
+            path,
+            from_version=from_version,
+            to_version=kw.get("to"),
+            key_cols=[key_col] if key_col else None,
+        )
     if cmd in ("snapshot", "time_travel"):
         # snapshot(path, view_name [, version => k]) — registers the view
         # AND returns it; time_travel(path, version, view_name) is sugar
@@ -267,7 +284,8 @@ def sql(spark: SparkSession, statement: str) -> DataFrame:
         return spark.table(name)
     raise ValueError(
         f"unknown procedure CALL versioned.{cmd} — known: write, merge, "
-        "rollback, optimize, vacuum, history, snapshot, time_travel, scan"
+        "rollback, optimize, vacuum, history, snapshot, time_travel, scan, "
+        "changes"
     )
 
 

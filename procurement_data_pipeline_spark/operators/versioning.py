@@ -622,6 +622,32 @@ def versioned_write(
     return manifest
 
 
+def write_with_retry(
+    spark: SparkSession,
+    df: DataFrame,
+    table_path: str,
+    retries: int = 3,
+    **kwargs,
+) -> dict:
+    """``versioned_write`` with the standard optimistic-concurrency retry
+    loop: a :class:`ConcurrentWriteError` means another writer took the
+    version number — re-read the new latest and recommit. APPENDS are
+    always safe to retry (the batch lands after the interleaved commit —
+    the Delta commit-loop semantics); ``mode='overwrite'`` retries as
+    last-writer-wins, which is the overwrite contract anyway. Each failed
+    attempt's data files are already rolled back by ``versioned_write``,
+    so retries never leak storage. Raises the final error after
+    ``retries`` extra attempts (contention beyond that means the caller
+    should batch its writers)."""
+    last: ConcurrentWriteError | None = None
+    for _ in range(retries + 1):
+        try:
+            return versioned_write(spark, df, table_path, **kwargs)
+        except ConcurrentWriteError as e:
+            last = e
+    raise last
+
+
 def optimize_table(
     spark: SparkSession,
     table_path: str,
@@ -1016,6 +1042,7 @@ def vacuum(
 __all__ = [
     "ConcurrentWriteError",
     "versioned_write",
+    "write_with_retry",
     "optimize_table",
     "merge_into",
     "read_table",

@@ -197,3 +197,27 @@ def test_literal_sql_doubled_quotes():
         _parse_args("'a' 'b'")
     with _pytest.raises(ValueError, match="unterminated"):
         _parse_args("'oops")
+
+
+def test_sql_changes_feed(spark, tmp_path):
+    """CALL versioned.changes completes the SQL-only lifecycle: a CDC
+    consumer can poll the feed without any Python imports."""
+    t = str(tmp_path / "tbl")
+    sql(spark, "CREATE OR REPLACE TEMP VIEW c1 AS "
+               "SELECT * FROM VALUES (1, 'a') AS v(id, s)")
+    sql(spark, "CREATE OR REPLACE TEMP VIEW c2 AS "
+               "SELECT * FROM VALUES (2, 'b') AS v(id, s)")
+    sql(spark, f"CALL versioned.write('{t}', 'c1')")
+    sql(spark, f"CALL versioned.write('{t}', 'c2')")
+    feed = sql(spark, f"CALL versioned.changes('{t}', 1)").collect()
+    assert [(r["new_id"], r["change_type"]) for r in feed] == [(2, "insert")]
+    # keyed form for rewrite ranges
+    sql(spark, "CREATE OR REPLACE TEMP VIEW cdel AS SELECT 1 AS id")
+    sql(spark, f"CALL versioned.merge('{t}', 'cdel', key_col => 'id', "
+               "when_matched => 'delete')")
+    feed = sql(
+        spark, f"CALL versioned.changes('{t}', 2, key_col => 'id')"
+    ).collect()
+    assert [(r["id"], r["change_type"]) for r in feed] == [(1, "delete")]
+    for v in ("c1", "c2", "cdel"):
+        spark.catalog.dropTempView(v)

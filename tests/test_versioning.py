@@ -780,3 +780,46 @@ def test_delta_merge_and_vacuum_checkpoints(spark, tmp_path, delta_mode):
 
     kept, total = plan_scan(spark, t, "id", lo=250, hi=250)
     assert len(kept) < total
+
+
+def test_write_with_retry_wins_after_interleaved_commit(spark, tmp_path, monkeypatch):
+    """The OCC retry loop: first attempt loses to an interleaved writer
+    (stale latest_version), the retry re-reads and lands cleanly; both
+    batches are present."""
+    from procurement_data_pipeline_spark.operators import versioning as V
+    from procurement_data_pipeline_spark.operators.versioning import (
+        write_with_retry,
+    )
+
+    t = str(tmp_path / "tbl")
+    m1 = versioned_write(spark, _df(spark, [1]), t)
+    # first call sees a stale latest (=1) while v2 already exists; the
+    # retry consults the REAL latest_version and commits as v3
+    _write_text(
+        spark,
+        f"{t}/_log/v00000002.json",
+        json.dumps(
+            {
+                "version": 2,
+                "op": "append",
+                "base_version": 1,
+                "files": m1["files"],
+                "n_files": m1["n_files"],
+                "schema": _df(spark, [1]).schema.json(),
+            }
+        ),
+    )
+    real = V.latest_version
+    stale = {"used": False}
+
+    def once_stale(sp, p):
+        if not stale["used"]:
+            stale["used"] = True
+            return 1
+        return real(sp, p)
+
+    monkeypatch.setattr(V, "latest_version", once_stale)
+    man = write_with_retry(spark, _df(spark, [2]), t)
+    assert man["version"] == 3
+    assert stale["used"]  # the losing attempt really happened
+    assert _ids(read_table(spark, t)) == [1, 2]
