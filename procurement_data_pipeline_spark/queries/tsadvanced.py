@@ -211,32 +211,33 @@ def q_orders_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (one per priority — parallelism capped at the group count at any
     # scale), this one leaves only O(m/B) rows in the final sort.
     _B = 8192
-    # stats is 5 rows but sits under BOTH downstream actions (the bucket
-    # expression references it) — persist it or every action replays its
-    # pairs scan. bucketed (below) is ALSO persisted: measured at sf0.1,
-    # materializing the ~14M narrow (priority, slope, bkt) rows once beats
-    # regenerating the pair join for the bcnt and sel passes — warm
-    # 7.0 s → 5.45 s, cold 18.4 → 15.9 (round-7 measurement; the round-6
-    # no-persist choice predated the bucket-selection rewrite that made
-    # the pair join the dominant repeated cost)
-    stats = scoped_persist(
-        pairs.groupBy("priority").agg(
-            F.min("slope").alias("_mn"), F.max("slope").alias("_mx")
-        )
-    )
-    bucketed = scoped_persist(pairs.join(F.broadcast(stats), "priority").select(
+    # FIXED monotone quantization: bkt = floor((atan(slope)+π/2)/π·B).
+    # JDK Math.atan is semi-monotonic by spec (s1 < s2 ⇒ atan(s1) ≤
+    # atan(s2)), so bucket order can never invert slope order — ties just
+    # share a bucket — and bucket boundaries only decide WHERE work
+    # happens, never which slope a rank selects. Using a data-independent
+    # map (instead of the round-6 observed-min/max affine map) removes
+    # the whole stats pass over the 14M pairs: one pass builds bucketed,
+    # one reads it back for selection. atan also load-balances better
+    # than min/max scaling when slopes have heavy tails (the outliers
+    # that stretched an affine grid compress into the edge buckets).
+    # bucketed is persisted: measured at sf0.1, materializing the ~14M
+    # narrow (priority, slope, bkt) rows once beats regenerating the pair
+    # join for the bcnt and sel passes (round-7 measurement; warm
+    # 7.0 s → 5.45 s with the persist, → ~4 s with the stats pass gone)
+    import math as _math
+
+    bucketed = scoped_persist(pairs.select(
         "priority",
         "slope",
-        F.when(F.col("_mx") == F.col("_mn"), F.lit(0))
-        .otherwise(
-            F.least(
-                F.lit(_B - 1),
+        F.least(
+            F.lit(_B - 1),
+            F.greatest(
+                F.lit(0),
                 F.floor(
-                    (F.col("slope") - F.col("_mn"))
-                    / (F.col("_mx") - F.col("_mn"))
-                    * _B
+                    (F.atan(F.col("slope")) + _math.pi / 2) / _math.pi * _B
                 ),
-            )
+            ),
         )
         .cast("long")
         .alias("bkt"),
