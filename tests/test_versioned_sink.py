@@ -127,3 +127,33 @@ def test_streaming_sink_maintains_sticky_stats(spark, tmp_path):
     # only the one microbatch file that can hold id=3 survives the plan
     # (microbatches may split into several part files — don't assume 1:1)
     assert total == len(man["files"]) and len(kept) == 1
+
+
+def test_streaming_sink_under_delta_manifests(spark, tmp_path, monkeypatch):
+    """The streaming sink is the workload incremental manifests exist
+    for (one commit per microbatch): under delta mode each microbatch
+    logs only its adds, the stream identity keys survive in the raw
+    delta manifests (so lost-checkpoint replay still no-ops), and reads
+    resolve exactly."""
+    from procurement_data_pipeline_spark.operators import versioning as V
+    from procurement_data_pipeline_spark.operators.versioning import (
+        _read_manifest,
+    )
+
+    monkeypatch.setattr(V, "_DELTA_MIN_FILES", 0)
+    monkeypatch.setattr(V, "_CHECKPOINT_EVERY", 100)
+    src, table = str(tmp_path / "src"), str(tmp_path / "tbl")
+    ckpt = str(tmp_path / "ckpt")
+    _write_sources(spark, src)
+    _run(spark, src, table, ckpt)
+    assert _ids(read_table(spark, table)) == [1, 2, 3]
+    hist = history(spark, table)
+    assert len(hist) == 2  # one version per microbatch (maxFilesPerTrigger=1)
+    raw2 = _read_manifest(spark, table, 2)
+    assert raw2["delta_of"] == 1 and raw2["adds"]  # O(batch) metadata
+    # exactly-once under lost-checkpoint replay, same as full mode
+    before = _ids(read_table(spark, table))
+    shutil.rmtree(ckpt)
+    _run(spark, src, table, ckpt)
+    assert _ids(read_table(spark, table)) == before
+    assert len(history(spark, table)) == 2
