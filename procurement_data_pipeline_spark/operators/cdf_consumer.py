@@ -54,6 +54,13 @@ def _cursor_versions(spark: SparkSession, cursor_path: str) -> list[int]:
     return sorted(out)
 
 
+# cursor paths this process has already seen in directory form — once a
+# cursor is a directory it can never regress to the legacy single-file
+# shape, so the migration probe (2-3 filesystem RPCs) runs at most once
+# per path per process instead of on every poll forever (ADVICE r7)
+_MIGRATED: set[str] = set()
+
+
 def _migrate_legacy_cursor(spark: SparkSession, cursor_path: str) -> None:
     """Releases before the directory scheme stored the cursor as ONE json
     FILE at ``cursor_path``. Left in place it is invisible to the
@@ -63,14 +70,35 @@ def _migrate_legacy_cursor(spark: SparkSession, cursor_path: str) -> None:
     the path can become a directory), then commit it as the first
     ``cursor-v{N}.json``. A crash between the steps leaves the sibling,
     which the next call resumes from; the sibling is deleted only after
-    the directory entry is fully committed."""
+    the directory entry is fully committed.
+
+    Two consumers may race this: the park-rename is the only contended
+    step, and losing it is BENIGN whenever the legacy file is gone or the
+    path is already a directory (the other migrator won and will/did
+    commit) — only a rename that fails with the legacy file still sitting
+    there is a real filesystem error (ADVICE r7)."""
+    key = cursor_path.rstrip("/")
+    if key in _MIGRATED:
+        return
     fs, p, jvm = _fs_path(spark, cursor_path)
     hpath = jvm.org.apache.hadoop.fs.Path
-    legacy_str = cursor_path.rstrip("/") + ".legacy-migrating"
+    legacy_str = key + ".legacy-migrating"
     legacy = hpath(legacy_str)
+    if fs.exists(p) and fs.getFileStatus(p).isDirectory():
+        # already migrated; clean a leftover sibling from a crash between
+        # the directory commit and the sibling delete, then memoize
+        fs.delete(legacy, False)
+        _MIGRATED.add(key)
+        return
     if fs.exists(p) and fs.getFileStatus(p).isFile():
         if not fs.rename(p, legacy):
-            raise IOError(f"could not migrate legacy cursor file {cursor_path}")
+            still_file = fs.exists(p) and fs.getFileStatus(p).isFile()
+            if still_file:
+                raise IOError(
+                    f"could not migrate legacy cursor file {cursor_path}"
+                )
+            # another migrator parked it first — fall through; the
+            # sibling (if it still exists) is finished below
     if fs.exists(legacy):
         version = int(json.loads(_read_text(spark, legacy_str))["version"])
         if version > 0:
@@ -78,6 +106,7 @@ def _migrate_legacy_cursor(spark: SparkSession, cursor_path: str) -> None:
         else:
             fs.mkdirs(p)
         fs.delete(legacy, False)
+    _MIGRATED.add(key)
 
 
 def read_cursor(spark: SparkSession, cursor_path: str) -> int:
@@ -112,7 +141,11 @@ def _advance_cursor(spark: SparkSession, cursor_path: str, version: int) -> None
     hpath = jvm.org.apache.hadoop.fs.Path
     if not fs.rename(hpath(tmp), hpath(final)):
         fs.delete(hpath(tmp), False)
-        raise IOError(f"could not advance cursor at {cursor_path}")
+        # a cursor file's content is fully determined by its name
+        # ({"version": N}), so losing the rename to a concurrent consumer
+        # that committed the SAME version is success, not failure
+        if not fs.exists(hpath(final)):
+            raise IOError(f"could not advance cursor at {cursor_path}")
     for v in _cursor_versions(spark, cursor_path)[:-1]:
         fs.delete(hpath(f"{cursor_path.rstrip('/')}/cursor-v{v:08d}.json"), False)
     # sweep torn .tmp-{v} files a crash left behind — safe once the rename

@@ -107,6 +107,32 @@ def _read_manifest(spark: SparkSession, table_path: str, version: int) -> dict:
 _DELTA_MIN_FILES = 64
 _CHECKPOINT_EVERY = 16
 
+# Every key any manifest form can carry. ``extra`` user metadata is checked
+# against THIS set, not against the keys of the manifest instance being
+# built: a delta manifest carries no 'files'/'stats' key, so checking the
+# instance would let extra={'stats': ...} through — and a stats-less
+# table's plan_scan would then skip files based on injected n_rows==0
+# entries (ADVICE r7). Reserved means reserved in every mode.
+_RESERVED_MANIFEST_KEYS = frozenset(
+    {
+        "version",
+        "op",
+        "base_version",
+        "files",
+        "n_files",
+        "schema",
+        "stats",
+        "stats_cols",
+        "delta_of",
+        "adds",
+        "removes",
+        "stats_adds",
+        "cluster_by",
+        "zorder_cols",
+        "merge",
+    }
+)
+
 
 def _ckpt_uri(table_path: str, version: int) -> str:
     return f"{_log_path(table_path)}/c{version:0{_VERSION_WIDTH}d}.json"
@@ -609,9 +635,11 @@ def versioned_write(
                 **new_stats,
             }
     if extra:
-        reserved = set(manifest) & set(extra)
+        reserved = _RESERVED_MANIFEST_KEYS & set(extra)
         if reserved:
-            raise ValueError(f"extra metadata shadows manifest keys: {reserved}")
+            raise ValueError(
+                f"extra metadata shadows reserved manifest keys: {sorted(reserved)}"
+            )
         manifest.update(extra)
     try:
         _publish(spark, table_path, manifest)
@@ -627,23 +655,29 @@ def write_with_retry(
     df: DataFrame,
     table_path: str,
     retries: int = 3,
+    retry_overwrite: bool = False,
     **kwargs,
 ) -> dict:
     """``versioned_write`` with the standard optimistic-concurrency retry
     loop: a :class:`ConcurrentWriteError` means another writer took the
     version number — re-read the new latest and recommit. APPENDS are
-    always safe to retry (the batch lands after the interleaved commit —
-    the Delta commit-loop semantics); ``mode='overwrite'`` retries as
-    last-writer-wins, which is the overwrite contract anyway. Each failed
-    attempt's data files are already rolled back by ``versioned_write``,
-    so retries never leak storage. Raises the final error after
-    ``retries`` extra attempts (contention beyond that means the caller
-    should batch its writers)."""
+    always safe to retry automatically (the batch lands after the
+    interleaved commit — the Delta commit-loop semantics). An OVERWRITE is
+    NOT: retrying it replays last-writer-wins on top of the very commit
+    OCC just detected, silently discarding the interleaved writer's data
+    (ADVICE r7) — so overwrites re-raise by default, and a caller whose
+    overwrite genuinely is idempotent state replacement opts in with
+    ``retry_overwrite=True``. Each failed attempt's data files are already
+    rolled back by ``versioned_write``, so retries never leak storage.
+    Raises the final error after ``retries`` extra attempts (contention
+    beyond that means the caller should batch its writers)."""
     last: ConcurrentWriteError | None = None
     for _ in range(retries + 1):
         try:
             return versioned_write(spark, df, table_path, **kwargs)
         except ConcurrentWriteError as e:
+            if kwargs.get("mode", "append") == "overwrite" and not retry_overwrite:
+                raise
             last = e
     raise last
 
@@ -961,7 +995,10 @@ def history(spark: SparkSession, table_path: str) -> list[dict]:
 
 
 def vacuum(
-    spark: SparkSession, table_path: str, keep_last: int = 2
+    spark: SparkSession,
+    table_path: str,
+    keep_last: int = 2,
+    ctmp_grace_seconds: float = 3600.0,
 ) -> dict:
     """Expire all but the newest ``keep_last`` versions: their manifests
     are removed and every data file or commit directory no RETAINED
@@ -1030,11 +1067,22 @@ def vacuum(
     for v in drop:
         fs.delete(hpath(_manifest_uri(table_path, v)), False)
         fs.delete(hpath(_ckpt_uri(table_path, v)), False)  # absent → no-op
-    # sweep torn .ctmp-* checkpoint temps a crashed vacuum left behind
+    # sweep torn .ctmp-* checkpoint temps a CRASHED vacuum left behind.
+    # This run's own temps are already gone (renamed or deleted inline
+    # above), so anything here is either hours-old wreckage or a
+    # concurrent vacuum's in-flight temp — the grace period separates the
+    # two (ADVICE r7: an unconditional sweep would break a concurrent
+    # vacuum's checkpoint commit; a crashed run's temp is old by the time
+    # the next maintenance window runs).
+    import time
+
+    now_ms = time.time() * 1000.0
     log_p = hpath(_log_path(table_path))
     if fs.exists(log_p):
         for st in fs.listStatus(log_p):
-            if st.getPath().getName().startswith(".ctmp-"):
+            if st.getPath().getName().startswith(".ctmp-") and (
+                now_ms - st.getModificationTime() >= ctmp_grace_seconds * 1000.0
+            ):
                 fs.delete(st.getPath(), False)
     return {"expired_versions": len(drop), "deleted_files": deleted}
 

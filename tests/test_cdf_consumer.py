@@ -177,3 +177,54 @@ def test_advance_sweeps_committed_torn_tmps(spark, tmp_path):
     fs, p, _ = _fs_path(spark, cur)
     names = sorted(st.getPath().getName() for st in fs.listStatus(p))
     assert names == [".tmp-9", "cursor-v00000002.json"]
+
+
+def test_migration_probe_runs_once_and_losing_rename_is_benign(
+    spark, tmp_path, monkeypatch
+):
+    """ADVICE r7: (a) once a cursor is in directory form the legacy probe
+    must stop costing filesystem RPCs on every poll (process-local memo);
+    (b) a migrator that loses the park-rename to a concurrent migrator
+    must treat it as benign when the legacy file is gone, not raise
+    IOError on a healthy cursor."""
+    from procurement_data_pipeline_spark.operators import cdf_consumer as C
+    from procurement_data_pipeline_spark.operators.erasure import (
+        _fs_path,
+        _write_text,
+    )
+
+    cur = str(tmp_path / "cursor")
+    _write_text(spark, cur, '{"version": 2}')
+    assert read_cursor(spark, cur) == 2  # migrated + memoized
+
+    # (a) after migration, read_cursor must not touch the legacy paths
+    fs, _, _ = _fs_path(spark, cur)
+    probed = {"n": 0}
+    real_status = fs.getFileStatus
+
+    def counting_status(p):
+        probed["n"] += 1
+        return real_status(p)
+
+    monkeypatch.setattr(fs, "getFileStatus", counting_status, raising=False)
+    assert read_cursor(spark, cur) == 2
+    assert probed["n"] == 0
+
+    # (b) simulate losing the park-rename: the legacy file vanished
+    # between the isFile() check and the rename (another migrator parked
+    # and finished it) — must not raise
+    cur2 = str(tmp_path / "cursor2")
+    _write_text(spark, cur2, '{"version": 5}')
+    fs2, p2, jvm2 = _fs_path(spark, cur2)
+    real_rename = fs2.rename
+
+    def losing_rename(src, dst):
+        if src.toString().endswith("cursor2"):
+            # the other migrator already parked + committed + cleaned up
+            fs2.delete(src, False)
+            C._advance_cursor(spark, cur2, 5)
+            return False
+        return real_rename(src, dst)
+
+    monkeypatch.setattr(fs2, "rename", losing_rename, raising=False)
+    assert read_cursor(spark, cur2) == 5

@@ -823,3 +823,85 @@ def test_write_with_retry_wins_after_interleaved_commit(spark, tmp_path, monkeyp
     assert man["version"] == 3
     assert stale["used"]  # the losing attempt really happened
     assert _ids(read_table(spark, t)) == [1, 2]
+
+
+def test_extra_metadata_reserved_keys_fixed_set(spark, tmp_path, monkeypatch):
+    """ADVICE r7: the reserved-key check for ``extra`` must test against
+    the FIXED reserved set, not the manifest instance being built — a
+    delta manifest carries no 'files'/'stats' key, so instance-keyed
+    checking would let extra={'stats': ...} through and plan_scan's
+    n_rows==0 skip would then drop files based on injected stats."""
+    from procurement_data_pipeline_spark.operators import versioning as V
+
+    monkeypatch.setattr(V, "_DELTA_MIN_FILES", 0)
+    t = str(tmp_path / "tbl")
+    versioned_write(spark, _df(spark, [1]), t)
+    # v2 is a delta manifest (no 'files'/'stats' keys in the instance)
+    for key in ("stats", "files", "stats_adds", "adds"):
+        with pytest.raises(ValueError, match="reserved manifest keys"):
+            versioned_write(spark, _df(spark, [2]), t, extra={key: {}})
+    # benign metadata still passes through
+    man = versioned_write(spark, _df(spark, [2]), t, extra={"job_id": "j7"})
+    assert man["job_id"] == "j7"
+
+
+def test_write_with_retry_overwrite_reraises_by_default(
+    spark, tmp_path, monkeypatch
+):
+    """ADVICE r7: auto-retrying an OVERWRITE replays last-writer-wins on
+    top of the commit OCC just detected — the conflict signal must reach
+    the caller unless it explicitly opts in."""
+    from procurement_data_pipeline_spark.operators import versioning as V
+    from procurement_data_pipeline_spark.operators.versioning import (
+        write_with_retry,
+    )
+
+    t = str(tmp_path / "tbl")
+    versioned_write(spark, _df(spark, [1]), t)
+
+    calls = {"n": 0}
+    real = V.versioned_write
+
+    def conflicted_once(sp, df, path, **kw):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise ConcurrentWriteError("simulated interleaved commit")
+        return real(sp, df, path, **kw)
+
+    monkeypatch.setattr(V, "versioned_write", conflicted_once)
+    with pytest.raises(ConcurrentWriteError):
+        write_with_retry(spark, _df(spark, [9]), t, mode="overwrite")
+    assert calls["n"] == 1  # no silent retry happened
+
+    calls["n"] = 0
+    man = write_with_retry(
+        spark, _df(spark, [9]), t, mode="overwrite", retry_overwrite=True
+    )
+    assert man["op"] == "overwrite" and calls["n"] == 2
+    assert _ids(read_table(spark, t)) == [9]
+
+    # appends still retry automatically (the round-7 contract)
+    calls["n"] = 0
+    man = write_with_retry(spark, _df(spark, [10]), t)
+    assert man["op"] == "append" and calls["n"] == 2
+
+
+def test_vacuum_ctmp_sweep_spares_young_temps(spark, tmp_path):
+    """ADVICE r7: the final .ctmp-* sweep must not delete a CONCURRENT
+    vacuum's in-flight checkpoint temp — only wreckage older than the
+    grace period (a crashed run's temp is old by the next maintenance
+    window)."""
+    from procurement_data_pipeline_spark.operators.erasure import _fs_path
+
+    t = str(tmp_path / "tbl")
+    versioned_write(spark, _df(spark, [1]), t)
+    versioned_write(spark, _df(spark, [2]), t)
+    versioned_write(spark, _df(spark, [3]), t)
+    young = f"{t}/_log/.ctmp-2-deadbeef"
+    _write_text(spark, young, "{in flight}")
+    vacuum(spark, t, keep_last=2)  # default grace: young temp survives
+    fs, young_p, _ = _fs_path(spark, young)
+    assert fs.exists(young_p)
+    versioned_write(spark, _df(spark, [4]), t)
+    vacuum(spark, t, keep_last=2, ctmp_grace_seconds=0.0)  # crashed-run sweep
+    assert not fs.exists(young_p)
