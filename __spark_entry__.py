@@ -156,6 +156,13 @@ GRADE_OVERFLOW = frozenset(
         # variant lands in overflow, locally checked:)
         "versioned_compound_scan",
         "versioned_clustered_scan",
+        # round-8: the delta-manifest evidence tier (append-delta chain +
+        # vacuum checkpoint + CDF fast path + stats_adds folding) — VERDICT
+        # r7 item 1. Hash-green locally at both sfs; promotion candidates
+        # for the round-9 rotation:
+        "versioned_delta_chain",
+        "versioned_delta_cdf",
+        "versioned_delta_pruned",
         "docs_pack_sequences_2level",
         "docs_corpus_mix_temperature",
         "docs_quality_weighted_sample",

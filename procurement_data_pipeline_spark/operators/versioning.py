@@ -458,6 +458,8 @@ def versioned_write(
     stats_cols: list[str] | None = None,
     cluster_by: list[str] | None = None,
     cluster_files: int | None = None,
+    delta_min_files: int | None = None,
+    checkpoint_every: int | None = None,
 ) -> dict:
     """Write ``df`` as the next version of the table at ``table_path``.
 
@@ -493,9 +495,22 @@ def versioned_write(
     shape); pass ``cluster_files`` to pin an exact file count (AQE never
     coalesces explicit counts — useful when the batch is small but the
     layout must still separate cluster keys into distinct files).
+
+    ``delta_min_files`` / ``checkpoint_every`` override the module-level
+    incremental-manifest cadence (``_DELTA_MIN_FILES`` /
+    ``_CHECKPOINT_EVERY``) for THIS commit — the same knob Delta exposes
+    as the ``delta.checkpointInterval`` table property. Mixing cadences
+    across commits is always SAFE: resolution only ever follows explicit
+    ``delta_of`` links and a full manifest is self-contained, so the
+    worst a mismatched setting can do is write a full manifest where a
+    delta would have sufficed (more metadata, never wrong metadata).
     """
     if mode not in ("append", "overwrite"):
         raise ValueError(f"mode must be append|overwrite, got {mode!r}")
+    if checkpoint_every is not None and checkpoint_every < 1:
+        raise ValueError("checkpoint_every must be >= 1")
+    dmin = _DELTA_MIN_FILES if delta_min_files is None else delta_min_files
+    ckpt_every = _CHECKPOINT_EVERY if checkpoint_every is None else checkpoint_every
     if cluster_by:
         missing = [c for c in cluster_by if c not in df.columns]
         if missing:
@@ -590,8 +605,8 @@ def versioned_write(
     is_delta = (
         mode == "append"
         and prev is not None
-        and len(prev_files) >= _DELTA_MIN_FILES
-        and next_v % _CHECKPOINT_EVERY != 0
+        and len(prev_files) >= dmin
+        and next_v % ckpt_every != 0
         and (stats_cols is None or same_cols)
     )
     manifest = {

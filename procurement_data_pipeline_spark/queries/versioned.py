@@ -38,10 +38,13 @@ from pyspark.sql import functions as F
 
 from procurement_data_pipeline_spark.operators.cdf import table_changes
 from procurement_data_pipeline_spark.operators.versioning import (
+    _ckpt_uri,
+    _read_manifest,
     merge_into,
     optimize_table,
     read_table,
     scan_table,
+    vacuum,
     versioned_write,
 )
 from procurement_data_pipeline_spark.registry import register
@@ -313,4 +316,170 @@ def versioned_clustered_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = _clustered_fixture(spark, sf_dir)
     return _priority_rollup(
         scan_table(spark, path, "o_orderpriority", lo="1-URGENT", hi="1-URGENT")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Incremental (delta) manifest fixture — oracle-hash evidence for the
+# round-7 metadata-scaling path (operators/versioning.py _DELTA_MIN_FILES
+# block). The shared fixture above never crosses the 64-file delta
+# threshold, so until round 8 delta resolution rode on pytest alone; this
+# fixture pins the threshold low (the versioned_write parameter — the
+# production cadence is unchanged) and builds an append-delta chain that
+# exercises every resolution path a 100 TB table log hits:
+#
+#   v1  append slice 0  (first write → FULL manifest, stats on)
+#   v2  append slice 1  (delta_of=1)
+#   v3  append slice 2  (delta_of=2)
+#   v4  append slice 3  (4 % checkpoint_every == 0 → forced FULL)
+#   v5  append slice 4  (delta_of=4)
+#   v6  append slice 5  (delta_of=5)
+#   v7  append slice 6  (delta_of=6)
+#   vacuum keep_last=3  → v1..v4 expire; v5's base (v4) is expired, so
+#                         vacuum materializes the c5.json CHECKPOINT
+#
+# A read of latest (v7) therefore MUST fold v7→v6→v5 and resolve v5 via
+# the vacuum-written checkpoint — the expired base makes any other route
+# raise, so a hash match is proof the delta machinery ran, not luck.
+# _delta_fixture re-verifies that structure on every build and refuses to
+# return a path whose log does not have the intended shape.
+
+_DELTA_SLICES = 7  # orders rows with o_orderkey % 8 < 7; slice k → v(k+1)
+_DELTA: dict[str, str] = {}
+
+
+def _delta_fixture(spark: SparkSession, sf_dir: str) -> str:
+    key = os.path.abspath(sf_dir)
+    if key in _DELTA:
+        return _DELTA[key]
+    tag = re.sub(r"[^A-Za-z0-9_.-]", "_", key).strip("_")
+    path = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_delta_orders_{tag}"
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.floor(F.col("o_totalprice") * 100).cast("long").alias("price_cents"),
+    )
+    for k in range(_DELTA_SLICES):
+        versioned_write(
+            spark,
+            orders.filter(F.col("o_orderkey") % 8 == k),
+            path,
+            mode="append",
+            stats_cols=["o_orderkey"] if k == 0 else None,  # sticky after v1
+            delta_min_files=1,
+            checkpoint_every=4,
+        )
+    # the delta regime must actually be engaged before vacuum hides v1-v4:
+    # v2/v3/v5/v6/v7 are deltas carrying stats_adds, v4 is the forced full
+    for v, want_delta in ((2, True), (3, True), (4, False), (5, True)):
+        raw = _read_manifest(spark, path, v)
+        if ("delta_of" in raw) != want_delta:
+            raise RuntimeError(
+                f"delta fixture malformed: v{v} delta={'delta_of' in raw}, "
+                f"expected {want_delta} — the incremental-manifest path is "
+                "not engaging"
+            )
+        if want_delta and not raw.get("stats_adds"):
+            raise RuntimeError(f"delta fixture: v{v} carries no stats_adds")
+    vacuum(spark, path, keep_last=3)
+    from procurement_data_pipeline_spark.operators.erasure import _fs_path
+
+    fs_probe, ckpt_p, _ = _fs_path(spark, _ckpt_uri(path, 5))
+    if not fs_probe.exists(ckpt_p):
+        raise RuntimeError(
+            "delta fixture: vacuum did not materialize the c5 checkpoint"
+        )
+    raw7 = _read_manifest(spark, path, 7)
+    if raw7.get("delta_of") != 6:
+        raise RuntimeError("delta fixture: latest manifest is not a delta")
+    _DELTA[key] = path
+    return path
+
+
+@register(
+    "versioned_delta_chain",
+    oracle=_ROLLUP_SQL.format(where="WHERE o_orderkey % 8 <> 7"),
+    tags=("versioning", "delta-manifests"),
+)
+def versioned_delta_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Read latest through an append-delta manifest chain: v7 (delta) folds
+    onto v6 (delta) onto v5, which resolves via the vacuum-written c5.json
+    checkpoint because its base (v4) is EXPIRED — there is no non-delta
+    route to this answer, so the oracle hash certifies the O(commit)
+    metadata path end-to-end (fold order, remove/add application, and
+    checkpoint preference). This is the 100 TB read shape: a million-file
+    table whose every append logged only its own files."""
+    path = _delta_fixture(spark, sf_dir)
+    return _priority_rollup(read_table(spark, path))
+
+
+@register(
+    "versioned_delta_cdf",
+    oracle="""
+SELECT 'insert' AS change_type, o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS total_cents
+FROM orders
+WHERE o_orderkey % 8 IN (4, 5, 6)
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""",
+    tags=("versioning", "delta-manifests", "cdf"),
+)
+def versioned_delta_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDF over the delta chain, range (4, 7]: every commit in range is an
+    append DELTA, so the fast path (operators/cdf.py:60-78) reads the
+    union of their ``adds`` — O(changed versions) metadata. The evidence
+    is structural, not circumstantial: version 4 is VACUUMED, so the
+    fallback file-set diff (which resolves the from-version manifest)
+    would raise — only the fast path, which never touches the endpoint
+    manifests, can produce these rows at all."""
+    path = _delta_fixture(spark, sf_dir)
+    feed = table_changes(spark, path, from_version=4, to_version=7)
+    return (
+        feed.groupBy(
+            "change_type",
+            F.col("new_o_orderpriority").alias("o_orderpriority"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("new_price_cents").cast("long").alias("total_cents"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+_DP_LO, _DP_HI = 5_000, 30_000
+
+
+@register(
+    "versioned_delta_pruned",
+    oracle=f"""
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS total_cents
+FROM orders
+WHERE o_orderkey % 8 <> 7
+  AND o_orderkey BETWEEN {_DP_LO} AND {_DP_HI}
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""",
+    tags=("versioning", "delta-manifests", "data-skipping"),
+)
+def versioned_delta_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-skipping THROUGH the delta chain: per-file stats arrive as
+    ``stats_adds`` fragments on v5/v6/v7 and must fold onto the
+    checkpoint's stats map before plan_scan can prune — the one resolution
+    path neither versioned_delta_chain (files only) nor the graded
+    versioned_pruned_scan (full manifests only) certifies. The residual
+    filter keeps the result exact regardless of pruning; the hash proves
+    the folded stats lost nothing."""
+    path = _delta_fixture(spark, sf_dir)
+    return _priority_rollup(
+        scan_table(spark, path, "o_orderkey", lo=_DP_LO, hi=_DP_HI)
     )
