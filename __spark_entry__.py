@@ -106,6 +106,21 @@ GRADE_DEMOTED = frozenset(
         "events_value_moving_avg",
         "tpch_q4_order_priority",
         "supplier_shipping_cohorts",
+        # round-8 rotation (VERDICT r7 item 2): versioned_compound_scan +
+        # versioned_clustered_scan promote into the window — they certify
+        # the typed (numeric/date/string) compound-predicate prune path
+        # and the cluster_by hidden-partitioning prune path, which the
+        # driver has never hashed. Two weakest graded siblings demote,
+        # each a pattern another window member still covers:
+        #   tpch_q2_min_cost_supplier — correlated min-subquery selection;
+        #       the scalar-subquery-threshold class stays graded via q15
+        #       (max-revenue supplier) and q20 (nested IN subqueries),
+        #       multi-dim join chain via q5/q8/q9
+        #   tpch_q7_nation_volume — nation-pair volume join; the same
+        #       dim⋈dim⋈fact year-bucketed shape stays graded via q8
+        #       (market share) and q5 (local supplier revenue)
+        "tpch_q2_min_cost_supplier",
+        "tpch_q7_nation_volume",
     }
 )
 
@@ -152,10 +167,8 @@ GRADE_OVERFLOW = frozenset(
         # (round-7: versioned_time_travel / versioned_merge_current /
         # versioned_cdf_inserts / versioned_pruned_scan /
         # docs_curriculum_schedule rotated OUT of overflow INTO the graded
-        # window — see GRADE_DEMOTED above. The round-7 compound-predicate
-        # variant lands in overflow, locally checked:)
-        "versioned_compound_scan",
-        "versioned_clustered_scan",
+        # window; round-8: versioned_compound_scan / versioned_clustered_scan
+        # likewise promoted — see GRADE_DEMOTED above.)
         # round-8: the delta-manifest evidence tier (append-delta chain +
         # vacuum checkpoint + CDF fast path + stats_adds folding) — VERDICT
         # r7 item 1. Hash-green locally at both sfs; promotion candidates

@@ -61,6 +61,10 @@ def test_entry_contract(spark):
 # docs_hash_sample, tpch_q14_promo_revenue moved to overflow so the
 # round-4 tier (docs_corpus_mix, docs_decontaminate, docs_pack_sequences,
 # docs_repetition_metrics, docs_vocab_topk) gets driver-hash evidence.
+# Round-8 rotation: versioned_compound_scan + versioned_clustered_scan
+# promoted (typed compound-predicate and cluster_by prune paths earn
+# driver hashes); tpch_q2 and tpch_q7 demoted — rationale inline in
+# __spark_entry__.GRADE_DEMOTED.
 GRADED_50 = (
     "events_sessionization",
     "events_retention_cohorts",
@@ -87,8 +91,6 @@ GRADED_50 = (
     "tpch_q13_customer_distribution",
     "tpch_q15_top_supplier",
     "tpch_q22_dormant_customers",
-    "tpch_q2_min_cost_supplier",
-    "tpch_q7_nation_volume",
     "tpch_q8_market_share",
     "tpch_q9_product_profit",
     "tpch_q11_important_parts",
@@ -111,6 +113,8 @@ GRADED_50 = (
     "versioned_merge_current",
     "versioned_cdf_inserts",
     "versioned_pruned_scan",
+    "versioned_compound_scan",
+    "versioned_clustered_scan",
     "docs_curriculum_schedule",
 )
 
