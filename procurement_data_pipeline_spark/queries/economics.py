@@ -76,12 +76,22 @@ FROM s
     tags=("supplier", "economics", "inequality"),
 )
 def q_supplier_spend_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """One fact shuffle (supplier grain) then a global rank over the
-    BOUNDED supplier dim. Numerator and denominator stay exact integers
-    until the single closing division — G hashes bit-for-bit."""
-    spend = _spend_cents(spark, sf_dir)
-    w = Window.orderBy(F.col("cents").asc(), F.col("l_suppkey").asc())
-    ranked = spend.select("cents", F.row_number().over(w).alias("i"))
+    """One fact shuffle (supplier grain), then the DISTRIBUTED exact
+    global rank (operators/ranks.py — range-partitioned, never a
+    single-partition sort: supplier grain is sf-proportional, so at 100×
+    the old Window.orderBy serialized the query behind one task).
+    Numerator and denominator stay exact integers until the single
+    closing division — G hashes bit-for-bit, ranks being integers
+    regardless of which partition computed them."""
+    from procurement_data_pipeline_spark.caching import scoped_persist
+    from procurement_data_pipeline_spark.operators.ranks import (
+        with_global_rank,
+    )
+
+    spend = scoped_persist(_spend_cents(spark, sf_dir))
+    ranked = with_global_rank(
+        spend, [F.col("cents").asc(), F.col("l_suppkey").asc()], "i"
+    ).select("cents", "i")
     dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
     s = ranked.agg(
         F.count(F.lit(1)).cast("long").alias("n"),
@@ -127,9 +137,17 @@ def q_supplier_spend_lorenz(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The Lorenz curve at decile grain: cumulative spend share of the
     poorest 10%, 20%, … — the picture the Gini number summarizes. All
     shares are exact-integer cumulative sums over 10 rows divided once."""
+    from procurement_data_pipeline_spark.operators.ranks import (
+        with_global_ntile,
+    )
+
     spend = scoped_persist(_spend_cents(spark, sf_dir))
-    w = Window.orderBy(F.col("cents").asc(), F.col("l_suppkey").asc())
-    tiled = spend.select("cents", F.ntile(10).over(w).alias("decile"))
+    # distributed exact NTILE (operators/ranks.py) — supplier grain is
+    # sf-proportional, so the old no-partition Window was a
+    # single-partition sort at any scale
+    tiled = with_global_ntile(
+        spend, [F.col("cents").asc(), F.col("l_suppkey").asc()], 10, "decile"
+    ).select("cents", "decile")
     per = tiled.groupBy("decile").agg(
         F.count(F.lit(1)).cast("long").alias("n_suppliers"),
         F.sum(F.col("cents").cast("decimal(38,0)")).alias("dc"),

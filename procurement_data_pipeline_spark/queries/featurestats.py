@@ -269,21 +269,35 @@ GROUP BY t.pct
     tags=("events", "concentration", "economics"),
 )
 def q_events_user_pareto_share(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """One user-grain shuffle, a rank over the user relation (bounded far
-    below fact volume), then a 4-tier × users aggregate. The ceil-form
-    membership rnk·100 ≤ pct·n + 99 keeps tier cuts in pure integer
-    arithmetic — no floating-point percentile positions to disagree on."""
-    ev = load_table(spark, sf_dir, "events")
-    per_user = ev.groupBy("user_id").agg(
-        F.sum(F.floor(F.col("value") * 1000000).cast("long")).alias("vm")
+    """One user-grain shuffle, then the DISTRIBUTED exact global rank
+    (operators/ranks.py — user grain is sf-proportional, so the old
+    no-partition Window plus its two full-frame siblings sorted it all in
+    one task), then a 4-tier × users aggregate. n_users/total come from a
+    broadcast scalar aggregate instead of full-frame windows. The
+    ceil-form membership rnk·100 ≤ pct·n + 99 keeps tier cuts in pure
+    integer arithmetic — no floating-point percentile positions to
+    disagree on."""
+    from procurement_data_pipeline_spark.caching import scoped_persist
+    from procurement_data_pipeline_spark.operators.ranks import (
+        with_global_rank,
     )
-    w = Window.orderBy(F.col("vm").desc(), F.col("user_id").asc())
-    full = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    ranked = per_user.select(
-        "vm",
-        F.row_number().over(w).alias("rnk"),
-        F.count(F.lit(1)).over(full).alias("n_users"),
-        F.sum(F.col("vm").cast("decimal(38,0)")).over(full).alias("total"),
+
+    ev = load_table(spark, sf_dir, "events")
+    per_user = scoped_persist(
+        ev.groupBy("user_id").agg(
+            F.sum(F.floor(F.col("value") * 1000000).cast("long")).alias("vm")
+        )
+    )
+    stats = per_user.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum(F.col("vm").cast("decimal(38,0)")).alias("total"),
+    )
+    ranked = (
+        with_global_rank(
+            per_user, [F.col("vm").desc(), F.col("user_id").asc()], "rnk"
+        )
+        .crossJoin(F.broadcast(stats))
+        .select("vm", "rnk", "n_users", "total")
     )
     tiers = ranked.sparkSession.createDataFrame(
         [(p,) for p in _PARETO_TIERS], "pct int"

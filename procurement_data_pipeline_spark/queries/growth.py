@@ -257,10 +257,17 @@ FROM tiled GROUP BY decile
 def q_customer_first_value_repeat(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One customer-grain shuffle finds first orders (min-struct, no
     second scan), a self-join fetches the first order's value, and the
-    decile rank runs over the bounded customer dim."""
+    decile assignment uses the distributed exact NTILE
+    (operators/ranks.py) — customer grain is sf-proportional, so the old
+    no-partition Window was a single-partition sort at scale."""
+    from procurement_data_pipeline_spark.caching import scoped_persist
+    from procurement_data_pipeline_spark.operators.ranks import (
+        with_global_ntile,
+    )
+
     o = load_table(spark, sf_dir, "orders")
     wcust = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
-    fv = (
+    fv = scoped_persist(
         o.select(
             "o_custkey",
             F.row_number().over(wcust).alias("rn"),
@@ -270,10 +277,9 @@ def q_customer_first_value_repeat(spark: SparkSession, sf_dir: str) -> DataFrame
         .where(F.col("rn") == 1)
         .select("o_custkey", F.col("n_orders").cast("long").alias("n_orders"), "first_cents")
     )
-    w = Window.orderBy(F.col("first_cents").asc(), F.col("o_custkey").asc())
-    tiled = fv.select(
-        "n_orders", "first_cents", F.ntile(10).over(w).alias("decile")
-    )
+    tiled = with_global_ntile(
+        fv, [F.col("first_cents").asc(), F.col("o_custkey").asc()], 10, "decile"
+    ).select("n_orders", "first_cents", "decile")
     return tiled.groupBy("decile").agg(
         F.count(F.lit(1)).cast("long").alias("n_customers"),
         (

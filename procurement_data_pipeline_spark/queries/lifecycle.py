@@ -141,12 +141,10 @@ def q_events_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     # scoring. Metrics are exact (date diff, row count, integer cents);
     # quintile scores use NTILE(5) with a custkey tie-break so the
     # assignment is total-order deterministic on both engines. The three
-    # rank windows run over the CUSTOMER grain (one row per customer, not
-    # per order) — at 100 TB that relation is ~1e9 rows, and a global
-    # NTILE is a range-partitioned sort, the same cost class as the exact
-    # deciles query (events_value_deciles); Spark handles it with a single
-    # global sort exchange per window expression over an already-reduced
-    # input.
+    # tilings run over the CUSTOMER grain (~1e9 rows at 100 TB), so each
+    # uses the distributed exact-rank path (operators/ranks.py:
+    # range-partition + prefix offsets + local row_number) instead of a
+    # no-partition Window's single-partition sort.
     oracle="""
 WITH per_cust AS (
   SELECT o_custkey AS custkey,
@@ -192,25 +190,60 @@ def q_customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     ref = per_cust.agg(F.max("last_order").alias("ref_date"))
-    scored = per_cust.crossJoin(F.broadcast(ref)).withColumn(
-        "recency_days", F.datediff("ref_date", "last_order").cast("long")
+    scored = scoped_persist(
+        per_cust.crossJoin(F.broadcast(ref)).withColumn(
+            "recency_days", F.datediff("ref_date", "last_order").cast("long")
+        )
     )
-    r_w = Window.orderBy(F.col("recency_days").asc(), F.col("custkey").asc())
-    f_w = Window.orderBy(F.col("frequency").desc(), F.col("custkey").asc())
-    m_w = Window.orderBy(F.col("money_cents").desc(), F.col("custkey").asc())
-    return scored.select(
-        "custkey",
+    # Three DISTRIBUTED exact NTILEs (operators/ranks.py) instead of three
+    # no-partition Windows: customer grain is sf-proportional (~1e9 rows
+    # at 100 TB), and the old form sorted it three times inside ONE task
+    # (VERDICT r7). Each tiling range-partitions on its own ordering and
+    # joins back by custkey; NTILE values are identical by construction,
+    # so the oracle hash is unchanged.
+    from procurement_data_pipeline_spark.operators.ranks import (
+        with_global_ntile,
+    )
+
+    def tile(value_col: str, order, out: str) -> DataFrame:
+        return with_global_ntile(
+            scored.select("custkey", value_col), order, 5, out
+        ).select("custkey", out)
+
+    r_t = tile(
         "recency_days",
+        [F.col("recency_days").asc(), F.col("custkey").asc()],
+        "r_score",
+    )
+    f_t = tile(
         "frequency",
-        dollars(F.col("money_cents")).alias("monetary"),
-        F.ntile(5).over(r_w).cast("int").alias("r_score"),
-        F.ntile(5).over(f_w).cast("int").alias("f_score"),
-        F.ntile(5).over(m_w).cast("int").alias("m_score"),
-    ).withColumn(
-        "rfm_code",
-        (
-            F.col("r_score") * 100 + F.col("f_score") * 10 + F.col("m_score")
-        ).cast("int"),
+        [F.col("frequency").desc(), F.col("custkey").asc()],
+        "f_score",
+    )
+    m_t = tile(
+        "money_cents",
+        [F.col("money_cents").desc(), F.col("custkey").asc()],
+        "m_score",
+    )
+    return (
+        scored.join(r_t, "custkey")
+        .join(f_t, "custkey")
+        .join(m_t, "custkey")
+        .select(
+            "custkey",
+            "recency_days",
+            "frequency",
+            dollars(F.col("money_cents")).alias("monetary"),
+            "r_score",
+            "f_score",
+            "m_score",
+        )
+        .withColumn(
+            "rfm_code",
+            (
+                F.col("r_score") * 100 + F.col("f_score") * 10 + F.col("m_score")
+            ).cast("int"),
+        )
     )
 
 

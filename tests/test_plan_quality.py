@@ -91,6 +91,11 @@ BNLJ_ALLOWED = {
     "events_ewma_chart",  # broadcast 1-row mean/sigma/day-array scalar
     "orders_seasonal_decompose",  # broadcast 1-row seasonal-mean scalar
     "events_user_state_cdc",  # broadcast 1-row stream-midpoint scalar
+    # global-rank utility sites (operators/ranks.py): the prefix-offset
+    # triangular join runs over the ≤#shuffle-partitions per-pid count
+    # relation (≤32 rows here, ≤#cluster-partitions anywhere) — the same
+    # bounded-scalar BNLJ class as the 1-row broadcasts above
+    "supplier_spend_gini",  # triangular prefix-offset join (ranks.py)
 }
 
 SF_DIR = "/root/testdata/sf0.001"

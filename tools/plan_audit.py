@@ -29,6 +29,47 @@ from procurement_data_pipeline_spark.registry import load_all  # noqa: E402
 from procurement_data_pipeline_spark.session import get_session  # noqa: E402
 
 
+def _single_partition_sorts(plan: str) -> int:
+    """Count Exchange-SinglePartition nodes whose CONSUMER is a Sort.
+
+    The formatted plan prints a tree section (``+- NodeName (id)``) and a
+    detail section (``(id) NodeName`` blocks). SinglePartition-ness lives
+    in the detail block's ``Arguments:`` line; the consumer relationship
+    lives in the tree (the nearest preceding line with shallower indent).
+    Node ids are deduped so an AQE re-print cannot double count.
+    """
+    sp_ids: set[str] = set()
+    current: tuple[str, str] | None = None  # (id, name) of open detail block
+    for line in plan.splitlines():
+        m = re.match(r"^\((\d+)\) (\w+)", line)
+        if m:
+            current = (m.group(1), m.group(2))
+            continue
+        if (
+            current is not None
+            and current[1] == "Exchange"
+            and line.startswith("Arguments: SinglePartition")
+        ):
+            sp_ids.add(current[0])
+    if not sp_ids:
+        return 0
+    tree: list[tuple[int, str, str]] = []  # (indent, name, id)
+    for line in plan.splitlines():
+        m = re.match(r"^([ :+|-]*)([A-Za-z][\w ]*?) \((\d+)\)\s*$", line)
+        if m:
+            tree.append((len(m.group(1)), m.group(2), m.group(3)))
+    counted: set[str] = set()
+    for i, (indent, _name, nid) in enumerate(tree):
+        if nid not in sp_ids or nid in counted:
+            continue
+        for j in range(i - 1, -1, -1):
+            if tree[j][0] < indent:
+                if tree[j][1].startswith(("Sort", "Window")):
+                    counted.add(nid)
+                break
+    return len(counted)
+
+
 def plan_stats(df) -> dict:
     plan = df._sc._jvm.PythonSQLUtils.explainString(
         df._jdf.queryExecution(), "formatted"
@@ -43,6 +84,15 @@ def plan_stats(df) -> dict:
         "scans": node("Scan parquet"),
         "scans_with_pushdown": len(re.findall(r"PushedFilters: \[(?!\])", plan)),
         "exchanges": node("Exchange"),
+        # Exchange SinglePartition feeding a Sort — the compiled form of a
+        # Window.orderBy with NO partitionBy: every input row moves to ONE
+        # task and is sorted there (Spark's own "No Partition Defined for
+        # Window" warning — VERDICT r7: the class the shuffle counter
+        # alone never surfaced). A SinglePartition exchange feeding a
+        # final HashAggregate is NOT counted: partial aggregation means
+        # that exchange carries one row per upstream partition, which is
+        # the correct global-aggregate shape at any scale.
+        "single_partition_sorts": _single_partition_sorts(plan),
         "broadcast_joins": node("BroadcastHashJoin"),
         "smj": node("SortMergeJoin"),
         "bnlj": node("BroadcastNestedLoopJoin"),
@@ -55,18 +105,19 @@ def main() -> None:
     spark = get_session("plan-audit")
     print(f"# Plan audit @ {sf_dir}\n")
     print(
-        "| query | scans | pushdown | shuffles | bhj | smj | bnlj | cartesian |"
+        "| query | scans | pushdown | shuffles | 1psort | bhj | smj | bnlj | cartesian |"
     )
-    print("|---|---|---|---|---|---|---|---|")
+    print("|---|---|---|---|---|---|---|---|---|")
     for name, spec in sorted(load_all().items()):
         try:
             s = plan_stats(spec.builder(spark, sf_dir))
         except Exception as ex:  # pragma: no cover - audit robustness
-            print(f"| {name} | ERROR: {ex} | | | | | | |")
+            print(f"| {name} | ERROR: {ex} | | | | | | | |")
             continue
         print(
             f"| {name} | {s['scans']} | {s['scans_with_pushdown']}"
-            f" | {s['exchanges']} | {s['broadcast_joins']} | {s['smj']}"
+            f" | {s['exchanges']} | {s['single_partition_sorts']}"
+            f" | {s['broadcast_joins']} | {s['smj']}"
             f" | {s['bnlj']} | {s['cartesian']} |"
         )
 
