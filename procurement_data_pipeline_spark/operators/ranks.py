@@ -69,31 +69,44 @@ def _as_cols(order_cols) -> list[Column]:
     return [F.col(c) if isinstance(c, str) else c for c in order_cols]
 
 
-def _ranked(
-    df: DataFrame, order_cols, num_partitions: int | None
-) -> tuple[DataFrame, DataFrame]:
-    """(rows with _gr_pid/_gr_off attached, per-pid counts relation)."""
-    cols = _as_cols(order_cols)
+def _range_partitioned(
+    df: DataFrame, cols: list[Column], num_partitions: int | None
+) -> DataFrame:
     n = num_partitions or int(
         df.sparkSession.conf.get("spark.sql.shuffle.partitions")
     )
     # explicit partition count: AQE never coalesces user-specified counts,
     # and empty partitions simply don't appear in the counts relation
-    part = scoped_persist(
+    return scoped_persist(
         df.repartitionByRange(n, *cols).withColumn(_PID, F.spark_partition_id())
     )
-    counts = part.groupBy(_PID).agg(F.count(F.lit(1)).alias(_CNT))
-    a, b = counts.alias("_gra"), counts.alias("_grb")
-    offs = (
+
+
+def _prefix_offsets(per_pid: DataFrame, agg_col: str) -> DataFrame:
+    """Exclusive prefix totals of ``agg_col`` over the ≤n-row per-pid
+    relation, via the broadcast triangular join (NOT a window — a window
+    would re-introduce the single-partition sort this module removes)."""
+    a, b = per_pid.alias("_gra"), per_pid.alias("_grb")
+    return (
         a.join(
             F.broadcast(b),
             F.col(f"_grb.{_PID}") < F.col(f"_gra.{_PID}"),
             "left",
         )
         .groupBy(F.col(f"_gra.{_PID}").alias(_PID))
-        .agg(
-            F.coalesce(F.sum(f"_grb.{_CNT}"), F.lit(0)).cast("long").alias(_OFF)
-        )
+        .agg(F.coalesce(F.sum(f"_grb.{agg_col}"), F.lit(0)).alias(_OFF))
+    )
+
+
+def _ranked(
+    df: DataFrame, order_cols, num_partitions: int | None
+) -> tuple[DataFrame, DataFrame]:
+    """(rows with _gr_pid/_gr_off attached, per-pid counts relation)."""
+    cols = _as_cols(order_cols)
+    part = _range_partitioned(df, cols, num_partitions)
+    counts = part.groupBy(_PID).agg(F.count(F.lit(1)).alias(_CNT))
+    offs = _prefix_offsets(counts, _CNT).withColumn(
+        _OFF, F.col(_OFF).cast("long")
     )
     return part.join(F.broadcast(offs), _PID), counts
 
@@ -155,4 +168,95 @@ def with_global_ntile(
     )
 
 
-__all__ = ["with_global_rank", "with_global_ntile"]
+def with_global_cumsum(
+    df: DataFrame,
+    order_cols,
+    value_col: str,
+    out_col: str = "cumsum",
+    include_current: bool = True,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """``df`` + the exact running sum of ``value_col`` over the global
+    ``order_cols`` order (strict total order required), distributed the
+    same way as :func:`with_global_rank`: per-partition value totals give
+    exclusive prefix offsets, a partition-local running-sum window does
+    the rest. ``include_current=False`` gives the EXCLUSIVE prefix sum
+    (#/Σ of strictly-preceding rows — the building block for rank-of-
+    value-class midranks).
+
+    Exactness: the sum runs in ``value_col``'s own type, grouped by
+    partition — identical accumulation class as a no-partition window
+    (use integer/decimal values for cross-engine hashes; the module
+    contract's ordered-fold caveat for doubles applies to BOTH forms).
+    """
+    return _cumagg(
+        df, order_cols, value_col, out_col, "sum", include_current, num_partitions
+    )
+
+
+def with_global_cummax(
+    df: DataFrame,
+    order_cols,
+    value_col: str,
+    out_col: str = "cummax",
+    include_current: bool = True,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exact running MAX over the global order, same machinery as
+    :func:`with_global_cumsum` (max is associative, so per-partition
+    maxima combine with prefix maxima). With ``include_current=False``
+    the first row's prefix is NULL — matching a window frame with an
+    empty preceding range (the skyline/dominance convention)."""
+    return _cumagg(
+        df, order_cols, value_col, out_col, "max", include_current, num_partitions
+    )
+
+
+def _cumagg(
+    df: DataFrame,
+    order_cols,
+    value_col: str,
+    out_col: str,
+    agg: str,
+    include_current: bool,
+    num_partitions: int | None,
+) -> DataFrame:
+    cols = _as_cols(order_cols)
+    part = _range_partitioned(df, cols, num_partitions)
+    fn = F.sum if agg == "sum" else F.max
+    sums = part.groupBy(_PID).agg(fn(value_col).alias(_CNT))
+    a, b = sums.alias("_gra"), sums.alias("_grb")
+    offs = (
+        a.join(
+            F.broadcast(b),
+            F.col(f"_grb.{_PID}") < F.col(f"_gra.{_PID}"),
+            "left",
+        )
+        .groupBy(F.col(f"_gra.{_PID}").alias(_PID))
+        .agg(fn(f"_grb.{_CNT}").alias(_OFF))
+    )
+    lo = Window.unboundedPreceding
+    hi = 0 if include_current else -1
+    wloc = Window.partitionBy(_PID).orderBy(*cols).rowsBetween(lo, hi)
+    running = fn(value_col).over(wloc)
+    if agg == "sum":
+        zero = F.lit(0)
+        combined = F.coalesce(running, zero) + F.coalesce(F.col(_OFF), zero)
+    else:
+        # greatest skips NULLs (empty local frame / empty prefix) and is
+        # NULL only when BOTH are — exactly the empty-preceding-frame
+        # semantics of the window form
+        combined = F.greatest(running, F.col(_OFF))
+    return (
+        part.join(F.broadcast(offs), _PID)
+        .withColumn(out_col, combined)
+        .drop(_PID, _OFF)
+    )
+
+
+__all__ = [
+    "with_global_rank",
+    "with_global_ntile",
+    "with_global_cumsum",
+    "with_global_cummax",
+]

@@ -678,18 +678,31 @@ def q_docs_interleaved_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     from procurement_data_pipeline_spark.llm_ops.sampling import hash_key
     from pyspark.sql import Window
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
-    ranked = docs.withColumn(
-        "src_rank",
-        F.row_number()
-        .over(
-            Window.partitionBy("source").orderBy(hash_key("doc_id"), "doc_id")
-        )
-        .cast("long"),
+    from procurement_data_pipeline_spark.caching import scoped_persist
+    from procurement_data_pipeline_spark.operators.ranks import (
+        with_global_rank,
     )
-    return ranked.withColumn(
-        "global_pos",
-        (F.row_number().over(Window.orderBy("src_rank", "source")) - 1).cast(
-            "long"
-        ),
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    ranked = scoped_persist(
+        docs.withColumn(
+            "src_rank",
+            F.row_number()
+            .over(
+                Window.partitionBy("source").orderBy(hash_key("doc_id"), "doc_id")
+            )
+            .cast("long"),
+        )
+    )
+    # the interleave position is a global rank over DOC grain — use the
+    # distributed exact rank (operators/ranks.py), not a no-partition
+    # Window's single-partition sort; (src_rank, source) is a strict
+    # total order because src_rank is unique within each source
+    return with_global_rank(
+        ranked, [F.col("src_rank").asc(), F.col("source").asc()], "_gp"
+    ).select(
+        "doc_id",
+        "source",
+        "src_rank",
+        (F.col("_gp") - 1).cast("long").alias("global_pos"),
     )

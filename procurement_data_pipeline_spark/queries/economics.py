@@ -518,26 +518,43 @@ FROM m
     tags=("part", "economics", "statistics"),
 )
 def q_part_price_qty_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """One part-grain shuffle, two rank windows over the bounded part
-    dim, one 1-row moment readout. HUGEINT moments are safe here because
-    each is cast to double exactly ONCE and combined in pinned order —
-    and rank sums are dimension-bounded, far under 2^53 anyway."""
+    """One part-grain shuffle, then doubled midranks computed the
+    DISTRIBUTED way: group to value classes, exclusive-prefix-count the
+    classes with the exact global cumsum (operators/ranks.py — part grain
+    is sf-proportional, so the old no-partition rank windows rode one
+    task), and join the per-class midrank back by value. Identity:
+    2·rank + ties − 1 = 2·(#smaller) + ties + 1, all exact integers.
+    HUGEINT moments are safe here because each is cast to double exactly
+    ONCE and combined in pinned order."""
+    from procurement_data_pipeline_spark.caching import scoped_persist
+    from procurement_data_pipeline_spark.operators.ranks import (
+        with_global_cumsum,
+    )
+
     li = load_table(spark, sf_dir, "lineitem")
-    per_part = li.groupBy("l_partkey").agg(
-        F.sum(F.floor(F.col("l_extendedprice") * 100).cast("long")).alias("rev"),
-        F.sum(F.floor(F.col("l_quantity")).cast("long")).alias("qty"),
+    per_part = scoped_persist(
+        li.groupBy("l_partkey").agg(
+            F.sum(F.floor(F.col("l_extendedprice") * 100).cast("long")).alias("rev"),
+            F.sum(F.floor(F.col("l_quantity")).cast("long")).alias("qty"),
+        )
     )
-    rx = (
-        2 * F.rank().over(Window.orderBy("rev"))
-        + F.count(F.lit(1)).over(Window.partitionBy("rev"))
-        - 1
+
+    def midranks(col: str, out: str) -> DataFrame:
+        per_v = per_part.groupBy(col).agg(
+            F.count(F.lit(1)).cast("long").alias("_t")
+        )
+        per_v = with_global_cumsum(
+            per_v, [F.col(col).asc()], "_t", "_ce", include_current=False
+        )
+        return per_v.select(
+            col, (2 * F.col("_ce") + F.col("_t") + 1).alias(out)
+        )
+
+    ranked = (
+        per_part.join(midranks("rev", "rx"), "rev")
+        .join(midranks("qty", "ry"), "qty")
+        .select("rx", "ry")
     )
-    ry = (
-        2 * F.rank().over(Window.orderBy("qty"))
-        + F.count(F.lit(1)).over(Window.partitionBy("qty"))
-        - 1
-    )
-    ranked = per_part.select(rx.alias("rx"), ry.alias("ry"))
     dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
     m = ranked.agg(
         F.count(F.lit(1)).cast("long").alias("n"),

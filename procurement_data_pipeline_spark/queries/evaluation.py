@@ -549,9 +549,17 @@ FROM m CROSS JOIN ties t
     tags=("events", "experiment", "ranktest"),
 )
 def q_events_ab_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """One user_id shuffle, one global rank over the user grain (bounded
-    far below fact volume), two scalar aggregates. The doubled-rank trick
-    keeps every tie-averaged rank an exact integer end to end."""
+    """One user_id shuffle, then doubled midranks computed the
+    DISTRIBUTED way (operators/ranks.py — user grain is sf-proportional,
+    so the old no-partition rank window rode one task): group to value
+    classes, exclusive-prefix-count them with the exact global cumsum,
+    and map each user's value to 2·(#smaller) + ties + 1 (≡ 2·rank +
+    ties − 1). Two scalar aggregates close it out; every tie-averaged
+    rank stays an exact integer end to end."""
+    from procurement_data_pipeline_spark.operators.ranks import (
+        with_global_cumsum,
+    )
+
     ev = load_table(spark, sf_dir, "events")
     vm = F.floor(F.col("value") * 1000000).cast("long")
     split = F.lit(_SPLIT).cast("timestamp")
@@ -560,18 +568,18 @@ def q_events_ab_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum(F.when(F.col("ts") >= split, vm).otherwise(F.lit(0))).alias("y"))
         .select(_arm_col().alias("arm"), "y")
     )
-    r2 = (
-        2 * F.rank().over(Window.orderBy("y"))
-        + F.count(F.lit(1)).over(Window.partitionBy("y"))
-        - 1
+    per_y = with_global_cumsum(
+        per_user.groupBy("y").agg(F.count(F.lit(1)).cast("long").alias("t")),
+        [F.col("y").asc()],
+        "t",
+        "_ce",
+        include_current=False,
     )
-    ranked = per_user.select("arm", r2.alias("r2"))
+    ranked = per_user.join(per_y, "y").select(
+        "arm", (2 * F.col("_ce") + F.col("t") + 1).alias("r2")
+    )
     t = F.col("t").cast("decimal(38,0)")
-    ties = (
-        per_user.groupBy("y")
-        .agg(F.count(F.lit(1)).cast("long").alias("t"))
-        .agg(F.sum(t * t * t - t).alias("tcorr"))
-    )
+    ties = per_y.agg(F.sum(t * t * t - t).alias("tcorr"))
     is_a, is_b = F.col("arm") == "A", F.col("arm") == "B"
     m = ranked.agg(
         F.sum(F.when(is_a, 1).otherwise(0)).cast("long").alias("n_a"),

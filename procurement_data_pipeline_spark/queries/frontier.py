@@ -60,21 +60,38 @@ WHERE (best_cheaper IS NULL OR best_cheaper < p_size)
     tags=("part", "skyline", "pareto"),
 )
 def q_part_price_size_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from procurement_data_pipeline_spark.operators.ranks import (
+        with_global_cummax,
+    )
+
     p = load_table(spark, sf_dir, "part").select(
         "p_partkey",
         "p_size",
         cents("p_retailprice").alias("price_cents"),
     )
-    w_cheaper = Window.orderBy("price_cents").rangeBetween(
-        Window.unboundedPreceding, -1
+    # The dominance walk is a prefix-MAX over STRICTLY-CHEAPER price
+    # classes. The old RANGE-frame window over part grain was a
+    # single-partition sort; instead reduce to one row per price class
+    # (max size), run the distributed exact prefix max over the class
+    # relation (operators/ranks.py), and join both per-class values back —
+    # identical semantics: best_cheaper is NULL for the cheapest class
+    # (empty preceding range), best_same_price is the class max.
+    per_class = p.groupBy("price_cents").agg(
+        F.max("p_size").alias("best_same_price")
     )
-    w_same = Window.partitionBy("price_cents")
-    walked = p.select(
+    per_class = with_global_cummax(
+        per_class,
+        [F.col("price_cents").asc()],
+        "best_same_price",
+        "best_cheaper",
+        include_current=False,
+    )
+    walked = p.join(per_class, "price_cents").select(
         "p_partkey",
         "p_size",
         "price_cents",
-        F.max("p_size").over(w_cheaper).alias("best_cheaper"),
-        F.max("p_size").over(w_same).alias("best_same_price"),
+        "best_cheaper",
+        "best_same_price",
     )
     return walked.where(
         (F.col("best_cheaper").isNull() | (F.col("best_cheaper") < F.col("p_size")))

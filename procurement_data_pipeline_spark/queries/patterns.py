@@ -474,19 +474,34 @@ FROM agg
 )
 def q_supplier_spend_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Supplier spend-concentration dashboard: HHI, CR4, and Gini over
-    exact-cents revenue. The global windows run over the SUPPLIER-grain
-    rollup (dimension-sized), the same acceptable single-partition sort as
-    abc_part_classification; the fact table shuffles once on l_suppkey."""
-    li = load_table(spark, sf_dir, "lineitem")
-    rev = li.groupBy(F.col("l_suppkey").alias("suppkey")).agg(
-        F.sum(_disc_price_cents()).cast("decimal(38,0)").alias("rev_cents")
+    exact-cents revenue. Supplier grain is sf-proportional, so both global
+    ranks (asc for the Gini weight, desc for CR4 membership) use the
+    distributed exact rank (operators/ranks.py) instead of no-partition
+    windows — ranks are integers, every moment stays exact, hash
+    unchanged. The fact table still shuffles once on l_suppkey."""
+    from procurement_data_pipeline_spark.caching import scoped_persist
+    from procurement_data_pipeline_spark.operators.ranks import (
+        with_global_rank,
     )
-    asc = Window.orderBy(F.col("rev_cents").asc(), F.col("suppkey").asc())
-    desc = Window.orderBy(F.col("rev_cents").desc(), F.col("suppkey").asc())
-    ranked = rev.select(
+
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = scoped_persist(
+        li.groupBy(F.col("l_suppkey").alias("suppkey")).agg(
+            F.sum(_disc_price_cents()).cast("decimal(38,0)").alias("rev_cents")
+        )
+    )
+    asc_r = with_global_rank(
+        rev, [F.col("rev_cents").asc(), F.col("suppkey").asc()], "i_raw"
+    )
+    desc_r = with_global_rank(
+        rev.select("suppkey", "rev_cents"),
+        [F.col("rev_cents").desc(), F.col("suppkey").asc()],
+        "rd",
+    ).select("suppkey", "rd")
+    ranked = asc_r.join(desc_r, "suppkey").select(
         "rev_cents",
-        F.row_number().over(asc).cast("decimal(38,0)").alias("i"),
-        F.row_number().over(desc).alias("rd"),
+        F.col("i_raw").cast("decimal(38,0)").alias("i"),
+        "rd",
     )
     agg = ranked.agg(
         F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),

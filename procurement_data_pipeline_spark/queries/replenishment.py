@@ -422,16 +422,22 @@ def q_part_abc_xyz_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(_disc_price_cents()).alias("rev_cents")
         )
     )
-    w = Window.orderBy(F.col("rev_cents").desc(), F.col("partkey").asc())
-    cum_share = (
-        F.sum("rev_cents")
-        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
-        .cast("double")
-        / F.sum("rev_cents")
-        .over(w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
-        .cast("double")
+    # distributed exact Pareto cumsum over the sf-proportional part grain
+    # (operators/ranks.py) + a broadcast scalar total — replaces the old
+    # single-partition no-partition window; integer cents, hash unchanged
+    from procurement_data_pipeline_spark.operators.ranks import (
+        with_global_cumsum,
     )
-    abc = rev.select(
+
+    cum_df = with_global_cumsum(
+        rev,
+        [F.col("rev_cents").desc(), F.col("partkey").asc()],
+        "rev_cents",
+        "_cum",
+    )
+    tot0 = rev.agg(F.sum("rev_cents").alias("_tot"))
+    cum_share = F.col("_cum").cast("double") / F.col("_tot").cast("double")
+    abc = cum_df.crossJoin(F.broadcast(tot0)).select(
         "partkey",
         "rev_cents",
         F.when(cum_share <= 0.80, "A")

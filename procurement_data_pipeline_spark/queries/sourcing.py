@@ -350,21 +350,35 @@ def q_part_kraljic_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_partkey", "l_suppkey", cents("l_extendedprice").alias("val_c")
     )
-    stats = li.groupBy(F.col("l_partkey").alias("partkey")).agg(
-        F.sum(_dec(F.col("val_c"))).alias("spend_c"),
-        F.countDistinct("l_suppkey").cast("long").alias("n_supp"),
+    from procurement_data_pipeline_spark.caching import scoped_persist
+    from procurement_data_pipeline_spark.operators.ranks import (
+        with_global_rank,
+    )
+
+    stats = scoped_persist(
+        li.groupBy(F.col("l_partkey").alias("partkey")).agg(
+            F.sum(_dec(F.col("val_c"))).alias("spend_c"),
+            F.countDistinct("l_suppkey").cast("long").alias("n_supp"),
+        )
     )
 
     def median_of(col: str) -> DataFrame:
-        w = Window.orderBy(col, "partkey")
-        ranked = stats.select(
-            F.col(col).alias("v"),
-            F.row_number().over(w).alias("rn"),
-            F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+        # lower-median order statistic via the DISTRIBUTED exact rank
+        # (operators/ranks.py) — part grain is sf-proportional, so the
+        # old no-partition row_number window sorted it in one task
+        ranked = with_global_rank(
+            stats.select("partkey", F.col(col).alias("v")),
+            [F.col("v").asc(), F.col("partkey").asc()],
+            "rn",
         )
-        return ranked.filter(
-            F.col("rn") == F.floor((F.col("n") + 1) / F.lit(2.0)).cast("long")
-        ).select("v")
+        n = stats.agg(F.count(F.lit(1)).alias("n"))
+        return (
+            ranked.crossJoin(F.broadcast(n))
+            .filter(
+                F.col("rn") == F.floor((F.col("n") + 1) / F.lit(2.0)).cast("long")
+            )
+            .select("v")
+        )
 
     ms = median_of("spend_c").withColumnRenamed("v", "med_spend")
     mn = median_of("n_supp").withColumnRenamed("v", "med_supp")

@@ -598,22 +598,31 @@ FROM ranked
     tags=("procurement", "abc", "pareto"),
 )
 def q_abc_part_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ABC classification of parts by revenue contribution (cumulative
-    Pareto share over the part-grain rollup; both the running and the
-    total sum ride ONE window partition — no scalar-subquery join)."""
+    """ABC classification of parts by revenue contribution. The Pareto
+    running sum goes through the DISTRIBUTED exact cumsum
+    (operators/ranks.py) — part grain is sf-proportional, so the old
+    no-partition window rode ONE partition; the total is a broadcast
+    scalar. Integer cents keep both forms bit-identical."""
+    from procurement_data_pipeline_spark.caching import scoped_persist
+    from procurement_data_pipeline_spark.operators.ranks import (
+        with_global_cumsum,
+    )
+
     li = load_table(spark, sf_dir, "lineitem")
-    rev = li.groupBy(F.col("l_partkey").alias("partkey")).agg(
-        F.sum(_disc_price_cents()).alias("rev_cents")
+    rev = scoped_persist(
+        li.groupBy(F.col("l_partkey").alias("partkey")).agg(
+            F.sum(_disc_price_cents()).alias("rev_cents")
+        )
     )
-    w = Window.orderBy(F.col("rev_cents").desc(), F.col("partkey").asc())
-    cum = F.sum("rev_cents").over(
-        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum_df = with_global_cumsum(
+        rev,
+        [F.col("rev_cents").desc(), F.col("partkey").asc()],
+        "rev_cents",
+        "_cum",
     )
-    total = F.sum("rev_cents").over(
-        w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    )
-    share = cum.cast("double") / total.cast("double")
-    return rev.select(
+    tot = rev.agg(F.sum("rev_cents").alias("_tot"))
+    share = F.col("_cum").cast("double") / F.col("_tot").cast("double")
+    return cum_df.crossJoin(F.broadcast(tot)).select(
         "partkey",
         F.col("rev_cents").cast("long").alias("rev_cents"),
         share.alias("cum_share"),

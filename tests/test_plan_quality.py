@@ -96,6 +96,39 @@ BNLJ_ALLOWED = {
     # relation (≤32 rows here, ≤#cluster-partitions anywhere) — the same
     # bounded-scalar BNLJ class as the 1-row broadcasts above
     "supplier_spend_gini",  # triangular prefix-offset join (ranks.py)
+    "docs_interleaved_shuffle",  # triangular prefix-offset join (ranks.py)
+    "abc_part_classification",  # ranks.py offsets + 1-row Pareto-total scalar
+    "supplier_spend_concentration",  # two ranks.py triangular offset joins
+    "part_price_qty_spearman",  # two ranks.py offset joins (midrank classes)
+    "part_price_size_skyline",  # ranks.py offset join (prefix max over price classes)
+}
+
+# Queries where an Exchange SinglePartition feeding a Sort/Window is the
+# *intended* plan because the sorted relation is BOUNDED — by a calendar
+# span, a value domain, or a fixed dimension — never by corpus/fact rows.
+# Anything NOT listed here must compute global order the distributed way
+# (operators/ranks.py: range-partition + prefix offsets + local
+# row_number), which is how the 13 entity-grain offenders VERDICT r7
+# flagged were fixed in round 8. The stated bound is the allowlist
+# contract: if a query's input grain changes, its entry must be
+# re-justified.
+SP_SORT_ALLOWED = {
+    "docs_ks_lengths": "ECDF grid over DISTINCT n_chars values — bounded by the document-length domain, not corpus rows",
+    "docs_vocab_growth": "prefix window over the ~dozen geometric sample-size levels",
+    "emb_knn_auc": "ROC rank sweep over the bounded probe-set scores (N_QUERIES·k rows)",
+    "events_ewma_chart": "EWMA fold over day grain (~calendar span, ≤2.6k rows)",
+    "events_neyman_sample": "allocation walk over the 5-stratum relation",
+    "events_peak_concurrency": "carry window over calendar days (≤2.6k rows)",
+    "events_value_deciles": "DOCUMENTED exact-deciles contract — global sort declared weak-at-scale, approximate twin registered as the scale path",
+    "lineitem_volume_discount_curve": "quantity classes (~50 distinct integer quantities)",
+    "nation_budget_apportionment": "largest-remainder walk over the 25-nation relation",
+    "nation_part_lq": "location-quotient grid over nation x brand (25 x 25)",
+    "orders_forecast_backtest": "rolling-origin folds over day grain (~calendar span)",
+    "orders_logrank": "risk-set fold over distinct event days (~calendar span)",
+    "orders_monthly_growth": "month grain (~84 rows)",
+    "orders_open_backlog_daily": "interval sweep over calendar days (~2.5k rows, documented 100 TB-safe bound)",
+    "orders_seasonal_decompose": "day + weekday grains (~calendar span)",
+    "supplier_spend_lorenz": "cumulative share over the 10-row decile relation",
 }
 
 SF_DIR = "/root/testdata/sf0.001"
@@ -119,6 +152,22 @@ def test_nested_loop_joins_only_where_intended(audits):
         n for n, s in audits.items() if s["bnlj"] and n not in BNLJ_ALLOWED
     ]
     assert not offenders, f"unexpected BroadcastNestedLoopJoin in: {offenders}"
+
+
+def test_single_partition_sorts_only_where_bounded(audits):
+    """A no-partition Window compiles to Exchange SinglePartition + Sort —
+    one task sorts everything. Only bounded-grain relations may do that
+    (SP_SORT_ALLOWED states each bound); entity/fact-grain rank queries
+    use the distributed exact-rank path instead (operators/ranks.py)."""
+    offenders = [
+        n
+        for n, s in audits.items()
+        if s["single_partition_sorts"] and n not in SP_SORT_ALLOWED
+    ]
+    assert not offenders, (
+        f"unexpected single-partition sort in: {offenders} — use "
+        "operators/ranks.py or add a bounded-grain rationale"
+    )
 
 
 def test_filtered_scans_push_down(audits):

@@ -58,15 +58,27 @@ def _single_partition_sorts(plan: str) -> int:
         m = re.match(r"^([ :+|-]*)([A-Za-z][\w ]*?) \((\d+)\)\s*$", line)
         if m:
             tree.append((len(m.group(1)), m.group(2), m.group(3)))
+    def parent(i: int) -> tuple[int, str, str] | None:
+        for j in range(i - 1, -1, -1):
+            if tree[j][0] < tree[i][0]:
+                return tree[j]
+        return None
+
     counted: set[str] = set()
     for i, (indent, _name, nid) in enumerate(tree):
         if nid not in sp_ids or nid in counted:
             continue
-        for j in range(i - 1, -1, -1):
-            if tree[j][0] < indent:
-                if tree[j][1].startswith(("Sort", "Window")):
-                    counted.add(nid)
-                break
+        p = parent(i)
+        # exact "Sort" (SortAggregate must NOT match: a global aggregate
+        # choosing sort-based final aggregation exchanges one partial row
+        # per upstream partition — bounded, never whole-relation rows)
+        if p is None or not (p[1] == "Sort" or p[1].startswith("Window")):
+            continue
+        if p[1] == "Sort":
+            gp = parent(tree.index(p))
+            if gp is not None and gp[1] == "SortAggregate":
+                continue
+        counted.add(nid)
     return len(counted)
 
 
