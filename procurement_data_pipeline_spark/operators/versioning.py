@@ -790,6 +790,7 @@ def merge_into(
     key_col: str,
     when_matched: str = "update",
     validate: bool = True,
+    key_collect_threshold: int = 10_000,
 ) -> dict:
     """Copy-on-write MERGE: upsert (``when_matched='update'``) or targeted
     delete (``'delete'``) against the latest version, rewriting ONLY the
@@ -805,14 +806,31 @@ def merge_into(
     * delete: rows matching an update key are removed; only ``key_col``
       of ``updates`` is read.
 
-    Affected keys are collected to the driver for precise file pruning
-    (the same bounded-batch contract as operators/erasure.py — MERGE
-    batches are request-sized; chunk larger sets, each call is atomic).
-    Footer stats are float64-rounded, so envelopes are widened one ulp
-    each way — pruning can only ever keep extra files, never lose a match.
+    Two execution paths, chosen by the distinct-key count (measured with
+    ONE aggregate job that also validates non-null and, for updates,
+    key-uniqueness):
+
+    * ``n_keys <= key_collect_threshold`` — the request-sized path: keys
+      come to the driver, file pruning is the precise per-key bisect
+      against footer envelopes, matched rows filter via ``isin``.
+    * above it — the BACKFILL path (VERDICT r7 item 5): nothing key-
+      shaped ever reaches the driver. Files prune against the AGGREGATED
+      [min, max] of the update keys (coarser than per-key bisect, still
+      sound), and matched rows are removed with a distributed LEFT ANTI
+      join against the distinct update keys — Spark broadcasts or
+      shuffles it by size, and a 100k-key merge no longer embeds 100k
+      literals into the filter expression. NULL-keyed table rows survive
+      both forms: ``NULL = k`` is never true, so an anti-join keeps them
+      (the ``isin`` path guards explicitly).
+
+    Footer stats are float64-rounded, so numeric envelopes are widened
+    one ulp each way — pruning can only ever keep extra files, never
+    lose a match.
     """
     import bisect
     import math
+
+    from pyspark.sql import functions as F
 
     from procurement_data_pipeline_spark.operators.fileindex import (
         footer_stats,
@@ -832,30 +850,43 @@ def merge_into(
             raise ValueError(
                 f"updates schema {sorted(updates.columns)} != table {table_cols}"
             )
-    raw_keys = [
-        r[key_col] for r in updates.select(key_col).distinct().collect()
-    ]
-    if any(k is None for k in raw_keys):
-        raise ValueError("updates carry a NULL merge key — merge keys must be non-null")
-    keys = sorted(raw_keys)
-    if not keys:
+    prof = updates.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count(key_col).alias("n_nonnull"),
+        F.countDistinct(key_col).alias("n_keys"),
+        F.min(key_col).alias("kmin"),
+        F.max(key_col).alias("kmax"),
+    ).collect()[0]
+    if prof["n_rows"] == 0:
         raise ValueError("updates carry no keys")
-    if validate and when_matched == "update":
-        n_rows = updates.count()
-        if n_rows != len(keys):
-            raise ValueError(
-                f"updates must be key-unique: {n_rows} rows, {len(keys)} keys"
-            )
+    if prof["n_nonnull"] != prof["n_rows"]:
+        raise ValueError("updates carry a NULL merge key — merge keys must be non-null")
+    if validate and when_matched == "update" and prof["n_rows"] != prof["n_keys"]:
+        raise ValueError(
+            f"updates must be key-unique: {prof['n_rows']} rows, "
+            f"{prof['n_keys']} keys"
+        )
+    n_keys = prof["n_keys"]
+    keys: list | None = None
+    if n_keys <= key_collect_threshold:
+        keys = sorted(
+            r[key_col] for r in updates.select(key_col).distinct().collect()
+        )
 
-    if all(isinstance(k, (int, float)) and not isinstance(k, bool) for k in keys):
+    probe = keys[0] if keys is not None else prof["kmin"]
+    if isinstance(probe, (int, float)) and not isinstance(probe, bool):
         key_kind = "numeric"
-    elif all(isinstance(k, str) for k in keys):
+    elif isinstance(probe, str):
         # string keys prune too: parquet string stats may be truncated but
-        # remain valid bounds by spec (max padded upward), and the bisect
-        # envelope check needs only validity, never exactness
+        # remain valid bounds by spec (max padded upward), and the
+        # envelope checks need only validity, never exactness
         key_kind = "string"
     else:
         key_kind = None
+    if keys is not None and key_kind == "numeric" and not all(
+        isinstance(k, (int, float)) and not isinstance(k, bool) for k in keys
+    ):
+        key_kind = None  # mixed-typed key list: no safe envelope
     if key_kind and man["files"]:
         stats = footer_stats(
             spark,
@@ -870,8 +901,12 @@ def merge_into(
                 return True  # no stats → cannot prune
             if key_kind == "numeric":  # float64 envelope → ulp-widen
                 lo, hi = lo - math.ulp(lo), hi + math.ulp(hi)
-            i = bisect.bisect_left(keys, lo)
-            return i < len(keys) and keys[i] <= hi
+            if keys is not None:  # precise per-key bisect
+                i = bisect.bisect_left(keys, lo)
+                return i < len(keys) and keys[i] <= hi
+            # aggregated envelope: the file can match only if its range
+            # intersects [min(update keys), max(update keys)]
+            return not (hi < prof["kmin"] or lo > prof["kmax"])
 
         touched = [r["file"] for r in stats if admits(r)]
     else:
@@ -893,11 +928,23 @@ def merge_into(
         # (or fail unionByName with the updates)
         pinned = StructType.fromJson(json.loads(man["schema"]))
         old = spark.read.schema(pinned).parquet(*touched)
-        # NULL-keyed table rows are never "matched": ~isin over NULL is
-        # NULL (falsy) and would silently delete them — keep explicitly
-        parts.append(
-            old.filter(old[key_col].isNull() | ~old[key_col].isin(keys))
-        )
+        if keys is not None:
+            # NULL-keyed table rows are never "matched": ~isin over NULL
+            # is NULL (falsy) and would silently delete them — keep
+            # explicitly
+            parts.append(
+                old.filter(old[key_col].isNull() | ~old[key_col].isin(keys))
+            )
+        else:
+            # backfill path: distributed anti-join — no driver key list,
+            # no literal blow-up. NULL-keyed rows survive without a guard
+            # (NULL = k is never true, so the anti-join keeps them; the
+            # NULL-key regression test covers both branches).
+            parts.append(
+                old.join(
+                    updates.select(key_col).distinct(), on=key_col, how="left_anti"
+                )
+            )
     if when_matched == "update":
         parts.append(updates)
     new_files: list[str] = []
@@ -922,7 +969,7 @@ def merge_into(
         "schema": man["schema"],
         "merge": {
             "when_matched": when_matched,
-            "n_keys": len(keys),
+            "n_keys": int(n_keys),
             "files_rewritten": len(touched),
             "files_untouched": len(untouched),
         },

@@ -936,3 +936,75 @@ def test_delta_cadence_per_call_parameters(spark, tmp_path):
     assert _ids(read_table(spark, t)) == [1, 2, 3, 4, 5]
     with pytest.raises(ValueError, match="checkpoint_every"):
         versioned_write(spark, _df(spark, [6]), t, checkpoint_every=0)
+
+
+def test_merge_large_batch_antijoin_no_driver_key_list(spark, tmp_path, monkeypatch):
+    """VERDICT r7 item 5: above key_collect_threshold, MERGE must never
+    collect the key list to the driver (no isin literal blow-up) — files
+    prune via the aggregated [min, max] key envelope and matched rows
+    drop via a distributed anti-join. NULL-keyed table rows must survive
+    this path too."""
+    from pyspark.sql import functions as F
+
+    from procurement_data_pipeline_spark.operators.versioning import merge_into
+
+    t = str(tmp_path / "big")
+    base = spark.range(0, 200_000).select(
+        F.col("id"), F.concat(F.lit("r"), F.col("id")).alias("s")
+    ).repartition(4)
+    null_row = spark.createDataFrame([(None, "null-keyed")], "id long, s string")
+    versioned_write(spark, base.unionByName(null_row), t)
+
+    _dfcls = type(spark.range(1))  # the concrete (classic) DataFrame class
+
+    sizes: list[int] = []
+    real_collect = _dfcls.collect
+
+    def counting_collect(self):
+        out = real_collect(self)
+        sizes.append(len(out))
+        return out
+
+    monkeypatch.setattr(_dfcls, "collect", counting_collect)
+    dels = spark.range(30_000, 150_000).select(F.col("id"))
+    man = merge_into(spark, t, dels, key_col="id", when_matched="delete")
+    # every driver collect during the merge is metadata-bounded: the 1-row
+    # key profile and the per-FILE footer stats — never the 120k keys
+    assert sizes and max(sizes) <= man["n_files"] + len(man.get("removes", [])) + 8, sizes
+    assert man["merge"]["n_keys"] == 120_000
+    monkeypatch.setattr(_dfcls, "collect", real_collect)
+
+    got = read_table(spark, t)
+    assert got.count() == 200_000 - 120_000 + 1
+    assert got.filter("id IS NULL").count() == 1  # NULL-keyed row survived
+    assert got.filter("id >= 30000 AND id < 150000").count() == 0
+    assert got.filter("id = 29999 OR id = 150000").count() == 2
+
+
+def test_merge_large_batch_update_upserts(spark, tmp_path):
+    """The anti-join path for when_matched='update': matched rows replaced,
+    unmatched update rows inserted, key-uniqueness still validated via the
+    aggregate profile (no count() second job on the driver key list)."""
+    from pyspark.sql import functions as F
+
+    from procurement_data_pipeline_spark.operators.versioning import merge_into
+
+    t = str(tmp_path / "upd")
+    base = spark.range(0, 50_000).select(
+        F.col("id"), F.lit("old").alias("s")
+    )
+    versioned_write(spark, base, t)
+    ups = spark.range(20_000, 60_000).select(
+        F.col("id"), F.lit("new").alias("s")
+    )
+    merge_into(spark, t, ups, key_col="id", key_collect_threshold=100)
+    got = read_table(spark, t)
+    assert got.count() == 60_000
+    assert got.filter("s = 'new'").count() == 40_000
+    assert got.filter("id < 20000 AND s <> 'old'").count() == 0
+    # duplicate update keys must still refuse on the big path
+    dup = ups.unionByName(ups.limit(1))
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="key-unique"):
+        merge_into(spark, t, dup, key_col="id", key_collect_threshold=100)
