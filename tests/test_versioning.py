@@ -1008,3 +1008,63 @@ def test_merge_large_batch_update_upserts(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="key-unique"):
         merge_into(spark, t, dup, key_col="id", key_collect_threshold=100)
+
+
+def test_concurrent_append_writers_race_delta_chain_liveness(spark, tmp_path):
+    """Stretch (VERDICT r7 item 8): two write_with_retry writers racing
+    APPENDS under forced delta cadence, crossing a forced-checkpoint
+    version. Liveness: all batches commit; every committed version
+    resolves through _resolve_manifest; the forced-full versions are full
+    manifests; the final table is the union of every batch; and no
+    .ctmp-* orphans remain in the log."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from procurement_data_pipeline_spark.operators.erasure import _fs_path
+    from procurement_data_pipeline_spark.operators.versioning import (
+        _list_versions,
+        _read_manifest,
+        _resolve_manifest,
+        write_with_retry,
+    )
+
+    t = str(tmp_path / "race")
+    versioned_write(spark, _df(spark, [0]), t, delta_min_files=1, checkpoint_every=4)
+
+    def writer(lo: int) -> list[int]:
+        out = []
+        for k in range(4):  # 2 writers x 4 batches → 9 versions (spans v4, v8)
+            ids = [lo + 10 * k + j for j in range(2)]
+            man = write_with_retry(
+                spark,
+                _df(spark, ids),
+                t,
+                retries=10,
+                delta_min_files=1,
+                checkpoint_every=4,
+            )
+            out.append(man["version"])
+        return out
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f1 = pool.submit(writer, 100)
+        f2 = pool.submit(writer, 200)
+        v1, v2 = f1.result(timeout=300), f2.result(timeout=300)
+
+    versions = _list_versions(spark, t)
+    assert versions == list(range(1, 10))  # 1 seed + 8 batches, no gaps
+    assert sorted(v1 + v2) == list(range(2, 10))  # every batch won exactly once
+    for v in versions:
+        man = _resolve_manifest(spark, t, v)  # must never raise
+        assert man["files"], v
+        raw = _read_manifest(spark, t, v)
+        if v % 4 == 0 or v == 1:
+            assert "delta_of" not in raw, v  # forced full at the cadence
+        else:
+            assert raw["delta_of"] == v - 1, v
+    expected = {0}
+    for lo in (100, 200):
+        expected |= {lo + 10 * k + j for k in range(4) for j in range(2)}
+    assert set(_ids(read_table(spark, t))) == expected
+    fs, log_p, _ = _fs_path(spark, t + "/_log")
+    names = [st.getPath().getName() for st in fs.listStatus(log_p)]
+    assert not [n for n in names if n.startswith(".ctmp-") or n.startswith(".tmp-")]
