@@ -182,6 +182,11 @@ def main() -> None:
         # Round-7 tier (compound/clustered data skipping):
         "versioned_compound_scan",
         "versioned_clustered_scan",
+        # Round-8 tier (incremental delta manifests: chain fold + vacuum
+        # checkpoint, CDF adds-union fast path, stats_adds-folded pruning):
+        "versioned_delta_chain",
+        "versioned_delta_cdf",
+        "versioned_delta_pruned",
     ]
     extended_specs = {n: specs[n] for n in extended_names if n in specs}
     unknown_extended = [n for n in extended_names if n not in specs]

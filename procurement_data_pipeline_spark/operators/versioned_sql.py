@@ -186,16 +186,22 @@ def sql(spark: SparkSession, statement: str) -> DataFrame:
             stats_cols=kw.get("stats_cols"),
             cluster_by=kw.get("cluster_by"),
             cluster_files=kw.get("cluster_files"),
+            delta_min_files=kw.get("delta_min_files"),
+            checkpoint_every=kw.get("checkpoint_every"),
         )
         return _manifest_df(spark, man)
     if cmd == "merge":
         path, source = args
+        merge_kw = {}
+        if "key_collect_threshold" in kw:  # keep merge_into's default otherwise
+            merge_kw["key_collect_threshold"] = kw["key_collect_threshold"]
         man = V.merge_into(
             spark,
             path,
             spark.table(source),
             key_col=kw["key_col"],
             when_matched=kw.get("when_matched", "update"),
+            **merge_kw,
         )
         return _manifest_df(spark, man)
     if cmd == "rollback":

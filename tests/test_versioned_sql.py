@@ -221,3 +221,24 @@ def test_sql_changes_feed(spark, tmp_path):
     assert [(r["id"], r["change_type"]) for r in feed] == [(1, "delete")]
     for v in ("c1", "c2", "cdel"):
         spark.catalog.dropTempView(v)
+
+
+def test_call_write_cadence_and_merge_threshold_params(spark, tmp_path):
+    """Round-8 knobs reach the SQL surface: delta cadence on CALL write,
+    key_collect_threshold on CALL merge (forcing the anti-join path)."""
+    from procurement_data_pipeline_spark.operators.versioned_sql import sql
+    from procurement_data_pipeline_spark.operators.versioning import (
+        _read_manifest,
+        read_table,
+    )
+
+    t = str(tmp_path / "tbl")
+    spark.createDataFrame([(1, "a"), (2, "b")], "id long, s string").createOrReplaceTempView("src8a")
+    spark.createDataFrame([(3, "c")], "id long, s string").createOrReplaceTempView("src8b")
+    sql(spark, f"CALL versioned.write('{t}', 'src8a', delta_min_files => 1, checkpoint_every => 4)")
+    sql(spark, f"CALL versioned.write('{t}', 'src8b', delta_min_files => 1, checkpoint_every => 4)")
+    assert _read_manifest(spark, t, 2)["delta_of"] == 1
+    spark.createDataFrame([(2, "B"), (3, "C")], "id long, s string").createOrReplaceTempView("ups8")
+    sql(spark, f"CALL versioned.merge('{t}', 'ups8', key_col => 'id', key_collect_threshold => 1)")
+    got = {r["id"]: r["s"] for r in read_table(spark, t).collect()}
+    assert got == {1: "a", 2: "B", 3: "C"}
