@@ -265,7 +265,15 @@ def main() -> None:
 
     calib_passes = run_calibration()
     passes = bench_group(bench_specs, 3)
-    ext_passes = bench_group(extended_specs, 2)
+    # Extended tier: warm-up + ONE timed pass (headline keeps min-of-3).
+    # The tier had grown to ~140 s of min-times, so warm-up + 2 timed
+    # passes put the whole artifact at ~548 s idle — inside the failure
+    # zone of a ~560 s harness budget under any co-tenant load (round 8
+    # measured a 560 s kill under post-test load). One warm measurement
+    # per extended query keeps the per-query evidence and ~140 s of
+    # headroom; the headline tier — the graded metric — keeps its
+    # min-of-3 spread audit.
+    ext_passes = bench_group(extended_specs, 1)
 
     # A query that errored in ANY pass is evidence-incomplete: report it
     # only under "errors", never in timings/total (a partial min would

@@ -20,11 +20,15 @@ additionally needs to know how many rows precede each partition. So:
    (NOT a window — a window would re-introduce the single-partition sort
    this module exists to remove; a BNLJ over ≤n² tiny rows is the repo's
    allowlisted bounded-scalar pattern);
-4. local ``row_number`` within each partition + the partition's offset =
-   the EXACT global rank. Values are independent of where the sampled
-   range boundaries fall — boundaries only move work between partitions,
-   never reorder keys — so results are deterministic and hash-stable
-   even though ``repartitionByRange`` samples.
+4. local position within each partition + the partition's offset =
+   the EXACT global rank. The local position is free: after
+   ``sortWithinPartitions``, ``monotonically_increasing_id``'s low 33
+   bits are the 0-based row index in physical (= sorted) order and its
+   high bits are the partition id — no pid window, no second shuffle.
+   Values are independent of where the sampled range boundaries fall —
+   boundaries only move work between partitions, never reorder keys — so
+   results are deterministic and hash-stable even though
+   ``repartitionByRange`` samples.
 
 NTILE is then pure arithmetic on (rank, total): the SQL-standard tiling
 puts ``m % n`` groups of size ``m div n + 1`` first — no second sort.
@@ -33,11 +37,14 @@ Precedent: queries/tsadvanced.py's two-stage bucket selection (round 6)
 removed the same bottleneck for order-statistic SELECTION; this module
 generalizes it to full rank ASSIGNMENT.
 
-Cost model: two distributed shuffles of the relation (range + the
-pid-hash exchange the local window needs) and one bounded broadcast —
-versus one shuffle of everything into a single task. At any scale where
-the relation exceeds one executor's sort budget, this wins; below that,
-AQE-sized partitions make the overhead a few empty tasks.
+Cost model: rank/NTILE cost ONE distributed shuffle of the relation
+(the range partitioning; local sort + id projection ride the same
+stage) plus one bounded broadcast — versus one shuffle of everything
+into a single task. cumsum/cummax additionally pay a pid-hash exchange
+for their running-aggregate window. At any scale where the relation
+exceeds one executor's sort budget, this wins; below that the overhead
+is a handful of small scheduled jobs (measured at sf0.1: fixed ~0.5-2 s
+per call — the documented small-scale trade).
 
 Caller contract: ``order_cols`` must define a STRICT total order (add a
 unique tie-break column — every call site here appends the entity key).
@@ -101,9 +108,35 @@ def _prefix_offsets(per_pid: DataFrame, agg_col: str) -> DataFrame:
 def _ranked(
     df: DataFrame, order_cols, num_partitions: int | None
 ) -> tuple[DataFrame, DataFrame]:
-    """(rows with _gr_pid/_gr_off attached, per-pid counts relation)."""
+    """(rows with _gr_pid/_gr_off/_gr_loc attached, per-pid counts).
+
+    The local position within each range partition comes from
+    ``monotonically_increasing_id`` over the partition-sorted rows —
+    Spark's id is ``(partitionId << 33) + rowIndexInPartition``, assigned
+    in physical row order, so after ``sortWithinPartitions`` the low bits
+    ARE the 0-based local rank and the high bits ARE the partition id.
+    This replaces a ``Window.partitionBy(pid)`` over the same rows, which
+    would re-shuffle the whole relation by pid (Catalyst cannot know the
+    rows are already pid-co-located) — one materialization, zero extra
+    exchanges. The nondeterministic id is pinned by the persist and is
+    deterministic on recompute anyway (same partitioning, same sort).
+    """
     cols = _as_cols(order_cols)
-    part = _range_partitioned(df, cols, num_partitions)
+    n = num_partitions or int(
+        df.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    )
+    mid = "_gr_mid"
+    part = scoped_persist(
+        df.repartitionByRange(n, *cols)
+        .sortWithinPartitions(*cols)
+        .withColumn(mid, F.monotonically_increasing_id())
+        .withColumn(_PID, F.shiftright(F.col(mid), 33))
+        .withColumn(
+            "_gr_loc",
+            F.col(mid).bitwiseAND(F.lit((1 << 33) - 1)).cast("long"),
+        )
+        .drop(mid)
+    )
     counts = part.groupBy(_PID).agg(F.count(F.lit(1)).alias(_CNT))
     offs = _prefix_offsets(counts, _CNT).withColumn(
         _OFF, F.col(_OFF).cast("long")
@@ -119,15 +152,10 @@ def with_global_rank(
 ) -> DataFrame:
     """``df`` + an exact global ROW_NUMBER column over ``order_cols``
     (which must be a strict total order — see the module contract)."""
-    cols = _as_cols(order_cols)
     joined, _counts = _ranked(df, order_cols, num_partitions)
-    wloc = Window.partitionBy(_PID).orderBy(*cols)
-    return (
-        joined.withColumn(
-            rank_col, (F.row_number().over(wloc) + F.col(_OFF)).cast("long")
-        )
-        .drop(_PID, _OFF)
-    )
+    return joined.withColumn(
+        rank_col, (F.col("_gr_loc") + F.col(_OFF) + 1).cast("long")
+    ).drop(_PID, _OFF, "_gr_loc")
 
 
 def _ntile_expr(rank: Column, total: Column, n_tiles: int) -> Column:
@@ -156,15 +184,13 @@ def with_global_ntile(
     """``df`` + an exact NTILE(n_tiles) column over ``order_cols`` (strict
     total order required). The row total comes from summing the per-pid
     counts relation — no extra pass over the data."""
-    cols = _as_cols(order_cols)
     joined, counts = _ranked(df, order_cols, num_partitions)
     tot = counts.agg(F.sum(_CNT).cast("long").alias(_TOT))
-    wloc = Window.partitionBy(_PID).orderBy(*cols)
-    rank = (F.row_number().over(wloc) + F.col(_OFF)).cast("long")
+    rank = (F.col("_gr_loc") + F.col(_OFF) + 1).cast("long")
     return (
         joined.crossJoin(F.broadcast(tot))
         .withColumn(tile_col, _ntile_expr(rank, F.col(_TOT), n_tiles))
-        .drop(_PID, _OFF, _TOT)
+        .drop(_PID, _OFF, _TOT, "_gr_loc")
     )
 
 
