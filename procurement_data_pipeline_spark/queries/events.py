@@ -705,16 +705,21 @@ GROUP BY decile
     tags=("events", "window", "ntile"),
 )
 def q_events_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact equi-depth deciles of event value (ntile over a total order).
-    The global-order window is the documented cost: ONE single-partition
-    sort of (vm, event_id) pairs — acceptable because only two skinny
-    columns shuffle, and the scale path for full-width rows is
-    events_value_quantiles_approx's mergeable sketches."""
+    """Exact equi-depth deciles of event value. This was the ONE declared
+    FACT-grain global-order window (documented single-partition cost,
+    skinny columns); round 8's distributed exact NTILE
+    (operators/ranks.py) removes even that — the (vm, event_id) relation
+    range-partitions and never funnels through one task. The approximate
+    sketch twin remains the cheap path when exactness isn't required."""
+    from procurement_data_pipeline_spark.operators.ranks import (
+        with_global_ntile,
+    )
+
     ev = load_table(spark, sf_dir, "events").select(
         "event_id", F.floor(F.col("value") * 1000000).cast("long").alias("vm")
     )
-    t = ev.withColumn(
-        "decile", F.ntile(10).over(Window.orderBy("vm", "event_id"))
+    t = with_global_ntile(
+        ev, [F.col("vm").asc(), F.col("event_id").asc()], 10, "decile"
     )
     return t.groupBy(F.col("decile").cast("int").alias("decile")).agg(
         F.count(F.lit(1)).alias("n"),

@@ -101,6 +101,7 @@ BNLJ_ALLOWED = {
     "supplier_spend_concentration",  # two ranks.py triangular offset joins
     "part_price_qty_spearman",  # two ranks.py offset joins (midrank classes)
     "part_price_size_skyline",  # ranks.py offset join (prefix max over price classes)
+    "events_value_deciles",  # ranks.py offset join + 1-row total scalar
 }
 
 # Queries where an Exchange SinglePartition feeding a Sort/Window is the
@@ -119,7 +120,6 @@ SP_SORT_ALLOWED = {
     "events_ewma_chart": "EWMA fold over day grain (~calendar span, ≤2.6k rows)",
     "events_neyman_sample": "allocation walk over the 5-stratum relation",
     "events_peak_concurrency": "carry window over calendar days (≤2.6k rows)",
-    "events_value_deciles": "DOCUMENTED exact-deciles contract — global sort declared weak-at-scale, approximate twin registered as the scale path",
     "lineitem_volume_discount_curve": "quantity classes (~50 distinct integer quantities)",
     "nation_budget_apportionment": "largest-remainder walk over the 25-nation relation",
     "nation_part_lq": "location-quotient grid over nation x brand (25 x 25)",
