@@ -55,12 +55,20 @@ def test_no_targeted_headline_regression():
     if len(shared) < 5:
         pytest.skip("headline sets barely overlap — nothing comparable")
     ratios = {q: new["queries"][q] / old["queries"][q] for q in shared}
-    # normalize by the ambient factor: calibration when both sides have it,
-    # else the median ratio (the round-5 uniform-shift heuristic)
+    # Ambient normalization: the gate's target is a NON-uniform move — a
+    # query shifting >25% against its PEERS. The CPU calibration row only
+    # sees compute contention; round 8 measured a uniform ~×1.11 drift
+    # across every headline query (including ones reading disjoint files)
+    # while calibration sat at ×1.03 — IO/page-cache ambient the CPU
+    # dipstick cannot remove, with DIFFERENT queries crossing the
+    # threshold on each rerun (noise, not a plan change). So the ambient
+    # factor is the LARGER of the calibration ratio and the median peer
+    # ratio: uniform drift divides out either way, while a genuinely
+    # targeted regression (one query moving while peers sit still) leaves
+    # the median ≈1 and still fails the gate.
+    ambient = statistics.median(ratios.values())
     if old.get("calibration_sec") and new.get("calibration_sec"):
-        ambient = new["calibration_sec"] / old["calibration_sec"]
-    else:
-        ambient = statistics.median(ratios.values())
+        ambient = max(ambient, new["calibration_sec"] / old["calibration_sec"])
     normalized = {q: r / ambient for q, r in ratios.items()}
     offenders = {
         q: round(r, 2) for q, r in normalized.items() if r > TARGETED
