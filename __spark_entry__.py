@@ -176,6 +176,10 @@ GRADE_OVERFLOW = frozenset(
         "versioned_delta_chain",
         "versioned_delta_cdf",
         "versioned_delta_pruned",
+        # round-8 (late): SemDeDup — kmeans-bucketed near-dup flags; new
+        # oracle-backed capability, lands in overflow like all post-pin
+        # registrations (promotion is a deliberate rotation, never drift):
+        "emb_semantic_dedup",
         "docs_pack_sequences_2level",
         "docs_corpus_mix_temperature",
         "docs_quality_weighted_sample",

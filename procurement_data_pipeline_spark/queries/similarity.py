@@ -722,3 +722,51 @@ def q_emb_label_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.lit(1000000.0)
         ).alias("centroid_drift")
     )
+
+
+@register(
+    "emb_semantic_dedup",
+    # SemDeDup (Abbas et al. 2023): k-means-bucketed near-dup detection —
+    # the published recipe for embedding dedup at web-corpus scale. The
+    # oracle composes the DECLARED emb_kmeans oracle (assignment can never
+    # drift), scores within-cluster pairs under the quantized-dot contract
+    # used by emb_cosine_neardup, and emits corpus-shaped integer flags:
+    # keep-first semantics (a point is dup iff a smaller-id co-clustered
+    # point is within the threshold), so kept set == is_dup = 0.
+    oracle=f"""
+WITH asg AS ({{KMEANS}}),
+n AS (
+  SELECT vec_id, embedding,
+         sqrt(CAST({_QDOT.format(a='embedding', b='embedding')} AS DOUBLE)) AS nrm
+  FROM embeddings
+),
+dup AS (
+  SELECT aa.vec_id AS vid, CAST(COUNT(*) AS BIGINT) AS n_dup_smaller
+  FROM asg aa
+  JOIN asg bb ON aa.cluster = bb.cluster AND bb.vec_id < aa.vec_id
+  JOIN n a ON a.vec_id = aa.vec_id
+  JOIN n b ON b.vec_id = bb.vec_id
+  WHERE CAST({_QDOT.format(a='a.embedding', b='b.embedding')} AS DOUBLE)
+        / (a.nrm * b.nrm) >= {NEARDUP_THRESHOLD}
+  GROUP BY aa.vec_id
+)
+SELECT asg.vec_id, asg.cluster,
+       CAST(COALESCE(dup.n_dup_smaller, 0) AS BIGINT) AS n_dup_smaller,
+       CAST(CASE WHEN COALESCE(dup.n_dup_smaller, 0) > 0 THEN 1 ELSE 0 END
+            AS INTEGER) AS is_dup
+FROM asg LEFT JOIN dup ON dup.vid = asg.vec_id
+""".replace("{KMEANS}", REGISTRY["emb_kmeans"].oracle),
+    tags=("similarity", "llm", "dedup", "clustering"),
+)
+def q_emb_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup: within-k-means-cluster exact near-dup flags — the
+    clustering bounds the pair scan (O(Σ|cluster|²), not O(n²)); within a
+    cluster no false positive is possible and every co-clustered exact
+    pair is found (recall contract in llm_ops.similarity.semantic_dedup).
+    Registered at the same τ as emb_cosine_neardup so the two queries
+    measure the same ground truth through exact vs bucketed plans."""
+    from procurement_data_pipeline_spark.llm_ops.similarity import semantic_dedup
+
+    return semantic_dedup(
+        load_table(spark, sf_dir, "embeddings"), threshold=NEARDUP_THRESHOLD
+    )

@@ -1,0 +1,117 @@
+"""SemDeDup (kmeans-bucketed near-dup) contract tests.
+
+The recall contract of llm_ops.similarity.semantic_dedup is checked
+against ground truth built from the same module's exact primitives:
+within a cluster the scan is exact (no false positives, no co-clustered
+misses); only cross-cluster pairs can be missed.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from procurement_data_pipeline_spark.llm_ops.similarity import (
+    cosine_neardup_pairs,
+    kmeans_assign,
+    semantic_dedup,
+)
+from procurement_data_pipeline_spark.sources.tables import load_table
+
+THRESHOLD = 0.35
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return load_table(spark, sf_dir, "embeddings").cache()
+
+
+@pytest.fixture(scope="module")
+def result(emb):
+    return semantic_dedup(emb, threshold=THRESHOLD).collect()
+
+
+@pytest.fixture(scope="module")
+def truth(emb):
+    """(exact near-dup pairs, cluster assignment) — ground truth from the
+    module's own exact primitives under identical parameters."""
+    pairs = {
+        (r["vec_a"], r["vec_b"])
+        for r in cosine_neardup_pairs(emb, threshold=THRESHOLD).collect()
+    }
+    clusters = {
+        r["vec_id"]: r["cluster"] for r in kmeans_assign(emb).collect()
+    }
+    return pairs, clusters
+
+
+def test_corpus_shaped_output(result, emb):
+    assert len(result) == emb.count()
+    assert len({r["vec_id"] for r in result}) == len(result)
+
+
+def test_exactly_the_coclustered_pairs(result, truth):
+    """n_dup_smaller is EXACTLY the number of smaller-id co-clustered
+    exact near-dup partners: no false positives (pairs invented), no
+    co-clustered misses — both directions in one equality."""
+    pairs, clusters = truth
+    expect = {r_id: 0 for r_id in clusters}
+    for a, b in pairs:  # a < b by cosine_neardup_pairs contract
+        if clusters[a] == clusters[b]:
+            expect[b] += 1
+    got = {r["vec_id"]: r["n_dup_smaller"] for r in result}
+    assert got == expect
+
+
+def test_flag_consistent_with_count(result):
+    for r in result:
+        assert r["is_dup"] == (1 if r["n_dup_smaller"] > 0 else 0)
+        assert r["n_dup_smaller"] >= 0
+
+
+def test_cluster_matches_kmeans(result, truth):
+    _, clusters = truth
+    for r in result:
+        assert r["cluster"] == clusters[r["vec_id"]]
+
+
+def test_integer_schema(emb):
+    df = semantic_dedup(emb, threshold=THRESHOLD)
+    kinds = dict(df.dtypes)
+    assert kinds == {
+        "vec_id": "bigint",
+        "cluster": "int",
+        "n_dup_smaller": "bigint",
+        "is_dup": "int",
+    }
+
+
+def test_kept_set_covers_every_dup_group(result, truth):
+    """Keep-first semantics: for every flagged duplicate there is a kept
+    (is_dup=0) smaller-id point reachable in its cluster's dup graph —
+    i.e. dedup never deletes an entire near-dup group."""
+    pairs, clusters = truth
+    flagged = {r["vec_id"] for r in result if r["is_dup"] == 1}
+    kept = {r["vec_id"] for r in result if r["is_dup"] == 0}
+    for v in flagged:
+        partners = {
+            a for (a, b) in pairs if b == v and clusters[a] == clusters[v]
+        }
+        assert partners, v
+        assert min(partners) < v
+        # the minimum-id member of any group is never flagged by smaller
+        # partners outside its own group only if the chain bottoms out in
+        # a kept point; walk down the smallest-partner chain
+        cur = v
+        seen = set()
+        while cur in flagged and cur not in seen:
+            seen.add(cur)
+            smaller = {
+                a
+                for (a, b) in pairs
+                if b == cur and clusters[a] == clusters[cur]
+            }
+            if not smaller:
+                break
+            cur = min(smaller)
+        assert cur in kept, (v, cur)
