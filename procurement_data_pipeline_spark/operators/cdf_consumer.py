@@ -106,7 +106,15 @@ def _migrate_legacy_cursor(spark: SparkSession, cursor_path: str) -> None:
         else:
             fs.mkdirs(p)
         fs.delete(legacy, False)
-    _MIGRATED.add(key)
+        _MIGRATED.add(key)  # migration committed — the path is a directory
+    # Fall-through (path absent, no parked sibling): nothing to migrate YET
+    # — deliberately NOT memoized. A not-yet-created cursor can still gain
+    # a legacy single-file cursor from an old-version writer in a rolling
+    # deploy; memoizing here would hide that file from every later poll of
+    # this process (read_cursor would report 0 and replay handled ranges,
+    # and _advance_cursor's mkdirs would fail over the file). The probe
+    # stays cheap: the first _advance_cursor creates the directory and the
+    # next poll memoizes through the directory branch above.
 
 
 def read_cursor(spark: SparkSession, cursor_path: str) -> int:

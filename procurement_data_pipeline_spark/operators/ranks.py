@@ -89,11 +89,22 @@ def _range_partitioned(
     )
 
 
-def _prefix_offsets(per_pid: DataFrame, agg_col: str) -> DataFrame:
-    """Exclusive prefix totals of ``agg_col`` over the ≤n-row per-pid
+def _prefix_offsets(
+    per_pid: DataFrame,
+    agg_col: str,
+    fn=F.sum,
+    coalesce_zero: bool = True,
+) -> DataFrame:
+    """Exclusive prefix aggregates of ``agg_col`` over the ≤n-row per-pid
     relation, via the broadcast triangular join (NOT a window — a window
-    would re-introduce the single-partition sort this module removes)."""
+    would re-introduce the single-partition sort this module removes).
+    ``coalesce_zero=False`` keeps the empty prefix NULL (cummax's
+    empty-preceding-frame semantics); the default 0 is the rank/cumsum
+    identity."""
     a, b = per_pid.alias("_gra"), per_pid.alias("_grb")
+    agg = fn(f"_grb.{agg_col}")
+    if coalesce_zero:
+        agg = F.coalesce(agg, F.lit(0))
     return (
         a.join(
             F.broadcast(b),
@@ -101,7 +112,7 @@ def _prefix_offsets(per_pid: DataFrame, agg_col: str) -> DataFrame:
             "left",
         )
         .groupBy(F.col(f"_gra.{_PID}").alias(_PID))
-        .agg(F.coalesce(F.sum(f"_grb.{agg_col}"), F.lit(0)).alias(_OFF))
+        .agg(agg.alias(_OFF))
     )
 
 
@@ -251,16 +262,10 @@ def _cumagg(
     part = _range_partitioned(df, cols, num_partitions)
     fn = F.sum if agg == "sum" else F.max
     sums = part.groupBy(_PID).agg(fn(value_col).alias(_CNT))
-    a, b = sums.alias("_gra"), sums.alias("_grb")
-    offs = (
-        a.join(
-            F.broadcast(b),
-            F.col(f"_grb.{_PID}") < F.col(f"_gra.{_PID}"),
-            "left",
-        )
-        .groupBy(F.col(f"_gra.{_PID}").alias(_PID))
-        .agg(fn(f"_grb.{_CNT}").alias(_OFF))
-    )
+    # empty prefix stays NULL here: cumsum coalesces below (sum identity 0
+    # would also work, but the value column's own type must be preserved),
+    # cummax NEEDS the NULL (empty-preceding-frame semantics)
+    offs = _prefix_offsets(sums, _CNT, fn=fn, coalesce_zero=False)
     lo = Window.unboundedPreceding
     hi = 0 if include_current else -1
     wloc = Window.partitionBy(_PID).orderBy(*cols).rowsBetween(lo, hi)

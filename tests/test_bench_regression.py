@@ -66,9 +66,26 @@ def test_no_targeted_headline_regression():
     # ratio: uniform drift divides out either way, while a genuinely
     # targeted regression (one query moving while peers sit still) leaves
     # the median ≈1 and still fails the gate.
-    ambient = statistics.median(ratios.values())
+    peer = statistics.median(ratios.values())
+    cal = None
     if old.get("calibration_sec") and new.get("calibration_sec"):
-        ambient = max(ambient, new["calibration_sec"] / old["calibration_sec"])
+        cal = new["calibration_sec"] / old["calibration_sec"]
+    # Guard the guard (code-review r8): peer-median ambient must itself be
+    # explainable — if EVERY query slowed >25% beyond what the CPU
+    # calibration accounts for, that is a code regression in a shared path
+    # (session config, common scan wrapper), not weather, and letting the
+    # median divide itself out would hide it. The measured round-8 IO
+    # drift sat ~8% above calibration, far inside this bound; a machine
+    # drifting worse than 25% is unmeasurable anyway and a loud failure
+    # prompting an idle rerun is the correct behavior.
+    if cal is not None:
+        assert peer <= cal * TARGETED, (
+            f"UNIFORM bench slowdown: median peer ratio x{peer:.2f} vs "
+            f"calibration x{cal:.2f} — every headline query slowed beyond "
+            "ambient headroom; suspect a shared-path code regression (or "
+            "rerun idle if the machine was loaded)"
+        )
+    ambient = peer if cal is None else max(peer, cal)
     normalized = {q: r / ambient for q, r in ratios.items()}
     offenders = {
         q: round(r, 2) for q, r in normalized.items() if r > TARGETED

@@ -228,3 +228,28 @@ def test_migration_probe_runs_once_and_losing_rename_is_benign(
 
     monkeypatch.setattr(fs2, "rename", losing_rename, raising=False)
     assert read_cursor(spark, cur2) == 5
+
+
+def test_probe_on_missing_cursor_does_not_memoize(spark, tmp_path):
+    """Rolling deploy: a new-code consumer polls a cursor path BEFORE it
+    exists, then an old-version process writes the legacy single-file
+    cursor there. The not-yet-created probe must not memoize the path as
+    migrated — the later legacy file still has to be picked up, or every
+    subsequent poll reports 0 and replays handled ranges."""
+    from procurement_data_pipeline_spark.operators.cdf_consumer import (
+        _cursor_versions,
+    )
+    from procurement_data_pipeline_spark.operators.erasure import _write_text
+
+    t, cur = str(tmp_path / "tbl"), str(tmp_path / "cursor")
+    versioned_write(spark, _df(spark, [1, 2]), t)
+    versioned_write(spark, _df(spark, [3]), t)
+    assert read_cursor(spark, cur) == 0   # probe runs on the absent path
+    # old-version writer creates the legacy single-file cursor afterwards
+    _write_text(spark, cur, '{"version": 1}')
+    assert read_cursor(spark, cur) == 1          # migrated, NOT stuck at 0
+    assert _cursor_versions(spark, cur) == [1]
+    seen = []
+    consume_changes(spark, t, cur, lambda f, a, b: seen.append((a, b)))
+    assert seen == [(1, 2)]
+    assert read_cursor(spark, cur) == 2
