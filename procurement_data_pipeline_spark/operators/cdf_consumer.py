@@ -84,6 +84,25 @@ def _migrate_legacy_cursor(spark: SparkSession, cursor_path: str) -> None:
     hpath = jvm.org.apache.hadoop.fs.Path
     legacy_str = key + ".legacy-migrating"
     legacy = hpath(legacy_str)
+    if (
+        fs.exists(legacy)
+        and fs.exists(p)
+        and fs.getFileStatus(p).isFile()
+    ):
+        # wedge state (code-review r8): a migration crashed after parking
+        # the sibling, then an old-version process RECREATED the
+        # single-file cursor — rename(p, legacy) would now fail on every
+        # poll forever (destination exists). The cursor is monotone and a
+        # file's content is name-determined, so drop whichever artifact
+        # holds the SMALLER version; a crash between these steps still
+        # leaves the larger version on disk, so no committed range is
+        # ever lost (worst case: one at-least-once replay).
+        v_file = int(json.loads(_read_text(spark, key))["version"])
+        v_sib = int(json.loads(_read_text(spark, legacy_str))["version"])
+        if v_file >= v_sib:
+            fs.delete(legacy, False)
+        else:
+            fs.delete(p, False)
     if fs.exists(p) and fs.getFileStatus(p).isDirectory():
         # already migrated; clean a leftover sibling from a crash between
         # the directory commit and the sibling delete, then memoize
@@ -130,11 +149,21 @@ def read_cursor(spark: SparkSession, cursor_path: str) -> int:
     or the old max still stands (at-least-once replay of one range).
     """
     _migrate_legacy_cursor(spark, cursor_path)
-    vs = _cursor_versions(spark, cursor_path)
-    if not vs:
-        return 0
-    latest = f"{cursor_path.rstrip('/')}/cursor-v{vs[-1]:08d}.json"
-    return int(json.loads(_read_text(spark, latest))["version"])
+    for _ in range(3):
+        vs = _cursor_versions(spark, cursor_path)
+        if not vs:
+            return 0
+        latest = f"{cursor_path.rstrip('/')}/cursor-v{vs[-1]:08d}.json"
+        try:
+            return int(json.loads(_read_text(spark, latest))["version"])
+        except Exception:
+            # list-then-read race (code-review r8): a faster consumer
+            # committed a newer cursor and pruned the file we just
+            # listed. Every cursor file is rename-committed (never torn),
+            # so a read failure can only mean deleted-under-us — re-list
+            # and read the newer one.
+            continue
+    raise IOError(f"cursor at {cursor_path} kept vanishing during read")
 
 
 def _advance_cursor(spark: SparkSession, cursor_path: str, version: int) -> None:
@@ -153,6 +182,15 @@ def _advance_cursor(spark: SparkSession, cursor_path: str, version: int) -> None
         # ({"version": N}), so losing the rename to a concurrent consumer
         # that committed the SAME version is success, not failure
         if not fs.exists(hpath(final)):
+            # ... and losing to a FASTER consumer is success too
+            # (code-review r8): its sweep may have deleted our in-flight
+            # tmp (tv <= its version), but the cursor then stands AT OR
+            # PAST our target — raising here would report a hard failure
+            # for a fully-handled, fully-recorded range. The winner owns
+            # prune + sweep; we are done.
+            vs = _cursor_versions(spark, cursor_path)
+            if vs and vs[-1] >= version:
+                return
             raise IOError(f"could not advance cursor at {cursor_path}")
     for v in _cursor_versions(spark, cursor_path)[:-1]:
         fs.delete(hpath(f"{cursor_path.rstrip('/')}/cursor-v{v:08d}.json"), False)

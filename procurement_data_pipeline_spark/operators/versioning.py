@@ -201,25 +201,30 @@ def _publish(spark: SparkSession, table_path: str, manifest: dict) -> None:
     _write_text(spark, tmp, json.dumps(manifest, sort_keys=True))
     tmp_p = jvm.org.apache.hadoop.fs.Path(tmp)
     lost = False
-    if (final_p.toUri().getScheme() or fs.getUri().getScheme()) == "file":
-        try:
-            # java.io.File(...).toPath() sidesteps Paths.get's varargs
-            # signature, which py4j cannot bind
-            jvm.java.nio.file.Files.createLink(
-                jvm.java.io.File(final_p.toUri().getPath()).toPath(),
-                jvm.java.io.File(
-                    fs.makeQualified(tmp_p).toUri().getPath()
-                ).toPath(),
-            )
-        except Exception as e:  # py4j surfaces the Java exception class in str()
-            if "FileAlreadyExistsException" not in str(e):
-                raise
-            lost = True
+    try:
+        if (final_p.toUri().getScheme() or fs.getUri().getScheme()) == "file":
+            try:
+                # java.io.File(...).toPath() sidesteps Paths.get's varargs
+                # signature, which py4j cannot bind
+                jvm.java.nio.file.Files.createLink(
+                    jvm.java.io.File(final_p.toUri().getPath()).toPath(),
+                    jvm.java.io.File(
+                        fs.makeQualified(tmp_p).toUri().getPath()
+                    ).toPath(),
+                )
+            except Exception as e:  # py4j surfaces the Java class in str()
+                if "FileAlreadyExistsException" not in str(e):
+                    raise
+                lost = True
+        else:
+            lost = fs.exists(final_p) or not fs.rename(tmp_p, final_p)
+    finally:
+        # the temp is consumed on EVERY exit: hard-linked (file:// win),
+        # renamed away (hdfs win — delete is then a no-op), lost, or an
+        # unexpected claim failure re-raising (code-review r8: this used
+        # to leak the temp on that last path, and nothing else sweeps
+        # _log/.tmp-*, so failed publishes accumulated garbage forever)
         fs.delete(tmp_p, False)
-    else:
-        lost = fs.exists(final_p) or not fs.rename(tmp_p, final_p)
-        if lost:
-            fs.delete(tmp_p, False)
     if lost:
         raise ConcurrentWriteError(
             f"version {version} at {table_path} was published by another "
@@ -325,6 +330,7 @@ def plan_scan(
     hi=None,
     version: int | None = None,
     predicates: dict[str, tuple] | None = None,
+    _manifest: dict | None = None,
 ) -> tuple[list[str], int]:
     """Data-skipping file plan at ``version``: ``(files that can match,
     total files in the version)``. Accepts ONE range as ``(col, lo, hi)``
@@ -341,11 +347,17 @@ def plan_scan(
     import datetime
     import math
 
-    if version is None:
-        version = latest_version(spark, table_path)
+    if _manifest is not None:
+        # internal fast path (scan_table): the caller already walked the
+        # manifest chain — re-resolving here would repeat up to
+        # _CHECKPOINT_EVERY small JSON reads per scan on a delta chain
+        man = _manifest
+    else:
         if version is None:
-            raise ValueError(f"no versions published at {table_path}")
-    man = _resolve_manifest(spark, table_path, version)
+            version = latest_version(spark, table_path)
+            if version is None:
+                raise ValueError(f"no versions published at {table_path}")
+        man = _resolve_manifest(spark, table_path, version)
     stats = man.get("stats", {})
     stats_cols = man.get("stats_cols", [])
     col_types = _schema_col_types(man["schema"])
@@ -415,7 +427,14 @@ def scan_table(
     man = _resolve_manifest(spark, table_path, version)
     schema = StructType.fromJson(json.loads(man["schema"]))
     kept, _total = plan_scan(
-        spark, table_path, col, lo, hi, version, predicates=predicates
+        spark,
+        table_path,
+        col,
+        lo,
+        hi,
+        version,
+        predicates=predicates,
+        _manifest=man,  # one chain walk per scan, not two
     )
     df = (
         spark.read.schema(schema).parquet(*kept)
@@ -541,26 +560,42 @@ def versioned_write(
             new_fields = {
                 f["name"]: f["type"] for f in json.loads(schema_json)["fields"]
             }
-            changed = {
-                n
-                for n in prev_fields.keys() & new_fields.keys()
-                if prev_fields[n] != new_fields[n]
-            }
-            if changed or not merge_schema:
-                raise ValueError(
-                    "append schema differs from the table"
-                    + (f" (retyped columns: {sorted(changed)})" if changed else "")
-                    + " — mixed-schema files would read back wrong; pass "
-                    "merge_schema=True to ADD columns (old rows read NULL)"
-                )
-            # widening evolution: union of fields, old files backfill NULL
-            # through the manifest-pinned read schema
-            merged = json.loads(prev["schema"])
-            have = set(prev_fields)
-            merged["fields"] += [
-                f for f in json.loads(schema_json)["fields"] if f["name"] not in have
-            ]
-            schema_json = json.dumps(merged)
+            if prev_fields == new_fields:
+                # same names AND types: only field ORDER, nullability, or
+                # field metadata differ (code-review r8) — parquet resolves
+                # columns by NAME, so a reordered select or a tightened
+                # nullable flag is the same table shape, not a schema
+                # change. Pin the table's schema and proceed; rejecting
+                # here sent callers chasing a merge_schema flag that does
+                # not describe anything that happened.
+                schema_json = prev["schema"]
+            else:
+                changed = {
+                    n
+                    for n in prev_fields.keys() & new_fields.keys()
+                    if prev_fields[n] != new_fields[n]
+                }
+                if changed or not merge_schema:
+                    raise ValueError(
+                        "append schema differs from the table"
+                        + (
+                            f" (retyped columns: {sorted(changed)})"
+                            if changed
+                            else ""
+                        )
+                        + " — mixed-schema files would read back wrong; pass "
+                        "merge_schema=True to ADD columns (old rows read NULL)"
+                    )
+                # widening evolution: union of fields, old files backfill
+                # NULL through the manifest-pinned read schema
+                merged = json.loads(prev["schema"])
+                have = set(prev_fields)
+                merged["fields"] += [
+                    f
+                    for f in json.loads(schema_json)["fields"]
+                    if f["name"] not in have
+                ]
+                schema_json = json.dumps(merged)
     if inherited_stats and stats_cols:
         # sticky stats_cols must survive contact with the NEW effective
         # schema (ADVICE r6): an overwrite that drops/retypes a stats
@@ -580,6 +615,18 @@ def versioned_write(
                 f"inherited stats_cols {stale} are no longer valid columns "
                 "of the append schema — the table manifest is inconsistent"
             )
+    if cluster_by and inherited_stats and stats_cols:
+        # the documented cluster_by→stats auto-add must also fire when
+        # stats_cols arrived by STICKY INHERITANCE (code-review r8): the
+        # early auto-add above only sees an explicitly-passed set, so
+        # without this an inherited-stats append paid the clustering
+        # shuffle but published no bounds for the cluster keys — and
+        # plan_scan pruned nothing on exactly the columns the caller
+        # clustered for
+        added = [c for c in cluster_by if c not in stats_cols]
+        if added:
+            _validate_stats_cols(df.schema, added)
+            stats_cols = list(stats_cols) + added
     next_v = (base or 0) + 1
     commit_dir = f"{table_path.rstrip('/')}/commit-{next_v:0{_VERSION_WIDTH}d}-{uuid.uuid4().hex[:8]}"
     out = df
@@ -843,12 +890,31 @@ def merge_into(
         raise ValueError(f"no versions published at {table_path}")
     man = _resolve_manifest(spark, table_path, base)
     if when_matched == "update":
-        table_cols = sorted(
-            f["name"] for f in json.loads(man["schema"])["fields"]
-        )
-        if sorted(updates.columns) != table_cols:
+        table_fields = {
+            f["name"]: f["type"] for f in json.loads(man["schema"])["fields"]
+        }
+        if sorted(updates.columns) != sorted(table_fields):
             raise ValueError(
-                f"updates schema {sorted(updates.columns)} != table {table_cols}"
+                f"updates schema {sorted(updates.columns)} != table "
+                f"{sorted(table_fields)}"
+            )
+        # names alone are not enough (code-review r8): unionByName would
+        # silently WIDEN a type mismatch (long+double → double), writing
+        # parquet files the manifest-pinned schema (published unchanged
+        # below) can no longer read — the merge would report success and
+        # poison every subsequent read of latest until a manual rollback
+        upd_fields = {
+            f["name"]: f["type"]
+            for f in json.loads(updates.schema.json())["fields"]
+        }
+        retyped = sorted(
+            n for n in table_fields if upd_fields[n] != table_fields[n]
+        )
+        if retyped:
+            raise ValueError(
+                f"updates retype table columns {retyped} — cast the "
+                "updates to the table schema first (the manifest pins the "
+                "read schema, so mixed-typed files would be unreadable)"
             )
     prof = updates.agg(
         F.count(F.lit(1)).alias("n_rows"),
@@ -858,7 +924,12 @@ def merge_into(
         F.max(key_col).alias("kmax"),
     ).collect()[0]
     if prof["n_rows"] == 0:
-        raise ValueError("updates carry no keys")
+        # empty merge is a NO-OP, not an error (code-review r8): a
+        # scheduled CDC/erasure job legitimately computes zero keys on a
+        # quiet day, and forcing every caller to pre-count the update set
+        # costs an extra job just to avoid a crash. No version is
+        # published — the current manifest already IS the merge result.
+        return man
     if prof["n_nonnull"] != prof["n_rows"]:
         raise ValueError("updates carry a NULL merge key — merge keys must be non-null")
     if validate and when_matched == "update" and prof["n_rows"] != prof["n_keys"]:
@@ -913,7 +984,8 @@ def merge_into(
         # mixed/other-typed keys: no safe envelope — fall back to
         # rewriting every file (correct, just unpruned)
         touched = list(man["files"])
-    untouched = [f for f in man["files"] if f not in set(touched)]
+    touched_set = set(touched)  # hoisted: O(files+touched), not O(files·touched)
+    untouched = [f for f in man["files"] if f not in touched_set]
     next_v = base + 1
     commit_dir = (
         f"{table_path.rstrip('/')}/commit-{next_v:0{_VERSION_WIDTH}d}"

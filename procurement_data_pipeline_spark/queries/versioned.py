@@ -21,9 +21,13 @@ Exactness contract (memory: engine-parity toolbox): money is quantized to
 cents with FLOOR(x*100) AT BUILD TIME and stored as BIGINT in the fixture,
 so every downstream sum is integer-exact in both engines.
 
-The fixture lives under the system temp dir, keyed by the sf_dir, and is
-rebuilt at most once per process per sf_dir (the three queries share it).
-Rebuilds are idempotent: the table directory is removed first.
+The fixture lives under the system temp dir, keyed by (sf_dir, pid), and
+is rebuilt at most once per process per sf_dir (the queries share it).
+Rebuilds are idempotent: the table directory is removed first. The pid in
+the path makes concurrent driver processes (e.g. a graded run racing a
+local check) build disjoint fixtures instead of rmtree-ing each other
+mid-write (code-review r8). Paths are scheme-less: the harness contract
+is fs.defaultFS = file:// (local[‥]), matching the shutil cleanup.
 """
 
 from __future__ import annotations
@@ -60,7 +64,7 @@ def _fixture(spark: SparkSession, sf_dir: str) -> str:
         return _BUILT[key]
     tag = re.sub(r"[^A-Za-z0-9_.-]", "_", key).strip("_")
     path = os.path.join(
-        tempfile.gettempdir(), f"spark_graft_versioned_orders_{tag}"
+        tempfile.gettempdir(), f"spark_graft_versioned_orders_{tag}_{os.getpid()}"
     )
     shutil.rmtree(path, ignore_errors=True)
     orders = load_table(spark, sf_dir, "orders").select(
@@ -272,7 +276,7 @@ def _clustered_fixture(spark: SparkSession, sf_dir: str) -> str:
         return _CLUSTERED[key]
     tag = re.sub(r"[^A-Za-z0-9_.-]", "_", key).strip("_")
     path = os.path.join(
-        tempfile.gettempdir(), f"spark_graft_clustered_orders_{tag}"
+        tempfile.gettempdir(), f"spark_graft_clustered_orders_{tag}_{os.getpid()}"
     )
     shutil.rmtree(path, ignore_errors=True)
     orders = load_table(spark, sf_dir, "orders").select(
@@ -354,7 +358,7 @@ def _delta_fixture(spark: SparkSession, sf_dir: str) -> str:
         return _DELTA[key]
     tag = re.sub(r"[^A-Za-z0-9_.-]", "_", key).strip("_")
     path = os.path.join(
-        tempfile.gettempdir(), f"spark_graft_delta_orders_{tag}"
+        tempfile.gettempdir(), f"spark_graft_delta_orders_{tag}_{os.getpid()}"
     )
     shutil.rmtree(path, ignore_errors=True)
     orders = load_table(spark, sf_dir, "orders").select(

@@ -253,3 +253,48 @@ def test_probe_on_missing_cursor_does_not_memoize(spark, tmp_path):
     consume_changes(spark, t, cur, lambda f, a, b: seen.append((a, b)))
     assert seen == [(1, 2)]
     assert read_cursor(spark, cur) == 2
+
+
+def test_migration_wedge_sibling_plus_recreated_legacy_resolves(spark, tmp_path):
+    """Code-review r8: a crashed migration leaves the parked sibling; an
+    old-version process then RECREATES the single-file cursor. The probe
+    must resolve the pair (larger version wins — the cursor is monotone)
+    instead of failing the park-rename on every poll forever."""
+    from procurement_data_pipeline_spark.operators.cdf_consumer import (
+        _cursor_versions,
+    )
+    from procurement_data_pipeline_spark.operators.erasure import _write_text
+
+    t, cur = str(tmp_path / "tbl"), str(tmp_path / "cursor")
+    versioned_write(spark, _df(spark, [1, 2]), t)
+    versioned_write(spark, _df(spark, [3]), t)
+    versioned_write(spark, _df(spark, [4]), t)
+    # crashed migration parked version 1 ...
+    _write_text(spark, cur + ".legacy-migrating", '{"version": 1}')
+    # ... and an old-version consumer recreated the file at version 2
+    _write_text(spark, cur, '{"version": 2}')
+    assert read_cursor(spark, cur) == 2          # max of the pair, resolved
+    assert _cursor_versions(spark, cur) == [2]   # directory scheme committed
+    seen = []
+    consume_changes(spark, t, cur, lambda f, a, b: seen.append((a, b)))
+    assert seen == [(2, 3)]
+    assert read_cursor(spark, cur) == 3
+
+
+def test_migration_wedge_sibling_newer_than_recreated_legacy(spark, tmp_path):
+    """Same wedge with the SIBLING holding the larger version: the
+    recreated file is the superseded artifact and must be the one
+    dropped."""
+    from procurement_data_pipeline_spark.operators.cdf_consumer import (
+        _cursor_versions,
+    )
+    from procurement_data_pipeline_spark.operators.erasure import _write_text
+
+    t, cur = str(tmp_path / "tbl"), str(tmp_path / "cursor")
+    versioned_write(spark, _df(spark, [1]), t)
+    versioned_write(spark, _df(spark, [2]), t)
+    versioned_write(spark, _df(spark, [3]), t)
+    _write_text(spark, cur + ".legacy-migrating", '{"version": 2}')
+    _write_text(spark, cur, '{"version": 1}')
+    assert read_cursor(spark, cur) == 2
+    assert _cursor_versions(spark, cur) == [2]

@@ -1068,3 +1068,91 @@ def test_concurrent_append_writers_race_delta_chain_liveness(spark, tmp_path):
     fs, log_p, _ = _fs_path(spark, t + "/_log")
     names = [st.getPath().getName() for st in fs.listStatus(log_p)]
     assert not [n for n in names if n.startswith(".ctmp-") or n.startswith(".tmp-")]
+
+
+def test_merge_rejects_retyped_updates(spark, tmp_path):
+    """Code-review r8: names alone let unionByName WIDEN a type mismatch
+    (long+double → double), writing files the manifest-pinned schema can
+    no longer read — the merge must refuse up front, not poison latest."""
+    from procurement_data_pipeline_spark.operators.versioning import merge_into
+
+    t = str(tmp_path / "tbl")
+    versioned_write(spark, _df(spark, [1, 2]), t)
+    with pytest.raises(ValueError, match="retype"):
+        merge_into(
+            spark,
+            t,
+            spark.createDataFrame([(1.0, "x")], "id double, s string"),
+            key_col="id",
+        )
+    # the table is untouched — still version 1, still readable
+    assert _ids(read_table(spark, t)) == [1, 2]
+
+
+def test_merge_empty_updates_is_a_noop(spark, tmp_path):
+    """Code-review r8: a CDC/erasure job computing zero keys on a quiet
+    day must not crash — and must not publish a pointless version."""
+    from procurement_data_pipeline_spark.operators.versioning import (
+        latest_version,
+        merge_into,
+    )
+
+    t = str(tmp_path / "tbl")
+    versioned_write(spark, _df(spark, [1, 2]), t)
+    empty = spark.createDataFrame([], "id long, s string")
+    for mode in ("update", "delete"):
+        man = merge_into(spark, t, empty, key_col="id", when_matched=mode)
+        assert man["version"] == 1          # the CURRENT manifest, unchanged
+    assert latest_version(spark, t) == 1    # no version was published
+    assert _ids(read_table(spark, t)) == [1, 2]
+
+
+def test_append_accepts_reordered_and_renullabled_schema(spark, tmp_path):
+    """Code-review r8: parquet resolves columns by NAME — a reordered
+    select or a tightened nullable flag is the same table shape and must
+    append cleanly (the old raw JSON-string compare rejected it with a
+    misleading merge_schema suggestion)."""
+    t = str(tmp_path / "tbl")
+    versioned_write(spark, _df(spark, [1]), t)
+    # reordered columns, and s non-nullable (createDataFrame from
+    # literals yields nullable=True; select of a literal gives False)
+    from pyspark.sql import functions as F
+
+    reordered = (
+        spark.range(2, 3)
+        .select(
+            F.lit("r2").alias("s"),
+            F.col("id").cast("long").alias("id"),
+        )
+    )
+    man = versioned_write(spark, reordered, t, mode="append")
+    assert man["version"] == 2
+    got = read_table(spark, t)
+    assert _ids(got) == [1, 2]
+    assert {r["s"] for r in got.collect()} == {"r1", "r2"}
+    # the pinned table schema survives verbatim (no silent evolution):
+    # a later vanilla append publishes the exact original schema JSON
+    man3 = versioned_write(spark, _df(spark, [9]), t, mode="append")
+    assert json.loads(man3["schema"]) == json.loads(man["schema"])
+    assert [f["name"] for f in json.loads(man["schema"])["fields"]] == ["id", "s"]
+
+
+def test_cluster_by_stats_autoadd_with_inherited_stats(spark, tmp_path):
+    """Code-review r8: the documented cluster_by→stats auto-add must also
+    fire when stats_cols arrive by sticky INHERITANCE — otherwise the
+    append pays the clustering shuffle but publishes no bounds for the
+    cluster keys and plan_scan prunes nothing on exactly those columns."""
+    from procurement_data_pipeline_spark.operators.versioning import plan_scan
+
+    t = str(tmp_path / "tbl")
+    versioned_write(spark, _df(spark, [1, 2]), t, stats_cols=["id"])
+    big = spark.createDataFrame(
+        [(i, f"r{i}") for i in range(10, 40)], "id long, s string"
+    )
+    man = versioned_write(
+        spark, big, t, mode="append", cluster_by=["s"], cluster_files=4
+    )
+    assert "s" in man["stats_cols"]          # auto-added to the sticky set
+    # and the new files' s-bounds actually prune
+    kept, total = plan_scan(spark, t, "s", "r10", "r10")
+    assert len(kept) < total
