@@ -17,15 +17,19 @@ needs for free:
 * **auditable history**: each ingest is a version (op metadata records
   batch counts) — "when did this document family enter the corpus?" is a
   time-travel read;
-* **single-writer safety**: a concurrent ingest racing the publish loses
-  with :class:`~...versioning.ConcurrentWriteError` and retries against
-  the NEW index — the double-accept race (both batches admit the same
-  novel document) cannot happen.
+* **single-writer safety**: the publish is PINNED to the snapshot the
+  anti-join read (``expected_base``), so an ingest that advanced the
+  index anywhere between our read and our commit makes the publish lose
+  with :class:`~...versioning.ConcurrentWriteError`; the loser retries
+  against the NEW index — the double-accept race (both batches admit the
+  same novel document) cannot happen.
 
 Cost per batch at 100 TB: one scan of the BATCH (fingerprint + intra-batch
-min-id dedup, one hash shuffle bounded by batch size), one anti-join of
-batch fingerprints against the index (broadcast the batch side — it is the
-small one by construction), one append of novel fingerprints. Nothing ever
+min-id dedup, one hash shuffle bounded by batch size), one broadcast-probe
+scan of the index (the batch's fingerprints broadcast INTO a semi-join
+over the index — ``known`` is bounded by the batch, and the batch then
+anti-joins against broadcast ``known``; the index is scanned once and
+shuffled never), one append of novel fingerprints. Nothing ever
 rescans the corpus. The same identity the one-shot dedup guarantees holds
 cumulatively: accepted(b1..bn) == drop_exact_duplicates(b1 ∪ … ∪ bn) with
 first-batch-first-id precedence (asserted by the equivalence test).
@@ -85,12 +89,40 @@ def ingest_batch(
     """
     from procurement_data_pipeline_spark.caching import scoped_persist
 
+    # pin the snapshot FIRST: the publish below targets exactly this
+    # version + 1, so an ingest that raced past us between this read and
+    # our commit makes the publish lose with ConcurrentWriteError — the
+    # double-accept race genuinely cannot happen (code-review r8: the old
+    # unpinned write re-read latest at commit time and would commit
+    # cleanly against the NEWER index, silently double-accepting).
+    idx_version = latest_version(spark, index_path)
     fp = batch.select(fingerprint(text_col).alias("fingerprint"), "*")
     # intra-batch: min-id per fingerprint (drop_exact_duplicates precedence)
     keep = fp.groupBy("fingerprint").agg(F.min(id_col).alias(id_col))
-    batch_unique = fp.join(keep, ["fingerprint", id_col], "left_semi")
-    idx = read_index(spark, index_path).select("fingerprint")
-    novel = scoped_persist(batch_unique.join(idx, "fingerprint", "left_anti"))
+    # persisted: feeds the broadcast fingerprint probe, the anti-join AND
+    # the audit count — one fingerprint+shuffle pass, not three
+    batch_unique = scoped_persist(
+        fp.join(keep, ["fingerprint", id_col], "left_semi")
+    )
+    idx = (
+        read_table(spark, index_path, version=idx_version)
+        if idx_version is not None
+        else spark.createDataFrame([], "fingerprint string, first_doc_id bigint")
+    ).select("fingerprint")
+    # "broadcast the batch side": Spark cannot build the LEFT side of a
+    # left_anti broadcast join, so the literal batch⟕idx anti-join would
+    # shuffle the ENTIRE index every ingest (code-review r8). Probe the
+    # index with the broadcast batch fingerprints instead — `known` is
+    # bounded by the batch — then anti-join the batch against broadcast
+    # known. The index is scanned once, shuffled never.
+    known = idx.join(
+        F.broadcast(batch_unique.select("fingerprint")),
+        "fingerprint",
+        "left_semi",
+    )
+    novel = scoped_persist(
+        batch_unique.join(F.broadcast(known), "fingerprint", "left_anti")
+    )
     accepted = novel.drop("fingerprint")
     n_batch = batch.count()
     n_unique = batch_unique.count()
@@ -103,6 +135,7 @@ def ingest_batch(
         new_fps,
         index_path,
         mode="append",
+        expected_base=idx_version,
         extra={
             "ingest": {
                 "rows_in_batch": n_batch,

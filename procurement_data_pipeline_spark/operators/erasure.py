@@ -176,6 +176,32 @@ def erase_users(
         return i < len(targets) and targets[i] <= hi
 
     candidates = [r for r in stats if admits(r)]
+    # Flat-layout guard (code-review r8): replacements are promoted into
+    # the table ROOT by basename, and spark.read.parquet(*leaf_files)
+    # cannot recover hive partition-column values (no basePath) — on a
+    # nested/hive layout the rewrite would drop the partition columns and
+    # strand replacements in the wrong directory (same-basename files
+    # could even collide mid-swap). Refuse loudly instead of corrupting;
+    # erase partitioned tables partition-by-partition at the leaf dirs.
+    fs, _live_p, jvm = _fs_path(spark, path)
+    hpath = jvm.org.apache.hadoop.fs.Path
+    live_dir = fs.makeQualified(hpath(path)).toUri().getPath().rstrip("/")
+    nested = [
+        r["file"]
+        for r in candidates
+        if fs.makeQualified(hpath(r["file"]))
+        .getParent()
+        .toUri()
+        .getPath()
+        .rstrip("/")
+        != live_dir
+    ]
+    if nested:
+        raise ValueError(
+            f"erase_users requires a FLAT parquet directory; {len(nested)} "
+            f"candidate file(s) sit in subdirectories (e.g. {nested[0]}) — "
+            "a hive-partitioned table must be erased per leaf directory"
+        )
     audit = {
         "files_total": len(stats),
         "files_rewritten": len(candidates),
@@ -190,8 +216,11 @@ def erase_users(
     tmp = path.rstrip("/") + _TMP_SUFFIX
     fs, _, jvm = _fs_path(spark, path)
     fs.delete(jvm.org.apache.hadoop.fs.Path(tmp), True)  # stale pre-commit junk
+    # NULL-keyed rows are never erasure targets: ~isin over NULL is NULL
+    # (falsy) and would silently DELETE them — the same guard merge_into's
+    # isin path carries (code-review r8: this was a real data-loss hole)
     kept = spark.read.parquet(*[r["file"] for r in candidates]).filter(
-        ~F.col(id_col).isin(targets)
+        F.col(id_col).isNull() | ~F.col(id_col).isin(targets)
     )
     kept.write.mode("overwrite").parquet(tmp)
 

@@ -34,6 +34,7 @@ deliberately out of scope here and raises if input files disappear.
 from __future__ import annotations
 
 import json
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -53,11 +54,17 @@ def _manifest_path(view_path: str) -> str:
 
 def _read_manifest(spark: SparkSession, view_path: str) -> dict:
     recover_swap(spark, _manifest_path(view_path))
-    files = []
-    try:
-        files = _list_parquet_files(spark, _manifest_path(view_path))
-    except Exception:  # noqa: BLE001 - missing dir on first refresh
-        pass
+    # explicit existence probe, NOT a blanket except (code-review r8): a
+    # transient FS error swallowed here read as "first refresh", and the
+    # refresh would then rewrite a COMMITTED delta directory in place —
+    # corrupting the view the real manifest still references. Missing dir
+    # → genuinely first refresh; anything else propagates.
+    from procurement_data_pipeline_spark.operators.versioning import _fs_path
+
+    fs, p, _ = _fs_path(spark, _manifest_path(view_path))
+    if not fs.exists(p):
+        return {"a_files": [], "b_files": [], "deltas": []}
+    files = _list_parquet_files(spark, _manifest_path(view_path))
     if not files:
         return {"a_files": [], "b_files": [], "deltas": []}
     [row] = (
@@ -123,8 +130,19 @@ def refresh_join_view(
     if new_b and old_a:
         db = F.broadcast(spark.read.parquet(*new_b))
         parts.append(spark.read.parquet(*old_a).join(db, on))
+    # unique dir per refresh ATTEMPT (code-review r8): a positional name
+    # (delta_{len}) let two overlapping refreshes overwrite the SAME
+    # directory mid-write and commit a mix of both jobs' part files. With
+    # a uuid suffix each attempt writes its own dir (mode 'error' — no
+    # clobbering possible); an uncommitted attempt is an invisible orphan.
+    # Overlapping refreshes remain benign only because identical inputs
+    # derive identical deltas (last manifest wins with the same content);
+    # schedule refreshes serially per view, as with vacuum.
     delta_id = len(man["deltas"])
-    delta_dir = view_path.rstrip("/") + f"/delta_{delta_id:06d}"
+    delta_dir = (
+        view_path.rstrip("/")
+        + f"/delta_{delta_id:06d}_{uuid.uuid4().hex[:8]}"
+    )
     if parts:
         delta = parts[0]
         for p in parts[1:]:
@@ -133,7 +151,11 @@ def refresh_join_view(
         # (join puts the scanned side first) — normalize so every delta
         # dir shares one layout
         delta = delta.select(*sorted(delta.columns))
-        delta.write.mode("overwrite").parquet(delta_dir)
+        delta.write.mode("error").parquet(delta_dir)
+        # the join's schema is committed even when the delta is empty, so
+        # read_view can distinguish "refreshed, legitimately zero rows"
+        # from "never refreshed" (code-review r8)
+        man["schema"] = delta.schema.json()
         delta_rows = sum(
             r["n_rows"] for r in footer_stats(spark, delta_dir, [on]).collect()
         )
@@ -151,9 +173,17 @@ def refresh_join_view(
 
 def read_view(spark: SparkSession, view_path: str) -> DataFrame:
     """The view's current contents: the union of COMMITTED deltas only —
-    an orphan delta from a crashed refresh is invisible by construction."""
+    an orphan delta from a crashed refresh is invisible by construction.
+    A refreshed view whose join produced zero rows is a VALID empty view
+    (returned with the committed schema), not an error."""
     man = _read_manifest(spark, view_path)
     if not man["deltas"]:
+        if man.get("schema"):
+            from pyspark.sql.types import StructType
+
+            return spark.createDataFrame(
+                [], StructType.fromJson(json.loads(man["schema"]))
+            )
         raise ValueError(f"view at {view_path} has no committed refresh yet")
     return spark.read.parquet(*man["deltas"])
 

@@ -107,6 +107,10 @@ def _read_manifest(spark: SparkSession, table_path: str, version: int) -> dict:
 _DELTA_MIN_FILES = 64
 _CHECKPOINT_EVERY = 16
 
+# distinguishes "caller did not pin a snapshot" from "caller read an
+# empty table" (expected_base=None) in versioned_write
+_BASE_UNSET = object()
+
 # Every key any manifest form can carry. ``extra`` user metadata is checked
 # against THIS set, not against the keys of the manifest instance being
 # built: a delta manifest carries no 'files'/'stats' key, so checking the
@@ -479,8 +483,20 @@ def versioned_write(
     cluster_files: int | None = None,
     delta_min_files: int | None = None,
     checkpoint_every: int | None = None,
+    expected_base: int | None | object = _BASE_UNSET,
 ) -> dict:
     """Write ``df`` as the next version of the table at ``table_path``.
+
+    ``expected_base`` pins the SNAPSHOT the caller computed ``df`` from
+    (the version it read, or None for "table did not exist"): the commit
+    targets exactly ``expected_base + 1``, so if ANY writer advanced the
+    table after the caller's read — not merely concurrently with the
+    publish — the O_EXCL claim on that version number loses and
+    :class:`ConcurrentWriteError` is raised. This is the
+    transaction-pins-a-read-snapshot shape (Delta's conflict detection):
+    without it, a read-compute-append that races another writer silently
+    commits against the NEWER base, which is wrong whenever the computed
+    rows depended on the read (e.g. an anti-join dedup ingest).
 
     ``mode='append'`` keeps every file of the current latest version and
     adds the new ones; ``mode='overwrite'`` makes the new files the whole
@@ -540,7 +556,13 @@ def versioned_write(
             ]
     if stats_cols:
         _validate_stats_cols(df.schema, stats_cols)
-    base = latest_version(spark, table_path)
+    if expected_base is _BASE_UNSET:
+        base = latest_version(spark, table_path)
+    else:
+        # snapshot-pinned commit: target exactly expected_base + 1 — the
+        # O_EXCL publish below is the conflict detector (a denser history
+        # means someone advanced the table after the caller's read)
+        base = expected_base
     prev_files: list[str] = []
     prev_stats: dict = {}
     schema_json = df.schema.json()

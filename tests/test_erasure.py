@@ -148,3 +148,38 @@ def test_erase_survives_float_rounded_footer_stats(spark, tmp_path):
     assert audit["rows_deleted"] == 1
     left = {r["user_id"] for r in spark.read.parquet(dst).collect()}
     assert left == {base - 10, base + 1}
+
+
+def test_erase_preserves_null_keyed_rows(spark, tmp_path):
+    """Code-review r8: ~isin over NULL is NULL (falsy) — without the
+    explicit isNull() guard, NULL-keyed rows in any rewritten file were
+    silently deleted alongside the targets."""
+    from procurement_data_pipeline_spark.operators.erasure import erase_users
+
+    path = str(tmp_path / "tbl")
+    spark.createDataFrame(
+        [(1, "a"), (None, "keepme"), (2, "b"), (None, "metoo")],
+        "user_id long, payload string",
+    ).coalesce(1).write.parquet(path)
+    audit = erase_users(spark, path, [1])
+    got = spark.read.parquet(path).collect()
+    assert sorted(r["payload"] for r in got) == ["b", "keepme", "metoo"]
+    assert audit["rows_deleted"] == 1
+
+
+def test_erase_refuses_hive_partitioned_layout(spark, tmp_path):
+    """Code-review r8: replacements promote into the table ROOT by
+    basename and the partition column cannot be recovered from leaf
+    files — a nested layout must be refused, not corrupted."""
+    import pytest as _pytest
+
+    from procurement_data_pipeline_spark.operators.erasure import erase_users
+
+    path = str(tmp_path / "tbl")
+    spark.createDataFrame(
+        [(1, "2020-01-01"), (2, "2020-01-02")], "user_id long, d string"
+    ).write.partitionBy("d").parquet(path)
+    with _pytest.raises(ValueError, match="FLAT parquet directory"):
+        erase_users(spark, path, [1])
+    # nothing was touched: the partitioned table still reads intact
+    assert spark.read.parquet(path).count() == 2

@@ -74,3 +74,76 @@ def test_cross_batch_precedence_keeps_first_arrival(spark, tmp_path):
     assert _ids(accepted) == []
     first = read_index(spark, idx).collect()
     assert len(first) == 1 and first[0]["first_doc_id"] == 5
+
+
+def test_raced_ingest_loses_instead_of_double_accepting(
+    spark, tmp_path, monkeypatch
+):
+    """Code-review r8: the publish is pinned to the snapshot the anti-join
+    read. An ingest whose read went stale (another ingest committed in
+    between) must lose with ConcurrentWriteError — never commit a second
+    acceptance of the same document against the newer index."""
+    import pytest as _pytest
+
+    from procurement_data_pipeline_spark.llm_ops import incremental_dedup as mod
+    from procurement_data_pipeline_spark.operators.versioning import (
+        ConcurrentWriteError,
+        latest_version,
+    )
+
+    idx = str(tmp_path / "index")
+    ingest_batch(spark, _batch(spark, [(1, "alpha")]), idx)  # index at v1
+    # simulate the race window: OUR read sees the EMPTY pre-v1 index
+    # (stale snapshot), while the commit must target v1's successor
+    monkeypatch.setattr(mod, "latest_version", lambda s, p: None)
+    with _pytest.raises(ConcurrentWriteError):
+        ingest_batch(spark, _batch(spark, [(2, "alpha")]), idx)
+    monkeypatch.undo()
+    # the index is unpoisoned: exactly one fingerprint, v1 still latest
+    assert latest_version(spark, idx) == 1
+    assert read_index(spark, idx).count() == 1
+    # and the retry against the fresh index correctly rejects the dup
+    accepted, audit = ingest_batch(spark, _batch(spark, [(2, "alpha")]), idx)
+    assert accepted.count() == 0 and audit["rejected_known"] == 1
+
+
+def test_index_is_probed_not_shuffled(spark, tmp_path):
+    """Code-review r8: the index side of the dedup join must be a
+    broadcast-probe (index scanned once, never exchanged) — a left_anti
+    with the index on the right cannot broadcast the batch, so the old
+    shape shuffled the whole index every ingest."""
+    from procurement_data_pipeline_spark.llm_ops import incremental_dedup as mod
+    from procurement_data_pipeline_spark.llm_ops.text import fingerprint
+    from pyspark.sql import functions as F
+
+    idx_path = str(tmp_path / "index")
+    ingest_batch(
+        spark, _batch(spark, [(i, f"doc {i}") for i in range(50)]), idx_path
+    )
+    batch = _batch(spark, [(100, "doc 1"), (101, "fresh")])
+    fp = batch.select(fingerprint("text").alias("fingerprint"), "*")
+    keep = fp.groupBy("fingerprint").agg(F.min("doc_id").alias("doc_id"))
+    batch_unique = fp.join(keep, ["fingerprint", "doc_id"], "left_semi")
+    idx = read_index(spark, idx_path).select("fingerprint")
+    known = idx.join(
+        F.broadcast(batch_unique.select("fingerprint")),
+        "fingerprint",
+        "left_semi",
+    )
+    novel = batch_unique.join(F.broadcast(known), "fingerprint", "left_anti")
+    # the index-probing semi-join is the TOP node: a broadcast hash join
+    # with BuildRight — the batch fingerprints are the built (broadcast)
+    # side, the index is streamed, never exchanged. An SMJ may appear
+    # DEEPER in the plan (the intra-batch min-id semi-join, bounded by
+    # the batch) but must not be the join touching the index.
+    kplan = known._jdf.queryExecution().executedPlan().toString()
+    first_bhj = kplan.find("BroadcastHashJoin")
+    first_smj = kplan.find("SortMergeJoin")
+    assert first_bhj != -1 and "LeftSemi, BuildRight" in kplan
+    assert first_smj == -1 or first_bhj < first_smj
+    # and the final anti-join broadcasts `known` (LeftAnti, BuildRight at
+    # the top) — never a sort-merge of the dedup relation
+    nplan = novel._jdf.queryExecution().executedPlan().toString()
+    assert nplan.find("BroadcastHashJoin") != -1
+    assert "LeftAnti, BuildRight" in nplan
+    assert "SortMergeJoin LeftAnti" not in nplan

@@ -112,3 +112,42 @@ def test_vanished_input_file_is_rejected(spark, tmp_path, split_inputs):
 def test_read_view_before_first_refresh_raises(spark, tmp_path):
     with pytest.raises(ValueError, match="no committed refresh"):
         read_view(spark, str(tmp_path / "nope"))
+
+
+def test_empty_join_view_reads_as_empty_not_error(spark, tmp_path):
+    """Code-review r8: a committed refresh whose join matched zero rows is
+    a VALID empty view — read_view must return an empty frame with the
+    committed schema, not claim no refresh ever happened."""
+    from procurement_data_pipeline_spark.operators.ivm import (
+        read_view,
+        refresh_join_view,
+    )
+
+    a, b, v = str(tmp_path / "a"), str(tmp_path / "b"), str(tmp_path / "v")
+    spark.createDataFrame([(1, "x")], "k long, pa string").write.parquet(a)
+    spark.createDataFrame([(99, "y")], "k long, pb string").write.parquet(b)
+    audit = refresh_join_view(spark, a, b, v, on="k")
+    assert audit["delta_rows"] == 0          # disjoint keys — zero matches
+    got = read_view(spark, v)
+    assert got.count() == 0
+    assert sorted(got.columns) == ["k", "pa", "pb"]
+
+
+def test_manifest_listing_errors_propagate(spark, tmp_path, monkeypatch):
+    """Code-review r8: a transient listing failure must NOT read as 'first
+    refresh' (which would rewrite committed deltas); it must propagate."""
+    import pytest as _pytest
+
+    from procurement_data_pipeline_spark.operators import ivm
+
+    a, b, v = str(tmp_path / "a"), str(tmp_path / "b"), str(tmp_path / "v")
+    spark.createDataFrame([(1, "x")], "k long, pa string").write.parquet(a)
+    spark.createDataFrame([(1, "y")], "k long, pb string").write.parquet(b)
+    ivm.refresh_join_view(spark, a, b, v, on="k")
+
+    def boom(spark_, path_):
+        raise IOError("transient FS failure")
+
+    monkeypatch.setattr(ivm, "_list_parquet_files", boom)
+    with _pytest.raises(IOError, match="transient"):
+        ivm.refresh_join_view(spark, a, b, v, on="k")

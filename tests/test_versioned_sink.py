@@ -52,7 +52,9 @@ def test_each_batch_is_one_version(spark, tmp_path):
     assert _ids(read_table(spark, table)) == [1, 2, 3]
     hist = history(spark, table)
     assert [h["op"] for h in hist] == ["append", "append"]
-    assert last_committed_batch(spark, table) == (ckpt, 1)
+    from procurement_data_pipeline_spark.streaming.versioned_sink import _qualify
+
+    assert last_committed_batch(spark, table) == (_qualify(spark, ckpt), 1)
     # every microbatch is a time-travel point
     assert len(_ids(read_table(spark, table, version=1))) == 1 or len(
         _ids(read_table(spark, table, version=1))
@@ -97,7 +99,10 @@ def test_interleaved_batch_write_does_not_hide_stream_state(spark, tmp_path):
     # a maintenance write (no stream_batch_id) lands on top
     extra_df = spark.createDataFrame([(9, "z")], "id long, s string")
     versioned_write(spark, extra_df, table, mode="append")
-    assert last_committed_batch(spark, table) == (ckpt, 1)  # scans past it
+    from procurement_data_pipeline_spark.streaming.versioned_sink import _qualify
+
+    # scans past the non-stream write
+    assert last_committed_batch(spark, table) == (_qualify(spark, ckpt), 1)
     # replayed stream (lost checkpoint, same identity) still no-ops; the
     # manual row survives
     shutil.rmtree(ckpt)
@@ -157,3 +162,36 @@ def test_streaming_sink_under_delta_manifests(spark, tmp_path, monkeypatch):
     _run(spark, src, table, ckpt)
     assert _ids(read_table(spark, table)) == before
     assert len(history(spark, table)) == 2
+
+
+def test_replay_guard_survives_manifest_expiry(spark, tmp_path):
+    """Code-review r8: vacuum after maintenance writes can expire every
+    stream-tagged manifest; the durable batch cursor must still block a
+    replayed batch from re-appending (and keep the identity check live)."""
+    from procurement_data_pipeline_spark.operators.versioning import (
+        _list_versions,
+        _read_manifest,
+        optimize_table,
+        vacuum,
+    )
+
+    src, table = str(tmp_path / "src"), str(tmp_path / "tbl")
+    ckpt = str(tmp_path / "ckpt")
+    _write_sources(spark, src)
+    _run(spark, src, table, ckpt)
+    before = _ids(read_table(spark, table))
+    assert before == [1, 2, 3]
+    # two maintenance rewrites, then vacuum to 2 retained versions —
+    # every retained manifest is op='optimize' with no stream tag
+    optimize_table(spark, table, target_files=1)
+    optimize_table(spark, table, target_files=1)
+    vacuum(spark, table, keep_last=2)
+    for v in _list_versions(spark, table):
+        assert "stream_batch_id" not in _read_manifest(spark, table, v)
+    # the durable cursor still knows the stream
+    last = last_committed_batch(spark, table)
+    assert last is not None and last[1] == 1
+    # lost checkpoint, same identity: the replayed batches must no-op
+    shutil.rmtree(ckpt)
+    _run(spark, src, table, ckpt)
+    assert _ids(read_table(spark, table)) == before

@@ -1156,3 +1156,26 @@ def test_cluster_by_stats_autoadd_with_inherited_stats(spark, tmp_path):
     # and the new files' s-bounds actually prune
     kept, total = plan_scan(spark, t, "s", "r10", "r10")
     assert len(kept) < total
+
+
+def test_expected_base_pins_the_read_snapshot(spark, tmp_path):
+    """Code-review r8: a writer that pins the snapshot it computed from
+    must lose with ConcurrentWriteError whenever the table advanced after
+    that read — not just when racing the publish instant."""
+    from procurement_data_pipeline_spark.operators.versioning import (
+        ConcurrentWriteError,
+        latest_version,
+    )
+
+    t = str(tmp_path / "tbl")
+    # pin on an empty table: expected_base=None targets version 1
+    m1 = versioned_write(spark, _df(spark, [1]), t, expected_base=None)
+    assert m1["version"] == 1
+    # fresh pin commits cleanly
+    m2 = versioned_write(spark, _df(spark, [2]), t, expected_base=1)
+    assert m2["version"] == 2 and m2["base_version"] == 1
+    # stale pin (table advanced since the read) loses, table unpoisoned
+    with pytest.raises(ConcurrentWriteError):
+        versioned_write(spark, _df(spark, [3]), t, expected_base=1)
+    assert latest_version(spark, t) == 2
+    assert _ids(read_table(spark, t)) == [1, 2]
