@@ -165,14 +165,25 @@ def swap_dir(spark: SparkSession, tmp_path: str, path: str) -> None:
     fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
     tmp = jvm.org.apache.hadoop.fs.Path(tmp_path)
     old = jvm.org.apache.hadoop.fs.Path(path.rstrip("/") + "__old")
+    # every rename is CHECKED (code-review r8): Hadoop FileSystem.rename
+    # reports failure by returning False, not raising — an unchecked
+    # failed park would strand the replacement in tmp while the caller
+    # believes it committed, and an unchecked failed promote would let
+    # the final delete below destroy the parked (only) copy of the state.
     if not fs.exists(root) and fs.exists(old):
         # an earlier swap crashed after parking: __old IS the live state
-        fs.rename(old, root)
+        if not fs.rename(old, root):
+            raise IOError(f"swap_dir: could not restore parked state to {path}")
     if fs.exists(old):  # root exists too → parked copy is superseded garbage
         fs.delete(old, True)
     if fs.exists(root):
-        fs.rename(root, old)
-    fs.rename(tmp, root)
+        if not fs.rename(root, old):
+            raise IOError(f"swap_dir: could not park live state of {path}")
+    if not fs.rename(tmp, root):
+        # root is vacant (we just parked it) — recover_swap will restore
+        # __old on the next touch; surface the failure instead of letting
+        # the trailing delete run
+        raise IOError(f"swap_dir: could not promote {tmp_path} to {path}")
     if fs.exists(old):
         fs.delete(old, True)
 
@@ -415,9 +426,17 @@ def merge_upsert(
 
     if _has_parquet():
         existing = spark.read.parquet(path)
-        kept = existing.join(
-            updates.select(*key_cols).distinct(), key_cols, "left_anti"
-        )
+        # NULL-SAFE anti-join (code-review r8): with plain key equality an
+        # existing NULL-key row never matches the updates' NULL-key row
+        # (NULL != NULL), so every re-merge appended another copy —
+        # breaking the documented idempotency. eqNullSafe treats the NULL
+        # key as a key like any other: matched → replaced, once.
+        upd_keys = updates.select(*key_cols).distinct()
+        cond = None
+        for k in key_cols:
+            c = existing[k].eqNullSafe(upd_keys[k])
+            cond = c if cond is None else (cond & c)
+        kept = existing.join(upd_keys, cond, "left_anti")
         merged = kept.unionByName(updates.select(*existing.columns))
     else:
         merged = updates

@@ -194,7 +194,19 @@ def band_hashes(sig: Column, bands: int) -> Column:
     comma-joined values of each signature slice. Factored so the BATCH
     banding (below) and the STREAMING near-dup operator
     (streaming/neardup.py) key their buckets with the bit-identical
-    expression — a streamed candidate is exactly a batch candidate."""
+    expression — a streamed candidate is exactly a batch candidate.
+
+    NULL-propagating: a NULL signature (doc too short to shingle) bands to
+    NULL, never to the hash of the empty string — otherwise every
+    signature-less doc would share one band key and collide with every
+    other (code-review r8); concat_ws silently skips NULL children, so the
+    guard must sit OUT here."""
+    return F.when(sig.isNull(), F.lit(None).cast("array<bigint>")).otherwise(
+        _band_hashes_nonnull(sig, bands)
+    )
+
+
+def _band_hashes_nonnull(sig: Column, bands: int) -> Column:
     return F.transform(
         F.sequence(F.lit(0), F.lit(bands - 1)),
         lambda b: F.xxhash64(
@@ -223,14 +235,26 @@ def minhash_signature_expr(
     any downstream stateful operator. The gram array is let-bound
     (single-element transform) so codegen evaluates tokenization once per
     row, not once per hash function (the lambda-scope re-evaluation
-    class-fix, see llm_ops/text.word_ngrams)."""
+    class-fix, see llm_ops/text.word_ngrams).
+
+    Docs shorter than ``n`` words have NO shingles and therefore no
+    MinHash: the signature is NULL, matching the batch path (which drops
+    them at the explode). Returning per-hash NULLs instead (the old
+    behavior, code-review r8) collapsed every short doc into ONE hot LSH
+    bucket downstream — band_hashes of an all-NULL signature is the hash
+    of the empty string, identical for all of them."""
     return F.element_at(
         F.transform(
             F.array(F.array_distinct(word_ngrams(text_col, n))),
-            lambda sh: F.transform(
-                F.sequence(F.lit(0), F.lit(num_hashes - 1)),
-                lambda i: F.array_min(
-                    F.transform(sh, lambda w: F.xxhash64(w, i + F.lit(seed)))
+            lambda sh: F.when(
+                F.size(sh) > 0,
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+                    lambda i: F.array_min(
+                        F.transform(
+                            sh, lambda w: F.xxhash64(w, i + F.lit(seed))
+                        )
+                    ),
                 ),
             ),
         ),

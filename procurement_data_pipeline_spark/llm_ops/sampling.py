@@ -74,9 +74,17 @@ def stratified_sample_n(
     smaller), chosen as the n smallest content hashes — a deterministic
     reservoir. One shuffle on the stratum key; the rank window never sees
     more than a stratum's rows. For balanced class-capped training mixes
-    (cap every source/language/label at n examples)."""
+    (cap every source/language/label at n examples).
+
+    Determinism holds even when ``key_col`` values repeat within a
+    stratum: a whole-row hash breaks the (hash, key) tie, so a retried
+    task keeps the same rows at the reservoir boundary (code-review r8 —
+    row_number's physical-order tie-break was rerun-dependent). Rows that
+    are full duplicates still tie, and then either copy is the same row.
+    """
+    tie = F.xxhash64(*[F.col(c) for c in sorted(df.columns)])
     w = Window.partitionBy(strata_col).orderBy(
-        hash_key(key_col, salt).asc(), F.col(key_col).asc()
+        hash_key(key_col, salt).asc(), F.col(key_col).asc(), tie.asc()
     )
     return (
         df.withColumn("_rk", F.row_number().over(w))

@@ -150,6 +150,24 @@ def _cm_bucket(col: str | F.Column, row: int, seed: int, width: int) -> F.Column
     return F.pmod(F.xxhash64(c, F.lit(row), F.lit(seed)), F.lit(width))
 
 
+def _cm_rb_pairs(col: str, width: int, depth: int, seed: int) -> F.Column:
+    """Exploded (row, bucket) struct column for one item — THE shared
+    addressing expression of build and query: a hashing-scheme change in
+    one but not the other would silently desynchronize every estimate
+    (code-review r8: this block used to exist as two verbatim copies)."""
+    return F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(r).alias("row"),
+                    _cm_bucket(col, r, seed, width).alias("bucket"),
+                )
+                for r in range(depth)
+            ]
+        )
+    )
+
+
 def countmin_build(
     df: DataFrame, col: str, width: int = 1024, depth: int = 4, seed: int = 42
 ) -> DataFrame:
@@ -168,17 +186,7 @@ def countmin_build(
     datasets is a union + re-sum (tested exact).
     """
     pairs = df.filter(F.col(col).isNotNull()).select(
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(r).alias("row"),
-                        _cm_bucket(col, r, seed, width).alias("bucket"),
-                    )
-                    for r in range(depth)
-                ]
-            )
-        ).alias("rb")
+        _cm_rb_pairs(col, width, depth, seed).alias("rb")
     )
     return (
         pairs.select("rb.row", "rb.bucket")
@@ -213,17 +221,7 @@ def countmin_query(
     """
     probes = items.filter(F.col(col).isNotNull()).select(
         F.col(col).alias("item"),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(r).alias("row"),
-                        _cm_bucket(col, r, seed, width).alias("bucket"),
-                    )
-                    for r in range(depth)
-                ]
-            )
-        ).alias("rb"),
+        _cm_rb_pairs(col, width, depth, seed).alias("rb"),
     ).select("item", "rb.row", "rb.bucket")
     return (
         probes.join(F.broadcast(sketch), ["row", "bucket"], "left")

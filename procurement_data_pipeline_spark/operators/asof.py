@@ -48,6 +48,14 @@ def asof_join(
     value_cols = value_cols or []
     l_cols = left.columns
 
+    # SQL join semantics: NULL never equals NULL. Window.partitionBy
+    # groups NULL keys into one partition, so without this filter a
+    # NULL-keyed left row would silently take the payload of a NULL-keyed
+    # RIGHT row (code-review r8). Dropping NULL-keyed right rows up front
+    # leaves NULL-keyed left rows naturally unmatched (their partition has
+    # no side-0 rows) — exactly what the equivalent range-join returns.
+    right = right.filter(F.col(on).isNotNull())
+
     payload = F.struct(
         F.col(ts_col).alias("_ts"), *[F.col(c) for c in value_cols]
     )
@@ -78,8 +86,19 @@ def asof_join(
         .filter(F.col("_side") == 1)
     )
     if tolerance_seconds is not None:
+        # seconds view of the time axis — TIMESTAMP_NTZ cannot cast to
+        # numeric directly (code-review r8: the straight double cast
+        # crashed on NTZ inputs the sibling range_join handles); route
+        # through unix_micros exactly like rangejoin._bucket_axis
+        dt = dict(left.dtypes).get(ts_col)
+
+        def _secs(c):
+            if dt in ("timestamp", "timestamp_ntz", "date"):
+                return F.unix_micros(c.cast("timestamp")) / F.lit(1e6)
+            return c.cast("double")
+
         fresh = (
-            F.col("_t").cast("double") - F.col("_m._ts").cast("double")
+            _secs(F.col("_t")) - _secs(F.col("_m._ts"))
         ) <= F.lit(float(tolerance_seconds))
         matched = matched.withColumn(
             "_m", F.when(fresh, F.col("_m"))

@@ -141,8 +141,9 @@ def bloom_might_contain(key: Column, bf: BloomFilter) -> Column:
     literals: both are constant, but the one Literal evaluates ~2x faster
     per probe row, measured, and keeps the expression tree O(1) instead
     of O(num_words)), so each probe row evaluates k element_at +
-    bitwise-AND terms inside whole-stage codegen. NULL keys test false
-    (a NULL key cannot equi-join anyway).
+    bitwise-AND terms inside whole-stage codegen. NULL keys are pruned
+    explicitly (a NULL key cannot equi-join; see the inline note on why
+    xxhash64 alone would NOT prune them).
     """
     arr = F.lit(list(bf.words)).cast("array<bigint>")
     checks = [
@@ -157,7 +158,13 @@ def bloom_might_contain(key: Column, bf: BloomFilter) -> Column:
     out = checks[0]
     for c in checks[1:]:
         out = out & c
-    return F.coalesce(out, F.lit(False))
+    # NULL keys: xxhash64 SKIPS null children (the expression is never
+    # NULL — it hashes the literal index alone), so a bare membership test
+    # sends every NULL key to the same k positions and passes them all
+    # whenever those bits are set. A NULL key cannot equi-join, so prune
+    # it explicitly (code-review r8: the old coalesce was dead code and
+    # the docstring's "NULL keys test false" was wrong).
+    return key.isNotNull() & out
 
 
 def bloom_prune(
@@ -176,5 +183,33 @@ def bloom_prune(
     therefore FPP) reflects the selective set, not the raw dimension.
     """
     key = F.col(probe_key) if isinstance(probe_key, str) else probe_key
-    bf = bloom_build(build, build_key, num_bits=num_bits, num_hashes=num_hashes)
+    bkey = F.col(build_key) if isinstance(build_key, str) else build_key
+    # xxhash64 hashes INT and BIGINT (and LONG vs DOUBLE) values
+    # DIFFERENTLY, so mismatched key types would set and probe different
+    # bit positions — false negatives on rows an exact join (which
+    # coerces both sides) would match, the one failure the superset
+    # contract forbids (code-review r8). Align both sides on one hash
+    # type before building/probing.
+    if isinstance(probe_key, str) and isinstance(build_key, str):
+        pt, bt = dict(probe.dtypes)[probe_key], dict(build.dtypes)[build_key]
+        if pt != bt:
+            integral = {"tinyint", "smallint", "int", "bigint"}
+
+            def _numeric(t: str) -> bool:
+                return t in integral | {"float", "double"} or t.startswith(
+                    "decimal"
+                )
+
+            if pt in integral and bt in integral:
+                key, bkey = key.cast("bigint"), bkey.cast("bigint")
+            elif _numeric(pt) and _numeric(bt):
+                # join-equal values have equal numeric value, so both cast
+                # to the SAME double → same hash: still a strict superset
+                key, bkey = key.cast("double"), bkey.cast("double")
+            else:
+                raise ValueError(
+                    f"bloom_prune key types differ ({pt} vs {bt}) and are "
+                    "not numerically coercible — cast the keys to one type"
+                )
+    bf = bloom_build(build, bkey, num_bits=num_bits, num_hashes=num_hashes)
     return probe.filter(bloom_might_contain(key, bf))

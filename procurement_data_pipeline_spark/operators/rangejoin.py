@@ -63,41 +63,60 @@ def range_join(
     if how not in ("inner", "left"):
         raise ValueError(f"how must be inner|left, got {how}")
     w = float(bucket_seconds)
-    # Inverted intervals (end < start) are unsatisfiable — and if allowed
-    # into sequence() they'd step DOWNWARD, exploding one corrupt row into
-    # ~start/w bucket rows (the same descending-sequence blow-up word_ngrams
-    # guards against). Filter them out before the explode; under how='left'
-    # they resurface from the anti-join with NULL point columns.
-    ie = intervals.filter(F.col(end_col) >= F.col(start_col)).withColumn(
-        "_b",
-        F.explode(
-            F.sequence(
-                F.floor(_bucket_axis(intervals, start_col) / w).cast("long"),
-                F.floor(_bucket_axis(intervals, end_col) / w).cast("long"),
-            )
-        ),
-    )
-    pe = points.withColumn(
-        "_b", F.floor(_bucket_axis(points, ts_col) / w).cast("long")
-    )
-    inner = (
-        ie.join(pe, [*on, "_b"])
-        .filter(
-            (F.col(ts_col) >= F.col(start_col))
-            & (F.col(ts_col) <= F.col(end_col))
+
+    def _inner(iv: DataFrame) -> DataFrame:
+        # Inverted intervals (end < start) are unsatisfiable — and if
+        # allowed into sequence() they'd step DOWNWARD, exploding one
+        # corrupt row into ~start/w bucket rows (the same
+        # descending-sequence blow-up word_ngrams guards against). Filter
+        # them out before the explode; under how='left' they resurface
+        # from the anti-join with NULL point columns.
+        ie = iv.filter(F.col(end_col) >= F.col(start_col)).withColumn(
+            "_b",
+            F.explode(
+                F.sequence(
+                    F.floor(_bucket_axis(iv, start_col) / w).cast("long"),
+                    F.floor(_bucket_axis(iv, end_col) / w).cast("long"),
+                )
+            ),
         )
-        .drop("_b")
-    )
+        pe = points.withColumn(
+            "_b", F.floor(_bucket_axis(points, ts_col) / w).cast("long")
+        )
+        return (
+            ie.join(pe, [*on, "_b"])
+            .filter(
+                (F.col(ts_col) >= F.col(start_col))
+                & (F.col(ts_col) <= F.col(end_col))
+            )
+            .drop("_b")
+        )
+
     if how == "inner":
-        return inner
-    point_cols = [c for c in points.columns if c not in on]
-    unmatched = intervals.join(
-        inner.select(*intervals.columns), intervals.columns, "left_anti"
-    ).select(
-        "*",
-        *[
-            F.lit(None).cast(points.schema[c].dataType).alias(c)
-            for c in point_cols
-        ],
+        return _inner(intervals)
+    # how='left': a unique per-interval tag makes the unmatched anti-join
+    # both NULL-safe and duplicate-safe (code-review r8). Anti-joining on
+    # ALL interval columns used null-unsafe equality, so a matched
+    # interval carrying any NULL column compared unequal to itself and
+    # was re-emitted as a spurious NULL-point row; duplicate interval
+    # rows likewise collapsed. Persisted so the nondeterministic id is
+    # pinned across the inner and anti branches.
+    from procurement_data_pipeline_spark.caching import scoped_persist
+
+    tagged = scoped_persist(
+        intervals.withColumn("_iid", F.monotonically_increasing_id())
     )
-    return inner.unionByName(unmatched)
+    inner_t = _inner(tagged)
+    point_cols = [c for c in points.columns if c not in on]
+    unmatched = (
+        tagged.join(inner_t.select("_iid").distinct(), "_iid", "left_anti")
+        .drop("_iid")
+        .select(
+            "*",
+            *[
+                F.lit(None).cast(points.schema[c].dataType).alias(c)
+                for c in point_cols
+            ],
+        )
+    )
+    return inner_t.drop("_iid").unionByName(unmatched)

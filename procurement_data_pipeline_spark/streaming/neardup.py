@@ -101,6 +101,12 @@ def streaming_neardup_candidates(
     sig = docs.select(
         F.col(id_col).cast("long").alias("doc_id"),
         minhash_signature_expr(text_col, n=n, num_hashes=num_hashes).alias("sig"),
+    ).filter(
+        # docs shorter than n words have no shingles → NULL signature:
+        # excluded, exactly as the batch pipeline drops them (they cannot
+        # near-dup by shingle overlap; without this filter they all landed
+        # in one hot state bucket — code-review r8)
+        F.col("sig").isNotNull()
     )
     banded = sig.select(
         "doc_id",
