@@ -73,6 +73,12 @@ def train_pq_codebooks(
         raise ValueError(f"dim {dim} not divisible by m={m}")
     sub = dim // m
     k = min(k, len(x))
+    if k > 32767:
+        # pq_encode stores codes as int16 (array<smallint>) — a larger
+        # codebook would silently WRAP indices negative and ADC would
+        # read the wrong centroids' dot products (code-review r8). PQ
+        # codebooks are 256-4096 entries in practice; refuse loudly.
+        raise ValueError(f"codebook k={k} exceeds the int16 code range")
     return np.stack(
         [
             _l2_lloyd(x[:, j * sub : (j + 1) * sub], k, seed=seed + j)
@@ -86,12 +92,18 @@ def pq_encode(
     codebooks: np.ndarray,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    extra_cols: dict | None = None,
 ) -> DataFrame:
     """(id, code: array<smallint>) — one code per subspace per vector.
 
     One Arrow batch → M (batch × sub) @ (sub × k) matmuls; nearest centroid
     per subspace by expanded L2 (argmax of dot − ½‖c‖², since the batch
-    row's own norm is constant across candidates)."""
+    row's own norm is constant across candidates).
+
+    ``extra_cols`` ({name: Column over the corpus row}) rides the SAME
+    projection — the IVF cell assignment is row-local, and attaching it by
+    re-selecting the corpus and joining on id cost a full corpus shuffle
+    per index build (code-review r8)."""
     from pyspark.sql.functions import pandas_udf
 
     m, k, sub = codebooks.shape
@@ -109,7 +121,9 @@ def pq_encode(
         return pd.Series(list(codes))
 
     return corpus.select(
-        F.col(id_col), encode(F.col(vec_col)).alias("code")
+        F.col(id_col),
+        encode(F.col(vec_col)).alias("code"),
+        *[v.alias(n) for n, v in (extra_cols or {}).items()],
     )
 
 
@@ -221,8 +235,12 @@ def build_ivf_pq_index(
         corpus, vec_col, m, codebook_k, sample_size, seed
     )
     cell_udf, _ = _cell_udfs(cents, nprobe=1)
-    encoded = pq_encode(corpus, codebooks, id_col, vec_col).join(
-        corpus.select(id_col, cell_udf(F.col(vec_col)).alias("_cell")), id_col
+    encoded = pq_encode(
+        corpus,
+        codebooks,
+        id_col,
+        vec_col,
+        extra_cols={"_cell": cell_udf(F.col(vec_col))},
     )
     return IvfPqIndex(cents, codebooks), encoded
 
@@ -385,11 +403,12 @@ def append_to_ivf_pq_index(
     # UDF + join would otherwise run twice — once for the count, once for
     # the write — doubling the O(new) maintenance cost.
     encoded = scoped_persist(
-        pq_encode(new_vectors, index.codebooks, id_col, vec_col).join(
-            new_vectors.select(
-                id_col, cell_udf(F.col(vec_col)).alias("_cell")
-            ),
+        pq_encode(
+            new_vectors,
+            index.codebooks,
             id_col,
+            vec_col,
+            extra_cols={"_cell": cell_udf(F.col(vec_col))},
         )
     )
     n = encoded.count()

@@ -71,6 +71,14 @@ def unique(col: str) -> Expectation:
     return Expectation(f"unique({col})", lambda: F.lit(True), needs_key_count=col)
 
 
+# In a quality GATE an expectation must resolve to pass-or-quarantine —
+# never SQL's third value. A bare `F.col(x) > 0` is NULL for a NULL x,
+# and `~NULL` is NULL, which F.when drops and array_compact erases: the
+# row would land in clean_df (code-review r8). Unknown ⇒ quarantine.
+def _violates(pred: Column) -> Column:
+    return ~F.coalesce(pred, F.lit(False))
+
+
 def check(
     df: DataFrame, expectations: list[Expectation]
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
@@ -91,11 +99,17 @@ def check(
     flags = []
     for e in expectations:
         if e.needs_key_count is not None:
-            w = Window.partitionBy(e.needs_key_count)
-            pred = F.count(F.lit(1)).over(w) == 1
+            # SQL unique-constraint semantics: NULL keys never duplicate
+            # EACH OTHER (NULL != NULL) — only non-null keys are counted;
+            # pair with not_null(col) to also quarantine the NULLs
+            # (code-review r8: the bare window grouped all NULL keys into
+            # one partition and flagged every one as a duplicate).
+            k = e.needs_key_count
+            w = Window.partitionBy(k)
+            pred = F.col(k).isNull() | (F.count(F.col(k)).over(w) == 1)
         else:
             pred = e.predicate()
-        flags.append(F.when(~pred, F.lit(e.name)))
+        flags.append(F.when(_violates(pred), F.lit(e.name)))
     labeled = labeled.withColumn(
         "_violations",
         F.array_compact(F.array(*flags)),

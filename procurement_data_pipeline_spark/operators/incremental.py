@@ -47,11 +47,20 @@ def incremental_refresh(
     already exists pre-aggregation). The write uses dynamic partition
     overwrite: partitions NOT in ``dates`` are untouched.
     """
+    from procurement_data_pipeline_spark.caching import scoped_persist
+
     src = fact_date_col or partition_col
     affected = facts.filter(
         F.col(src).cast("date").cast("string").isin(dates)
     )
-    rows = rollup_fn(affected)
+    # PERSISTED: the rollup rows feed both the write and the
+    # present-partitions collect below. Re-evaluating rollup_fn for the
+    # collect (code-review r8) doubled the refresh cost AND re-read the
+    # fact scan — if new fact files landed between the write and the
+    # collect (the streaming-maintained case) `present` could disagree
+    # with what was just written and the stale-partition sweep would
+    # delete a freshly written partition.
+    rows = scoped_persist(rollup_fn(affected))
     (
         rows.write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
@@ -79,6 +88,18 @@ def incremental_refresh(
             stale = jvm.org.apache.hadoop.fs.Path(root, f"{partition_col}={d}")
             if fs.exists(stale):
                 fs.delete(stale, True)  # recursive
+    # a refresh can legitimately leave the rollup EMPTY (only partition
+    # vanished): spark.read would fail schema inference on a dataless
+    # directory — honor the docstring's "including absence" with an
+    # empty frame of the rollup's own schema (code-review r8)
+    it = fs.listFiles(root, True)
+    has_data = False
+    while it.hasNext():
+        if it.next().getPath().getName().endswith(".parquet"):
+            has_data = True
+            break
+    if not has_data:
+        return spark.createDataFrame([], rows.schema)
     return spark.read.parquet(rollup_path)
 
 
@@ -102,10 +123,14 @@ def verify_incremental(
     different partition merge orders and would flag a converged partition.
     """
     stored = spark.read.parquet(rollup_path)
-    if dates is not None and fact_date_col:
-        # Prune the recompute to the audited dates at the fact scan.
+    if dates is not None:
+        # Prune the recompute to the audited dates at the fact scan —
+        # fact_date_col defaults to partition_col exactly as in
+        # incremental_refresh (code-review r8: the audit used to rescan
+        # ALL history whenever the default was relied on).
+        src = fact_date_col or partition_col
         facts = facts.filter(
-            F.col(fact_date_col).cast("date").cast("string").isin(dates)
+            F.col(src).cast("date").cast("string").isin(dates)
         )
     expected = rollup_fn(facts)
     # Partition-directory type inference may read the partition column back

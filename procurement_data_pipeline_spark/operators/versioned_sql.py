@@ -175,7 +175,21 @@ def sql(spark: SparkSession, statement: str) -> DataFrame:
         return spark.sql(statement)
     cmd, (args, kw) = m.group(1).lower(), _parse_args(m.group(2))
 
+    def _kw(allowed: set) -> None:
+        # A typo'd option must FAIL, not silently run a materially
+        # different command (code-review r8: `keep => 1` used to vacuum
+        # with the default keep_last=2, `zorder_cols =>` ran a plain
+        # compaction) — every branch validates its keyword set up front.
+        unknown = set(kw) - allowed
+        if unknown:
+            raise ValueError(
+                f"CALL versioned.{cmd}: unknown argument(s) "
+                f"{sorted(unknown)} — accepted: {sorted(allowed)}"
+            )
+
     if cmd == "write":
+        _kw({"mode", "merge_schema", "stats_cols", "cluster_by",
+             "cluster_files", "delta_min_files", "checkpoint_every"})
         path, source = args
         man = V.versioned_write(
             spark,
@@ -191,6 +205,7 @@ def sql(spark: SparkSession, statement: str) -> DataFrame:
         )
         return _manifest_df(spark, man)
     if cmd == "merge":
+        _kw({"key_col", "when_matched", "key_collect_threshold"})
         path, source = args
         merge_kw = {}
         if "key_collect_threshold" in kw:  # keep merge_into's default otherwise
@@ -205,9 +220,11 @@ def sql(spark: SparkSession, statement: str) -> DataFrame:
         )
         return _manifest_df(spark, man)
     if cmd == "rollback":
+        _kw(set())
         path, to_version = args
         return _manifest_df(spark, V.rollback(spark, path, to_version))
     if cmd == "optimize":
+        _kw({"zorder", "target_files"})
         path = args[0]
         man = V.optimize_table(
             spark,
@@ -217,6 +234,7 @@ def sql(spark: SparkSession, statement: str) -> DataFrame:
         )
         return _manifest_df(spark, man)
     if cmd == "vacuum":
+        _kw({"keep_last"})
         path = args[0]
         res = V.vacuum(spark, path, keep_last=kw.get("keep_last", 2))
         return spark.createDataFrame(
@@ -224,6 +242,7 @@ def sql(spark: SparkSession, statement: str) -> DataFrame:
             "expired_versions int, deleted_files int",
         )
     if cmd == "history":
+        _kw(set())
         rows = V.history(spark, args[0])
         return spark.createDataFrame(
             [
@@ -238,6 +257,7 @@ def sql(spark: SparkSession, statement: str) -> DataFrame:
         # residual). Compound form: col/lo/hi as SAME-LENGTH arrays AND
         # the ranges together in one manifest pass:
         #   scan(path, ['d','k'], lo => ['2024-01-01', 10], hi => [null, 20])
+        _kw({"lo", "hi", "version"})
         path, col = args
         lo, hi = kw.get("lo"), kw.get("hi")
         if isinstance(col, list):
@@ -269,6 +289,7 @@ def sql(spark: SparkSession, statement: str) -> DataFrame:
             table_changes,
         )
 
+        _kw({"to", "key_col"})
         path, from_version = args
         key_col = kw.get("key_col")
         return table_changes(
@@ -282,8 +303,10 @@ def sql(spark: SparkSession, statement: str) -> DataFrame:
         # snapshot(path, view_name [, version => k]) — registers the view
         # AND returns it; time_travel(path, version, view_name) is sugar
         if cmd == "time_travel":
+            _kw(set())
             path, version, name = args
         else:
+            _kw({"version"})
             path, name = args
             version = kw.get("version")
         V.register_versioned_view(spark, name, path, version=version)

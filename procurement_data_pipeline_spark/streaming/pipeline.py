@@ -129,12 +129,44 @@ def click_attribution_join(
     ).select("purchase_id", "user_id", "purchase_ts", "click_ts")
 
 
+
+def _await_drained(q, timeout_sec: int, what: str) -> None:
+    """Wait until the query TERMINATES or is provably DRAINED; raise on a
+    genuine timeout (code-review r8: the unchecked awaitTermination let a
+    timed-out drain hand the caller PARTIAL output as success).
+
+    Two completion signals, because termination alone is not reliable:
+    some stateful availableNow queries (applyInPandasWithState) keep the
+    query alive after consuming every available row — for those, status
+    reporting no available data and no active trigger IS completion (the
+    sink holds the full output; production runs of such queries are
+    continuous and never pass through here)."""
+    import time
+
+    deadline = time.time() + timeout_sec
+    while True:
+        if q.awaitTermination(5):
+            return
+        st = q.status
+        if not st.get("isDataAvailable", True) and not st.get(
+            "isTriggerActive", True
+        ):
+            q.stop()
+            return
+        if time.time() >= deadline:
+            q.stop()
+            raise TimeoutError(
+                f"{what} did not drain within {timeout_sec}s - partial "
+                "output discarded; raise timeout_sec or shrink the backlog"
+            )
+
+
 def run_to_completion(
     stream_df: DataFrame,
     checkpoint_dir: str,
     query_name: str = "stream",
     output_mode: str = "append",
-    timeout_sec: int = 120,
+    timeout_sec: int = 300,
 ) -> list:
     """Drain a stream with availableNow into an in-memory sink and return
     the rows (test/backfill helper; production would writeStream to parquet
@@ -147,7 +179,7 @@ def run_to_completion(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(timeout_sec)
+    _await_drained(q, timeout_sec, f"memory-sink stream {query_name!r}")
     spark = stream_df.sparkSession
     rows = spark.table(query_name).collect()
     q.stop()
@@ -159,7 +191,7 @@ def stream_to_warehouse(
     path: str,
     checkpoint_dir: str,
     partition_col: str | None = None,
-    timeout_sec: int = 120,
+    timeout_sec: int = 300,
 ) -> None:
     """Drain a stream into partitioned warehouse parquet (availableNow).
 
@@ -178,7 +210,7 @@ def stream_to_warehouse(
     if partition_col is not None:
         writer = writer.partitionBy(partition_col)
     q = writer.start()
-    q.awaitTermination(timeout_sec)
+    _await_drained(q, timeout_sec, f"warehouse stream to {path}")
     q.stop()
 
 
@@ -190,7 +222,7 @@ def stream_incremental_rollup(
     partition_col: str,
     checkpoint_dir: str,
     fact_date_col: str = "ts",
-    timeout_sec: int = 120,
+    timeout_sec: int = 300,
     schema: str = EVENTS_STREAM_SCHEMA,
 ) -> None:
     """Streaming-maintained rollup: watch the fact directory as a stream and
@@ -218,13 +250,16 @@ def stream_incremental_rollup(
     stream = spark.readStream.format("parquet").schema(schema).load(fact_path)
 
     def _refresh(batch_df: DataFrame, _batch_id: int) -> None:
+        # NULL fact timestamps would str() into the literal 'None' and
+        # send incremental_refresh chasing a bogus partition directory
+        # every trigger (code-review r8) — they belong to no partition
         dates = [
             str(r[0])
-            for r in batch_df.select(
-                F.col(fact_date_col).cast("date").cast("string")
-            )
+            for r in batch_df.filter(F.col(fact_date_col).isNotNull())
+            .select(F.col(fact_date_col).cast("date").cast("string"))
             .distinct()
             .collect()
+            if r[0] is not None
         ]
         if not dates:
             return
@@ -244,7 +279,7 @@ def stream_incremental_rollup(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(timeout_sec)
+    _await_drained(q, timeout_sec, "foreachBatch stream")
     q.stop()
 
 
@@ -258,7 +293,7 @@ def stream_countmin(
     width: int = 1024,
     depth: int = 4,
     seed: int = 42,
-    timeout_sec: int = 120,
+    timeout_sec: int = 300,
 ) -> None:
     """Streaming-maintained count-min sketch: each microbatch's partial
     sketch lands under ``store_path/batch_id=<id>`` (dynamic overwrite of
@@ -295,7 +330,7 @@ def stream_countmin(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(timeout_sec)
+    _await_drained(q, timeout_sec, "foreachBatch stream")
     q.stop()
 
 

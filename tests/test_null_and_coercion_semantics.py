@@ -206,3 +206,102 @@ def test_countmin_build_query_share_addressing(spark):
     ).collect()}
     assert est["a"] >= 5 and est["b"] >= 3 and est["zzz"] >= 0
     assert est["a"] <= 8 and est["b"] <= 8  # one-sided, tiny overcount max
+
+
+# ---- review cycle 4: streaming drain / expectations / CALL kwargs ------
+
+
+def test_expectation_null_predicate_quarantines(spark):
+    """A user predicate that evaluates to NULL (three-valued logic) must
+    quarantine the row, not silently pass it as clean."""
+    from procurement_data_pipeline_spark.operators.expectations import (
+        Expectation,
+        check,
+    )
+
+    df = spark.createDataFrame([(1,), (None,), (-2,)], "x int")
+    clean, quarantine, summary = check(
+        df, [Expectation("positive", lambda: F.col("x") > 0)]
+    )
+    assert [r["x"] for r in clean.collect()] == [1]
+    assert sorted(r["x"] for r in quarantine.collect() if r["x"] is not None) == [-2]
+    assert quarantine.count() == 2  # the NULL row is quarantined too
+    assert summary.collect()[0]["n_violations"] == 2
+
+
+def test_expectation_unique_ignores_null_keys(spark):
+    """SQL unique-constraint semantics: NULL keys never duplicate each
+    other — only not_null flags them."""
+    from procurement_data_pipeline_spark.operators.expectations import (
+        check,
+        unique,
+    )
+
+    df = spark.createDataFrame(
+        [(None,), (None,), (1,), (1,), (2,)], "k int"
+    )
+    clean, quarantine, _ = check(df, [unique("k")])
+    assert sorted(
+        (r["k"] for r in quarantine.collect()), key=lambda v: (v is None, v)
+    ) == [1, 1]
+    assert clean.filter(F.col("k").isNull()).count() == 2
+
+
+def test_call_rejects_unknown_kwargs(spark, tmp_path):
+    """A typo'd CALL option must fail loudly, not silently run a
+    materially different command (keep => vs keep_last =>)."""
+    import pytest as _pytest
+
+    from procurement_data_pipeline_spark.operators.versioned_sql import sql
+    from procurement_data_pipeline_spark.operators.versioning import (
+        versioned_write,
+    )
+
+    t = str(tmp_path / "tbl")
+    versioned_write(
+        spark, spark.createDataFrame([(1,)], "id long"), t
+    )
+    with _pytest.raises(ValueError, match="unknown argument.*keep"):
+        sql(spark, f"CALL versioned.vacuum('{t}', keep => 1)")
+    with _pytest.raises(ValueError, match="unknown argument.*zorder_cols"):
+        sql(spark, f"CALL versioned.optimize('{t}', zorder_cols => 'id')")
+
+
+def test_incremental_refresh_empty_rollup_reads_empty(spark, tmp_path):
+    """A refresh whose only partition vanished leaves an EMPTY rollup —
+    the helper must return an empty frame, not crash schema inference."""
+    from procurement_data_pipeline_spark.operators.incremental import (
+        incremental_refresh,
+    )
+
+    facts = spark.createDataFrame(
+        [("2024-01-01", 5)], "day string, v long"
+    )
+    rollup_dir = str(tmp_path / "rollup")
+
+    def fn(df):
+        return df.groupBy("day").agg(F.sum("v").alias("total"))
+
+    out = incremental_refresh(
+        spark, facts, fn, rollup_dir, "day", ["2024-01-01"]
+    )
+    assert out.count() == 1
+    # the date's facts vanish; refreshing it must EMPTY the rollup cleanly
+    gone = facts.filter(F.lit(False))
+    out2 = incremental_refresh(
+        spark, gone, fn, rollup_dir, "day", ["2024-01-01"]
+    )
+    assert out2.count() == 0
+    assert out2.columns == ["day", "total"]
+
+
+def test_pq_codebook_k_over_int16_refused(spark):
+    from procurement_data_pipeline_spark.llm_ops.pq import train_pq_codebooks
+    import pytest as _pytest
+
+    emb = spark.createDataFrame(
+        [(i, [float(i), 0.0, 1.0, 2.0]) for i in range(40000)],
+        "vec_id long, embedding array<float>",
+    )
+    with _pytest.raises(ValueError, match="int16"):
+        train_pq_codebooks(emb, "embedding", m=2, k=40000, sample_size=40000)
