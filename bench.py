@@ -219,12 +219,28 @@ def main() -> None:
     for n in unknown_extended:
         errors[n] = "unknown query name in extended_names (renamed or typo?)"
 
-    def bench_group(group: dict, n_passes: int) -> dict[str, list[float]]:
+    def bench_group(
+        group: dict, n_passes: int, deadline: float | None = None
+    ) -> dict[str, list[float]]:
         # Warm-up execution of every query (codegen compile, parquet
         # footers, noop-sink init) so the timed passes measure steady-state
         # plan execution — the quantity that extrapolates to cluster scale
         # — not constant first-touch JVM costs.
+        def over_budget(name: str) -> bool:
+            # Wall-clock soft budget (extended tier only): on an
+            # ambient-slow machine the harness's hard kill (~560 s) would
+            # otherwise land MID-RUN and cost the round its ENTIRE bench
+            # artifact — a truncated extended tier beats a missing
+            # headline line (round 8 measured a x1.7 ambient slowdown
+            # that pushed the full run past the kill).
+            if deadline is not None and time.perf_counter() > deadline:
+                errors.setdefault(name, "skipped: bench wall budget exhausted")
+                return True
+            return False
+
         for name in group:
+            if over_budget(name):
+                continue
             run_once(name, group)
         # N timed passes, report the min: the container shares cores with
         # other tenants, and min-of-N is the standard estimator for the
@@ -234,6 +250,8 @@ def main() -> None:
         for _ in range(n_passes):
             for name in group:
                 if name in errors:
+                    continue
+                if over_budget(name):
                     continue
                 elapsed = run_once(name, group)
                 if elapsed is not None:
@@ -263,6 +281,7 @@ def main() -> None:
             )
         return times
 
+    t_start = time.perf_counter()
     calib_passes = run_calibration()
     passes = bench_group(bench_specs, 3)
     # Extended tier: warm-up + ONE timed pass (headline keeps min-of-3).
@@ -273,7 +292,8 @@ def main() -> None:
     # per extended query keeps the per-query evidence and ~140 s of
     # headroom; the headline tier — the graded metric — keeps its
     # min-of-3 spread audit.
-    ext_passes = bench_group(extended_specs, 1)
+    budget = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_SEC", "480"))
+    ext_passes = bench_group(extended_specs, 1, deadline=t_start + budget - 30)
 
     # A query that errored in ANY pass is evidence-incomplete: report it
     # only under "errors", never in timings/total (a partial min would
