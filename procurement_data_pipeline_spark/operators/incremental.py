@@ -125,13 +125,18 @@ def verify_incremental(
     stored = spark.read.parquet(rollup_path)
     if dates is not None:
         # Prune the recompute to the audited dates at the fact scan —
-        # fact_date_col defaults to partition_col exactly as in
-        # incremental_refresh (code-review r8: the audit used to rescan
-        # ALL history whenever the default was relied on).
-        src = fact_date_col or partition_col
-        facts = facts.filter(
-            F.col(src).cast("date").cast("string").isin(dates)
+        # fact_date_col defaults to partition_col WHEN the fact side
+        # carries it (code-review r8: the audit used to rescan ALL
+        # history whenever the default was relied on). Facts whose grain
+        # column only appears post-aggregation (rollup_fn derives it)
+        # keep the unpruned recompute — correct, just unpruned.
+        src = fact_date_col or (
+            partition_col if partition_col in facts.columns else None
         )
+        if src is not None:
+            facts = facts.filter(
+                F.col(src).cast("date").cast("string").isin(dates)
+            )
     expected = rollup_fn(facts)
     # Partition-directory type inference may read the partition column back
     # as a richer type (date/int) than the rollup wrote (string) — align the

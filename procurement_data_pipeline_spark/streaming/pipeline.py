@@ -130,17 +130,27 @@ def click_attribution_join(
 
 
 
-def _await_drained(q, timeout_sec: int, what: str) -> None:
+def _await_drained(
+    q, timeout_sec: int, what: str, stop_on_state_cleanup: bool = False
+) -> None:
     """Wait until the query TERMINATES or is provably DRAINED; raise on a
     genuine timeout (code-review r8: the unchecked awaitTermination let a
     timed-out drain hand the caller PARTIAL output as success).
 
-    Two completion signals, because termination alone is not reliable:
-    some stateful availableNow queries (applyInPandasWithState) keep the
-    query alive after consuming every available row — for those, status
-    reporting no available data and no active trigger IS completion (the
-    sink holds the full output; production runs of such queries are
-    continuous and never pass through here)."""
+    Completion signals beyond termination, because termination alone is
+    not reliable: status reporting no available data AND no active
+    trigger is completion (the sink holds the full output).
+
+    ``stop_on_state_cleanup`` additionally accepts "No new data but
+    cleaning up state" — the post-drain trigger of a stateful query —
+    as completion. That is ONLY safe when the caller KNOWS the cleanup
+    trigger emits nothing (applyInPandasWithState with NoTimeout: no
+    state can time out, so nothing new reaches the sink); for a
+    watermarked APPEND-mode aggregation the cleanup trigger is exactly
+    what emits the final closed windows, and stopping early would
+    truncate the result. Under heavy ambient load that cleanup's
+    state-store commit was measured grinding for minutes — the flag
+    exists so NoTimeout callers don't race the machine's weather."""
     import time
 
     deadline = time.time() + timeout_sec
@@ -148,9 +158,12 @@ def _await_drained(q, timeout_sec: int, what: str) -> None:
         if q.awaitTermination(5):
             return
         st = q.status
-        if not st.get("isDataAvailable", True) and not st.get(
-            "isTriggerActive", True
-        ):
+        no_data = not st.get("isDataAvailable", True)
+        idle = not st.get("isTriggerActive", True)
+        cleanup = stop_on_state_cleanup and no_data and (
+            "cleaning up state" in st.get("message", "")
+        )
+        if no_data and (idle or cleanup):
             q.stop()
             return
         if time.time() >= deadline:
@@ -166,11 +179,14 @@ def run_to_completion(
     checkpoint_dir: str,
     query_name: str = "stream",
     output_mode: str = "append",
-    timeout_sec: int = 300,
+    timeout_sec: int = 600,
+    stop_on_state_cleanup: bool = False,
 ) -> list:
     """Drain a stream with availableNow into an in-memory sink and return
     the rows (test/backfill helper; production would writeStream to parquet
-    or a table with the same checkpointing)."""
+    or a table with the same checkpointing). ``stop_on_state_cleanup``:
+    see :func:`_await_drained` — pass True ONLY for stateful queries whose
+    post-drain cleanup trigger provably emits nothing (NoTimeout)."""
     q = (
         stream_df.writeStream.format("memory")
         .queryName(query_name)
@@ -179,7 +195,12 @@ def run_to_completion(
         .trigger(availableNow=True)
         .start()
     )
-    _await_drained(q, timeout_sec, f"memory-sink stream {query_name!r}")
+    _await_drained(
+        q,
+        timeout_sec,
+        f"memory-sink stream {query_name!r}",
+        stop_on_state_cleanup=stop_on_state_cleanup,
+    )
     spark = stream_df.sparkSession
     rows = spark.table(query_name).collect()
     q.stop()
@@ -191,7 +212,7 @@ def stream_to_warehouse(
     path: str,
     checkpoint_dir: str,
     partition_col: str | None = None,
-    timeout_sec: int = 300,
+    timeout_sec: int = 600,
 ) -> None:
     """Drain a stream into partitioned warehouse parquet (availableNow).
 
@@ -222,7 +243,7 @@ def stream_incremental_rollup(
     partition_col: str,
     checkpoint_dir: str,
     fact_date_col: str = "ts",
-    timeout_sec: int = 300,
+    timeout_sec: int = 600,
     schema: str = EVENTS_STREAM_SCHEMA,
 ) -> None:
     """Streaming-maintained rollup: watch the fact directory as a stream and
@@ -293,7 +314,7 @@ def stream_countmin(
     width: int = 1024,
     depth: int = 4,
     seed: int = 42,
-    timeout_sec: int = 300,
+    timeout_sec: int = 600,
 ) -> None:
     """Streaming-maintained count-min sketch: each microbatch's partial
     sketch lands under ``store_path/batch_id=<id>`` (dynamic overwrite of

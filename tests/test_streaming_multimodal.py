@@ -250,6 +250,10 @@ def test_stateful_running_user_stats_accumulates_across_batches(
         str(tmp_path / "ckpt4"),
         query_name="stateful_stream",
         output_mode="update",
+        # NoTimeout stateful query: the post-drain cleanup trigger emits
+        # nothing — safe to treat it as drained (its state-store commit
+        # grinds for minutes under co-tenant load; see _await_drained)
+        stop_on_state_cleanup=True,
     )
     # memory sink in update mode keeps every emitted row; the final emission
     # per user is the one with the highest running count.
