@@ -431,10 +431,18 @@ def merge_upsert(
         # (NULL != NULL), so every re-merge appended another copy —
         # breaking the documented idempotency. eqNullSafe treats the NULL
         # key as a key like any other: matched → replaced, once.
-        upd_keys = updates.select(*key_cols).distinct()
+        # Rename the key side to unique temp names before the join
+        # (advice r9): when ``updates`` derives from the same
+        # spark.read.parquet(path) lineage as ``existing`` (read-modify-
+        # merge), existing[k] vs upd_keys[k] compares same-origin
+        # attributes — ambiguous/trivially-true — and Spark raises
+        # AnalysisException. Distinct names also break the shared lineage.
+        upd_keys = updates.select(
+            *[F.col(k).alias("_mk_" + k) for k in key_cols]
+        ).distinct()
         cond = None
         for k in key_cols:
-            c = existing[k].eqNullSafe(upd_keys[k])
+            c = existing[k].eqNullSafe(F.col("_mk_" + k))
             cond = c if cond is None else (cond & c)
         kept = existing.join(upd_keys, cond, "left_anti")
         merged = kept.unionByName(updates.select(*existing.columns))

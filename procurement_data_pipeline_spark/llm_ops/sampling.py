@@ -16,7 +16,20 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 from pyspark.sql.window import Window
+
+
+def _contains_map(dt: "T.DataType") -> bool:
+    """True if ``dt`` is or nests a MapType (Spark rejects hash exprs
+    over maps at any depth — map equality is undefined)."""
+    if isinstance(dt, T.MapType):
+        return True
+    if isinstance(dt, T.ArrayType):
+        return _contains_map(dt.elementType)
+    if isinstance(dt, T.StructType):
+        return any(_contains_map(f.dataType) for f in dt.fields)
+    return False
 
 _PREFIX_LEN = 8  # hex chars compared; 16^8 = 2^32 buckets
 
@@ -81,8 +94,22 @@ def stratified_sample_n(
     task keeps the same rows at the reservoir boundary (code-review r8 —
     row_number's physical-order tie-break was rerun-dependent). Rows that
     are full duplicates still tie, and then either copy is the same row.
+
+    MapType columns are excluded from the tie hash (advice r9): Spark
+    rejects hash expressions over maps (map equality is undefined), and
+    hashing them would AnalysisException the whole sample. Their values
+    still can't flip the outcome — ties beyond the remaining columns are
+    full-duplicate rows for every hashable field, and picking either
+    copy yields the same sampled content for every deterministic column.
     """
-    tie = F.xxhash64(*[F.col(c) for c in sorted(df.columns)])
+    hashable = [
+        f.name for f in df.schema.fields if not _contains_map(f.dataType)
+    ]
+    tie = (
+        F.xxhash64(*[F.col(c) for c in sorted(hashable)])
+        if hashable
+        else F.lit(0)
+    )
     w = Window.partitionBy(strata_col).orderBy(
         hash_key(key_col, salt).asc(), F.col(key_col).asc(), tie.asc()
     )

@@ -134,8 +134,67 @@ _RESERVED_MANIFEST_KEYS = frozenset(
         "cluster_by",
         "zorder_cols",
         "merge",
+        "commit_id",
+        "base_commit_id",
     }
 )
+
+
+def _lineage(prev_manifest: dict | None) -> dict:
+    """Commit lineage fields: a unique id for THIS commit plus the id of
+    the latest manifest the writer observed. ``base_version`` alone can't
+    distinguish "successor chained on MY v6" from "successor chained on an
+    OLD v6 whose slot a vacuum later expired" — version numbers are reused
+    only in that pathological case, and the post-publish liveness check
+    (:func:`_verify_commit_visible`) needs to tell them apart."""
+    return {
+        "commit_id": uuid.uuid4().hex,
+        "base_commit_id": (prev_manifest or {}).get("commit_id"),
+    }
+
+
+def _verify_commit_visible(
+    spark: SparkSession, table_path: str, manifest: dict, commit_dir: str
+) -> None:
+    """Post-publish liveness check (advice r9): a snapshot-pinned write
+    whose ``expected_base + 1`` slot was EXPIRED by a vacuum that ran
+    between the caller's read and the commit publishes "successfully" into
+    the expired version number — the O_EXCL claim wins because vacuum
+    deleted the old occupant — but the table's latest is already far past
+    it, so the rows silently never become part of latest. The
+    no-concurrent-maintenance contract forbids the scenario, but the
+    failure mode must be a loud :class:`ConcurrentWriteError`, not silent
+    data loss. One ``_list_versions`` in the common case (latest == ours)."""
+    next_v = manifest["version"]
+    lv = latest_version(spark, table_path)
+    if lv is None or lv <= next_v:
+        return
+    # Versions beyond ours exist. Every commit path publishes latest+1, so
+    # the only slot that could reference this commit is next_v + 1; its
+    # base_commit_id says whether it chained on US (a successor that read
+    # our manifest in the publish→check window — we are live) or on a
+    # DIFFERENT, since-expired occupant of our slot (we are an orphan).
+    try:
+        succ = _read_manifest(spark, table_path, next_v + 1)
+    except ValueError:
+        succ = None
+    if succ is not None and (
+        succ.get("base_commit_id") == manifest["commit_id"]
+    ):
+        return
+    # unpublish: nothing references this manifest — the one slot that
+    # could is either taken by a foreign commit (succ chained on a
+    # different, since-expired occupant) or has no manifest at all (a
+    # chained successor would have created it) — so no reader can lose it
+    fs, man_p, _ = _fs_path(spark, _manifest_uri(table_path, next_v))
+    fs.delete(man_p, False)
+    fs_c, commit_p, _ = _fs_path(spark, commit_dir)
+    fs_c.delete(commit_p, True)
+    raise ConcurrentWriteError(
+        f"version {next_v} at {table_path} was published into a slot a "
+        f"vacuum had already expired (latest is {lv}); the commit never "
+        "became part of the table — re-read the latest snapshot and retry"
+    )
 
 
 def _ckpt_uri(table_path: str, version: int) -> str:
@@ -684,6 +743,7 @@ def versioned_write(
         "base_version": base,
         "n_files": len(prev_files) + len(new_files),
         "schema": schema_json,
+        **_lineage(prev),
     }
     if is_delta:
         manifest["delta_of"] = base
@@ -731,6 +791,7 @@ def versioned_write(
         fs, commit_p, _ = _fs_path(spark, commit_dir)
         fs.delete(commit_p, True)  # orphan data, no reader ever saw it
         raise
+    _verify_commit_visible(spark, table_path, manifest, commit_dir)
     return manifest
 
 
@@ -808,6 +869,7 @@ def optimize_table(
         out = df.coalesce(target_files) if target_files else df
         out.write.mode("error").parquet(commit_dir)
     new_files = _commit_files(spark, commit_dir)
+    base_man = _read_manifest(spark, table_path, base)
     manifest = {
         "version": next_v,
         "op": "optimize",
@@ -816,8 +878,9 @@ def optimize_table(
         "n_files": len(new_files),
         "schema": df.schema.json(),
         "zorder_cols": zorder_cols or [],
+        **_lineage(base_man),
     }
-    stats_cols = _read_manifest(spark, table_path, base).get("stats_cols")
+    stats_cols = base_man.get("stats_cols")
     if stats_cols:
         manifest["stats_cols"] = stats_cols
         manifest["stats"] = _file_stats(
@@ -1061,6 +1124,7 @@ def merge_into(
         "base_version": base,
         "n_files": len(untouched) + len(new_files),
         "schema": man["schema"],
+        **_lineage(man),
         "merge": {
             "when_matched": when_matched,
             "n_keys": int(n_keys),
@@ -1109,6 +1173,10 @@ def rollback(spark: SparkSession, table_path: str, to_version: int) -> dict:
         "files": target["files"],
         "n_files": len(target["files"]),
         "schema": target["schema"],
+        # lineage parent is the LATEST observed (the commit-chain parent),
+        # not to_version — base_version records the rollback target for
+        # the audit view, base_commit_id records what this commit sits on
+        **_lineage(_read_manifest(spark, table_path, base)),
     }
     if target.get("stats_cols"):  # identical files → identical stats
         manifest["stats_cols"] = target["stats_cols"]

@@ -154,6 +154,7 @@ def _await_drained(
     import time
 
     deadline = time.time() + timeout_sec
+    idle_streak = 0
     while True:
         if q.awaitTermination(5):
             return
@@ -163,9 +164,23 @@ def _await_drained(
         cleanup = stop_on_state_cleanup and no_data and (
             "cleaning up state" in st.get("message", "")
         )
-        if no_data and (idle or cleanup):
-            q.stop()
-            return
+        # isDataAvailable=False + isTriggerActive=False is ALSO Spark's
+        # initial status ("Initializing sources") and the between-trigger
+        # gap — a query whose source init or batch planning outlasts the
+        # first 5s poll would be stopped with zero/partial batches, the
+        # exact partial-output-as-success failure this helper prevents
+        # (advice r9). Only trust the idle signal after at least one
+        # COMMITTED trigger, and require it to hold across two
+        # consecutive polls so a between-trigger gap can't masquerade
+        # as a drain.
+        committed = q.lastProgress is not None
+        if committed and no_data and (idle or cleanup):
+            idle_streak += 1
+            if cleanup or idle_streak >= 2:
+                q.stop()
+                return
+        else:
+            idle_streak = 0
         if time.time() >= deadline:
             q.stop()
             raise TimeoutError(

@@ -122,7 +122,14 @@ def _stream_states(
         id_file = d.rstrip("/") + "/id.json"
         sid = None
         if fs.exists(_fs_path(spark, id_file)[1]):
-            sid = json.loads(_read_text(spark, id_file))["stream_id"]
+            # a torn id.json (crash mid-write under a non-atomic writer,
+            # advice r9) must degrade to sid=None — the legacy-identity
+            # path already handles it — not wedge every future commit
+            # with a JSONDecodeError
+            try:
+                sid = json.loads(_read_text(spark, id_file))["stream_id"]
+            except (ValueError, KeyError):
+                sid = None
         # cursor content is name-determined: the max name IS the batch
         out.append((sid, vs[-1]))
     return out
@@ -188,10 +195,19 @@ def stream_to_versioned_table(
         # identity error can name the foreign checkpoint.
         sdir = _state_dir(table_path, stream_id)
         id_file = sdir.rstrip("/") + "/id.json"
-        fs, id_p, _jvm = _fs_path(spark, id_file)
+        fs, id_p, jvm = _fs_path(spark, id_file)
         _advance_cursor(spark, sdir, batch_id)
         if not fs.exists(id_p):
-            _write_text(spark, id_file, json.dumps({"stream_id": stream_id}))
+            # tmp + rename so a crash mid-write can never leave a torn
+            # id.json (advice r9); the reader also tolerates one, but a
+            # torn file would downgrade this stream to legacy identity
+            tmp_file = sdir.rstrip("/") + "/.id.json.tmp"
+            _write_text(spark, tmp_file, json.dumps({"stream_id": stream_id}))
+            hpath = jvm.org.apache.hadoop.fs.Path
+            if not fs.rename(hpath(tmp_file), id_p):
+                # lost to a concurrent commit of the SAME stream id
+                # (content is identity-determined) — success either way
+                fs.delete(hpath(tmp_file), False)
 
     return stream.writeStream.foreachBatch(_commit).option(
         "checkpointLocation", checkpoint_dir

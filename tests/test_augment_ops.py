@@ -227,3 +227,19 @@ def test_funnel_walk_order_and_tie_semantics(spark):
         2: ("click", 2),
         3: ("purchase", 1),
     }
+
+
+def test_stratified_sample_tolerates_map_columns(spark):
+    """Advice r9: the whole-row tie hash used xxhash64 over EVERY column;
+    Spark rejects hash expressions over MapType (at any nesting depth), so
+    a map column broke sampling outright. Maps are excluded from the tie
+    hash — determinism still holds (remaining ties are full duplicates on
+    every hashable field)."""
+    rows = [(i % 3, f"k{i}", {"a": i}) for i in range(30)]
+    df = spark.createDataFrame(rows, "s int, k string, m map<string,int>")
+    got = stratified_sample_n(df, "s", "k", 5)
+    counts = {r["s"]: r["count"] for r in got.groupBy("s").count().collect()}
+    assert counts == {0: 5, 1: 5, 2: 5}
+    a = sorted(r.k for r in stratified_sample_n(df, "s", "k", 5).collect())
+    b = sorted(r.k for r in stratified_sample_n(df, "s", "k", 5).collect())
+    assert a == b

@@ -384,3 +384,27 @@ def test_cli_run_daily_and_run_query(spark, tmp_path, capsys):
     assert "net_demand_mrp\toracle" in listed
 
     assert main(["run-query", "nope_not_a_query"]) == 2
+
+
+def test_merge_upsert_read_modify_merge_same_lineage(spark, tmp_path):
+    """Advice r9: updates derived from the SAME spark.read.parquet(path)
+    lineage as the existing table (read-modify-merge) made the anti-join
+    condition compare same-origin attributes — AnalysisException. The
+    key side is renamed to temp names, which also breaks the lineage."""
+    from pyspark.sql import functions as F
+
+    from procurement_data_pipeline_spark.catalog import merge_upsert
+
+    path = str(tmp_path / "t")
+    base = spark.createDataFrame(
+        [(1, 10), (2, 20), (3, 30)], "k int, v int"
+    )
+    merge_upsert(spark, path, base, ["k"])
+    updates = (
+        spark.read.parquet(path)
+        .filter(F.col("k") <= 2)
+        .withColumn("v", F.col("v") + 100)
+    )
+    merge_upsert(spark, path, updates, ["k"])
+    got = {r.k: r.v for r in spark.read.parquet(path).collect()}
+    assert got == {1: 110, 2: 120, 3: 30}

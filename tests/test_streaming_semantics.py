@@ -137,3 +137,73 @@ def test_watermark_drops_late_events_from_rollup(spark, tmp_path):
         .collect()
     )
     assert batch[0].n == 3
+
+
+class _FakeQuery:
+    """Duck-typed StreamingQuery for _await_drained unit tests: scripted
+    (status, lastProgress) per poll; records when stop() was called."""
+
+    def __init__(self, script):
+        self._script = script  # list of (status_dict, last_progress)
+        self._i = 0
+        self.stopped_at = None
+
+    def awaitTermination(self, _timeout):
+        if self._i < len(self._script) - 1:
+            self._i += 1
+        return False
+
+    @property
+    def status(self):
+        return self._script[self._i][0]
+
+    @property
+    def lastProgress(self):
+        return self._script[self._i][1]
+
+    def stop(self):
+        self.stopped_at = self._i
+
+
+def test_await_drained_does_not_stop_on_initializing_status(spark):
+    """Advice r9: Spark's INITIAL status is isDataAvailable=False AND
+    isTriggerActive=False ('Initializing sources') — identical to the
+    drained signature. A slow source init must NOT be stopped with zero
+    batches; the idle signal only counts after a committed trigger, held
+    across two consecutive polls."""
+    from procurement_data_pipeline_spark.streaming.pipeline import (
+        _await_drained,
+    )
+
+    init = {"isDataAvailable": False, "isTriggerActive": False,
+            "message": "Initializing sources"}
+    busy = {"isDataAvailable": True, "isTriggerActive": True,
+            "message": "Processing"}
+    gap = {"isDataAvailable": False, "isTriggerActive": False,
+           "message": "Waiting for data to arrive"}
+    prog = {"batchId": 0}
+    # polls 0-2: initializing with NO committed trigger (lastProgress None)
+    # poll 3: processing; polls 4-5: idle after a commit → drain on 5
+    q = _FakeQuery(
+        [(init, None), (init, None), (init, None),
+         (busy, prog), (gap, prog), (gap, prog), (gap, prog)]
+    )
+    _await_drained(q, timeout_sec=60, what="fake")
+    assert q.stopped_at == 5  # two consecutive idle polls AFTER the commit
+
+
+def test_await_drained_requires_two_consecutive_idle_polls(spark):
+    """A single between-trigger idle poll (committed, but more data is
+    coming) must not end the drain."""
+    from procurement_data_pipeline_spark.streaming.pipeline import (
+        _await_drained,
+    )
+
+    busy = {"isDataAvailable": True, "isTriggerActive": True, "message": ""}
+    gap = {"isDataAvailable": False, "isTriggerActive": False, "message": ""}
+    prog = {"batchId": 1}
+    q = _FakeQuery(
+        [(busy, prog), (gap, prog), (busy, prog), (gap, prog), (gap, prog)]
+    )
+    _await_drained(q, timeout_sec=60, what="fake")
+    assert q.stopped_at == 4  # the lone idle poll at index 1 did not stop it

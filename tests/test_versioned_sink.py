@@ -195,3 +195,40 @@ def test_replay_guard_survives_manifest_expiry(spark, tmp_path):
     shutil.rmtree(ckpt)
     _run(spark, src, table, ckpt)
     assert _ids(read_table(spark, table)) == before
+
+
+def test_torn_id_json_degrades_to_legacy_not_wedged(spark, tmp_path):
+    """Advice r9: a torn id.json (crash mid-write) raised JSONDecodeError
+    on every subsequent last_committed_batch, permanently wedging commits.
+    Now: the writer goes through tmp+rename (no torn window), and the
+    reader degrades a torn file to sid=None (legacy identity) instead of
+    raising."""
+    import json as _json
+
+    from procurement_data_pipeline_spark.operators.erasure import (
+        _write_text,
+    )
+    from procurement_data_pipeline_spark.streaming.versioned_sink import (
+        _state_dir,
+        _stream_states,
+    )
+
+    src, table = str(tmp_path / "src"), str(tmp_path / "tbl")
+    ckpt = str(tmp_path / "ckpt")
+    _write_sources(spark, src)
+    _run(spark, src, table, ckpt)
+    assert _ids(read_table(spark, table)) == [1, 2, 3]
+    # simulate a torn id.json under the stream's state dir
+    from procurement_data_pipeline_spark.streaming.versioned_sink import (
+        _qualify,
+    )
+
+    sdir = _state_dir(table, _qualify(spark, ckpt))
+    _write_text(spark, sdir.rstrip("/") + "/id.json", '{"stream_')
+    states = _stream_states(spark, table)  # must not raise
+    assert states and states[0][0] is None and states[0][1] == 1
+    # the table still accepts commits: replay with same checkpoint no-ops
+    before = _ids(read_table(spark, table))
+    shutil.rmtree(ckpt)
+    _run(spark, src, table, ckpt)
+    assert _ids(read_table(spark, table)) == before

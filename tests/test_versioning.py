@@ -1179,3 +1179,46 @@ def test_expected_base_pins_the_read_snapshot(spark, tmp_path):
         versioned_write(spark, _df(spark, [3]), t, expected_base=1)
     assert latest_version(spark, t) == 2
     assert _ids(read_table(spark, t)) == [1, 2]
+
+
+def test_pinned_write_into_vacuumed_slot_raises_not_silent(spark, tmp_path):
+    """Advice r9: a pinned write whose expected_base+1 slot was EXPIRED by
+    a vacuum between the caller's read and the commit used to publish
+    "successfully" into the dead slot — the rows silently never joined
+    latest. It must raise ConcurrentWriteError and leave no orphan
+    manifest behind."""
+    from procurement_data_pipeline_spark.operators.versioning import (
+        _list_versions,
+    )
+
+    t = str(tmp_path / "tbl")
+    for i in range(1, 7):  # versions 1..6
+        versioned_write(spark, _df(spark, [i]), t)
+    # a pinned base whose manifest was vacuumed already fails loudly at
+    # resolution time — that path was never silent
+    vacuum(spark, t, keep_last=2)  # retained: 5, 6
+    assert _list_versions(spark, t) == [5, 6]
+    with pytest.raises(ValueError, match="vacuumed"):
+        versioned_write(spark, _df(spark, [99]), t, expected_base=2)
+    # the SILENT path: expected_base=None needs no base resolution, so a
+    # caller who found no table before others created+vacuumed one would
+    # publish into the expired slot 1 and report success
+    with pytest.raises(ConcurrentWriteError, match="expired"):
+        versioned_write(spark, _df(spark, [99]), t, expected_base=None)
+    # the orphan was unpublished: slot 1 is empty again, latest unchanged
+    assert _list_versions(spark, t) == [5, 6]
+    assert latest_version(spark, t) == 6
+    assert 99 not in _ids(read_table(spark, t))
+
+
+def test_pinned_write_succeeds_when_slot_is_genuinely_next(spark, tmp_path):
+    """The liveness check must not fire on the normal path: a pinned write
+    targeting the true next slot commits and IS the new latest."""
+    t = str(tmp_path / "tbl")
+    versioned_write(spark, _df(spark, [1]), t)
+    m = versioned_write(spark, _df(spark, [2]), t, expected_base=1)
+    assert m["version"] == 2 == latest_version(spark, t)
+    assert "commit_id" in m and m["base_commit_id"] is not None
+    # chained successors record their parent's commit id
+    m3 = versioned_write(spark, _df(spark, [3]), t, expected_base=2)
+    assert m3["base_commit_id"] == m["commit_id"]
