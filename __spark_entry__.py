@@ -121,6 +121,33 @@ GRADE_DEMOTED = frozenset(
         #       (market share) and q5 (local supplier revenue)
         "tpch_q2_min_cost_supplier",
         "tpch_q7_nation_volume",
+        # round-9 rotation (VERDICT r8 item 1): the delta-manifest evidence
+        # tier (versioned_delta_chain / versioned_delta_cdf /
+        # versioned_delta_pruned) + emb_semantic_dedup promote into the
+        # window — the O(commit) metadata path is the most 100TB-load-
+        # bearing code in the repo and needed driver-hash evidence. Four
+        # weakest graded siblings demote, each a pattern another window
+        # member still covers:
+        #   tpch_q6_revenue_forecast — single-table filter + scalar agg;
+        #       the pushdown + conditional-agg class stays graded via q1
+        #       (same table, richer aggs) and
+        #       lineitem_bloom_pruned_revenue (same revenue aggregate
+        #       behind a runtime filter)
+        #   tpch_q9_product_profit — dim⋈dim⋈fact chain profit rollup; the
+        #       multi-dim join-chain class stays graded via q5 (local
+        #       supplier revenue) and q8 (market share, which adds the
+        #       share-of-sum CASE pattern)
+        #   tpch_q11_important_parts — grouped agg filtered against a
+        #       global scalar threshold; the scalar-subquery-threshold
+        #       class stays graded via q15 (max-revenue supplier) and q22
+        #       (avg-balance threshold)
+        #   tpch_q16_supplier_part_counts — COUNT(DISTINCT) + NOT-IN
+        #       exclusion; count-distinct stays graded via agg_orders_daily,
+        #       the anti-join exclusion class via q22 and quality_exceptions
+        "tpch_q6_revenue_forecast",
+        "tpch_q9_product_profit",
+        "tpch_q11_important_parts",
+        "tpch_q16_supplier_part_counts",
     }
 )
 
@@ -169,17 +196,9 @@ GRADE_OVERFLOW = frozenset(
         # docs_curriculum_schedule rotated OUT of overflow INTO the graded
         # window; round-8: versioned_compound_scan / versioned_clustered_scan
         # likewise promoted — see GRADE_DEMOTED above.)
-        # round-8: the delta-manifest evidence tier (append-delta chain +
-        # vacuum checkpoint + CDF fast path + stats_adds folding) — VERDICT
-        # r7 item 1. Hash-green locally at both sfs; promotion candidates
-        # for the round-9 rotation:
-        "versioned_delta_chain",
-        "versioned_delta_cdf",
-        "versioned_delta_pruned",
-        # round-8 (late): SemDeDup — kmeans-bucketed near-dup flags; new
-        # oracle-backed capability, lands in overflow like all post-pin
-        # registrations (promotion is a deliberate rotation, never drift):
-        "emb_semantic_dedup",
+        # (round-9: versioned_delta_chain / versioned_delta_cdf /
+        # versioned_delta_pruned / emb_semantic_dedup rotated OUT of
+        # overflow INTO the graded window — see GRADE_DEMOTED above.)
         "docs_pack_sequences_2level",
         "docs_corpus_mix_temperature",
         "docs_quality_weighted_sample",

@@ -188,7 +188,58 @@ def main() -> None:
         "versioned_delta_cdf",
         "versioned_delta_pruned",
     ]
-    extended_specs = {n: specs[n] for n in extended_names if n in specs}
+    def plan_rows() -> dict[str, str]:
+        """query → its PLANS.md row: a cheap committed fingerprint of the
+        audited plan shape. Rows that changed since the previous bench
+        artifact mark queries whose plans the round touched."""
+        path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "PLANS.md"
+        )
+        rows: dict[str, str] = {}
+        try:
+            with open(path) as f:
+                for line in f:
+                    parts = [
+                        p.strip() for p in line.strip().strip("|").split("|")
+                    ]
+                    if len(parts) > 1 and parts[0] not in ("query", "---"):
+                        rows[parts[0]] = line.strip()
+        except OSError:
+            pass
+        return rows
+
+    def previous_sidecar() -> dict:
+        path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "BENCH_EXTENDED.json"
+        )
+        try:
+            with open(path) as f:
+                return json.load(f)
+        except (OSError, ValueError):
+            return {}
+
+    # Priority order for the extended tier (VERDICT r8): under the wall
+    # budget a truncation must starve the STALEST evidence, not the newest.
+    # Queries whose PLANS.md row changed since the last artifact run FIRST,
+    # then queries the last run never timed (skipped or new), then the
+    # rest; alphabetical only as the final tie-break.
+    current_rows = plan_rows()
+    prev = previous_sidecar()
+    prev_rows: dict = prev.get("plan_rows", {})
+    prev_timed = set(prev.get("extended", {}).get("queries", {}))
+
+    def ext_priority(name: str) -> tuple[int, str]:
+        if current_rows.get(name) != prev_rows.get(name):
+            return (0, name)  # plan changed (or never fingerprinted)
+        if name not in prev_timed:
+            return (1, name)  # least-recently-timed
+        return (2, name)
+
+    extended_specs = {
+        n: specs[n]
+        for n in sorted(extended_names, key=ext_priority)
+        if n in specs
+    }
     unknown_extended = [n for n in extended_names if n not in specs]
 
     spark = get_session("bench")
@@ -216,6 +267,10 @@ def main() -> None:
             release_cached()
 
     errors: dict[str, str] = {}
+    # skips (wall-budget truncation) are NOT errors: the artifact must
+    # never read "didn't run" as "broke" (VERDICT r8 — 48 budget skips
+    # surfaced as error_queries and had to be hand-audited)
+    skipped: dict[str, str] = {}
     for n in unknown_extended:
         errors[n] = "unknown query name in extended_names (renamed or typo?)"
 
@@ -234,7 +289,7 @@ def main() -> None:
             # headline line (round 8 measured a x1.7 ambient slowdown
             # that pushed the full run past the kill).
             if deadline is not None and time.perf_counter() > deadline:
-                errors.setdefault(name, "skipped: bench wall budget exhausted")
+                skipped.setdefault(name, "bench wall budget exhausted")
                 return True
             return False
 
@@ -249,7 +304,7 @@ def main() -> None:
         passes: dict[str, list[float]] = {}
         for _ in range(n_passes):
             for name in group:
-                if name in errors:
+                if name in errors or name in skipped:
                     continue
                 if over_budget(name):
                     continue
@@ -319,9 +374,14 @@ def main() -> None:
             "passes": ext_passes,
         },
         "passes": passes,  # raw per-pass timings → variance is auditable
+        # plan fingerprints at bench time: the next run prioritizes
+        # queries whose PLANS.md row changed since this artifact
+        "plan_rows": current_rows,
     }
     if errors:
         sidecar["errors"] = errors
+    if skipped:
+        sidecar["skipped"] = skipped
     sidecar_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_EXTENDED.json"
     )
@@ -340,10 +400,19 @@ def main() -> None:
     }
     if errors:
         compact["error_queries"] = sorted(errors)[:10]
+    if skipped:
+        # explicit skip accounting, SEPARATE from errors: "didn't run"
+        # must never read as "broke" in the parsed artifact
+        compact["skipped_count"] = len(skipped)
+        compact["skipped_queries"] = sorted(skipped)[:10]
     line = json.dumps(compact)
     # …and the parsed line LAST, with a hard budget: the driver keeps only
     # the final 2000 characters of stdout. If the compact form ever
-    # outgrows it, shed detail rather than the whole artifact.
+    # outgrows it, shed detail rather than the whole artifact (the skip
+    # COUNT is the last thing shed — it is one integer).
+    if len(line) >= 1800:
+        compact.pop("skipped_queries", None)
+        line = json.dumps(compact)
     if len(line) >= 1800:
         compact.pop("error_queries", None)
         line = json.dumps(compact)

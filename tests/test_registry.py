@@ -77,6 +77,7 @@ GRADED_50 = (
     "kpi_summary",
     "emb_knn_bruteforce",
     "emb_label_centroids",
+    "emb_semantic_dedup",
     "docs_dedup_exact",
     "docs_ngram_jaccard_pairs",
     "docs_binary_meta",
@@ -86,15 +87,11 @@ GRADED_50 = (
     "tpch_q1_pricing_summary",
     "tpch_q3_shipping_priority",
     "tpch_q5_local_supplier_revenue",
-    "tpch_q6_revenue_forecast",
     "tpch_q10_returned_items",
     "tpch_q13_customer_distribution",
     "tpch_q15_top_supplier",
     "tpch_q22_dormant_customers",
     "tpch_q8_market_share",
-    "tpch_q9_product_profit",
-    "tpch_q11_important_parts",
-    "tpch_q16_supplier_part_counts",
     "tpch_q20_concentrated_suppliers",
     "tpch_q21_waiting_supplier",
     "events_asof_last_click",
@@ -115,6 +112,9 @@ GRADED_50 = (
     "versioned_pruned_scan",
     "versioned_compound_scan",
     "versioned_clustered_scan",
+    "versioned_delta_chain",
+    "versioned_delta_cdf",
+    "versioned_delta_pruned",
     "docs_curriculum_schedule",
 )
 
