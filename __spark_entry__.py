@@ -199,6 +199,14 @@ GRADE_OVERFLOW = frozenset(
         # (round-9: versioned_delta_chain / versioned_delta_cdf /
         # versioned_delta_pruned / emb_semantic_dedup rotated OUT of
         # overflow INTO the graded window — see GRADE_DEMOTED above.)
+        # round-9: multi-probe SemDeDup (top-2 cells, the low-threshold
+        # recall path; VERDICT r8 item 6) — new oracle-backed capability,
+        # lands in overflow like all post-pin registrations:
+        "emb_semantic_dedup_multiprobe",
+        # round-9: SQL-only time travel (VERSION AS OF rewrite; VERDICT r8
+        # stretch) — hash-checked twin of the graded versioned_time_travel
+        # through the statement-rewrite path:
+        "versioned_sql_time_travel",
         "docs_pack_sequences_2level",
         "docs_corpus_mix_temperature",
         "docs_quality_weighted_sample",

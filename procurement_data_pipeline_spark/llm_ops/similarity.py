@@ -542,6 +542,7 @@ def kmeans_assign(
     iters: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    probes: int = 1,
 ) -> DataFrame:
     """Distributed Lloyd's k-means: ``iters`` assignment rounds over the full
     corpus, returning each point's final cluster id.
@@ -564,6 +565,14 @@ def kmeans_assign(
     Driver state between rounds is the k x d centroid table (a few KB) —
     the same bounded-collect contract as the IVF/PQ trainers. Clusters that
     lose every member simply drop out of the next round (both engines).
+
+    ``probes > 1`` (SemDeDup multi-probe, VERDICT r8 item 6) returns the
+    top-``probes`` nearest clusters per point as (id, cluster, probe)
+    rows, probe 0 = the argmin assignment. Lloyd's updates between rounds
+    still use the argmin only — multi-probe changes the FINAL emission,
+    never the training trajectory, so probe-0 rows equal the probes=1
+    assignment bit-for-bit. Ordering stays integer-exact ((dist, cluster)
+    struct sort), so a SQL oracle replays it with ``rn <= probes``.
     """
     pts = embeddings.select(
         F.col(id_col), _micro(F.col(vec_col)).alias("_p")
@@ -599,6 +608,26 @@ def kmeans_assign(
             "cluster", F.array_min(F.array(*dist_structs)).getField("cluster")
         )
         if it == iters - 1:
+            if probes > 1:
+                # top-n emission: sort the (dist, cluster) structs — same
+                # integer ordering as the argmin — and take the first
+                # `probes`; posexplode gives the 0-based probe rank
+                assigned = pts.select(
+                    F.col(id_col),
+                    F.col("_p"),
+                    F.posexplode(
+                        F.slice(
+                            F.array_sort(F.array(*dist_structs)),
+                            1,
+                            probes,
+                        )
+                    ).alias("probe", "_ds"),
+                ).select(
+                    F.col(id_col),
+                    F.col("_p"),
+                    F.col("_ds").getField("cluster").alias("cluster"),
+                    F.col("probe").cast("int").alias("probe"),
+                )
             break  # last round is assignment-only; an update would be dead work
         update = (
             assigned.select(
@@ -622,6 +651,10 @@ def kmeans_assign(
             for j, dims in sorted(by_cluster.items())
         ]
 
+    if probes > 1:
+        return assigned.select(
+            F.col(id_col), F.col("cluster"), F.col("probe")
+        )
     return assigned.select(F.col(id_col), F.col("cluster"))
 
 
@@ -687,6 +720,7 @@ def semantic_dedup(
     iters: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    probes: int = 1,
 ) -> DataFrame:
     """SemDeDup-shaped semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540): cluster the corpus with k-means, then search for
@@ -715,7 +749,82 @@ def semantic_dedup(
     per-id count aggregate, one left join back to the corpus-shaped base.
     Scores ride the quantized-dot contract, counts/flags are integers, so
     a DuckDB oracle replays the whole pipeline bit-for-bit.
+
+    ``probes > 1`` is the MULTI-PROBE variant (VERDICT r8 item 6): each
+    point is a member of its top-``probes`` nearest cells, and a pair is
+    compared when it shares ANY co-probed cell — cutting the
+    cross-cluster miss rate at low thresholds (boundary points see their
+    second-nearest cell's members). Pairs sharing two cells count ONCE
+    (distinct-partner count); the reported ``cluster`` stays the
+    probe-0 (argmin) assignment, so the corpus shape is unchanged. Cost
+    is O(Σ|cell-membership|²) with membership ≤ probes·n — the declared
+    ~probes² constant over the single-probe scan, still never O(n²).
     """
+    if probes > 1:
+        asg = kmeans_assign(
+            embeddings,
+            k=k,
+            iters=iters,
+            id_col=id_col,
+            vec_col=vec_col,
+            probes=probes,
+        )
+        base = embeddings.select(
+            F.col(id_col).alias("_id"),
+            F.col(vec_col).alias("_v"),
+            F.sqrt(
+                quantized_norm_sq(F.col(vec_col)).cast("double")
+            ).alias("_nrm"),
+        )
+        from procurement_data_pipeline_spark.caching import scoped_persist
+
+        pts = scoped_persist(
+            base.join(asg.withColumnRenamed(id_col, "_id"), "_id")
+        )
+        a = pts.select(
+            F.col("_id").alias("_ida"),
+            F.col("_v").alias("_va"),
+            F.col("_nrm").alias("_na"),
+            "cluster",
+        )
+        b = pts.select(
+            F.col("_id").alias("_idb"),
+            F.col("_v").alias("_vb"),
+            F.col("_nrm").alias("_nb"),
+            "cluster",
+        )
+        score = quantized_dot(F.col("_va"), F.col("_vb")).cast(
+            "double"
+        ) / (F.col("_na") * F.col("_nb"))
+        dups = (
+            a.join(b, "cluster")
+            .filter(F.col("_idb") < F.col("_ida"))
+            .withColumn("_s", score)
+            .filter(F.col("_s") >= F.lit(threshold))
+            .groupBy("_ida")
+            # a pair co-probed in TWO shared cells must count once
+            .agg(
+                F.countDistinct("_idb").cast("long").alias("n_dup_smaller")
+            )
+        )
+        return (
+            pts.filter(F.col("probe") == 0)
+            .select(F.col("_id").alias(id_col), "cluster")
+            .join(dups.withColumnRenamed("_ida", id_col), id_col, "left")
+            .select(
+                id_col,
+                "cluster",
+                F.coalesce(F.col("n_dup_smaller"), F.lit(0))
+                .cast("long")
+                .alias("n_dup_smaller"),
+                F.when(
+                    F.coalesce(F.col("n_dup_smaller"), F.lit(0)) > 0, 1
+                )
+                .otherwise(0)
+                .cast("int")
+                .alias("is_dup"),
+            )
+        )
     asg = kmeans_assign(
         embeddings, k=k, iters=iters, id_col=id_col, vec_col=vec_col
     )

@@ -919,10 +919,11 @@ def merge_into(
     spark: SparkSession,
     table_path: str,
     updates: DataFrame,
-    key_col: str,
+    key_col: str | list[str],
     when_matched: str = "update",
     validate: bool = True,
     key_collect_threshold: int = 10_000,
+    when_matched_condition: str | None = None,
 ) -> dict:
     """Copy-on-write MERGE: upsert (``when_matched='update'``) or targeted
     delete (``'delete'``) against the latest version, rewriting ONLY the
@@ -935,8 +936,27 @@ def merge_into(
       update rows matching nothing are inserted. ``updates`` must have the
       table's schema and (checked when ``validate``) unique keys — a
       duplicate key would insert twice.
-    * delete: rows matching an update key are removed; only ``key_col``
-      of ``updates`` is read.
+    * delete: rows matching an update key are removed; only the key
+      columns of ``updates`` are read.
+
+    ``key_col`` may be a single column name or a LIST of names (composite
+    key, VERDICT r8 item 5): matching is the conjunction of per-column
+    equalities, uniqueness/non-null validation applies to the tuple, and
+    file pruning uses the FIRST key column's footer envelope (sound —
+    coarser than a composite envelope, never lossy).
+
+    ``when_matched_condition`` is Delta's ``WHEN MATCHED AND <cond>``
+    form: a SQL boolean expression evaluated over the TARGET row's
+    columns. In update mode the semantics are ``WHEN MATCHED AND cond
+    THEN UPDATE SET * / WHEN NOT MATCHED THEN INSERT``: each matched
+    target row satisfying the condition takes the update row's values IN
+    PLACE (duplicate-keyed target rows stay duplicates — per-row update,
+    not the unconditional path's collapse-into-one); matched rows
+    failing it (or where it evaluates NULL) carry unchanged, and an
+    update row whose every match failed is NOT inserted (the key still
+    lives in the table). Update rows matching nothing insert as usual.
+    In delete mode, matched rows satisfying the condition are removed,
+    the rest carry. Unmatched target rows are never affected.
 
     Two execution paths, chosen by the distinct-key count (measured with
     ONE aggregate job that also validates non-null and, for updates,
@@ -944,7 +964,10 @@ def merge_into(
 
     * ``n_keys <= key_collect_threshold`` — the request-sized path: keys
       come to the driver, file pruning is the precise per-key bisect
-      against footer envelopes, matched rows filter via ``isin``.
+      against footer envelopes, matched rows filter via ``isin``
+      (single-column, unconditional merges; composite or conditional
+      merges use the join form below even when small — driver keys are
+      still used for precise pruning).
     * above it — the BACKFILL path (VERDICT r7 item 5): nothing key-
       shaped ever reaches the driver. Files prune against the AGGREGATED
       [min, max] of the update keys (coarser than per-key bisect, still
@@ -970,6 +993,13 @@ def merge_into(
 
     if when_matched not in ("update", "delete"):
         raise ValueError(f"when_matched must be update|delete, got {when_matched!r}")
+    key_cols = [key_col] if isinstance(key_col, str) else list(key_col)
+    if not key_cols:
+        raise ValueError("key_col must name at least one column")
+    missing_keys = [k for k in key_cols if k not in updates.columns]
+    if missing_keys:
+        raise ValueError(f"key columns not in updates: {missing_keys}")
+    first_key = key_cols[0]
     base = latest_version(spark, table_path)
     if base is None:
         raise ValueError(f"no versions published at {table_path}")
@@ -1001,12 +1031,15 @@ def merge_into(
                 "updates to the table schema first (the manifest pins the "
                 "read schema, so mixed-typed files would be unreadable)"
             )
+    all_nonnull = F.lit(True)
+    for k in key_cols:
+        all_nonnull = all_nonnull & F.col(k).isNotNull()
     prof = updates.agg(
         F.count(F.lit(1)).alias("n_rows"),
-        F.count(key_col).alias("n_nonnull"),
-        F.countDistinct(key_col).alias("n_keys"),
-        F.min(key_col).alias("kmin"),
-        F.max(key_col).alias("kmax"),
+        F.sum(F.when(all_nonnull, 1).otherwise(0)).alias("n_nonnull"),
+        F.countDistinct(*key_cols).alias("n_keys"),
+        F.min(first_key).alias("kmin"),
+        F.max(first_key).alias("kmax"),
     ).collect()[0]
     if prof["n_rows"] == 0:
         # empty merge is a NO-OP, not an error (code-review r8): a
@@ -1025,8 +1058,12 @@ def merge_into(
     n_keys = prof["n_keys"]
     keys: list | None = None
     if n_keys <= key_collect_threshold:
+        # composite keys collect only the FIRST column's distinct values —
+        # bounded by n_keys — used for precise file pruning; row matching
+        # for composite/conditional merges is always the distributed join
         keys = sorted(
-            r[key_col] for r in updates.select(key_col).distinct().collect()
+            r[first_key]
+            for r in updates.select(first_key).distinct().collect()
         )
 
     probe = keys[0] if keys is not None else prof["kmin"]
@@ -1047,12 +1084,12 @@ def merge_into(
         stats = footer_stats(
             spark,
             man["files"],
-            [key_col],
-            col_types={key_col: "string"} if key_kind == "string" else None,
+            [first_key],
+            col_types={first_key: "string"} if key_kind == "string" else None,
         ).collect()
 
         def admits(r) -> bool:
-            lo, hi = r[f"min_{key_col}"], r[f"max_{key_col}"]
+            lo, hi = r[f"min_{first_key}"], r[f"max_{first_key}"]
             if lo is None or hi is None:
                 return True  # no stats → cannot prune
             if key_kind == "numeric":  # float64 envelope → ulp-widen
@@ -1085,24 +1122,87 @@ def merge_into(
         # (or fail unionByName with the updates)
         pinned = StructType.fromJson(json.loads(man["schema"]))
         old = spark.read.schema(pinned).parquet(*touched)
-        if keys is not None:
+        if when_matched_condition is not None and when_matched == "update":
+            # conditional upsert (Delta's WHEN MATCHED AND <cond> THEN
+            # UPDATE SET * / WHEN NOT MATCHED THEN INSERT): each matched
+            # target row satisfying the condition takes the update row's
+            # values IN PLACE (per-row, so duplicate-keyed target rows
+            # stay duplicates); matched rows failing it (or where it is
+            # NULL) carry unchanged; update rows matching nothing insert.
+            # The update side is renamed before the join — breaks
+            # same-name ambiguity and any shared lineage. NULL target
+            # keys never match (plain equality join): contract unchanged.
+            cond = F.coalesce(F.expr(when_matched_condition), F.lit(False))
+            upd_r = updates.select(
+                *[F.col(c).alias("_mu_" + c) for c in updates.columns]
+            )
+            join_cond = F.lit(True)
+            for k in key_cols:
+                join_cond = join_cond & (old[k] == F.col("_mu_" + k))
+            j = old.join(upd_r, join_cond, "left")
+            matched = F.col("_mu_" + first_key).isNotNull()  # keys non-null
+            parts.append(
+                j.select(
+                    *[
+                        F.when(matched & cond, F.col("_mu_" + c))
+                        .otherwise(old[c])
+                        .alias(c)
+                        for c in old.columns
+                    ]
+                )
+            )
+            old_keys = old.select(
+                *[F.col(k).alias("_mo_" + k) for k in key_cols]
+            ).distinct()
+            anti = F.lit(True)
+            for k in key_cols:
+                anti = anti & (updates[k] == F.col("_mo_" + k))
+            parts.append(updates.join(old_keys, anti, "left_anti"))
+        elif when_matched_condition is not None:
+            # conditional delete: matched AND condition → removed; matched
+            # rows failing the condition (or NULL) carry unchanged
+            cond = F.coalesce(F.expr(when_matched_condition), F.lit(False))
+            marked = (
+                updates.select(
+                    *[F.col(k).alias("_mg_" + k) for k in key_cols]
+                )
+                .distinct()
+                .withColumn("_mg_hit", F.lit(True))
+            )
+            join_cond = F.lit(True)
+            for k in key_cols:
+                join_cond = join_cond & (old[k] == F.col("_mg_" + k))
+            j = old.join(marked, join_cond, "left")
+            matched = F.col("_mg_hit").isNotNull()
+            parts.append(j.filter(~matched | ~cond).select(*old.columns))
+        elif keys is not None and len(key_cols) == 1:
             # NULL-keyed table rows are never "matched": ~isin over NULL
             # is NULL (falsy) and would silently delete them — keep
             # explicitly
             parts.append(
-                old.filter(old[key_col].isNull() | ~old[key_col].isin(keys))
+                old.filter(old[first_key].isNull() | ~old[first_key].isin(keys))
             )
         else:
-            # backfill path: distributed anti-join — no driver key list,
-            # no literal blow-up. NULL-keyed rows survive without a guard
-            # (NULL = k is never true, so the anti-join keeps them; the
-            # NULL-key regression test covers both branches).
+            # backfill / composite path: distributed anti-join — no driver
+            # key list, no literal blow-up. NULL-keyed rows survive
+            # without a guard (NULL = k is never true, so the anti-join
+            # keeps them; the NULL-key regression test covers both
+            # branches).
             parts.append(
                 old.join(
-                    updates.select(key_col).distinct(), on=key_col, how="left_anti"
+                    updates.select(*key_cols).distinct(),
+                    on=key_cols,
+                    how="left_anti",
                 )
             )
-    if when_matched == "update":
+    if when_matched == "update" and when_matched_condition is None:
+        parts.append(updates)
+    elif (
+        when_matched == "update"
+        and when_matched_condition is not None
+        and not touched
+    ):
+        # no target file could match: every update row is an insert
         parts.append(updates)
     new_files: list[str] = []
     if parts:
@@ -1127,6 +1227,8 @@ def merge_into(
         **_lineage(man),
         "merge": {
             "when_matched": when_matched,
+            "key_cols": key_cols,
+            "condition": when_matched_condition,
             "n_keys": int(n_keys),
             "files_rewritten": len(touched),
             "files_untouched": len(untouched),

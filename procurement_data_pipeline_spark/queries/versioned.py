@@ -487,3 +487,34 @@ def versioned_delta_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _priority_rollup(
         scan_table(spark, path, "o_orderkey", lo=_DP_LO, hi=_DP_HI)
     )
+
+
+@register(
+    "versioned_sql_time_travel",
+    # Same relation as versioned_time_travel, read through the SQL-ONLY
+    # surface: the `versioned.`path` VERSION AS OF k` table syntax
+    # (operators/versioned_sql.py rewrite) → snapshot-pinned temp view →
+    # spark.sql aggregation. A hash match certifies the rewrite + view
+    # registration path end-to-end, completing the SQL-only lifecycle
+    # (VERDICT r8 stretch: reads as well as lifecycle).
+    oracle=_ROLLUP_SQL.format(where=""),
+    tags=("versioning", "time-travel", "sql"),
+)
+def versioned_sql_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time travel via pure SQL: VERSION AS OF 2 after the destructive v3
+    merge must see every order — through the statement-rewrite path, not
+    read_table directly."""
+    from procurement_data_pipeline_spark.operators.versioned_sql import sql
+
+    path = _fixture(spark, sf_dir)
+    return sql(
+        spark,
+        f"""
+        SELECT o_orderpriority,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(price_cents) AS BIGINT) AS total_cents
+        FROM versioned.`{path}` VERSION AS OF 2
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+        """,
+    )

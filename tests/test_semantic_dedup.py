@@ -115,3 +115,39 @@ def test_kept_set_covers_every_dup_group(result, truth):
                 break
             cur = min(smaller)
         assert cur in kept, (v, cur)
+
+
+def test_multiprobe_improves_low_threshold_recall(emb, truth):
+    """VERDICT r8 item 6 — multi-probe SemDeDup: assigning each point to
+    its top-2 nearest cells and comparing pairs that share ANY co-probed
+    cell must (a) keep probe-0 bit-identical to the single-probe
+    assignment, (b) keep counts EXACT over the co-probed candidate set
+    (distinct partners — a pair sharing two cells counts once), and
+    (c) materially cut the cross-cluster miss rate at the low τ=0.35
+    (measured 0.32 → 0.77 at sf0.001)."""
+    pairs, clusters = truth
+    asg2 = kmeans_assign(emb, probes=2).collect()
+    cells: dict[int, set[int]] = {}
+    primary = {}
+    for r in asg2:
+        cells.setdefault(r["vec_id"], set()).add(r["cluster"])
+        if r["probe"] == 0:
+            primary[r["vec_id"]] = r["cluster"]
+    assert primary == clusters  # training trajectory untouched
+    assert all(len(c) == 2 for c in cells.values())
+
+    res2 = {
+        r["vec_id"]: r
+        for r in semantic_dedup(emb, threshold=THRESHOLD, probes=2).collect()
+    }
+    expect = {v: 0 for v in clusters}
+    for a, b in pairs:  # a < b
+        if cells[a] & cells[b]:
+            expect[b] += 1
+    assert {v: r["n_dup_smaller"] for v, r in res2.items()} == expect
+    # the corpus shape is unchanged: cluster = the argmin assignment
+    assert all(res2[v]["cluster"] == primary[v] for v in res2)
+
+    rec1 = sum(1 for a, b in pairs if clusters[a] == clusters[b]) / len(pairs)
+    rec2 = sum(1 for a, b in pairs if cells[a] & cells[b]) / len(pairs)
+    assert rec2 >= rec1 + 0.2, (rec1, rec2)  # materially, not marginally

@@ -242,3 +242,74 @@ def test_call_write_cadence_and_merge_threshold_params(spark, tmp_path):
     sql(spark, f"CALL versioned.merge('{t}', 'ups8', key_col => 'id', key_collect_threshold => 1)")
     got = {r["id"]: r["s"] for r in read_table(spark, t).collect()}
     assert got == {1: "a", 2: "B", 3: "C"}
+
+
+def test_version_as_of_table_syntax(spark, tmp_path):
+    """VERDICT r8 stretch: delegated SELECTs understand
+    versioned.`/path` [VERSION AS OF k] — pinned and latest reads, with
+    occurrences inside string literals left untouched."""
+    from procurement_data_pipeline_spark.operators.versioning import (
+        versioned_write,
+    )
+    from procurement_data_pipeline_spark.operators.versioned_sql import sql
+
+    t = str(tmp_path / "tt")
+    versioned_write(
+        spark, spark.createDataFrame([(1, "a")], "id int, s string"), t
+    )
+    versioned_write(
+        spark, spark.createDataFrame([(2, "b")], "id int, s string"), t
+    )
+    # pinned read sees only v1
+    got1 = sql(spark, f"SELECT id FROM versioned.`{t}` VERSION AS OF 1")
+    assert [r.id for r in got1.collect()] == [1]
+    # unversioned read = latest
+    got2 = sql(
+        spark, f"SELECT count(*) AS n FROM versioned.`{t}`"
+    ).collect()
+    assert got2[0].n == 2
+    # joins/self-combinations: two occurrences in one statement
+    both = sql(
+        spark,
+        f"SELECT a.id FROM versioned.`{t}` VERSION AS OF 1 a "
+        f"JOIN versioned.`{t}` b ON a.id = b.id",
+    ).collect()
+    assert [r.id for r in both] == [1]
+    # a string literal mentioning the syntax is NOT rewritten
+    lit = sql(
+        spark,
+        f"SELECT 'versioned.`{t}` VERSION AS OF 1' AS s FROM versioned.`{t}`",
+    ).collect()
+    assert all("VERSION AS OF" in r.s for r in lit) and len(lit) == 2
+
+
+def test_call_merge_composite_and_conditional(spark, tmp_path):
+    """CALL versioned.merge accepts an ARRAY key_col (composite) and the
+    when_matched_condition predicate — the SQL surface of VERDICT r8
+    item 5."""
+    from procurement_data_pipeline_spark.operators.versioning import (
+        read_table,
+        versioned_write,
+    )
+    from procurement_data_pipeline_spark.operators.versioned_sql import sql
+
+    t = str(tmp_path / "m")
+    versioned_write(
+        spark,
+        spark.createDataFrame(
+            [(1, "a", "open", 10), (1, "b", "closed", 20)],
+            "k1 int, k2 string, status string, v int",
+        ),
+        t,
+    )
+    spark.createDataFrame(
+        [(1, "a", "open", 100), (1, "b", "open", 200)],
+        "k1 int, k2 string, status string, v int",
+    ).createOrReplaceTempView("ups_cc")
+    sql(
+        spark,
+        f"CALL versioned.merge('{t}', 'ups_cc', key_col => ['k1', 'k2'], "
+        "when_matched_condition => 'status <> ''closed''')",
+    )
+    got = {(r.k1, r.k2): r.v for r in read_table(spark, t).collect()}
+    assert got == {(1, "a"): 100, (1, "b"): 20}  # closed row carried

@@ -1222,3 +1222,181 @@ def test_pinned_write_succeeds_when_slot_is_genuinely_next(spark, tmp_path):
     # chained successors record their parent's commit id
     m3 = versioned_write(spark, _df(spark, [3]), t, expected_base=2)
     assert m3["base_commit_id"] == m["commit_id"]
+
+
+def test_merge_composite_key_small_and_backfill(spark, tmp_path, monkeypatch):
+    """VERDICT r8 item 5: composite merge keys (key_col as a LIST) — the
+    match is the per-column conjunction, uniqueness/non-null validation
+    applies to the tuple, and the backfill path stays driver-key-free
+    (collect-size interceptor over a 100k-tuple delete)."""
+    from pyspark.sql import functions as F
+
+    from procurement_data_pipeline_spark.operators.versioning import merge_into
+
+    # small path: composite upsert
+    t = str(tmp_path / "ck")
+    base = spark.createDataFrame(
+        [(1, "a", 10), (1, "b", 20), (2, "a", 30), (None, "a", 99)],
+        "k1 int, k2 string, v int",
+    )
+    versioned_write(spark, base, t)
+    ups = spark.createDataFrame(
+        [(1, "a", 100), (3, "c", 300)], "k1 int, k2 string, v int"
+    )
+    man = merge_into(spark, t, ups, key_col=["k1", "k2"])
+    assert man["merge"]["key_cols"] == ["k1", "k2"]
+    got = {(r.k1, r.k2): r.v for r in read_table(spark, t).collect()}
+    assert got == {
+        (1, "a"): 100,  # matched tuple replaced
+        (1, "b"): 20,   # same k1, different k2 — NOT matched
+        (2, "a"): 30,
+        (None, "a"): 99,  # NULL-keyed row survives
+        (3, "c"): 300,  # new tuple inserted
+    }
+    # tuple-level validation: NULL in ANY key column refuses
+    bad = spark.createDataFrame([(1, None, 5)], "k1 int, k2 string, v int")
+    with pytest.raises(ValueError, match="non-null"):
+        merge_into(spark, t, bad, key_col=["k1", "k2"])
+    # duplicate TUPLE refuses; same k1 with different k2 is fine
+    dup = spark.createDataFrame(
+        [(7, "x", 1), (7, "x", 2)], "k1 int, k2 string, v int"
+    )
+    with pytest.raises(ValueError, match="key-unique"):
+        merge_into(spark, t, dup, key_col=["k1", "k2"])
+    okonce = spark.createDataFrame(
+        [(7, "x", 1), (7, "y", 2)], "k1 int, k2 string, v int"
+    )
+    merge_into(spark, t, okonce, key_col=["k1", "k2"])
+    assert read_table(spark, t).filter("k1 = 7").count() == 2
+
+    # backfill path: >=100k composite-key delete, zero driver key lists
+    tb = str(tmp_path / "ckbig")
+    big = spark.range(0, 150_000).select(
+        F.col("id").alias("k1"),
+        (F.col("id") % 7).cast("string").alias("k2"),
+        F.lit(1).alias("v"),
+    ).repartition(4)
+    nullrow = spark.createDataFrame(
+        [(None, "0", 9)], "k1 long, k2 string, v int"
+    )
+    versioned_write(spark, big.unionByName(nullrow), tb)
+
+    _dfcls = type(spark.range(1))
+    sizes: list[int] = []
+    real_collect = _dfcls.collect
+
+    def counting_collect(self):
+        out = real_collect(self)
+        sizes.append(len(out))
+        return out
+
+    monkeypatch.setattr(_dfcls, "collect", counting_collect)
+    dels = spark.range(25_000, 130_000).select(
+        F.col("id").alias("k1"),
+        (F.col("id") % 7).cast("string").alias("k2"),
+    )
+    man = merge_into(spark, tb, dels, key_col=["k1", "k2"], when_matched="delete")
+    assert sizes and max(sizes) <= man["n_files"] + len(man.get("removes", [])) + 8, sizes
+    assert man["merge"]["n_keys"] == 105_000
+    monkeypatch.setattr(_dfcls, "collect", real_collect)
+    got = read_table(spark, tb)
+    assert got.count() == 150_000 - 105_000 + 1
+    assert got.filter("k1 IS NULL").count() == 1
+    assert got.filter("k1 >= 25000 AND k1 < 130000").count() == 0
+
+
+def test_merge_conditional_update_matches_duckdb_twin(spark, tmp_path):
+    """Conditional MERGE (WHEN MATCHED AND cond THEN UPDATE SET * / WHEN
+    NOT MATCHED THEN INSERT) against a DuckDB UPDATE...FROM + anti-INSERT
+    twin on identical inputs: matched rows passing the TARGET-row
+    condition take the update values, failing rows carry, new keys
+    insert. Duplicate-keyed target rows update per-row (no collapse)."""
+    import duckdb
+
+    from procurement_data_pipeline_spark.operators.versioning import merge_into
+
+    base_rows = [
+        (1, "open", 10),
+        (2, "closed", 20),
+        (3, "open", 30),
+        (3, "open", 31),     # duplicate key in the TARGET: per-row update
+        (4, "closed", 40),
+        (None, "open", 99),  # NULL key: never matched
+    ]
+    upd_rows = [
+        (1, "open", 111),    # matched, cond true  -> updated
+        (2, "open", 222),    # matched, cond false (target closed) -> carried
+        (3, "open", 333),    # matched twice, both open -> both updated
+        (5, "open", 555),    # unmatched -> inserted
+    ]
+    t = str(tmp_path / "cond")
+    schema = "id int, status string, v int"
+    versioned_write(spark, spark.createDataFrame(base_rows, schema), t)
+    merge_into(
+        spark,
+        t,
+        spark.createDataFrame(upd_rows, schema),
+        key_col="id",
+        when_matched_condition="status <> 'closed'",
+    )
+    got = sorted(
+        ((r.id, r.status, r.v) for r in read_table(spark, t).collect()),
+        key=lambda x: (x[0] is None, x),
+    )
+
+    con = duckdb.connect()
+    con.execute(f"CREATE TABLE tgt (id int, status varchar, v int)")
+    con.executemany("INSERT INTO tgt VALUES (?,?,?)", base_rows)
+    con.execute("CREATE TABLE src (id int, status varchar, v int)")
+    con.executemany("INSERT INTO src VALUES (?,?,?)", upd_rows)
+    con.execute(
+        "UPDATE tgt SET status = src.status, v = src.v FROM src "
+        "WHERE tgt.id = src.id AND tgt.status <> 'closed'"
+    )
+    con.execute(
+        "INSERT INTO tgt SELECT * FROM src "
+        "WHERE id NOT IN (SELECT id FROM tgt WHERE id IS NOT NULL)"
+    )
+    want = sorted(
+        (tuple(r) for r in con.execute("SELECT * FROM tgt").fetchall()),
+        key=lambda x: (x[0] is None, x),
+    )
+    assert got == want
+    # spot-check the headline semantics directly
+    asmap = {}
+    for r in got:
+        asmap.setdefault(r[0], []).append(r)
+    assert asmap[1] == [(1, "open", 111)]
+    assert asmap[2] == [(2, "closed", 20)]       # carried: cond false
+    assert asmap[3] == [(3, "open", 333)] * 2    # per-row update
+    assert asmap[5] == [(5, "open", 555)]        # inserted
+    assert asmap[None] == [(None, "open", 99)]   # NULL key untouched
+
+
+def test_merge_conditional_delete(spark, tmp_path):
+    """Conditional delete: matched AND condition → removed; matched rows
+    failing the condition carry; composite keys compose with it."""
+    from procurement_data_pipeline_spark.operators.versioning import merge_into
+
+    t = str(tmp_path / "cdel")
+    base = spark.createDataFrame(
+        [(1, "a", "stale"), (1, "b", "fresh"), (2, "a", "stale"), (None, "a", "stale")],
+        "k1 int, k2 string, state string",
+    )
+    versioned_write(spark, base, t)
+    dels = spark.createDataFrame(
+        [(1, "a"), (1, "b"), (2, "a")], "k1 int, k2 string"
+    )
+    merge_into(
+        spark,
+        t,
+        dels,
+        key_col=["k1", "k2"],
+        when_matched="delete",
+        when_matched_condition="state = 'stale'",
+    )
+    got = sorted(
+        ((r.k1, r.k2, r.state) for r in read_table(spark, t).collect()),
+        key=lambda x: (x[0] is None, x),
+    )
+    assert got == [(1, "b", "fresh"), (None, "a", "stale")]
