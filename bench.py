@@ -187,6 +187,11 @@ def main() -> None:
         "versioned_delta_chain",
         "versioned_delta_cdf",
         "versioned_delta_pruned",
+        # Round-9 tier (graded-window promotions get extended timings too;
+        # multi-probe SemDeDup and the SQL time-travel rewrite are new):
+        "emb_semantic_dedup",
+        "emb_semantic_dedup_multiprobe",
+        "versioned_sql_time_travel",
     ]
     def plan_rows() -> dict[str, str]:
         """query → its PLANS.md row: a cheap committed fingerprint of the
