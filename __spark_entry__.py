@@ -207,6 +207,11 @@ GRADE_OVERFLOW = frozenset(
         # stretch) — hash-checked twin of the graded versioned_time_travel
         # through the statement-rewrite path:
         "versioned_sql_time_travel",
+        # round-9: merge-on-read equality deletes (Iceberg v2 / Delta DV
+        # shape) — structural fixture proves zero data-file rewrites and
+        # birth-version scoping (reborn keys); promotion candidate for a
+        # future rotation:
+        "versioned_mor_delete",
         "docs_pack_sequences_2level",
         "docs_corpus_mix_temperature",
         "docs_quality_weighted_sample",

@@ -192,6 +192,7 @@ def main() -> None:
         "emb_semantic_dedup",
         "emb_semantic_dedup_multiprobe",
         "versioned_sql_time_travel",
+        "versioned_mor_delete",
     ]
     def plan_rows() -> dict[str, str]:
         """query → its PLANS.md row: a cheap committed fingerprint of the

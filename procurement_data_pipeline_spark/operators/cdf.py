@@ -71,6 +71,7 @@ def table_changes(
                 raw.get("op") != "append"
                 or "delta_of" not in raw
                 or raw.get("removes")
+                or raw.get("deletes_adds")  # merge-on-read: rows removed
             ):
                 fast = False
                 break
@@ -79,12 +80,18 @@ def table_changes(
             added = sorted(adds)
     if added is None:
         old_files: set[str] = set()
+        old_deletes: list = []
         if from_version > 0:
-            old_files = set(
-                _resolve_manifest(spark, table_path, from_version)["files"]
-            )
-        new_files = set(_resolve_manifest(spark, table_path, to_version)["files"])
-        if old_files <= new_files:
+            old_man = _resolve_manifest(spark, table_path, from_version)
+            old_files = set(old_man["files"])
+            old_deletes = old_man.get("deletes", [])
+        new_man = _resolve_manifest(spark, table_path, to_version)
+        new_files = set(new_man["files"])
+        # a merge-on-read delete changes NO data file — the file-subset
+        # test alone would report an empty insert feed for a range that
+        # DELETED rows. Equal delete-entry lists are required for the
+        # pure-append fast path.
+        if old_files <= new_files and old_deletes == new_man.get("deletes", []):
             added = sorted(new_files - old_files)
 
     if added is not None:

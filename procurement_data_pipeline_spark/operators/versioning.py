@@ -37,6 +37,7 @@ the standard caveat). Nothing here scans data except the write itself.
 from __future__ import annotations
 
 import json
+import re
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -136,8 +137,75 @@ _RESERVED_MANIFEST_KEYS = frozenset(
         "merge",
         "commit_id",
         "base_commit_id",
+        "deletes",
+        "deletes_adds",
     }
 )
+
+# Merge-on-read equality deletes (the Iceberg v2 delete-file / Delta
+# deletion-vector shape): a MERGE with strategy='merge-on-read' rewrites
+# NOTHING — it publishes a DELETE ENTRY {version, key_cols, files,
+# n_keys} whose parquet files hold the deleted key tuples, and readers
+# anti-join them out. A delete entry committed at version d masks exactly
+# the rows of data files BORN BEFORE d (birth = the version embedded in
+# the file's commit-dir name), so a later upsert that reuses a deleted
+# key is never masked by the older delete. OPTIMIZE materializes (applies
+# and clears) all entries. At 100 TB this is the difference between a
+# 10-row delete costing O(10) and costing a multi-GB file rewrite.
+_BIRTH_RE = re.compile(r"/commit-(\d+)-")
+
+
+def _birth_version(file_uri: str) -> int:
+    """The version whose commit wrote this data file (embedded in the
+    commit-dir path segment). Files of unknown provenance return 0 —
+    masked by EVERY delete entry, the conservative direction (a delete
+    can only ever remove too much of an unknown file, never resurrect)."""
+    m = _BIRTH_RE.search(file_uri)
+    return int(m.group(1)) if m else 0
+
+
+def _apply_deletes(
+    spark: SparkSession,
+    schema: "StructType",
+    files: list[str],
+    deletes: list[dict],
+) -> DataFrame:
+    """Read ``files`` with every applicable equality-delete entry
+    anti-joined out. Files are grouped by which suffix of the
+    (version-ordered) delete list applies to them — at most
+    len(deletes)+1 groups — so the plan stays bounded by the delete-entry
+    count, which OPTIMIZE resets to zero. NULL-keyed data rows survive
+    every anti-join (delete keys are validated non-null; NULL = k is
+    never true)."""
+    import bisect
+
+    if not files:
+        return spark.createDataFrame([], schema)
+    if not deletes:
+        return spark.read.schema(schema).parquet(*files)
+    entries = sorted(deletes, key=lambda d: d["version"])
+    versions = [d["version"] for d in entries]
+    groups: dict[int, list[str]] = {}
+    for f in files:
+        # applicable entries: version > birth → the suffix starting at
+        # bisect_right(versions, birth)
+        idx = bisect.bisect_right(versions, _birth_version(f))
+        groups.setdefault(idx, []).append(f)
+    parts: list[DataFrame] = []
+    for idx, fs_group in sorted(groups.items()):
+        df = spark.read.schema(schema).parquet(*fs_group)
+        for d in entries[idx:]:
+            keys = (
+                spark.read.parquet(*d["files"])
+                .select(*d["key_cols"])
+                .distinct()
+            )
+            df = df.join(keys, on=list(d["key_cols"]), how="left_anti")
+        parts.append(df)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
 
 
 def _lineage(prev_manifest: dict | None) -> dict:
@@ -221,9 +289,14 @@ def _resolve_manifest(spark: SparkSession, table_path: str, version: int) -> dic
     out = {
         k: v
         for k, v in man.items()
-        if k not in ("delta_of", "adds", "removes", "stats_adds")
+        if k not in ("delta_of", "adds", "removes", "stats_adds", "deletes_adds")
     }
     out["files"] = files
+    # equality-delete entries accumulate down the chain (a data append
+    # must never resurrect merge-on-read-deleted rows)
+    deletes = list(base.get("deletes", [])) + list(man.get("deletes_adds", []))
+    if deletes:
+        out["deletes"] = deletes
     if man.get("stats_cols"):
         base_stats = base.get("stats", {})
         adds_stats = man.get("stats_adds", {})
@@ -499,11 +572,10 @@ def scan_table(
         predicates=predicates,
         _manifest=man,  # one chain walk per scan, not two
     )
-    df = (
-        spark.read.schema(schema).parquet(*kept)
-        if kept
-        else spark.createDataFrame([], schema)
-    )
+    # delete entries apply after pruning: a delete only removes rows, so
+    # stats-based file skipping stays sound, and the residual filter below
+    # keeps the result exact either way
+    df = _apply_deletes(spark, schema, kept, man.get("deletes", []))
     for c, (l, h) in _merged_predicates(col, lo, hi, predicates).items():
         if l is not None:
             df = df.filter(F.col(c) >= F.lit(l))
@@ -751,6 +823,11 @@ def versioned_write(
         manifest["removes"] = []
     else:
         manifest["files"] = prev_files + new_files
+        # carry merge-on-read delete entries on APPEND (they mask rows of
+        # carried files; dropping them would resurrect deleted rows). An
+        # overwrite replaces the content wholesale — nothing to mask.
+        if mode == "append" and prev is not None and prev.get("deletes"):
+            manifest["deletes"] = prev["deletes"]
     if cluster_by:
         manifest["cluster_by"] = list(cluster_by)
     if stats_cols:
@@ -907,12 +984,97 @@ def read_table(
             raise ValueError(f"no versions published at {table_path}")
     man = _resolve_manifest(spark, table_path, version)
     schema = StructType.fromJson(json.loads(man["schema"]))
-    if not man["files"]:
-        return spark.createDataFrame([], schema)
     # the manifest schema PINS the read: after widening evolution, files
     # written before a column existed read it back as NULL (and every
-    # version reads with ITS OWN schema — time travel sees old shapes)
-    return spark.read.schema(schema).parquet(*man["files"])
+    # version reads with ITS OWN schema — time travel sees old shapes).
+    # Merge-on-read delete entries, when present, anti-join out here.
+    return _apply_deletes(spark, schema, man["files"], man.get("deletes", []))
+
+
+def _merge_on_read(
+    spark: SparkSession,
+    table_path: str,
+    updates: DataFrame,
+    key_cols: list[str],
+    when_matched: str,
+    man: dict,
+    base: int,
+    n_keys: int,
+) -> dict:
+    """The merge-on-read execution path (see :func:`merge_into`): publish
+    delete files + manifest entry (and, for updates, the update rows as
+    appended data files) — O(batch) work and metadata, zero data-file
+    rewrites. The delete dir shares the ``commit-`` prefix so a losing
+    writer's orphans are swept by the same vacuum walk as data commits."""
+    next_v = base + 1
+    stem = (
+        f"{table_path.rstrip('/')}/commit-{next_v:0{_VERSION_WIDTH}d}"
+        f"-{uuid.uuid4().hex[:8]}"
+    )
+    del_dir, commit_dir = stem + "-del", stem
+    updates.select(*key_cols).distinct().write.mode("error").parquet(del_dir)
+    del_files = _commit_files(spark, del_dir)
+    new_files: list[str] = []
+    if when_matched == "update":
+        updates.write.mode("error").parquet(commit_dir)
+        new_files = _commit_files(spark, commit_dir)
+    entry = {
+        "version": next_v,
+        "key_cols": list(key_cols),
+        "files": del_files,
+        "n_keys": n_keys,
+    }
+    is_delta = (
+        len(man["files"]) >= _DELTA_MIN_FILES
+        and next_v % _CHECKPOINT_EVERY != 0
+    )
+    manifest = {
+        "version": next_v,
+        "op": "merge",
+        "base_version": base,
+        "n_files": len(man["files"]) + len(new_files),
+        "schema": man["schema"],
+        **_lineage(man),
+        "merge": {
+            "when_matched": when_matched,
+            "key_cols": list(key_cols),
+            "condition": None,
+            "strategy": "merge-on-read",
+            "n_keys": n_keys,
+            "files_rewritten": 0,
+            "files_untouched": len(man["files"]),
+            "delete_files": len(del_files),
+        },
+    }
+    if is_delta:
+        manifest["delta_of"] = base
+        manifest["adds"] = new_files
+        manifest["removes"] = []
+        manifest["deletes_adds"] = [entry]
+    else:
+        manifest["files"] = man["files"] + new_files
+        manifest["deletes"] = list(man.get("deletes", [])) + [entry]
+    if man.get("stats_cols"):
+        manifest["stats_cols"] = man["stats_cols"]
+        new_stats = _file_stats(
+            spark, new_files, man["stats_cols"], _schema_col_types(man["schema"])
+        )
+        if is_delta:
+            manifest["stats_adds"] = new_stats
+        else:
+            prev_stats = man.get("stats", {})
+            manifest["stats"] = {
+                **{f: prev_stats[f] for f in man["files"] if f in prev_stats},
+                **new_stats,
+            }
+    try:
+        _publish(spark, table_path, manifest)
+    except ConcurrentWriteError:
+        for d in (del_dir, commit_dir):
+            fs, p, _ = _fs_path(spark, d)
+            fs.delete(p, True)
+        raise
+    return manifest
 
 
 def merge_into(
@@ -924,6 +1086,7 @@ def merge_into(
     validate: bool = True,
     key_collect_threshold: int = 10_000,
     when_matched_condition: str | None = None,
+    strategy: str = "copy-on-write",
 ) -> dict:
     """Copy-on-write MERGE: upsert (``when_matched='update'``) or targeted
     delete (``'delete'``) against the latest version, rewriting ONLY the
@@ -931,6 +1094,22 @@ def merge_into(
     files carry into the new version verbatim (zero IO), the Delta MERGE
     shape. Publishes op='merge'; the pre-merge version stays
     time-travelable until vacuumed.
+
+    ``strategy='merge-on-read'`` is the Iceberg-v2 equality-delete /
+    Delta deletion-vector shape: the merge rewrites NO data file at all.
+    A delete publishes the distinct key tuples as DELETE FILES plus a
+    manifest delete entry; an update additionally appends the update rows
+    as new data files (delete-old + insert-new). Readers anti-join the
+    entries out, scoped by file BIRTH version (a later upsert reusing a
+    deleted key is never masked by the older delete), and ``optimize_table``
+    materializes and clears them. Cost model: the merge is O(batch)
+    regardless of how many data files hold matched keys — no write
+    amplification — while every read until the next OPTIMIZE pays the
+    anti-join; right for high-frequency point deletes/upserts between
+    compactions, wrong for write-once-read-many tables (keep the
+    default). ``when_matched_condition`` is incompatible (an equality
+    delete masks by key alone; evaluating a target-row predicate would
+    read the very files this strategy exists to not read).
 
     * update: rows matching an update key are replaced by the update row;
       update rows matching nothing are inserted. ``updates`` must have the
@@ -993,6 +1172,15 @@ def merge_into(
 
     if when_matched not in ("update", "delete"):
         raise ValueError(f"when_matched must be update|delete, got {when_matched!r}")
+    if strategy not in ("copy-on-write", "merge-on-read"):
+        raise ValueError(
+            f"strategy must be copy-on-write|merge-on-read, got {strategy!r}"
+        )
+    if strategy == "merge-on-read" and when_matched_condition is not None:
+        raise ValueError(
+            "when_matched_condition requires strategy='copy-on-write' — an "
+            "equality delete masks by key alone and never reads target rows"
+        )
     key_cols = [key_col] if isinstance(key_col, str) else list(key_col)
     if not key_cols:
         raise ValueError("key_col must name at least one column")
@@ -1056,6 +1244,11 @@ def merge_into(
             f"{prof['n_keys']} keys"
         )
     n_keys = prof["n_keys"]
+    if strategy == "merge-on-read":
+        return _merge_on_read(
+            spark, table_path, updates, key_cols, when_matched, man,
+            base, int(n_keys),
+        )
     keys: list | None = None
     if n_keys <= key_collect_threshold:
         # composite keys collect only the FIRST column's distinct values —
@@ -1121,7 +1314,10 @@ def merge_into(
         # file would silently NULL the widened column in rewritten rows
         # (or fail unionByName with the updates)
         pinned = StructType.fromJson(json.loads(man["schema"]))
-        old = spark.read.schema(pinned).parquet(*touched)
+        # touched files read through any live merge-on-read delete entries
+        # (a raw read would resurrect masked rows INTO the rewrite, whose
+        # fresh birth version escapes the entries)
+        old = _apply_deletes(spark, pinned, touched, man.get("deletes", []))
         if when_matched_condition is not None and when_matched == "update":
             # conditional upsert (Delta's WHEN MATCHED AND <cond> THEN
             # UPDATE SET * / WHEN NOT MATCHED THEN INSERT): each matched
@@ -1240,6 +1436,10 @@ def merge_into(
         manifest["removes"] = list(touched)
     else:
         manifest["files"] = untouched + new_files
+        # live delete entries still mask the UNTOUCHED files' rows; the
+        # rewritten files' fresh birth version escapes them by design
+        if man.get("deletes"):
+            manifest["deletes"] = man["deletes"]
     if man.get("stats_cols"):
         prev_stats = man.get("stats", {})
         manifest["stats_cols"] = man["stats_cols"]
@@ -1283,6 +1483,8 @@ def rollback(spark: SparkSession, table_path: str, to_version: int) -> dict:
     if target.get("stats_cols"):  # identical files → identical stats
         manifest["stats_cols"] = target["stats_cols"]
         manifest["stats"] = target.get("stats", {})
+    if target.get("deletes"):  # identical content → identical masking
+        manifest["deletes"] = target["deletes"]
     _publish(spark, table_path, manifest)
     return manifest
 
@@ -1347,7 +1549,13 @@ def vacuum(
     dropset = set(drop)
     live: set[str] = set()
     for v in keep:
-        live.update(_resolve_manifest(spark, table_path, v)["files"])
+        resolved = _resolve_manifest(spark, table_path, v)
+        live.update(resolved["files"])
+        # merge-on-read delete files are as load-bearing as data files:
+        # sweeping one would resurrect its masked rows in every retained
+        # version that carries the entry
+        for d in resolved.get("deletes", []):
+            live.update(d["files"])
     fs, root_p, jvm = _fs_path(spark, table_path)
     hpath = jvm.org.apache.hadoop.fs.Path
     # a retained DELTA manifest whose base is being expired must first be

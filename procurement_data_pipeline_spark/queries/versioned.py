@@ -518,3 +518,103 @@ def versioned_sql_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY o_orderpriority
         """,
     )
+
+
+# ---------------------------------------------------------------------------
+# Merge-on-read fixture — oracle-hash evidence for equality deletes (the
+# Iceberg v2 delete-file / Delta deletion-vector shape, round 9):
+#
+#   v1  append all orders            (FULL manifest, stats on)
+#   v2  MOR delete  o_orderkey % 13 == 0   → delete entry, ZERO rewrites
+#   v3  MOR update  o_orderkey % 17 == 0 rows at price_cents + 1
+#                                    → second delete entry + appended rows
+#
+# Structural proof baked into the fixture: v2's data-file list is
+# BYTE-IDENTICAL to v1's and v3 carries v1's files as a subset with
+# files_rewritten == 0 — no rewrite happened, so only the delete-entry
+# read path can explain the missing/updated rows. Keys divisible by BOTH
+# 13 and 17 are REBORN by the v3 upsert (their update rows' birth version
+# escapes the v2 entry) — the hash certifies birth-version scoping, not
+# just masking.
+
+_MOR: dict[str, str] = {}
+
+
+def _mor_fixture(spark: SparkSession, sf_dir: str) -> str:
+    key = os.path.abspath(sf_dir)
+    if key in _MOR:
+        return _MOR[key]
+    tag = re.sub(r"[^A-Za-z0-9_.-]", "_", key).strip("_")
+    path = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_mor_orders_{tag}_{os.getpid()}"
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.floor(F.col("o_totalprice") * 100).cast("long").alias("price_cents"),
+    )
+    versioned_write(spark, orders, path, stats_cols=["o_orderkey"])
+    merge_into(
+        spark,
+        path,
+        orders.filter(F.col("o_orderkey") % 13 == 0).select("o_orderkey"),
+        key_col="o_orderkey",
+        when_matched="delete",
+        strategy="merge-on-read",
+    )
+    merge_into(
+        spark,
+        path,
+        orders.filter(F.col("o_orderkey") % 17 == 0).withColumn(
+            "price_cents", F.col("price_cents") + F.lit(1).cast("long")
+        ),
+        key_col="o_orderkey",
+        when_matched="update",
+        strategy="merge-on-read",
+    )
+    m1 = _read_manifest(spark, path, 1)
+    m2 = _read_manifest(spark, path, 2)
+    m3 = _read_manifest(spark, path, 3)
+    if m2["files"] != m1["files"] or m2["merge"]["files_rewritten"] != 0:
+        raise RuntimeError(
+            "mor fixture malformed: the v2 delete rewrote data files — "
+            "the merge-on-read path is not engaging"
+        )
+    if not (set(m1["files"]) < set(m3["files"])) or len(m3["deletes"]) != 2:
+        raise RuntimeError(
+            "mor fixture malformed: v3 must carry v1's files plus the "
+            "upsert appends and two delete entries"
+        )
+    _MOR[key] = path
+    return path
+
+
+@register(
+    "versioned_mor_delete",
+    oracle="""
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(cents) AS BIGINT) AS total_cents
+FROM (
+  SELECT o_orderpriority,
+         CASE WHEN o_orderkey % 17 = 0
+              THEN CAST(FLOOR(o_totalprice * 100) AS BIGINT) + 1
+              ELSE CAST(FLOOR(o_totalprice * 100) AS BIGINT) END AS cents
+  FROM orders
+  WHERE o_orderkey % 17 = 0 OR o_orderkey % 13 <> 0
+)
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""",
+    tags=("versioning", "merge-on-read", "deletes"),
+)
+def versioned_mor_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Read latest after a merge-on-read DELETE and a merge-on-read UPSERT
+    that rewrote zero data files (the fixture refuses to return
+    otherwise): % 13 keys are masked by the v2 delete entry, % 17 keys
+    take the upserted price, and % 221 keys are REBORN by the upsert —
+    visible despite the older delete because their files' birth version
+    escapes it. No non-delete-path route can produce this relation."""
+    path = _mor_fixture(spark, sf_dir)
+    return _priority_rollup(read_table(spark, path))

@@ -1,0 +1,316 @@
+"""Merge-on-read equality deletes (the Iceberg v2 / Delta DV shape):
+strategy='merge-on-read' publishes delete files instead of rewriting data
+files; readers anti-join them out scoped by file birth version; OPTIMIZE
+materializes and clears; vacuum never sweeps a live delete file.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from procurement_data_pipeline_spark.operators.versioning import (
+    _read_manifest,
+    _resolve_manifest,
+    merge_into,
+    optimize_table,
+    read_table,
+    rollback,
+    scan_table,
+    vacuum,
+    versioned_write,
+)
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "id long, s string")
+
+
+def _ids(df):
+    return sorted(r["id"] for r in df.collect())
+
+
+def test_mor_delete_rewrites_nothing(spark, tmp_path):
+    """Structural proof: the data-file list of the new version is
+    byte-identical to the base's — only the delete entry can explain the
+    missing rows."""
+    t = str(tmp_path / "t")
+    versioned_write(spark, _df(spark, [(i, f"r{i}") for i in range(10)]), t)
+    before = _resolve_manifest(spark, t, 1)["files"]
+    man = merge_into(
+        spark,
+        t,
+        spark.createDataFrame([(3,), (7,)], "id long"),
+        key_col="id",
+        when_matched="delete",
+        strategy="merge-on-read",
+    )
+    assert man["merge"]["strategy"] == "merge-on-read"
+    assert man["merge"]["files_rewritten"] == 0
+    assert man["files"] == before  # ZERO write amplification
+    assert len(man["deletes"]) == 1 and man["deletes"][0]["n_keys"] == 2
+    assert _ids(read_table(spark, t)) == [0, 1, 2, 4, 5, 6, 8, 9]
+    # time travel to the pre-delete version still sees everything
+    assert _ids(read_table(spark, t, version=1)) == list(range(10))
+
+
+def test_mor_update_upserts_without_rewrite(spark, tmp_path):
+    t = str(tmp_path / "t")
+    versioned_write(spark, _df(spark, [(1, "old"), (2, "old")]), t)
+    before = _resolve_manifest(spark, t, 1)["files"]
+    merge_into(
+        spark,
+        t,
+        _df(spark, [(2, "new"), (3, "new")]),
+        key_col="id",
+        strategy="merge-on-read",
+    )
+    man = _resolve_manifest(spark, t, 2)
+    assert set(before) <= set(man["files"])  # old files untouched
+    got = {r.id: r.s for r in read_table(spark, t).collect()}
+    assert got == {1: "old", 2: "new", 3: "new"}
+
+
+def test_mor_reinserted_key_escapes_older_delete(spark, tmp_path):
+    """Birth-version scoping: a key deleted at v2 and re-inserted at v3
+    must be visible — the v2 entry masks only files born before v2."""
+    t = str(tmp_path / "t")
+    versioned_write(spark, _df(spark, [(1, "a"), (2, "b")]), t)
+    merge_into(
+        spark,
+        t,
+        spark.createDataFrame([(1,)], "id long"),
+        key_col="id",
+        when_matched="delete",
+        strategy="merge-on-read",
+    )
+    assert _ids(read_table(spark, t)) == [2]
+    versioned_write(spark, _df(spark, [(1, "reborn")]), t, mode="append")
+    got = {r.id: r.s for r in read_table(spark, t).collect()}
+    assert got == {1: "reborn", 2: "b"}  # not masked by the v2 delete
+    # and a SECOND MOR delete of the same key removes the reborn row too
+    merge_into(
+        spark,
+        t,
+        spark.createDataFrame([(1,)], "id long"),
+        key_col="id",
+        when_matched="delete",
+        strategy="merge-on-read",
+    )
+    assert _ids(read_table(spark, t)) == [2]
+
+
+def test_mor_null_keyed_rows_survive(spark, tmp_path):
+    t = str(tmp_path / "t")
+    versioned_write(
+        spark,
+        spark.createDataFrame([(1, "a"), (None, "n")], "id long, s string"),
+        t,
+    )
+    merge_into(
+        spark,
+        t,
+        spark.createDataFrame([(1,)], "id long"),
+        key_col="id",
+        when_matched="delete",
+        strategy="merge-on-read",
+    )
+    rows = read_table(spark, t).collect()
+    assert len(rows) == 1 and rows[0].s == "n"
+
+
+def test_mor_composite_key(spark, tmp_path):
+    t = str(tmp_path / "t")
+    versioned_write(
+        spark,
+        spark.createDataFrame(
+            [(1, "a", 1), (1, "b", 2), (2, "a", 3)], "k1 int, k2 string, v int"
+        ),
+        t,
+    )
+    merge_into(
+        spark,
+        t,
+        spark.createDataFrame([(1, "a")], "k1 int, k2 string"),
+        key_col=["k1", "k2"],
+        when_matched="delete",
+        strategy="merge-on-read",
+    )
+    got = {(r.k1, r.k2) for r in read_table(spark, t).collect()}
+    assert got == {(1, "b"), (2, "a")}
+
+
+def test_mor_condition_refused(spark, tmp_path):
+    t = str(tmp_path / "t")
+    versioned_write(spark, _df(spark, [(1, "a")]), t)
+    with pytest.raises(ValueError, match="copy-on-write"):
+        merge_into(
+            spark,
+            t,
+            spark.createDataFrame([(1,)], "id long"),
+            key_col="id",
+            when_matched="delete",
+            strategy="merge-on-read",
+            when_matched_condition="s = 'a'",
+        )
+
+
+def test_optimize_materializes_and_clears_deletes(spark, tmp_path):
+    t = str(tmp_path / "t")
+    versioned_write(spark, _df(spark, [(i, f"r{i}") for i in range(8)]), t)
+    merge_into(
+        spark,
+        t,
+        spark.createDataFrame([(0,), (4,)], "id long"),
+        key_col="id",
+        when_matched="delete",
+        strategy="merge-on-read",
+    )
+    man = optimize_table(spark, t, target_files=1)
+    assert "deletes" not in man
+    assert _ids(read_table(spark, t)) == [1, 2, 3, 5, 6, 7]
+
+
+def test_cow_merge_on_mor_table_keeps_masking(spark, tmp_path):
+    """A copy-on-write merge AFTER a merge-on-read delete: rewritten rows
+    must not resurrect masked rows, untouched files stay masked, and the
+    upserted row (which reuses a deleted key) is visible."""
+    t = str(tmp_path / "t")
+    versioned_write(spark, _df(spark, [(i, f"r{i}") for i in range(6)]), t)
+    merge_into(
+        spark,
+        t,
+        spark.createDataFrame([(2,), (5,)], "id long"),
+        key_col="id",
+        when_matched="delete",
+        strategy="merge-on-read",
+    )
+    # COW upsert touching keys 2 (deleted — reborn) and 0 (replaced)
+    merge_into(
+        spark, t, _df(spark, [(0, "upd"), (2, "reborn")]), key_col="id"
+    )
+    got = {r.id: r.s for r in read_table(spark, t).collect()}
+    assert got == {0: "upd", 1: "r1", 2: "reborn", 3: "r3", 4: "r4"}
+    # 5 stays deleted: its entry still masks the untouched file OR the
+    # rewrite dropped it — either way it must not resurrect
+    assert 5 not in got
+
+
+def test_mor_scan_table_applies_deletes(spark, tmp_path):
+    t = str(tmp_path / "t")
+    versioned_write(
+        spark,
+        spark.range(0, 100).select(F.col("id"), F.lit("x").alias("s")),
+        t,
+        stats_cols=["id"],
+    )
+    merge_into(
+        spark,
+        t,
+        spark.createDataFrame([(10,), (11,)], "id long"),
+        key_col="id",
+        when_matched="delete",
+        strategy="merge-on-read",
+    )
+    got = _ids(scan_table(spark, t, "id", lo=5, hi=15))
+    assert got == [5, 6, 7, 8, 9, 12, 13, 14, 15]
+
+
+def test_mor_cdf_reports_deletes_not_empty_feed(spark, tmp_path):
+    """A MOR delete changes no data file; the CDF subset fast path must
+    NOT report an empty insert feed — it falls back to the keyed diff and
+    reports the deletions."""
+    from procurement_data_pipeline_spark.operators.cdf import table_changes
+
+    t = str(tmp_path / "t")
+    versioned_write(spark, _df(spark, [(1, "a"), (2, "b")]), t)
+    merge_into(
+        spark,
+        t,
+        spark.createDataFrame([(1,)], "id long"),
+        key_col="id",
+        when_matched="delete",
+        strategy="merge-on-read",
+    )
+    feed = table_changes(spark, t, from_version=1, to_version=2, key_cols=["id"])
+    rows = feed.collect()
+    assert len(rows) == 1
+    assert rows[0]["change_type"] == "delete" and rows[0]["id"] == 1
+
+
+def test_vacuum_preserves_live_delete_files(spark, tmp_path):
+    t = str(tmp_path / "t")
+    for batch in ([(1, "a"), (2, "b")], [(3, "c")], [(4, "d")]):
+        versioned_write(spark, _df(spark, batch), t, mode="append")
+    merge_into(
+        spark,
+        t,
+        spark.createDataFrame([(2,)], "id long"),
+        key_col="id",
+        when_matched="delete",
+        strategy="merge-on-read",
+    )
+    versioned_write(spark, _df(spark, [(5, "e")]), t, mode="append")
+    before = _ids(read_table(spark, t))
+    assert before == [1, 3, 4, 5]
+    vacuum(spark, t, keep_last=2)
+    assert _ids(read_table(spark, t)) == before  # delete files survived
+
+
+def test_mor_survives_delta_manifest_chain(spark, tmp_path, monkeypatch):
+    """deletes_adds on a delta manifest folds down the chain: later
+    delta APPENDS keep masking, and a vacuum checkpoint materializes the
+    accumulated entries."""
+    from procurement_data_pipeline_spark.operators import versioning as V
+
+    monkeypatch.setattr(V, "_DELTA_MIN_FILES", 1)
+    monkeypatch.setattr(V, "_CHECKPOINT_EVERY", 100)
+    t = str(tmp_path / "t")
+    versioned_write(spark, _df(spark, [(1, "a"), (2, "b")]), t)
+    merge_into(  # v2: MOR delete as a DELTA manifest
+        spark,
+        t,
+        spark.createDataFrame([(1,)], "id long"),
+        key_col="id",
+        when_matched="delete",
+        strategy="merge-on-read",
+    )
+    raw2 = _read_manifest(spark, t, 2)
+    assert raw2.get("delta_of") == 1 and raw2.get("deletes_adds")
+    versioned_write(spark, _df(spark, [(3, "c")]), t, mode="append")  # v3 delta
+    assert _ids(read_table(spark, t)) == [2, 3]  # entry folded through v3
+    versioned_write(spark, _df(spark, [(4, "d")]), t, mode="append")  # v4
+    vacuum(spark, t, keep_last=2)  # expires v1, v2 → checkpoints v3 (or v4)
+    assert _ids(read_table(spark, t)) == [2, 3, 4]
+    assert _ids(read_table(spark, t, version=3)) == [2, 3]
+
+
+def test_mor_rollback_carries_and_clears(spark, tmp_path):
+    t = str(tmp_path / "t")
+    versioned_write(spark, _df(spark, [(1, "a"), (2, "b")]), t)  # v1
+    merge_into(  # v2
+        spark,
+        t,
+        spark.createDataFrame([(1,)], "id long"),
+        key_col="id",
+        when_matched="delete",
+        strategy="merge-on-read",
+    )
+    rollback(spark, t, to_version=1)  # v3: pre-delete content
+    assert _ids(read_table(spark, t)) == [1, 2]
+    rollback(spark, t, to_version=2)  # v4: post-delete content (carries entry)
+    assert _ids(read_table(spark, t)) == [2]
+
+
+def test_sql_merge_strategy_kwarg(spark, tmp_path):
+    from procurement_data_pipeline_spark.operators.versioned_sql import sql
+
+    t = str(tmp_path / "t")
+    versioned_write(spark, _df(spark, [(1, "a"), (2, "b")]), t)
+    spark.createDataFrame([(1,)], "id long").createOrReplaceTempView("dels_mor")
+    sql(
+        spark,
+        f"CALL versioned.merge('{t}', 'dels_mor', key_col => 'id', "
+        "when_matched => 'delete', strategy => 'merge-on-read')",
+    )
+    assert _ids(read_table(spark, t)) == [2]
