@@ -227,19 +227,22 @@ def main() -> None:
     # Priority order for the extended tier (VERDICT r8): under the wall
     # budget a truncation must starve the STALEST evidence, not the newest.
     # Queries whose PLANS.md row changed since the last artifact run FIRST,
-    # then queries the last run never timed (skipped or new), then the
-    # rest; alphabetical only as the final tie-break.
+    # then by LAST-TIMED run sequence ascending (never-timed first) — a
+    # persistent round-robin, not a one-run memory: with a one-run lookback
+    # two truncated runs would ping-pong over the same prefix and the tail
+    # would never get timed (observed in this round's back-to-back runs).
     current_rows = plan_rows()
     prev = previous_sidecar()
     prev_rows: dict = prev.get("plan_rows", {})
-    prev_timed = set(prev.get("extended", {}).get("queries", {}))
+    run_seq = int(prev.get("run_seq", 0)) + 1
+    prev_last: dict = dict(prev.get("last_timed", {}))
+    for q in prev.get("extended", {}).get("queries", {}):
+        prev_last.setdefault(q, run_seq - 1)  # bootstrap from older sidecars
 
-    def ext_priority(name: str) -> tuple[int, str]:
+    def ext_priority(name: str) -> tuple[int, int, str]:
         if current_rows.get(name) != prev_rows.get(name):
-            return (0, name)  # plan changed (or never fingerprinted)
-        if name not in prev_timed:
-            return (1, name)  # least-recently-timed
-        return (2, name)
+            return (0, 0, name)  # plan changed (or never fingerprinted)
+        return (1, int(prev_last.get(name, -1)), name)
 
     extended_specs = {
         n: specs[n]
@@ -383,6 +386,14 @@ def main() -> None:
         # plan fingerprints at bench time: the next run prioritizes
         # queries whose PLANS.md row changed since this artifact
         "plan_rows": current_rows,
+        # persistent round-robin state: when each query was last timed
+        # (run_seq units), so repeated truncated runs cover the whole
+        # tier instead of ping-ponging over one prefix
+        "run_seq": run_seq,
+        "last_timed": {
+            **prev_last,
+            **{q: run_seq for q in ext_timings},
+        },
     }
     if errors:
         sidecar["errors"] = errors
