@@ -760,74 +760,22 @@ def semantic_dedup(
     is O(Σ|cell-membership|²) with membership ≤ probes·n — the declared
     ~probes² constant over the single-probe scan, still never O(n²).
     """
-    if probes > 1:
-        asg = kmeans_assign(
-            embeddings,
-            k=k,
-            iters=iters,
-            id_col=id_col,
-            vec_col=vec_col,
-            probes=probes,
-        )
-        base = embeddings.select(
-            F.col(id_col).alias("_id"),
-            F.col(vec_col).alias("_v"),
-            F.sqrt(
-                quantized_norm_sq(F.col(vec_col)).cast("double")
-            ).alias("_nrm"),
-        )
-        from procurement_data_pipeline_spark.caching import scoped_persist
 
-        pts = scoped_persist(
-            base.join(asg.withColumnRenamed(id_col, "_id"), "_id")
-        )
-        a = pts.select(
-            F.col("_id").alias("_ida"),
-            F.col("_v").alias("_va"),
-            F.col("_nrm").alias("_na"),
-            "cluster",
-        )
-        b = pts.select(
-            F.col("_id").alias("_idb"),
-            F.col("_v").alias("_vb"),
-            F.col("_nrm").alias("_nb"),
-            "cluster",
-        )
-        score = quantized_dot(F.col("_va"), F.col("_vb")).cast(
-            "double"
-        ) / (F.col("_na") * F.col("_nb"))
-        dups = (
-            a.join(b, "cluster")
-            .filter(F.col("_idb") < F.col("_ida"))
-            .withColumn("_s", score)
-            .filter(F.col("_s") >= F.lit(threshold))
-            .groupBy("_ida")
-            # a pair co-probed in TWO shared cells must count once
-            .agg(
-                F.countDistinct("_idb").cast("long").alias("n_dup_smaller")
-            )
-        )
-        return (
-            pts.filter(F.col("probe") == 0)
-            .select(F.col("_id").alias(id_col), "cluster")
-            .join(dups.withColumnRenamed("_ida", id_col), id_col, "left")
-            .select(
-                id_col,
-                "cluster",
-                F.coalesce(F.col("n_dup_smaller"), F.lit(0))
-                .cast("long")
-                .alias("n_dup_smaller"),
-                F.when(
-                    F.coalesce(F.col("n_dup_smaller"), F.lit(0)) > 0, 1
-                )
-                .otherwise(0)
-                .cast("int")
-                .alias("is_dup"),
-            )
-        )
     asg = kmeans_assign(
-        embeddings, k=k, iters=iters, id_col=id_col, vec_col=vec_col
+        embeddings,
+        k=k,
+        iters=iters,
+        id_col=id_col,
+        vec_col=vec_col,
+        probes=probes,
     )
+    if probes == 1:
+        # single-probe assignment has no probe column; normalizing here
+        # lets ONE pipeline below serve both regimes (code-review r9: the
+        # two near-verbatim branches would drift apart) — the literal
+        # folds away under codegen, and countDistinct == count when every
+        # pair shares exactly one cell
+        asg = asg.withColumn("probe", F.lit(0).cast("int"))
     base = embeddings.select(
         F.col(id_col).alias("_id"),
         F.col(vec_col).alias("_v"),
@@ -862,10 +810,13 @@ def semantic_dedup(
         .withColumn("_s", score)
         .filter(F.col("_s") >= F.lit(threshold))
         .groupBy("_ida")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_dup_smaller"))
+        # a pair co-probed in TWO shared cells must count once; with one
+        # probe each pair appears exactly once, so this IS plain count
+        .agg(F.countDistinct("_idb").cast("long").alias("n_dup_smaller"))
     )
     return (
-        pts.select(F.col("_id").alias(id_col), "cluster")
+        pts.filter(F.col("probe") == 0)
+        .select(F.col("_id").alias(id_col), "cluster")
         .join(dups.withColumnRenamed("_ida", id_col), id_col, "left")
         .select(
             id_col,

@@ -78,31 +78,39 @@ def table_changes(
             adds.extend(raw["adds"])
         if fast:
             added = sorted(adds)
-    if added is None:
-        old_files: set[str] = set()
-        old_deletes: list = []
-        if from_version > 0:
-            old_man = _resolve_manifest(spark, table_path, from_version)
-            old_files = set(old_man["files"])
-            old_deletes = old_man.get("deletes", [])
+    bootstrap = from_version == 0
+    if added is None and not bootstrap:
+        old_man = _resolve_manifest(spark, table_path, from_version)
+        old_files = set(old_man["files"])
         new_man = _resolve_manifest(spark, table_path, to_version)
         new_files = set(new_man["files"])
         # a merge-on-read delete changes NO data file — the file-subset
         # test alone would report an empty insert feed for a range that
         # DELETED rows. Equal delete-entry lists are required for the
         # pure-append fast path.
-        if old_files <= new_files and old_deletes == new_man.get("deletes", []):
+        if old_files <= new_files and old_man.get("deletes", []) == new_man.get(
+            "deletes", []
+        ):
             added = sorted(new_files - old_files)
 
-    if added is not None:
-        # pure-append range: the delta IS the added files
+    if added is not None or bootstrap:
         to_df = read_table(spark, table_path, version=to_version)
         cols = [c for c in to_df.columns]
         keys = key_cols or []
         compare = [c for c in cols if c not in keys]
-        if not added:
+        if bootstrap:
+            # from version 0 the feed is EVERY row of the snapshot as an
+            # insert — read_table, not raw files, so merge-on-read delete
+            # entries are applied (code-review r9: the raw-file path
+            # emitted masked rows as inserts and the delete-equality check
+            # wrongly demanded key_cols for a keyless bootstrap)
+            base = to_df
+        elif not added:
             base = to_df.limit(0)
         else:
+            # pure-append range WITH UNCHANGED delete entries: files added
+            # after from_version were born after every live entry's
+            # version, so a raw read is exact
             base = spark.read.schema(to_df.schema).parquet(*added)
         return base.select(
             *keys,

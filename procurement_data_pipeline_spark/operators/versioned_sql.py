@@ -229,7 +229,9 @@ def sql(spark: SparkSession, statement: str) -> DataFrame:
     the ``versioned.`/path` VERSION AS OF k`` time-travel table syntax."""
     m = _CALL_RE.match(statement)
     if not m:
-        if "versioned." in statement:
+        # case-insensitive gate to match _TABLE_RE (code-review r9: a
+        # lowercase-only check silently skipped VERSIONED.`...` rewrites)
+        if "versioned." in statement.lower():
             statement = _rewrite_time_travel(spark, statement)
         return spark.sql(statement)
     cmd, (args, kw) = m.group(1).lower(), _parse_args(m.group(2))

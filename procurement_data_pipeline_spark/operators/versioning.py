@@ -152,14 +152,20 @@ _RESERVED_MANIFEST_KEYS = frozenset(
 # key is never masked by the older delete. OPTIMIZE materializes (applies
 # and clears) all entries. At 100 TB this is the difference between a
 # 10-row delete costing O(10) and costing a multi-GB file rewrite.
-_BIRTH_RE = re.compile(r"/commit-(\d+)-")
+# anchored to the file's IMMEDIATE PARENT directory: a '/commit-7-backup/'
+# segment inside the user's table_path must never poison the parse
+# (code-review r9 — re.search took the FIRST match, so such a path made
+# every file's birth look like 7 and silently skipped delete entries,
+# resurrecting deleted rows)
+_BIRTH_RE = re.compile(r"/commit-(\d+)-[^/]*/[^/]+$")
 
 
 def _birth_version(file_uri: str) -> int:
     """The version whose commit wrote this data file (embedded in the
-    commit-dir path segment). Files of unknown provenance return 0 —
-    masked by EVERY delete entry, the conservative direction (a delete
-    can only ever remove too much of an unknown file, never resurrect)."""
+    commit-dir path segment — the file's immediate parent). Files of
+    unknown provenance return 0 — masked by EVERY delete entry, the
+    conservative direction (a delete can only ever remove too much of an
+    unknown file, never resurrect)."""
     m = _BIRTH_RE.search(file_uri)
     return int(m.group(1)) if m else 0
 
@@ -191,15 +197,17 @@ def _apply_deletes(
         # bisect_right(versions, birth)
         idx = bisect.bisect_right(versions, _birth_version(f))
         groups.setdefault(idx, []).append(f)
+    # one keys relation per ENTRY, shared across birth groups (code-review
+    # r9: building it inside the group loop planned G×E redundant
+    # read+distinct subtrees over identical delete files)
+    entry_keys = [
+        spark.read.parquet(*d["files"]).select(*d["key_cols"]).distinct()
+        for d in entries
+    ]
     parts: list[DataFrame] = []
     for idx, fs_group in sorted(groups.items()):
         df = spark.read.schema(schema).parquet(*fs_group)
-        for d in entries[idx:]:
-            keys = (
-                spark.read.parquet(*d["files"])
-                .select(*d["key_cols"])
-                .distinct()
-            )
+        for d, keys in zip(entries[idx:], entry_keys[idx:]):
             df = df.join(keys, on=list(d["key_cols"]), how="left_anti")
         parts.append(df)
     out = parts[0]
@@ -222,7 +230,10 @@ def _lineage(prev_manifest: dict | None) -> dict:
 
 
 def _verify_commit_visible(
-    spark: SparkSession, table_path: str, manifest: dict, commit_dir: str
+    spark: SparkSession,
+    table_path: str,
+    manifest: dict,
+    commit_dir: str | list[str] | None,
 ) -> None:
     """Post-publish liveness check (advice r9): a snapshot-pinned write
     whose ``expected_base + 1`` slot was EXPIRED by a vacuum that ran
@@ -250,14 +261,28 @@ def _verify_commit_visible(
         succ.get("base_commit_id") == manifest["commit_id"]
     ):
         return
+    if succ is not None and "base_commit_id" not in succ:
+        # successor written by PRE-LINEAGE code: we cannot tell a chained
+        # successor from a foreign occupant, and deleting a manifest a
+        # live delta chain may reference would brick the table
+        # (code-review r9) — indeterminate means assume live, the
+        # pre-lineage behavior
+        return
     # unpublish: nothing references this manifest — the one slot that
     # could is either taken by a foreign commit (succ chained on a
-    # different, since-expired occupant) or has no manifest at all (a
-    # chained successor would have created it) — so no reader can lose it
+    # different, since-expired occupant, proven by its lineage field) or
+    # has no manifest at all (a chained successor would have created
+    # it) — so no reader can lose it
     fs, man_p, _ = _fs_path(spark, _manifest_uri(table_path, next_v))
     fs.delete(man_p, False)
-    fs_c, commit_p, _ = _fs_path(spark, commit_dir)
-    fs_c.delete(commit_p, True)
+    dirs = (
+        [] if commit_dir is None
+        else [commit_dir] if isinstance(commit_dir, str)
+        else list(commit_dir)
+    )
+    for d in dirs:
+        fs_c, commit_p, _ = _fs_path(spark, d)
+        fs_c.delete(commit_p, True)
     raise ConcurrentWriteError(
         f"version {next_v} at {table_path} was published into a slot a "
         f"vacuum had already expired (latest is {lv}); the commit never "
@@ -969,6 +994,7 @@ def optimize_table(
         fs, commit_p, _ = _fs_path(spark, commit_dir)
         fs.delete(commit_p, True)
         raise
+    _verify_commit_visible(spark, table_path, manifest, commit_dir)
     return manifest
 
 
@@ -1074,6 +1100,7 @@ def _merge_on_read(
             fs, p, _ = _fs_path(spark, d)
             fs.delete(p, True)
         raise
+    _verify_commit_visible(spark, table_path, manifest, [del_dir, commit_dir])
     return manifest
 
 
@@ -1460,6 +1487,7 @@ def merge_into(
         fs, commit_p, _ = _fs_path(spark, commit_dir)
         fs.delete(commit_p, True)
         raise
+    _verify_commit_visible(spark, table_path, manifest, commit_dir)
     return manifest
 
 
@@ -1486,6 +1514,7 @@ def rollback(spark: SparkSession, table_path: str, to_version: int) -> dict:
     if target.get("deletes"):  # identical content → identical masking
         manifest["deletes"] = target["deletes"]
     _publish(spark, table_path, manifest)
+    _verify_commit_visible(spark, table_path, manifest, None)
     return manifest
 
 

@@ -44,6 +44,7 @@ from procurement_data_pipeline_spark.operators.cdf import table_changes
 from procurement_data_pipeline_spark.operators.versioning import (
     _ckpt_uri,
     _read_manifest,
+    _resolve_manifest,
     merge_into,
     optimize_table,
     read_table,
@@ -573,9 +574,13 @@ def _mor_fixture(spark: SparkSession, sf_dir: str) -> str:
         when_matched="update",
         strategy="merge-on-read",
     )
-    m1 = _read_manifest(spark, path, 1)
-    m2 = _read_manifest(spark, path, 2)
-    m3 = _read_manifest(spark, path, 3)
+    # RESOLVED manifests (code-review r9): a table big enough to cross the
+    # delta threshold publishes the merges as delta manifests, where the
+    # raw dict has deletes_adds and no 'files' key — the structural claims
+    # are about the resolved file lists either way
+    m1 = _resolve_manifest(spark, path, 1)
+    m2 = _resolve_manifest(spark, path, 2)
+    m3 = _resolve_manifest(spark, path, 3)
     if m2["files"] != m1["files"] or m2["merge"]["files_rewritten"] != 0:
         raise RuntimeError(
             "mor fixture malformed: the v2 delete rewrote data files — "

@@ -314,3 +314,115 @@ def test_sql_merge_strategy_kwarg(spark, tmp_path):
         "when_matched => 'delete', strategy => 'merge-on-read')",
     )
     assert _ids(read_table(spark, t)) == [2]
+
+
+def test_birth_version_ignores_table_path_segments():
+    """Code-review r9: re.search took the FIRST '/commit-N-' match, so a
+    table path like '/data/commit-7-backup/t' poisoned every file's birth
+    and silently skipped delete entries (resurrecting deleted rows). The
+    parse is anchored to the file's immediate parent directory."""
+    from procurement_data_pipeline_spark.operators.versioning import (
+        _birth_version,
+    )
+
+    assert (
+        _birth_version(
+            "file:/data/commit-7-backup/t/commit-00000001-abcd1234/part-0.parquet"
+        )
+        == 1
+    )
+    assert (
+        _birth_version(
+            "/t/commit-00000003-abcd1234-del/part-00000-x.snappy.parquet"
+        )
+        == 3
+    )
+    assert _birth_version("/plain/dir/part-0.parquet") == 0  # unknown → 0
+
+
+def test_mor_table_under_commit_named_path(spark, tmp_path):
+    """End-to-end twin of the parse fix: a table whose PATH contains a
+    commit-N- segment must still apply delete entries."""
+    trap = tmp_path / "commit-7-backup"
+    trap.mkdir()
+    t = str(trap / "t")
+    versioned_write(spark, _df(spark, [(1, "a"), (2, "b")]), t)
+    merge_into(
+        spark,
+        t,
+        spark.createDataFrame([(1,)], "id long"),
+        key_col="id",
+        when_matched="delete",
+        strategy="merge-on-read",
+    )
+    assert _ids(read_table(spark, t)) == [2]
+
+
+def test_cdf_bootstrap_applies_deletes_without_keys(spark, tmp_path):
+    """Code-review r9: table_changes(from_version=0) on a table with live
+    delete entries must emit the SNAPSHOT as inserts (deletes applied) and
+    must not demand key_cols."""
+    from procurement_data_pipeline_spark.operators.cdf import table_changes
+
+    t = str(tmp_path / "t")
+    versioned_write(spark, _df(spark, [(1, "a"), (2, "b"), (3, "c")]), t)
+    merge_into(
+        spark,
+        t,
+        spark.createDataFrame([(2,)], "id long"),
+        key_col="id",
+        when_matched="delete",
+        strategy="merge-on-read",
+    )
+    feed = table_changes(spark, t, from_version=0).collect()  # no key_cols
+    assert sorted(r["new_id"] for r in feed) == [1, 3]
+    assert all(r["change_type"] == "insert" for r in feed)
+
+
+def test_verify_commit_tolerates_prelineage_successor(spark, tmp_path):
+    """Code-review r9: a successor manifest written by PRE-LINEAGE code
+    (no base_commit_id) is indeterminate — the liveness check must assume
+    live and KEEP the manifest, never delete one a delta chain may
+    reference. A successor with a FOREIGN lineage id still proves
+    orphanhood."""
+    import json as _json
+
+    from procurement_data_pipeline_spark.operators.erasure import (
+        _read_text,
+        _write_text,
+    )
+    from procurement_data_pipeline_spark.operators.versioning import (
+        ConcurrentWriteError,
+        _list_versions,
+        _manifest_uri,
+        _verify_commit_visible,
+    )
+
+    t = str(tmp_path / "t")
+    versioned_write(spark, _df(spark, [(1, "a")]), t)
+    m2 = versioned_write(spark, _df(spark, [(2, "b")]), t)
+    # strip lineage from v2, simulating a pre-round-9 successor
+    uri2 = _manifest_uri(t, 2)
+    raw2 = _json.loads(_read_text(spark, uri2))
+    raw2.pop("base_commit_id", None)
+    raw2.pop("commit_id", None)
+    _write_text(spark, uri2, _json.dumps(raw2))
+    fake_v1 = {"version": 1, "commit_id": "not-the-real-one"}
+    _verify_commit_visible(spark, t, fake_v1, None)  # must NOT raise
+    assert _list_versions(spark, t) == [1, 2]  # nothing deleted
+    # foreign lineage on the successor → orphan proof → raises
+    raw2["base_commit_id"] = "someone-else"
+    _write_text(spark, uri2, _json.dumps(raw2))
+    with pytest.raises(ConcurrentWriteError):
+        _verify_commit_visible(spark, t, fake_v1, None)
+
+
+def test_sql_rewrite_case_insensitive(spark, tmp_path):
+    """Code-review r9: VERSIONED.`path` (any case) must rewrite — the
+    gate was case-sensitive while the regex was IGNORECASE."""
+    from procurement_data_pipeline_spark.operators.versioned_sql import sql
+
+    t = str(tmp_path / "t")
+    versioned_write(spark, _df(spark, [(1, "a")]), t)
+    got = sql(spark, f"SELECT id FROM VERSIONED.`{t}` VERSION AS OF 1").collect()
+    assert [r.id for r in got] == [1]
