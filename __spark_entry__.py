@@ -148,6 +148,28 @@ GRADE_DEMOTED = frozenset(
         "tpch_q9_product_profit",
         "tpch_q11_important_parts",
         "tpch_q16_supplier_part_counts",
+        # round-10 rotation (VERDICT r9 item 1): the round-9 feature trio
+        # (versioned_mor_delete / emb_semantic_dedup_multiprobe /
+        # versioned_sql_time_travel) promotes into the window — merge-on-
+        # read's birth-version scoping is the most evidence-worthy read-
+        # path logic added since the delta tier, and all three are
+        # hash-green locally. Three weakest graded siblings demote, each a
+        # pattern another window member still covers:
+        #   versioned_time_travel — its SQL twin versioned_sql_time_travel
+        #       reads the SAME fixture at the SAME version through a
+        #       strictly larger code path (statement rewrite → snapshot-
+        #       pinned view → read_table), so the python-API read loses no
+        #       coverage: the twin cannot pass without it
+        #   tpch_q5_local_supplier_revenue — multi-dim join-chain rollup;
+        #       the class stays graded via q8 (same region⋈nation⋈customer
+        #       ⋈orders⋈lineitem⋈supplier chain PLUS the share-of-sum CASE
+        #       pattern) and net_demand_mrp (broadcast dim⋈fact)
+        #   tpch_q10_returned_items — join chain + filter + group + top-N;
+        #       the shape stays graded via q3 (same join→group→order→limit
+        #       skeleton) and q15/q20 for the agg-then-threshold variants
+        "versioned_time_travel",
+        "tpch_q5_local_supplier_revenue",
+        "tpch_q10_returned_items",
     }
 )
 
@@ -199,19 +221,9 @@ GRADE_OVERFLOW = frozenset(
         # (round-9: versioned_delta_chain / versioned_delta_cdf /
         # versioned_delta_pruned / emb_semantic_dedup rotated OUT of
         # overflow INTO the graded window — see GRADE_DEMOTED above.)
-        # round-9: multi-probe SemDeDup (top-2 cells, the low-threshold
-        # recall path; VERDICT r8 item 6) — new oracle-backed capability,
-        # lands in overflow like all post-pin registrations:
-        "emb_semantic_dedup_multiprobe",
-        # round-9: SQL-only time travel (VERSION AS OF rewrite; VERDICT r8
-        # stretch) — hash-checked twin of the graded versioned_time_travel
-        # through the statement-rewrite path:
-        "versioned_sql_time_travel",
-        # round-9: merge-on-read equality deletes (Iceberg v2 / Delta DV
-        # shape) — structural fixture proves zero data-file rewrites and
-        # birth-version scoping (reborn keys); promotion candidate for a
-        # future rotation:
-        "versioned_mor_delete",
+        # (round-10: emb_semantic_dedup_multiprobe / versioned_sql_time_travel
+        # / versioned_mor_delete rotated OUT of overflow INTO the graded
+        # window — see the round-10 entries in GRADE_DEMOTED above.)
         "docs_pack_sequences_2level",
         "docs_corpus_mix_temperature",
         "docs_quality_weighted_sample",

@@ -574,6 +574,11 @@ def kmeans_assign(
     assignment bit-for-bit. Ordering stays integer-exact ((dist, cluster)
     struct sort), so a SQL oracle replays it with ``rn <= probes``.
     """
+    if probes < 1:
+        # probes=0 would silently omit the probe column (only probes>1
+        # emits it) and downstream filters on it would fail with an opaque
+        # unresolved-column error (ADVICE r10) — refuse up front
+        raise ValueError(f"probes must be >= 1, got {probes}")
     pts = embeddings.select(
         F.col(id_col), _micro(F.col(vec_col)).alias("_p")
     )
@@ -760,6 +765,12 @@ def semantic_dedup(
     is O(Σ|cell-membership|²) with membership ≤ probes·n — the declared
     ~probes² constant over the single-probe scan, still never O(n²).
     """
+    if probes < 1:
+        # mirror kmeans_assign's guard here too: semantic_dedup only
+        # normalizes the probe column when probes == 1, so an invalid
+        # probes would otherwise surface as an unresolved-column error
+        # deep in the pair scan (ADVICE r10)
+        raise ValueError(f"probes must be >= 1, got {probes}")
 
     asg = kmeans_assign(
         embeddings,

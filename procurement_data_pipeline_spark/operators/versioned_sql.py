@@ -190,12 +190,23 @@ _TABLE_RE = re.compile(
     re.IGNORECASE,
 )
 
+# a match is only a table reference when it starts a token: `versioned.`
+# preceded by an identifier/qualifier character is the TAIL of a longer
+# name (unversioned.`t`, db.versioned.`t`, `x`.versioned…) and rewriting
+# mid-identifier would corrupt valid SQL (ADVICE r10)
+_IDENT_TAIL = frozenset(
+    "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789_.`$"
+)
+
 
 def _rewrite_time_travel(spark: SparkSession, statement: str) -> str:
     """Swap each ``versioned.`/path` [VERSION AS OF k]`` occurrence for a
     snapshot-pinned temp view (latest when unversioned). String literals
-    are skipped with the same scanner the CALL parser uses, so a path or
-    SQL string mentioning the syntax is never rewritten."""
+    are skipped with the same scanner the CALL parser uses, and SQL
+    comments (``-- …`` and ``/* … */``) are skipped wholesale (ADVICE
+    r10: a commented-out reference must not register a view — or raise on
+    a path that no longer exists), so a path or SQL string merely
+    MENTIONING the syntax is never rewritten."""
     import hashlib
 
     out: list[str] = []
@@ -207,8 +218,20 @@ def _rewrite_time_travel(spark: SparkSession, statement: str) -> str:
             out.append(statement[i:j])
             i = j
             continue
+        if statement.startswith("--", i):
+            j = statement.find("\n", i)
+            j = n if j < 0 else j + 1
+            out.append(statement[i:j])
+            i = j
+            continue
+        if statement.startswith("/*", i):
+            j = statement.find("*/", i + 2)
+            j = n if j < 0 else j + 2  # unterminated → comment to EOF
+            out.append(statement[i:j])
+            i = j
+            continue
         m = _TABLE_RE.match(statement, i)
-        if m:
+        if m and (i == 0 or statement[i - 1] not in _IDENT_TAIL):
             path, ver = m.group(1), m.group(2)
             version = int(ver) if ver is not None else None
             name = (

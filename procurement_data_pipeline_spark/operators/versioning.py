@@ -1353,22 +1353,28 @@ def merge_into(
             # stay duplicates); matched rows failing it (or where it is
             # NULL) carry unchanged; update rows matching nothing insert.
             # The update side is renamed before the join — breaks
-            # same-name ambiguity and any shared lineage. NULL target
-            # keys never match (plain equality join): contract unchanged.
+            # same-name ambiguity and any shared lineage. Target-side
+            # references are PLAIN F.col names (never old[...] attribute
+            # refs): after the rename the plain name can only resolve to
+            # the target, so a read-modify-merge whose ``updates`` shares
+            # lineage with the table files cannot trip attribute-
+            # resolution ambiguity (ADVICE r10 — the hazard class fixed in
+            # catalog.merge_upsert). NULL target keys never match (plain
+            # equality join): contract unchanged.
             cond = F.coalesce(F.expr(when_matched_condition), F.lit(False))
             upd_r = updates.select(
                 *[F.col(c).alias("_mu_" + c) for c in updates.columns]
             )
             join_cond = F.lit(True)
             for k in key_cols:
-                join_cond = join_cond & (old[k] == F.col("_mu_" + k))
+                join_cond = join_cond & (F.col(k) == F.col("_mu_" + k))
             j = old.join(upd_r, join_cond, "left")
             matched = F.col("_mu_" + first_key).isNotNull()  # keys non-null
             parts.append(
                 j.select(
                     *[
                         F.when(matched & cond, F.col("_mu_" + c))
-                        .otherwise(old[c])
+                        .otherwise(F.col(c))
                         .alias(c)
                         for c in old.columns
                     ]
@@ -1377,9 +1383,12 @@ def merge_into(
             old_keys = old.select(
                 *[F.col(k).alias("_mo_" + k) for k in key_cols]
             ).distinct()
+            # plain F.col(k) can only resolve to the updates side (the
+            # old_keys side carries only _mo_-renamed columns) — same
+            # lineage-proofing as the update join above
             anti = F.lit(True)
             for k in key_cols:
-                anti = anti & (updates[k] == F.col("_mo_" + k))
+                anti = anti & (F.col(k) == F.col("_mo_" + k))
             parts.append(updates.join(old_keys, anti, "left_anti"))
         elif when_matched_condition is not None:
             # conditional delete: matched AND condition → removed; matched
@@ -1394,7 +1403,8 @@ def merge_into(
             )
             join_cond = F.lit(True)
             for k in key_cols:
-                join_cond = join_cond & (old[k] == F.col("_mg_" + k))
+                # plain-name target refs, same lineage-proofing as above
+                join_cond = join_cond & (F.col(k) == F.col("_mg_" + k))
             j = old.join(marked, join_cond, "left")
             matched = F.col("_mg_hit").isNotNull()
             parts.append(j.filter(~matched | ~cond).select(*old.columns))

@@ -65,6 +65,12 @@ def test_entry_contract(spark):
 # promoted (typed compound-predicate and cluster_by prune paths earn
 # driver hashes); tpch_q2 and tpch_q7 demoted — rationale inline in
 # __spark_entry__.GRADE_DEMOTED.
+# Round-10 rotation: versioned_mor_delete + emb_semantic_dedup_multiprobe
+# + versioned_sql_time_travel promoted (merge-on-read birth-version
+# scoping, multi-probe SemDeDup, and the SQL rewrite path earn driver
+# hashes); versioned_time_travel (its SQL twin reads the same fixture
+# through a strictly larger path), tpch_q5 and tpch_q10 demoted —
+# rationale inline in __spark_entry__.GRADE_DEMOTED.
 GRADED_50 = (
     "events_sessionization",
     "events_retention_cohorts",
@@ -78,6 +84,7 @@ GRADED_50 = (
     "emb_knn_bruteforce",
     "emb_label_centroids",
     "emb_semantic_dedup",
+    "emb_semantic_dedup_multiprobe",
     "docs_dedup_exact",
     "docs_ngram_jaccard_pairs",
     "docs_binary_meta",
@@ -86,8 +93,6 @@ GRADED_50 = (
     "docs_corpus_curation",
     "tpch_q1_pricing_summary",
     "tpch_q3_shipping_priority",
-    "tpch_q5_local_supplier_revenue",
-    "tpch_q10_returned_items",
     "tpch_q13_customer_distribution",
     "tpch_q15_top_supplier",
     "tpch_q22_dormant_customers",
@@ -106,7 +111,6 @@ GRADED_50 = (
     "events_kmv_type_overlap",
     "events_ab_cuped",
     "orders_kaplan_meier",
-    "versioned_time_travel",
     "versioned_merge_current",
     "versioned_cdf_inserts",
     "versioned_pruned_scan",
@@ -115,6 +119,8 @@ GRADED_50 = (
     "versioned_delta_chain",
     "versioned_delta_cdf",
     "versioned_delta_pruned",
+    "versioned_sql_time_travel",
+    "versioned_mor_delete",
     "docs_curriculum_schedule",
 )
 

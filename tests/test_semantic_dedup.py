@@ -151,3 +151,15 @@ def test_multiprobe_improves_low_threshold_recall(emb, truth):
     rec1 = sum(1 for a, b in pairs if clusters[a] == clusters[b]) / len(pairs)
     rec2 = sum(1 for a, b in pairs if cells[a] & cells[b]) / len(pairs)
     assert rec2 >= rec1 + 0.2, (rec1, rec2)  # materially, not marginally
+
+
+def test_probes_must_be_positive(emb):
+    """ADVICE r10: probes=0/negative used to surface deep in the pair scan
+    as an unresolved-column error (kmeans_assign emits the probe column
+    only for probes>1, semantic_dedup normalizes only probes==1) — both
+    entry points must refuse up front instead."""
+    for bad in (0, -1):
+        with pytest.raises(ValueError, match="probes must be >= 1"):
+            kmeans_assign(emb, probes=bad)
+        with pytest.raises(ValueError, match="probes must be >= 1"):
+            semantic_dedup(emb, threshold=THRESHOLD, probes=bad)

@@ -313,3 +313,44 @@ def test_call_merge_composite_and_conditional(spark, tmp_path):
     )
     got = {(r.k1, r.k2): r.v for r in read_table(spark, t).collect()}
     assert got == {(1, "a"): 100, (1, "b"): 20}  # closed row carried
+
+
+def test_rewrite_requires_token_boundary_and_skips_comments(spark, tmp_path):
+    """ADVICE r10: (a) a qualified name merely ENDING in 'versioned'
+    (unversioned.`t`, db.versioned.`t`) must not be rewritten
+    mid-identifier, and (b) a commented-out versioned.`path` must not
+    trigger view registration (the path may not even exist)."""
+    from procurement_data_pipeline_spark.operators.versioned_sql import (
+        _rewrite_time_travel,
+        sql,
+    )
+    from procurement_data_pipeline_spark.operators.versioning import (
+        versioned_write,
+    )
+
+    # (a) boundary: the prefixed forms pass through byte-identical — a
+    # rewrite would either corrupt the identifier or raise on the
+    # nonexistent path
+    for stmt in (
+        "SELECT * FROM unversioned.`/does/not/exist`",
+        "SELECT * FROM db.versioned.`/does/not/exist` VERSION AS OF 1",
+        "SELECT * FROM `x`.versioned.`/does/not/exist`",
+    ):
+        assert _rewrite_time_travel(spark, stmt) == stmt
+    # ...but an ARITHMETIC neighbor is a real reference (minus, parens)
+    t = str(tmp_path / "b")
+    versioned_write(spark, spark.createDataFrame([(5,)], "id int"), t)
+    got = sql(spark, f"SELECT 1-(SELECT max(id) FROM versioned.`{t}`) AS d")
+    assert got.collect()[0].d == -4
+
+    # (b) comments: line and block comments are skipped wholesale — the
+    # nonexistent path inside them must never reach view registration
+    got = sql(
+        spark,
+        f"""
+        -- versioned.`/does/not/exist` VERSION AS OF 9
+        SELECT count(*) AS n FROM versioned.`{t}`
+        /* also ignored: versioned.`/also/missing` */
+        """,
+    )
+    assert got.collect()[0].n == 1

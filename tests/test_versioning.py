@@ -1400,3 +1400,53 @@ def test_merge_conditional_delete(spark, tmp_path):
         key=lambda x: (x[0] is None, x),
     )
     assert got == [(1, "b", "fresh"), (None, "a", "stale")]
+
+
+def test_merge_read_modify_same_lineage_conditional_and_composite(
+    spark, tmp_path
+):
+    """ADVICE r10: when ``updates`` derives from a READ OF THE SAME TABLE
+    (read-modify-merge), the conditional-update insert anti-join and the
+    conditional/composite join conditions must not trip same-lineage
+    attribute-resolution ambiguity — all target/source refs are
+    plain-name columns against a renamed side, never attribute refs."""
+    from pyspark.sql import functions as F
+
+    from procurement_data_pipeline_spark.operators.versioning import merge_into
+
+    t = str(tmp_path / "rmw")
+    versioned_write(
+        spark,
+        spark.createDataFrame(
+            [(1, "open", 10), (2, "closed", 20), (3, "open", 30)],
+            "id int, status string, v int",
+        ),
+        t,
+    )
+    # conditional UPDATE whose updates are a transform of the table read
+    ups = read_table(spark, t).withColumn("v", F.col("v") + 100)
+    merge_into(
+        spark, t, ups, key_col="id",
+        when_matched_condition="status <> 'closed'",
+    )
+    got = {r.id: r.v for r in read_table(spark, t).collect()}
+    assert got == {1: 110, 2: 20, 3: 130}
+
+    # composite-key conditional DELETE whose keys come from the same read
+    t2 = str(tmp_path / "rmw2")
+    versioned_write(
+        spark,
+        spark.createDataFrame(
+            [(1, "a", "stale"), (1, "b", "fresh"), (2, "a", "stale")],
+            "k1 int, k2 string, state string",
+        ),
+        t2,
+    )
+    dels = read_table(spark, t2).select("k1", "k2")
+    merge_into(
+        spark, t2, dels, key_col=["k1", "k2"],
+        when_matched="delete", when_matched_condition="state = 'stale'",
+    )
+    assert [
+        (r.k1, r.k2) for r in read_table(spark, t2).collect()
+    ] == [(1, "b")]
