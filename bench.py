@@ -234,7 +234,18 @@ def main() -> None:
     current_rows = plan_rows()
     prev = previous_sidecar()
     prev_rows: dict = prev.get("plan_rows", {})
-    run_seq = int(prev.get("run_seq", 0)) + 1
+    # run_seq advances past the HIGHEST value anywhere in the sidecar, not
+    # just the recorded run_seq (ADVICE r10): a sidecar whose last_timed
+    # entries exceed run_seq (the inconsistency hand-patched in commit
+    # 50c9a81) now self-heals instead of skewing the round-robin priority
+    # ordering until someone edits the artifact.
+    run_seq = (
+        max(
+            [int(prev.get("run_seq", 0))]
+            + [int(v) for v in prev.get("last_timed", {}).values()]
+        )
+        + 1
+    )
     prev_last: dict = dict(prev.get("last_timed", {}))
     for q in prev.get("extended", {}).get("queries", {}):
         prev_last.setdefault(q, run_seq - 1)  # bootstrap from older sidecars
@@ -283,28 +294,13 @@ def main() -> None:
     for n in unknown_extended:
         errors[n] = "unknown query name in extended_names (renamed or typo?)"
 
-    def bench_group(
-        group: dict, n_passes: int, deadline: float | None = None
-    ) -> dict[str, list[float]]:
+    def bench_group(group: dict, n_passes: int) -> dict[str, list[float]]:
         # Warm-up execution of every query (codegen compile, parquet
         # footers, noop-sink init) so the timed passes measure steady-state
         # plan execution — the quantity that extrapolates to cluster scale
-        # — not constant first-touch JVM costs.
-        def over_budget(name: str) -> bool:
-            # Wall-clock soft budget (extended tier only): on an
-            # ambient-slow machine the harness's hard kill (~560 s) would
-            # otherwise land MID-RUN and cost the round its ENTIRE bench
-            # artifact — a truncated extended tier beats a missing
-            # headline line (round 8 measured a x1.7 ambient slowdown
-            # that pushed the full run past the kill).
-            if deadline is not None and time.perf_counter() > deadline:
-                skipped.setdefault(name, "bench wall budget exhausted")
-                return True
-            return False
-
+        # — not constant first-touch JVM costs. (The extended tier has its
+        # own per-query warm+time loop with the wall-budget deadline.)
         for name in group:
-            if over_budget(name):
-                continue
             run_once(name, group)
         # N timed passes, report the min: the container shares cores with
         # other tenants, and min-of-N is the standard estimator for the
@@ -313,9 +309,7 @@ def main() -> None:
         passes: dict[str, list[float]] = {}
         for _ in range(n_passes):
             for name in group:
-                if name in errors or name in skipped:
-                    continue
-                if over_budget(name):
+                if name in errors:
                     continue
                 elapsed = run_once(name, group)
                 if elapsed is not None:
@@ -348,95 +342,145 @@ def main() -> None:
     t_start = time.perf_counter()
     calib_passes = run_calibration()
     passes = bench_group(bench_specs, 3)
-    # Extended tier: warm-up + ONE timed pass (headline keeps min-of-3).
-    # The tier had grown to ~140 s of min-times, so warm-up + 2 timed
-    # passes put the whole artifact at ~548 s idle — inside the failure
-    # zone of a ~560 s harness budget under any co-tenant load (round 8
-    # measured a 560 s kill under post-test load). One warm measurement
-    # per extended query keeps the per-query evidence and ~140 s of
-    # headroom; the headline tier — the graded metric — keeps its
-    # min-of-3 spread audit.
-    budget = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_SEC", "480"))
-    ext_passes = bench_group(extended_specs, 1, deadline=t_start + budget - 30)
 
-    # A query that errored in ANY pass is evidence-incomplete: report it
-    # only under "errors", never in timings/total (a partial min would
-    # silently change the estimator from min-of-3 to min-of-fewer).
-    timings = {
-        name: min(ts) for name, ts in passes.items() if name not in errors
-    }
-    total = round(sum(timings.values()), 4)
-    ext_timings = {
-        name: min(ts) for name, ts in ext_passes.items() if name not in errors
-    }
-    sidecar = {
-        "metric": "headline_queries_total_sec",
-        "value": total,
-        "unit": "sec",
-        "queries": timings,
-        "sf": sf,
-        "calibration_sec": min(calib_passes) if calib_passes else None,
-        "calibration_passes": calib_passes,
-        "extended": {
-            "total_sec": round(sum(ext_timings.values()), 4),
-            "queries": ext_timings,
-            "passes": ext_passes,
-        },
-        "passes": passes,  # raw per-pass timings → variance is auditable
-        # plan fingerprints at bench time: the next run prioritizes
-        # queries whose PLANS.md row changed since this artifact
-        "plan_rows": current_rows,
-        # persistent round-robin state: when each query was last timed
-        # (run_seq units), so repeated truncated runs cover the whole
-        # tier instead of ping-ponging over one prefix
-        "run_seq": run_seq,
-        "last_timed": {
-            **prev_last,
-            **{q: run_seq for q in ext_timings},
-        },
-    }
-    if errors:
-        sidecar["errors"] = errors
-    if skipped:
-        sidecar["skipped"] = skipped
+    # Wall budget for the extended tier, SCALED BY AMBIENT (VERDICT r9
+    # item 1): a fixed budget under variable co-tenant load structurally
+    # starves the tier exactly when the machine is slow (BENCH_r09 timed
+    # 19/112 extended queries at calibration 0.4689 vs 71 at 0.39 in r8).
+    # The calibration row is a fixed-cost CPU reference, so
+    # calibration/0.22 (the r7-era calm-ambient value) is the slowdown
+    # ratio; a loaded box buys proportional wall clock, capped at 3x.
+    # The harness's own hard kill (~560 s observed in round 8) may still
+    # land before a scaled deadline — the checkpoint emission below makes
+    # that safe: every timed query updates the artifact, so a kill costs
+    # only the not-yet-run tail, never the whole bench.
+    _CALIB_REF = 0.22
+    base_budget = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_SEC", "480"))
+    calib = min(calib_passes) if calib_passes else None
+    scale = min(3.0, max(1.0, calib / _CALIB_REF)) if calib else 1.0
+    budget = base_budget * scale
+    deadline = t_start + budget - 30.0
+
+    ext_passes: dict[str, list[float]] = {}
     sidecar_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_EXTENDED.json"
     )
-    with open(sidecar_path, "w") as f:
-        json.dump(sidecar, f, indent=1, sort_keys=True)
-    # full evidence on an EARLY line (truncated by the driver's tail
-    # capture — the sidecar is the durable copy)…
-    print(json.dumps(sidecar))
-    compact = {
-        "metric": "headline_queries_total_sec",
-        "value": total,
-        "unit": "sec",
-        "queries": timings,
-        "sf": sf,
-        "calibration_sec": min(calib_passes) if calib_passes else None,
-    }
-    if errors:
-        compact["error_queries"] = sorted(errors)[:10]
-    if skipped:
-        # explicit skip accounting, SEPARATE from errors: "didn't run"
-        # must never read as "broke" in the parsed artifact
-        compact["skipped_count"] = len(skipped)
-        compact["skipped_queries"] = sorted(skipped)[:10]
-    line = json.dumps(compact)
-    # …and the parsed line LAST, with a hard budget: the driver keeps only
-    # the final 2000 characters of stdout. If the compact form ever
-    # outgrows it, shed detail rather than the whole artifact (the skip
-    # COUNT is the last thing shed — it is one integer).
-    if len(line) >= 1800:
-        compact.pop("skipped_queries", None)
+
+    def emit(final: bool) -> None:
+        """Write the sidecar and print a compact artifact line reflecting
+        everything timed SO FAR. Called after the headline tier and after
+        every extended query: the driver parses the LAST stdout line, so
+        a harness hard-kill mid-tier leaves the most recent checkpoint —
+        not nothing — as the round's artifact, and the sidecar's
+        round-robin state survives for the next run to continue from.
+
+        A query that errored in ANY pass is evidence-incomplete: report
+        it only under "errors", never in timings/total (a partial min
+        would silently change the estimator from min-of-3 to
+        min-of-fewer)."""
+        timings = {
+            name: min(ts) for name, ts in passes.items() if name not in errors
+        }
+        total = round(sum(timings.values()), 4)
+        ext_timings = {
+            name: min(ts)
+            for name, ts in ext_passes.items()
+            if name not in errors
+        }
+        sidecar = {
+            "metric": "headline_queries_total_sec",
+            "value": total,
+            "unit": "sec",
+            "queries": timings,
+            "sf": sf,
+            "calibration_sec": calib,
+            "calibration_passes": calib_passes,
+            "budget_sec": round(budget, 1),
+            "budget_scale": round(scale, 4),
+            "extended": {
+                "total_sec": round(sum(ext_timings.values()), 4),
+                "queries": ext_timings,
+                "passes": ext_passes,
+            },
+            "passes": passes,  # raw per-pass timings → variance auditable
+            # plan fingerprints at bench time: the next run prioritizes
+            # queries whose PLANS.md row changed since this artifact
+            "plan_rows": current_rows,
+            # persistent round-robin state: when each query was last timed
+            # (run_seq units), so repeated truncated runs cover the whole
+            # tier instead of ping-ponging over one prefix
+            "run_seq": run_seq,
+            "last_timed": {
+                **prev_last,
+                **{q: run_seq for q in ext_timings},
+            },
+        }
+        if errors:
+            sidecar["errors"] = errors
+        if skipped:
+            sidecar["skipped"] = skipped
+        tmp = sidecar_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(sidecar, f, indent=1, sort_keys=True)
+        os.replace(tmp, sidecar_path)  # a kill mid-dump never torn-writes
+        if final:
+            # full evidence on an EARLY line (truncated by the driver's
+            # tail capture — the sidecar is the durable copy)…
+            print(json.dumps(sidecar))
+        compact = {
+            "metric": "headline_queries_total_sec",
+            "value": total,
+            "unit": "sec",
+            "queries": timings,
+            "sf": sf,
+            "calibration_sec": calib,
+        }
+        if not final:
+            # a checkpoint line doubling as the artifact means the run
+            # was killed mid-tier — say so, and say how far it got
+            compact["in_progress"] = True
+            compact["timed_extended"] = len(ext_timings)
+        if errors:
+            compact["error_queries"] = sorted(errors)[:10]
+        if skipped:
+            # explicit skip accounting, SEPARATE from errors: "didn't
+            # run" must never read as "broke" in the parsed artifact
+            compact["skipped_count"] = len(skipped)
+            compact["skipped_queries"] = sorted(skipped)[:10]
         line = json.dumps(compact)
-    if len(line) >= 1800:
-        compact.pop("error_queries", None)
-        line = json.dumps(compact)
-    if len(line) >= 1800:
-        compact["queries"] = {}
-        line = json.dumps(compact)
-    print(line)
+        # …and the parsed line LAST, with a hard budget: the driver keeps
+        # only the final 2000 characters of stdout. If the compact form
+        # ever outgrows it, shed detail rather than the whole artifact
+        # (the skip COUNT is the last thing shed — it is one integer).
+        if len(line) >= 1800:
+            compact.pop("skipped_queries", None)
+            line = json.dumps(compact)
+        if len(line) >= 1800:
+            compact.pop("error_queries", None)
+            line = json.dumps(compact)
+        if len(line) >= 1800:
+            compact["queries"] = {}
+            line = json.dumps(compact)
+        print(line, flush=True)
+
+    emit(final=False)  # headline artifact is safe before the tier starts
+    # Extended tier: PER-QUERY warm-up + one timed pass (headline keeps
+    # its min-of-3 spread audit). Interleaving warm+time per query means
+    # a budget truncation (or a hard kill) never wastes warm-up work on
+    # queries whose timed pass will not run — each query's evidence
+    # completes before the next query starts, in priority order.
+    for name in extended_specs:
+        if time.perf_counter() > deadline:
+            skipped.setdefault(name, "bench wall budget exhausted")
+            continue
+        if run_once(name, extended_specs) is None:  # warm-up (or error)
+            emit(final=False)
+            continue
+        elapsed = run_once(name, extended_specs)
+        if elapsed is not None:
+            ext_passes.setdefault(name, []).append(round(elapsed, 4))
+        emit(final=False)
+    emit(final=True)
 
 
 if __name__ == "__main__":
