@@ -224,6 +224,16 @@ GRADE_OVERFLOW = frozenset(
         # (round-10: emb_semantic_dedup_multiprobe / versioned_sql_time_travel
         # / versioned_mor_delete rotated OUT of overflow INTO the graded
         # window — see the round-10 entries in GRADE_DEMOTED above.)
+        # round-10: TIMESTAMP AS OF over manifest commit timestamps
+        # (VERDICT r9 item 3) — hash-checked twin of the graded
+        # versioned_sql_time_travel resolving by wall clock:
+        "versioned_timestamp_travel",
+        # round-10: merge-on-read delete-debt observability (VERDICT r9
+        # item 4) — integer debt counters from CALL versioned.describe:
+        "versioned_describe_debt",
+        # round-10: partial-column MERGE (UPDATE SET col = expr, VERDICT
+        # r9 item 5) — same rollup fixture through the update_set path:
+        "versioned_merge_update_set",
         "docs_pack_sequences_2level",
         "docs_corpus_mix_temperature",
         "docs_quality_weighted_sample",

@@ -38,6 +38,7 @@ from __future__ import annotations
 
 import json
 import re
+import time
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -139,8 +140,14 @@ _RESERVED_MANIFEST_KEYS = frozenset(
         "base_commit_id",
         "deletes",
         "deletes_adds",
+        "committed_at_ms",
     }
 )
+
+
+def _now_ms() -> int:
+    """Publish-time wall clock (epoch ms) — a seam so tests can pin it."""
+    return int(time.time() * 1000)
 
 # Merge-on-read equality deletes (the Iceberg v2 delete-file / Delta
 # deletion-vector shape): a MERGE with strategy='merge-on-read' rewrites
@@ -354,6 +361,13 @@ def _publish(spark: SparkSession, table_path: str, manifest: dict) -> None:
       primitive is safe; like Delta, this format needs an external
       coordination service there. Stated, not papered over.
     """
+    # commit wall-clock timestamp (VERDICT r9 item 3 — enables TIMESTAMP
+    # AS OF): O(1) metadata recorded at the publish point itself, so every
+    # commit path gets it for free. Wall clocks are NOT monotonic across
+    # writers/restarts; resolution (version_as_of_timestamp) adjusts with
+    # a running max, exactly Delta's rule, so timestamp order can never
+    # contradict version order.
+    manifest.setdefault("committed_at_ms", _now_ms())
     version = manifest["version"]
     final = _manifest_uri(table_path, version)
     tmp = f"{_log_path(table_path)}/.tmp-{version}-{uuid.uuid4().hex}"
@@ -625,6 +639,69 @@ def _commit_files(spark: SparkSession, commit_dir: str) -> list[str]:
 def latest_version(spark: SparkSession, table_path: str) -> int | None:
     vs = _list_versions(spark, table_path)
     return vs[-1] if vs else None
+
+
+def _ts_to_ms(ts) -> int:
+    """Normalize a user timestamp — epoch millis (int/float), an ISO-8601
+    string, or a datetime — to epoch millis. Naive strings/datetimes are
+    read as UTC (the manifest records epoch ms, which is zone-free; a
+    local-zone default would make the same query resolve differently per
+    machine)."""
+    import datetime
+
+    if isinstance(ts, bool):
+        raise TypeError("timestamp must be epoch ms, an ISO string, or a datetime")
+    if isinstance(ts, (int, float)):
+        return int(ts)
+    if isinstance(ts, str):
+        ts = datetime.datetime.fromisoformat(ts)
+    if isinstance(ts, datetime.datetime):
+        if ts.tzinfo is None:
+            ts = ts.replace(tzinfo=datetime.timezone.utc)
+        return int(ts.timestamp() * 1000)
+    raise TypeError(
+        f"timestamp must be epoch ms, an ISO string, or a datetime — got "
+        f"{type(ts).__name__}"
+    )
+
+
+def version_as_of_timestamp(spark: SparkSession, table_path: str, ts) -> int:
+    """The greatest retained version whose commit timestamp is ``<= ts``
+    — Delta's ``TIMESTAMP AS OF`` resolution rule over the
+    ``committed_at_ms`` field every publish records.
+
+    Wall clocks are not monotonic (two writers, an NTP step, a restart),
+    so each version's EFFECTIVE timestamp is the running max down the
+    version chain — the same adjustment Delta applies — which guarantees
+    timestamp resolution can never contradict version order. Manifests
+    published before the field existed count as epoch 0 (older than any
+    real timestamp), so mixed-history tables resolve sensibly: the
+    pre-upgrade prefix is reachable only by version pinning.
+
+    O(retained versions) small manifest reads — metadata only, never
+    data IO. Raises if ``ts`` precedes the first retained commit (the
+    version that WAS current then may be vacuumed — answering with a
+    later version would silently time-travel forward)."""
+    t = _ts_to_ms(ts)
+    versions = _list_versions(spark, table_path)
+    if not versions:
+        raise ValueError(f"no versions published at {table_path}")
+    best: int | None = None
+    eff = 0
+    for v in versions:
+        man = _read_manifest(spark, table_path, v)
+        eff = max(eff, int(man.get("committed_at_ms", 0)))
+        if eff <= t:
+            best = v
+        else:
+            break
+    if best is None:
+        raise ValueError(
+            f"timestamp {ts!r} precedes the first retained commit at "
+            f"{table_path} (earliest committed_at_ms: {eff}) — earlier "
+            "versions, if any existed, have been vacuumed"
+        )
+    return best
 
 
 def versioned_write(
@@ -1673,5 +1750,6 @@ __all__ = [
     "history",
     "register_versioned_view",
     "latest_version",
+    "version_as_of_timestamp",
     "vacuum",
 ]

@@ -521,6 +521,43 @@ def versioned_sql_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "versioned_timestamp_travel",
+    # Same relation as versioned_sql_time_travel, pinned by WALL-CLOCK
+    # TIMESTAMP instead of version number: the manifests' committed_at_ms
+    # field (recorded at every publish, VERDICT r9 item 3) resolves a
+    # between-commits instant to the greatest version committed at or
+    # before it. A hash match certifies record→resolve→pin end-to-end.
+    oracle=_ROLLUP_SQL.format(where=""),
+    tags=("versioning", "time-travel", "timestamps"),
+)
+def versioned_timestamp_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIMESTAMP AS OF through the SQL surface: an instant strictly
+    between the v2 append's commit and the v3 destructive merge's commit
+    must read exactly v2 (every order). The instant is taken from the
+    fixture's own recorded timestamps — ``max(ts_v2, ts_v3 - 1)`` — so
+    the pin is deterministic for any real clock (commits are multi-second
+    Spark jobs; only a same-millisecond v2/v3 pair could be ambiguous,
+    and then no timestamp can separate them by definition)."""
+    from procurement_data_pipeline_spark.operators.versioned_sql import sql
+
+    path = _fixture(spark, sf_dir)
+    ts2 = int(_read_manifest(spark, path, 2)["committed_at_ms"])
+    ts3 = int(_read_manifest(spark, path, 3)["committed_at_ms"])
+    ts = max(ts2, ts3 - 1)
+    return sql(
+        spark,
+        f"""
+        SELECT o_orderpriority,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(price_cents) AS BIGINT) AS total_cents
+        FROM versioned.`{path}` TIMESTAMP AS OF {ts}
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+        """,
+    )
+
+
 # ---------------------------------------------------------------------------
 # Merge-on-read fixture — oracle-hash evidence for equality deletes (the
 # Iceberg v2 delete-file / Delta deletion-vector shape, round 9):

@@ -354,3 +354,47 @@ def test_rewrite_requires_token_boundary_and_skips_comments(spark, tmp_path):
         """,
     )
     assert got.collect()[0].n == 1
+
+
+def test_timestamp_as_of_table_syntax(spark, tmp_path, monkeypatch):
+    """TIMESTAMP AS OF in delegated SQL (quoted ISO string and bare epoch
+    millis) and the snapshot procedure's timestamp kwarg — all resolving
+    through the manifests' committed_at_ms."""
+    import pytest
+
+    from procurement_data_pipeline_spark.operators import versioning as V
+    from procurement_data_pipeline_spark.operators.versioned_sql import sql
+
+    t = str(tmp_path / "tst")
+    clock = iter([10_000, 20_000])
+    monkeypatch.setattr(V, "_now_ms", lambda: next(clock))
+    V.versioned_write(
+        spark, spark.createDataFrame([(1,)], "id int"), t
+    )
+    V.versioned_write(
+        spark, spark.createDataFrame([(2,)], "id int"), t
+    )
+    # epoch-ms literal, between commits → v1 only
+    got = sql(
+        spark, f"SELECT id FROM versioned.`{t}` TIMESTAMP AS OF 15000"
+    )
+    assert [r.id for r in got.collect()] == [1]
+    # quoted ISO string (naive = UTC): 1970-01-01T00:00:20 = 20000 ms → v2
+    got = sql(
+        spark,
+        f"SELECT count(*) AS n FROM versioned.`{t}` "
+        "TIMESTAMP AS OF '1970-01-01T00:00:20'",
+    )
+    assert got.collect()[0].n == 2
+    # CALL versioned.snapshot with timestamp =>
+    sql(spark, f"CALL versioned.snapshot('{t}', 'tst_v1', timestamp => 10000)")
+    assert spark.table("tst_v1").count() == 1
+    with pytest.raises(ValueError, match="version OR timestamp"):
+        sql(
+            spark,
+            f"CALL versioned.snapshot('{t}', 'x', version => 1, "
+            "timestamp => 10000)",
+        )
+    # before the first commit → loud error, not a silent latest read
+    with pytest.raises(ValueError, match="precedes the first retained"):
+        sql(spark, f"SELECT * FROM versioned.`{t}` TIMESTAMP AS OF 9999")

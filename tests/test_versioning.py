@@ -1450,3 +1450,54 @@ def test_merge_read_modify_same_lineage_conditional_and_composite(
     assert [
         (r.k1, r.k2) for r in read_table(spark, t2).collect()
     ] == [(1, "b")]
+
+
+def test_committed_at_and_timestamp_resolution(spark, tmp_path, monkeypatch):
+    """VERDICT r9 item 3: every publish records committed_at_ms;
+    version_as_of_timestamp resolves the greatest version committed at or
+    before ts, with Delta's running-max adjustment for non-monotonic
+    clocks, and refuses a timestamp before the first retained commit."""
+    import datetime
+
+    from procurement_data_pipeline_spark.operators import versioning as V
+
+    t = str(tmp_path / "ts")
+    clock = iter([1_000, 5_000, 3_000])  # v3's clock stepped BACKWARD
+    monkeypatch.setattr(V, "_now_ms", lambda: next(clock))
+    versioned_write(spark, _df(spark, [1]), t)
+    versioned_write(spark, _df(spark, [2]), t)
+    versioned_write(spark, _df(spark, [3]), t)
+    recorded = [
+        V._read_manifest(spark, t, v)["committed_at_ms"] for v in (1, 2, 3)
+    ]
+    assert recorded == [1_000, 5_000, 3_000]
+
+    # between-commits instants resolve to the version current THEN;
+    # the non-monotonic v3 adjusts up to v2's 5000 (never backward)
+    assert V.version_as_of_timestamp(spark, t, 1_000) == 1
+    assert V.version_as_of_timestamp(spark, t, 4_999) == 1  # v2 is at 5000
+    assert V.version_as_of_timestamp(spark, t, 5_000) == 3  # eff(v3)=5000
+    assert V.version_as_of_timestamp(spark, t, 10_000_000) == 3
+    with pytest.raises(ValueError, match="precedes the first retained"):
+        V.version_as_of_timestamp(spark, t, 999)
+    # ISO string and datetime forms (naive = UTC)
+    iso = datetime.datetime.fromtimestamp(
+        5.0, tz=datetime.timezone.utc
+    ).isoformat()
+    assert V.version_as_of_timestamp(spark, t, iso) == 3
+    assert V.version_as_of_timestamp(
+        spark, t, datetime.datetime.fromtimestamp(4.9, tz=datetime.timezone.utc)
+    ) == 1
+    with pytest.raises(TypeError):
+        V.version_as_of_timestamp(spark, t, [5000])
+
+    # pre-upgrade manifests (no committed_at_ms) count as epoch 0:
+    # reachable by version pinning, older than any real timestamp
+    raw = json.loads(
+        V._read_text(spark, V._manifest_uri(t, 1))
+    )
+    raw.pop("committed_at_ms")
+    fs, p, _ = V._fs_path(spark, V._manifest_uri(t, 1))
+    fs.delete(p, False)
+    _write_text(spark, V._manifest_uri(t, 1), json.dumps(raw))
+    assert V.version_as_of_timestamp(spark, t, 999) == 1  # epoch-0 prefix
