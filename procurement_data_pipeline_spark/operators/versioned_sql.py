@@ -359,6 +359,28 @@ def sql(spark: SparkSession, statement: str) -> DataFrame:
             ],
             "version int, op string, base_version int, n_files int",
         )
+    if cmd == "describe":
+        # describe(path [, version => k]) — the merge-on-read delete debt
+        # as a one-row relation (see versioning.describe_deletes): a SQL
+        # user can tell when reads are paying anti-joins and OPTIMIZE is
+        # due without importing anything
+        _kw({"version"})
+        d = V.describe_deletes(spark, args[0], version=kw.get("version"))
+        return spark.createDataFrame(
+            [
+                (
+                    d["version"],
+                    d["entry_count"],
+                    d["total_keys"],
+                    d["delete_file_count"],
+                    d["masked_file_count"],
+                    d["data_file_count"],
+                )
+            ],
+            "version int, entry_count int, total_keys long, "
+            "delete_file_count int, masked_file_count int, "
+            "data_file_count int",
+        )
     if cmd == "scan":
         # scan(path, col, lo => a, hi => b [, version => k]) — the
         # data-skipping read (manifest-stats file pruning + exact
@@ -431,8 +453,8 @@ def sql(spark: SparkSession, statement: str) -> DataFrame:
         return spark.table(name)
     raise ValueError(
         f"unknown procedure CALL versioned.{cmd} — known: write, merge, "
-        "rollback, optimize, vacuum, history, snapshot, time_travel, scan, "
-        "changes"
+        "rollback, optimize, vacuum, history, describe, snapshot, "
+        "time_travel, scan, changes"
     )
 
 

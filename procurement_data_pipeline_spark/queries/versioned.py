@@ -45,6 +45,7 @@ from procurement_data_pipeline_spark.operators.versioning import (
     _ckpt_uri,
     _read_manifest,
     _resolve_manifest,
+    describe_deletes,
     merge_into,
     optimize_table,
     read_table,
@@ -660,3 +661,42 @@ def versioned_mor_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     escapes it. No non-delete-path route can produce this relation."""
     path = _mor_fixture(spark, sf_dir)
     return _priority_rollup(read_table(spark, path))
+
+
+@register(
+    "versioned_describe_debt",
+    # The delete-debt counters a SQL user reads before deciding OPTIMIZE
+    # is due (VERDICT r9 item 4). File COUNTS are physical-layout facts
+    # (how Spark split the write) with no SQL-derivable value, so the
+    # hashed relation carries the layout-independent truths: the entry
+    # count, the total masked keys (data-derived), and the two structural
+    # flags — v1's files DO read through anti-joins, the v3 upsert's
+    # appended files DO escape them by birth version.
+    oracle="""
+SELECT CAST(2 AS INT) AS entry_count,
+       CAST((SELECT COUNT(*) FROM orders WHERE o_orderkey % 13 = 0)
+          + (SELECT COUNT(*) FROM orders WHERE o_orderkey % 17 = 0)
+          AS BIGINT) AS total_keys,
+       CAST(1 AS INT) AS reads_pay_antijoin,
+       CAST(1 AS INT) AS upsert_files_escape
+""",
+    tags=("versioning", "merge-on-read", "observability"),
+)
+def versioned_describe_debt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``describe_deletes`` over the merge-on-read fixture: two entries
+    (the v2 delete, the v3 upsert), total_keys = |%13 keys| + |%17 keys|,
+    some data files masked (v1's, paying the anti-join) and some not
+    (the upsert's appends, escaping by birth version)."""
+    d = describe_deletes(spark, _mor_fixture(spark, sf_dir))
+    return spark.createDataFrame(
+        [
+            (
+                d["entry_count"],
+                d["total_keys"],
+                1 if d["masked_file_count"] > 0 else 0,
+                1 if d["data_file_count"] > d["masked_file_count"] else 0,
+            )
+        ],
+        "entry_count int, total_keys long, reads_pay_antijoin int, "
+        "upsert_files_escape int",
+    )

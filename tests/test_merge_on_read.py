@@ -426,3 +426,46 @@ def test_sql_rewrite_case_insensitive(spark, tmp_path):
     versioned_write(spark, _df(spark, [(1, "a")]), t)
     got = sql(spark, f"SELECT id FROM VERSIONED.`{t}` VERSION AS OF 1").collect()
     assert [r.id for r in got] == [1]
+
+
+def test_describe_deletes_debt_appears_and_clears(spark, tmp_path):
+    """VERDICT r9 item 4: the per-table delete debt (entry count, Σ keys,
+    masked files) is visible after a MOR merge — via the helper AND via
+    CALL versioned.describe — and returns to zero after OPTIMIZE
+    materializes the entries."""
+    from procurement_data_pipeline_spark.operators.versioned_sql import sql
+    from procurement_data_pipeline_spark.operators.versioning import (
+        describe_deletes,
+    )
+
+    t = str(tmp_path / "t")
+    versioned_write(spark, _df(spark, [(i, f"r{i}") for i in range(10)]), t)
+    assert describe_deletes(spark, t)["entry_count"] == 0
+    merge_into(
+        spark, t,
+        spark.createDataFrame([(2,), (4,)], "id long"),
+        key_col="id", when_matched="delete", strategy="merge-on-read",
+    )
+    merge_into(
+        spark, t,
+        _df(spark, [(6, "upd6"), (99, "new99")]),
+        key_col="id", when_matched="update", strategy="merge-on-read",
+    )
+    d = describe_deletes(spark, t)
+    assert d["version"] == 3 and d["entry_count"] == 2
+    assert d["total_keys"] == 4  # {2,4} + {6,99}
+    assert d["delete_file_count"] >= 2
+    # v1's files are masked; the upsert's appended files escape by birth
+    assert 0 < d["masked_file_count"] < d["data_file_count"]
+    # same numbers through the SQL procedure
+    row = sql(spark, f"CALL versioned.describe('{t}')").collect()[0]
+    assert (row.entry_count, row.total_keys) == (2, 4)
+    assert row.masked_file_count == d["masked_file_count"]
+    # version pinning: v2 had ONE entry
+    assert describe_deletes(spark, t, version=2)["entry_count"] == 1
+    # OPTIMIZE materializes and clears the debt — and the data survives
+    optimize_table(spark, t)
+    d4 = describe_deletes(spark, t)
+    assert d4["entry_count"] == 0
+    assert d4["total_keys"] == 0 and d4["masked_file_count"] == 0
+    assert _ids(read_table(spark, t)) == [0, 1, 3, 5, 6, 7, 8, 9, 99]
