@@ -700,3 +700,74 @@ def versioned_describe_debt(spark: SparkSession, sf_dir: str) -> DataFrame:
         "entry_count int, total_keys long, reads_pay_antijoin int, "
         "upsert_files_escape int",
     )
+
+
+# Partial-column MERGE fixture (VERDICT r9 item 5):
+#   v1  append all orders
+#   v2  MERGE … WHEN MATCHED AND o_orderpriority <> '1-URGENT'
+#       THEN UPDATE SET price_cents = t.price_cents + s.price_cents
+#       (updates = the %11 keys carrying bonus_cents = orderkey % 1000)
+# Only price_cents changes, and only where the target-row condition
+# holds; o_orderpriority is NOT in the SET list, so a hash match proves
+# the unlisted column carried the TARGET value even on updated rows.
+
+_US: dict[str, str] = {}
+
+
+def _update_set_fixture(spark: SparkSession, sf_dir: str) -> str:
+    key = os.path.abspath(sf_dir)
+    if key in _US:
+        return _US[key]
+    tag = re.sub(r"[^A-Za-z0-9_.-]", "_", key).strip("_")
+    path = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_us_orders_{tag}_{os.getpid()}"
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.floor(F.col("o_totalprice") * 100).cast("long").alias("price_cents"),
+    )
+    versioned_write(spark, orders, path, stats_cols=["o_orderkey"])
+    merge_into(
+        spark,
+        path,
+        orders.filter(F.col("o_orderkey") % 11 == 0).withColumn(
+            "price_cents", (F.col("o_orderkey") % 1000).cast("long")
+        ),
+        key_col="o_orderkey",
+        when_matched_condition="o_orderpriority <> '1-URGENT'",
+        update_set={"price_cents": "t.price_cents + s.price_cents"},
+    )
+    _US[key] = path
+    return path
+
+
+@register(
+    "versioned_merge_update_set",
+    oracle="""
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(cents) AS BIGINT) AS total_cents
+FROM (
+  SELECT o_orderpriority,
+         CASE WHEN o_orderkey % 11 = 0 AND o_orderpriority <> '1-URGENT'
+              THEN CAST(FLOOR(o_totalprice * 100) AS BIGINT)
+                   + (o_orderkey % 1000)
+              ELSE CAST(FLOOR(o_totalprice * 100) AS BIGINT) END AS cents
+  FROM orders
+)
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""",
+    tags=("versioning", "merge", "update-set"),
+)
+def versioned_merge_update_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Read latest after a partial-column conditional MERGE: %11 keys on
+    non-urgent orders gained their (orderkey % 1000) bonus IN the
+    price_cents column only — urgent %11 orders carried unchanged (the
+    target-row condition), and o_orderpriority survived on updated rows
+    (it is not in the SET list). No UPDATE SET * path can produce this
+    relation."""
+    path = _update_set_fixture(spark, sf_dir)
+    return _priority_rollup(read_table(spark, path))

@@ -1501,3 +1501,132 @@ def test_committed_at_and_timestamp_resolution(spark, tmp_path, monkeypatch):
     fs.delete(p, False)
     _write_text(spark, V._manifest_uri(t, 1), json.dumps(raw))
     assert V.version_as_of_timestamp(spark, t, 999) == 1  # epoch-0 prefix
+
+
+def test_merge_update_set_matches_duckdb_twin(spark, tmp_path):
+    """Partial-column MERGE (VERDICT r9 item 5): WHEN MATCHED [AND cond]
+    THEN UPDATE SET col = expr — expressions referencing BOTH sides
+    (t.col / s.col / bare = target), unlisted columns untouched, new
+    keys inserted whole — against a DuckDB UPDATE ... FROM twin."""
+    import duckdb
+
+    from procurement_data_pipeline_spark.operators.versioning import merge_into
+
+    base_rows = [
+        (1, "open", 10, 100),
+        (2, "closed", 20, 200),
+        (3, "open", 30, 300),
+        (None, "open", 99, 999),  # NULL key: never matched
+    ]
+    upd_rows = [
+        (1, "ignored", 1000, 7),   # matched, cond true → SET applies
+        (2, "ignored", 2000, 7),   # matched, cond false → carried whole
+        (5, "new", 5000, 7),       # unmatched → inserted AS-IS
+    ]
+    schema = "id int, status string, v int, w int"
+    t = str(tmp_path / "us")
+    versioned_write(spark, spark.createDataFrame(base_rows, schema), t)
+    man = merge_into(
+        spark,
+        t,
+        spark.createDataFrame(upd_rows, schema),
+        key_col="id",
+        when_matched_condition="status <> 'closed'",
+        update_set={"v": "t.v + s.v", "status": "'merged'"},
+    )
+    assert man["merge"]["update_set"] == {"v": "t.v + s.v", "status": "'merged'"}
+    got = sorted(
+        ((r.id, r.status, r.v, r.w) for r in read_table(spark, t).collect()),
+        key=lambda x: (x[0] is None, x),
+    )
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE tgt (id int, status varchar, v int, w int)")
+    con.executemany("INSERT INTO tgt VALUES (?,?,?,?)", base_rows)
+    con.execute("CREATE TABLE src (id int, status varchar, v int, w int)")
+    con.executemany("INSERT INTO src VALUES (?,?,?,?)", upd_rows)
+    con.execute(
+        "UPDATE tgt SET v = tgt.v + src.v, status = 'merged' FROM src "
+        "WHERE tgt.id = src.id AND tgt.status <> 'closed'"
+    )
+    con.execute(
+        "INSERT INTO tgt SELECT * FROM src "
+        "WHERE id NOT IN (SELECT id FROM tgt WHERE id IS NOT NULL)"
+    )
+    want = sorted(
+        (tuple(r) for r in con.execute("SELECT * FROM tgt").fetchall()),
+        key=lambda x: (x[0] is None, x),
+    )
+    assert got == want
+    # headline semantics spot-check: v summed, status set, w UNTOUCHED
+    asmap = {r[0]: r for r in got}
+    assert asmap[1] == (1, "merged", 1010, 100)
+    assert asmap[2] == (2, "closed", 20, 200)
+    assert asmap[5] == (5, "new", 5000, 7)
+    assert asmap[None] == (None, "open", 99, 999)
+
+    # unconditional SET (no when_matched_condition): every match applies
+    merge_into(
+        spark,
+        t,
+        spark.createDataFrame([(2, "x", 1, 1)], schema),
+        key_col="id",
+        update_set={"w": "s.w + 5"},
+    )
+    asmap = {r.id: r for r in read_table(spark, t).collect()}
+    assert (asmap[2].w, asmap[2].v, asmap[2].status) == (6, 20, "closed")
+
+    # type pinning: an expression whose natural type widens (int + 0.5)
+    # casts back to the column's table type — reads stay manifest-clean
+    merge_into(
+        spark,
+        t,
+        spark.createDataFrame([(1, "x", 1, 1)], schema),
+        key_col="id",
+        update_set={"v": "t.v + 0.9"},
+    )
+    got1 = {r.id: r for r in read_table(spark, t).collect()}[1]
+    assert got1.v == 1010  # 1010.9 cast back to int
+    assert dict(read_table(spark, t).dtypes)["v"] == "int"
+
+
+def test_merge_update_set_guards(spark, tmp_path):
+    """update_set rejects delete mode, merge-on-read, empty/unknown/key
+    columns — loudly, before any data IO."""
+    from procurement_data_pipeline_spark.operators.versioning import merge_into
+
+    t = str(tmp_path / "g")
+    versioned_write(
+        spark, spark.createDataFrame([(1, 1)], "id int, v int"), t
+    )
+    ups = spark.createDataFrame([(1, 2)], "id int, v int")
+    with pytest.raises(ValueError, match="when_matched='update'"):
+        merge_into(spark, t, ups, key_col="id", when_matched="delete",
+                   update_set={"v": "1"})
+    with pytest.raises(ValueError, match="copy-on-write"):
+        merge_into(spark, t, ups, key_col="id",
+                   strategy="merge-on-read", update_set={"v": "1"})
+    with pytest.raises(ValueError, match="at least one column"):
+        merge_into(spark, t, ups, key_col="id", update_set={})
+    with pytest.raises(ValueError, match="merge key"):
+        merge_into(spark, t, ups, key_col="id", update_set={"id": "1"})
+    with pytest.raises(ValueError, match="not in the table"):
+        merge_into(spark, t, ups, key_col="id", update_set={"zz": "1"})
+
+
+def test_translate_update_expr_boundaries():
+    """s./t. alias rewriting skips string literals and backtick
+    identifiers and requires a token boundary — same scanner discipline
+    as the SQL time-travel rewriter."""
+    from procurement_data_pipeline_spark.operators.versioning import (
+        _translate_update_expr as tr,
+    )
+
+    assert tr("t.v + s.v") == "v + _mu_v"
+    assert tr("s.a*2 + t.b - c") == "_mu_a*2 + b - c"
+    assert tr("concat(x, 's.literal')") == "concat(x, 's.literal')"
+    assert tr('"t.also literal" || s.y') == '"t.also literal" || _mu_y'
+    assert tr("foo.s.bar") == "foo.s.bar"      # qualified tail: no match
+    assert tr("xs.col + ts.col") == "xs.col + ts.col"  # identifier tail
+    assert tr("`s.q` + s.q") == "`s.q` + _mu_q"
+    assert tr("'it''s.fine' = s.z") == "'it''s.fine' = _mu_z"
