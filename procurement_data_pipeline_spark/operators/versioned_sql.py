@@ -311,7 +311,7 @@ def sql(spark: SparkSession, statement: str) -> DataFrame:
         # key_col accepts a single name or an array (composite key);
         # when_matched_condition is the WHEN MATCHED AND <cond> predicate
         _kw({"key_col", "when_matched", "key_collect_threshold",
-             "when_matched_condition", "strategy"})
+             "when_matched_condition", "strategy", "condition_scope"})
         path, source = args
         merge_kw = {}
         if "key_collect_threshold" in kw:  # keep merge_into's default otherwise
@@ -324,6 +324,7 @@ def sql(spark: SparkSession, statement: str) -> DataFrame:
             when_matched=kw.get("when_matched", "update"),
             when_matched_condition=kw.get("when_matched_condition"),
             strategy=kw.get("strategy", "copy-on-write"),
+            condition_scope=kw.get("condition_scope", "target"),
             **merge_kw,
         )
         return _manifest_df(spark, man)

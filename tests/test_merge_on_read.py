@@ -469,3 +469,71 @@ def test_describe_deletes_debt_appears_and_clears(spark, tmp_path):
     assert d4["entry_count"] == 0
     assert d4["total_keys"] == 0 and d4["masked_file_count"] == 0
     assert _ids(read_table(spark, t)) == [0, 1, 3, 5, 6, 7, 8, 9, 99]
+
+
+def test_mor_source_scoped_condition(spark, tmp_path):
+    """VERDICT r9 stretch: a SOURCE-columns predicate works under
+    merge-on-read (pre-filter before key extraction) — the 'delete these
+    keys where batch-flagged' case — while a target predicate stays
+    rejected with a pointer to the source form."""
+    from procurement_data_pipeline_spark.operators.versioned_sql import sql
+
+    t = str(tmp_path / "t")
+    versioned_write(spark, _df(spark, [(i, f"r{i}") for i in range(8)]), t)
+    batch = spark.createDataFrame(
+        [(1, True), (2, False), (3, True), (4, False)],
+        "id long, flagged boolean",
+    )
+    man = merge_into(
+        spark, t, batch, key_col="id",
+        when_matched="delete", strategy="merge-on-read",
+        when_matched_condition="flagged", condition_scope="source",
+    )
+    assert _ids(read_table(spark, t)) == [0, 2, 4, 5, 6, 7]
+    assert man["merge"]["files_rewritten"] == 0  # still merge-on-read
+    assert man["merge"]["condition"] == "flagged"
+    assert man["merge"]["condition_scope"] == "source"
+    assert man["merge"]["n_keys"] == 2  # keys counted AFTER the filter
+
+    # update mode: excluded rows neither update nor insert (a pre-filter)
+    merge_into(
+        spark, t,
+        spark.createDataFrame(
+            [(2, "upd2"), (99, "new99"), (5, "skip5")], "id long, s string"
+        ),
+        key_col="id", when_matched="update", strategy="merge-on-read",
+        when_matched_condition="s <> 'skip5'", condition_scope="source",
+    )
+    got = {r.id: r.s for r in read_table(spark, t).collect()}
+    assert got[2] == "upd2" and got[99] == "new99" and 1 not in got
+    assert got[5] == "r5"  # excluded row: neither updated nor inserted
+
+    # target predicate under MOR: still rejected, names the escape hatch
+    with pytest.raises(ValueError, match="condition_scope='source'"):
+        merge_into(
+            spark, t, spark.createDataFrame([(2,)], "id long"),
+            key_col="id", when_matched="delete", strategy="merge-on-read",
+            when_matched_condition="s = 'x'",
+        )
+    # scope validation
+    with pytest.raises(ValueError, match="target|source"):
+        merge_into(
+            spark, t, spark.createDataFrame([(2,)], "id long"),
+            key_col="id", when_matched="delete",
+            when_matched_condition="true", condition_scope="both",
+        )
+    with pytest.raises(ValueError, match="requires when_matched_condition"):
+        merge_into(
+            spark, t, spark.createDataFrame([(2,)], "id long"),
+            key_col="id", when_matched="delete", condition_scope="source",
+        )
+    # the SQL surface passes the scope through
+    spark.createDataFrame([(0, True), (6, False)], "id long, flagged boolean")\
+        .createOrReplaceTempView("mor_batch")
+    sql(
+        spark,
+        f"CALL versioned.merge('{t}', 'mor_batch', key_col => 'id', "
+        "when_matched => 'delete', strategy => 'merge-on-read', "
+        "when_matched_condition => 'flagged', condition_scope => 'source')",
+    )
+    assert 0 not in _ids(read_table(spark, t)) and 6 in _ids(read_table(spark, t))
