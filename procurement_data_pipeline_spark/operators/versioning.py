@@ -141,6 +141,7 @@ _RESERVED_MANIFEST_KEYS = frozenset(
         "deletes",
         "deletes_adds",
         "committed_at_ms",
+        "births",
     }
 )
 
@@ -154,11 +155,13 @@ def _now_ms() -> int:
 # NOTHING — it publishes a DELETE ENTRY {version, key_cols, files,
 # n_keys} whose parquet files hold the deleted key tuples, and readers
 # anti-join them out. A delete entry committed at version d masks exactly
-# the rows of data files BORN BEFORE d (birth = the version embedded in
-# the file's commit-dir name), so a later upsert that reuses a deleted
-# key is never masked by the older delete. OPTIMIZE materializes (applies
-# and clears) all entries. At 100 TB this is the difference between a
-# 10-row delete costing O(10) and costing a multi-GB file rewrite.
+# the rows of data files BORN BEFORE d (birth = the manifest's explicit
+# births map when recorded, else the version embedded in the file's
+# commit-dir name for pre-upgrade tables), so a later upsert that reuses
+# a deleted key is never masked by the older delete. OPTIMIZE
+# materializes (applies and clears) all entries. At 100 TB this is the
+# difference between a 10-row delete costing O(10) and costing a
+# multi-GB file rewrite.
 # anchored to the file's IMMEDIATE PARENT directory: a '/commit-7-backup/'
 # segment inside the user's table_path must never poison the parse
 # (code-review r9 — re.search took the FIRST match, so such a path made
@@ -177,11 +180,26 @@ def _birth_version(file_uri: str) -> int:
     return int(m.group(1)) if m else 0
 
 
+def _file_birth(births: dict | None, file_uri: str) -> int:
+    """Birth version of a data file: the manifest's explicit ``births``
+    map when recorded (VERDICT r9 stretch — survives any future file
+    relocation, because whoever rewrites the file list also carries the
+    map), else the commit-dir path parse for files written before the
+    map existed. Unknown either way degrades to 0 — masked by every
+    entry, the conservative direction."""
+    if births:
+        b = births.get(file_uri)
+        if b is not None:
+            return int(b)
+    return _birth_version(file_uri)
+
+
 def _apply_deletes(
     spark: SparkSession,
     schema: "StructType",
     files: list[str],
     deletes: list[dict],
+    births: dict | None = None,
 ) -> DataFrame:
     """Read ``files`` with every applicable equality-delete entry
     anti-joined out. Files are grouped by which suffix of the
@@ -202,7 +220,7 @@ def _apply_deletes(
     for f in files:
         # applicable entries: version > birth → the suffix starting at
         # bisect_right(versions, birth)
-        idx = bisect.bisect_right(versions, _birth_version(f))
+        idx = bisect.bisect_right(versions, _file_birth(births, f))
         groups.setdefault(idx, []).append(f)
     # one keys relation per ENTRY, shared across birth groups (code-review
     # r9: building it inside the group loop planned G×E redundant
@@ -324,6 +342,15 @@ def _resolve_manifest(spark: SparkSession, table_path: str, version: int) -> dic
         if k not in ("delta_of", "adds", "removes", "stats_adds", "deletes_adds")
     }
     out["files"] = files
+    # birth-version map folds like the file list: carried files keep the
+    # base's record, a delta's adds are born at ITS version (implied —
+    # delta manifests carry no births key)
+    births = {
+        f: b for f, b in base.get("births", {}).items() if f not in removes
+    }
+    births.update({f: man["version"] for f in man["adds"]})
+    if births:
+        out["births"] = births
     # equality-delete entries accumulate down the chain (a data append
     # must never resurrect merge-on-read-deleted rows)
     deletes = list(base.get("deletes", [])) + list(man.get("deletes_adds", []))
@@ -614,7 +641,9 @@ def scan_table(
     # delete entries apply after pruning: a delete only removes rows, so
     # stats-based file skipping stays sound, and the residual filter below
     # keeps the result exact either way
-    df = _apply_deletes(spark, schema, kept, man.get("deletes", []))
+    df = _apply_deletes(
+        spark, schema, kept, man.get("deletes", []), births=man.get("births")
+    )
     for c, (l, h) in _merged_predicates(col, lo, hi, predicates).items():
         if l is not None:
             df = df.filter(F.col(c) >= F.lit(l))
@@ -925,6 +954,18 @@ def versioned_write(
         manifest["removes"] = []
     else:
         manifest["files"] = prev_files + new_files
+        # explicit birth map (VERDICT r9 stretch): carried files keep
+        # their recorded birth (path parse backfills pre-upgrade files —
+        # same value the read path would have derived), new files are
+        # born here. Read-path delete scoping prefers this map over the
+        # commit-dir path convention.
+        manifest["births"] = {
+            **{
+                f: _file_birth(prev.get("births") if prev else None, f)
+                for f in prev_files
+            },
+            **{f: next_v for f in new_files},
+        }
         # carry merge-on-read delete entries on APPEND (they mask rows of
         # carried files; dropping them would resurrect deleted rows). An
         # overwrite replaces the content wholesale — nothing to mask.
@@ -1055,6 +1096,7 @@ def optimize_table(
         "base_version": base,
         "files": new_files,
         "n_files": len(new_files),
+        "births": {f: next_v for f in new_files},
         "schema": df.schema.json(),
         "zorder_cols": zorder_cols or [],
         **_lineage(base_man),
@@ -1091,7 +1133,10 @@ def read_table(
     # written before a column existed read it back as NULL (and every
     # version reads with ITS OWN schema — time travel sees old shapes).
     # Merge-on-read delete entries, when present, anti-join out here.
-    return _apply_deletes(spark, schema, man["files"], man.get("deletes", []))
+    return _apply_deletes(
+        spark, schema, man["files"], man.get("deletes", []),
+        births=man.get("births"),
+    )
 
 
 def _merge_on_read(
@@ -1160,6 +1205,10 @@ def _merge_on_read(
         manifest["deletes_adds"] = [entry]
     else:
         manifest["files"] = man["files"] + new_files
+        manifest["births"] = {
+            **{f: _file_birth(man.get("births"), f) for f in man["files"]},
+            **{f: next_v for f in new_files},
+        }
         manifest["deletes"] = list(man.get("deletes", [])) + [entry]
     if man.get("stats_cols"):
         manifest["stats_cols"] = man["stats_cols"]
@@ -1560,7 +1609,10 @@ def merge_into(
         # touched files read through any live merge-on-read delete entries
         # (a raw read would resurrect masked rows INTO the rewrite, whose
         # fresh birth version escapes the entries)
-        old = _apply_deletes(spark, pinned, touched, man.get("deletes", []))
+        old = _apply_deletes(
+            spark, pinned, touched, man.get("deletes", []),
+            births=man.get("births"),
+        )
         if join_update:
             # conditional upsert (Delta's WHEN MATCHED AND <cond> THEN
             # UPDATE SET * / WHEN NOT MATCHED THEN INSERT): each matched
@@ -1707,6 +1759,10 @@ def merge_into(
         manifest["removes"] = list(touched)
     else:
         manifest["files"] = untouched + new_files
+        manifest["births"] = {
+            **{f: _file_birth(man.get("births"), f) for f in untouched},
+            **{f: next_v for f in new_files},
+        }
         # live delete entries still mask the UNTOUCHED files' rows; the
         # rewritten files' fresh birth version escapes them by design
         if man.get("deletes"):
@@ -1746,6 +1802,11 @@ def rollback(spark: SparkSession, table_path: str, to_version: int) -> dict:
         "base_version": to_version,
         "files": target["files"],
         "n_files": len(target["files"]),
+        # identical files → identical birth versions (path parse
+        # backfills targets that predate the explicit map)
+        "births": {
+            f: _file_birth(target.get("births"), f) for f in target["files"]
+        },
         "schema": target["schema"],
         # lineage parent is the LATEST observed (the commit-chain parent),
         # not to_version — base_version records the rollback target for
@@ -1806,10 +1867,13 @@ def describe_deletes(
     man = _resolve_manifest(spark, table_path, version)
     deletes = man.get("deletes", [])
     max_entry = max((d["version"] for d in deletes), default=None)
+    births = man.get("births")
     masked = (
         0
         if max_entry is None
-        else sum(1 for f in man["files"] if _birth_version(f) < max_entry)
+        else sum(
+            1 for f in man["files"] if _file_birth(births, f) < max_entry
+        )
     )
     return {
         "version": version,

@@ -537,3 +537,74 @@ def test_mor_source_scoped_condition(spark, tmp_path):
         "when_matched_condition => 'flagged', condition_scope => 'source')",
     )
     assert 0 not in _ids(read_table(spark, t)) and 6 in _ids(read_table(spark, t))
+
+
+def test_manifest_births_recorded_and_survive_file_moves(spark, tmp_path):
+    """VERDICT r9 stretch: birth versions live in the manifest (births
+    map), path parsing is only the pre-upgrade fallback. A simulated
+    relocation — data files copied to a FLAT layout with no commit-N
+    parent, manifest rewritten by the mover with the carried births —
+    must keep delete scoping exact: without the map, flat paths parse to
+    birth 0 and every entry would mask the upsert's reborn rows."""
+    import json as _json
+    import shutil as _shutil
+
+    from procurement_data_pipeline_spark.operators.versioning import (
+        _manifest_uri,
+        _read_manifest,
+        _read_text,
+        _resolve_manifest,
+    )
+    from procurement_data_pipeline_spark.operators.erasure import _write_text
+
+    t = str(tmp_path / "t")
+    versioned_write(spark, _df(spark, [(i, f"r{i}") for i in range(6)]), t)
+    merge_into(  # v2: MOR delete ids {1, 2}
+        spark, t, spark.createDataFrame([(1,), (2,)], "id long"),
+        key_col="id", when_matched="delete", strategy="merge-on-read",
+    )
+    merge_into(  # v3: MOR upsert REBIRTHS id 2 (escapes the v2 entry)
+        spark, t, _df(spark, [(2, "reborn")]),
+        key_col="id", when_matched="update", strategy="merge-on-read",
+    )
+    man = _resolve_manifest(spark, t, 3)
+    # births recorded for every data file and matching the path parse
+    from procurement_data_pipeline_spark.operators.versioning import (
+        _birth_version,
+    )
+
+    assert set(man["births"]) == set(man["files"])
+    assert all(man["births"][f] == _birth_version(f) for f in man["files"])
+    assert _ids(read_table(spark, t)) == [0, 2, 3, 4, 5]
+
+    # simulate a mover: copy every data file into a flat dir, rewrite the
+    # manifest's files + births (delete files stay put — entries keep
+    # their own paths)
+    flat = str(tmp_path / "flat")
+    os_sep_files = {}
+    for f in man["files"]:
+        local = f.replace("file:", "")
+        dest = flat + "/" + local.replace("/", "_").strip("_")
+        os_sep_files[f] = "file:" + dest
+    import os as _os
+
+    _os.makedirs(flat, exist_ok=True)
+    for src, dst in os_sep_files.items():
+        _shutil.copy(src.replace("file:", ""), dst.replace("file:", ""))
+    raw = _json.loads(_read_text(spark, _manifest_uri(t, 3)))
+    assert "delta_of" not in raw  # small table → full manifest
+    raw["files"] = [os_sep_files[f] for f in raw["files"]]
+    raw["births"] = {
+        os_sep_files[f]: b for f, b in raw["births"].items()
+    }
+    from procurement_data_pipeline_spark.operators.erasure import _fs_path
+
+    fs, p, _ = _fs_path(spark, _manifest_uri(t, 3))
+    fs.delete(p, False)
+    _write_text(spark, _manifest_uri(t, 3), _json.dumps(raw))
+
+    # flat paths carry no commit-N segment, yet scoping is still exact:
+    # id 2's reborn row survives, ids {1} stay deleted
+    assert _ids(read_table(spark, t)) == [0, 2, 3, 4, 5]
+    got = {r.id: r.s for r in read_table(spark, t).collect()}
+    assert got[2] == "reborn"
