@@ -234,6 +234,9 @@ GRADE_OVERFLOW = frozenset(
         # round-10: partial-column MERGE (UPDATE SET col = expr, VERDICT
         # r9 item 5) — same rollup fixture through the update_set path:
         "versioned_merge_update_set",
+        # round-10: shallow CLONE (zero-copy branching) — the MOR
+        # fixture's relation read through a clone's carried manifest:
+        "versioned_clone_scan",
         "docs_pack_sequences_2level",
         "docs_corpus_mix_temperature",
         "docs_quality_weighted_sample",

@@ -193,6 +193,14 @@ def main() -> None:
         "emb_semantic_dedup_multiprobe",
         "versioned_sql_time_travel",
         "versioned_mor_delete",
+        # Round-10 tier (timestamp travel, MOR debt, partial-column MERGE;
+        # events_value_deciles joins per VERDICT r9 item 6 — the driver
+        # should own timings for the rank-rewrite family):
+        "versioned_timestamp_travel",
+        "versioned_describe_debt",
+        "versioned_merge_update_set",
+        "versioned_clone_scan",
+        "events_value_deciles",
     ]
     def plan_rows() -> dict[str, str]:
         """query → its PLANS.md row: a cheap committed fingerprint of the

@@ -343,13 +343,37 @@ def sql(spark: SparkSession, statement: str) -> DataFrame:
         )
         return _manifest_df(spark, man)
     if cmd == "vacuum":
-        _kw({"keep_last"})
+        _kw({"keep_last", "dry_run"})
         path = args[0]
-        res = V.vacuum(spark, path, keep_last=kw.get("keep_last", 2))
-        return spark.createDataFrame(
-            [(res["expired_versions"], res["deleted_files"])],
-            "expired_versions int, deleted_files int",
+        res = V.vacuum(
+            spark,
+            path,
+            keep_last=kw.get("keep_last", 2),
+            dry_run=kw.get("dry_run", False),
         )
+        return spark.createDataFrame(
+            [
+                (
+                    res["expired_versions"],
+                    res["deleted_files"],
+                    bool(res.get("dry_run", False)),
+                )
+            ],
+            "expired_versions int, deleted_files int, dry_run boolean",
+        )
+    if cmd == "clone":
+        # clone(src, dst [, version => k, deep => true]) — zero-copy
+        # branching (shallow) or a materialized fork (deep)
+        _kw({"version", "deep"})
+        src, dst = args
+        man = V.clone_table(
+            spark,
+            src,
+            dst,
+            version=kw.get("version"),
+            deep=kw.get("deep", False),
+        )
+        return _manifest_df(spark, man)
     if cmd == "history":
         _kw(set())
         rows = V.history(spark, args[0])
@@ -454,7 +478,7 @@ def sql(spark: SparkSession, statement: str) -> DataFrame:
         return spark.table(name)
     raise ValueError(
         f"unknown procedure CALL versioned.{cmd} — known: write, merge, "
-        "rollback, optimize, vacuum, history, describe, snapshot, "
+        "rollback, optimize, vacuum, history, describe, clone, snapshot, "
         "time_travel, scan, changes"
     )
 

@@ -142,6 +142,8 @@ _RESERVED_MANIFEST_KEYS = frozenset(
         "deletes_adds",
         "committed_at_ms",
         "births",
+        "clone_src",
+        "clone_src_version",
     }
 )
 
@@ -1839,6 +1841,101 @@ def register_versioned_view(
     read_table(spark, table_path, version=version).createOrReplaceTempView(name)
 
 
+def clone_table(
+    spark: SparkSession,
+    src_path: str,
+    dst_path: str,
+    version: int | None = None,
+    deep: bool = False,
+) -> dict:
+    """Clone ``src_path`` at ``version`` (default latest) into a NEW
+    table at ``dst_path`` — the Delta ``CLONE`` / Iceberg snapshot-ref
+    shape for zero-copy branching (dev/test tables, experiment branches,
+    point-in-time forks at 100 TB where a physical copy is a non-starter).
+
+    SHALLOW (default): publishes ``dst``'s version 1 referencing the
+    SOURCE's data files — O(manifest) metadata work, zero data IO. The
+    clone is a fully independent table afterwards (its own log; writes,
+    merges, OPTIMIZE at dst never touch src — dst's first OPTIMIZE
+    breaks the file dependency entirely), with the standard caveat
+    stated, not papered over: VACUUM at the SOURCE deletes files a
+    shallow clone still references (Delta documents the same hazard).
+    dst's own vacuum can never delete src files: its sweep walks only
+    dst's commit dirs.
+
+    DEEP (``deep=True``): MATERIALIZES the source snapshot into dst's own
+    ``commit-00000001`` directory with one distributed write — O(data)
+    IO, no source dependency, and any merge-on-read delete entries are
+    applied in the process (re-keying equality deletes against reset
+    birth versions would re-mask rows a source upsert had reborn — the
+    content is the contract, so the clone writes the CONTENT). Physical
+    file layout is not preserved; stats recompute for the new files.
+
+    ``dst_path`` must not already be a versioned table. Either way the
+    clone reads exactly what ``read_table(src, version)`` reads."""
+    if latest_version(spark, dst_path) is not None:
+        raise ValueError(
+            f"clone destination {dst_path} is already a versioned table"
+        )
+    if version is None:
+        version = latest_version(spark, src_path)
+        if version is None:
+            raise ValueError(f"no versions published at {src_path}")
+    man = _resolve_manifest(spark, src_path, version)
+    manifest: dict = {
+        "version": 1,
+        "op": "clone",
+        "base_version": None,
+        "schema": man["schema"],
+        "clone_src": src_path,
+        "clone_src_version": version,
+        **_lineage(None),
+    }
+    deletes = [dict(d) for d in man.get("deletes", [])]
+    if not deep:
+        manifest["files"] = list(man["files"])
+        manifest["births"] = {
+            f: _file_birth(man.get("births"), f) for f in man["files"]
+        }
+        # delete entries keep their own versions: scoping at dst replays
+        # exactly the source's (births carried unchanged)
+        if deletes:
+            manifest["deletes"] = deletes
+        if man.get("stats_cols"):
+            manifest["stats_cols"] = man["stats_cols"]
+            manifest["stats"] = dict(man.get("stats", {}))
+    else:
+        commit_dir = (
+            f"{dst_path.rstrip('/')}/commit-{1:0{_VERSION_WIDTH}d}"
+            f"-{uuid.uuid4().hex[:8]}"
+        )
+        schema = StructType.fromJson(json.loads(man["schema"]))
+        df = _apply_deletes(
+            spark, schema, man["files"], deletes, births=man.get("births")
+        )
+        df.write.mode("error").parquet(commit_dir)
+        new_files = _commit_files(spark, commit_dir)
+        manifest["files"] = new_files
+        manifest["births"] = {f: 1 for f in new_files}
+        if man.get("stats_cols"):
+            manifest["stats_cols"] = man["stats_cols"]
+            manifest["stats"] = _file_stats(
+                spark,
+                new_files,
+                man["stats_cols"],
+                _schema_col_types(man["schema"]),
+            )
+    manifest["n_files"] = len(manifest["files"])
+    try:
+        _publish(spark, dst_path, manifest)
+    except ConcurrentWriteError:
+        if deep:
+            fs, commit_p, _ = _fs_path(spark, commit_dir)
+            fs.delete(commit_p, True)
+        raise
+    return manifest
+
+
 def describe_deletes(
     spark: SparkSession, table_path: str, version: int | None = None
 ) -> dict:
@@ -1907,11 +2004,16 @@ def vacuum(
     table_path: str,
     keep_last: int = 2,
     ctmp_grace_seconds: float = 3600.0,
+    dry_run: bool = False,
 ) -> dict:
     """Expire all but the newest ``keep_last`` versions: their manifests
     are removed and every data file or commit directory no RETAINED
     version references is deleted. Time travel to an expired version then
     fails loudly (:func:`read_table` names the surviving versions).
+
+    ``dry_run=True`` reports the same counts WITHOUT touching anything —
+    no checkpoint writes, no deletes (Delta's ``VACUUM ... DRY RUN``):
+    the operator is irreversible, so the audit step comes first-class.
 
     Contract: run from a maintenance window with NO writer in flight — a
     writer between its data write and its manifest publish looks exactly
@@ -1924,7 +2026,8 @@ def vacuum(
         raise ValueError("keep_last must be >= 1")
     versions = _list_versions(spark, table_path)
     if len(versions) <= keep_last:
-        return {"expired_versions": 0, "deleted_files": 0}
+        out0 = {"expired_versions": 0, "deleted_files": 0}
+        return {**out0, "dry_run": True} if dry_run else out0
     keep, drop = versions[-keep_last:], versions[:-keep_last]
     dropset = set(drop)
     live: set[str] = set()
@@ -1946,7 +2049,7 @@ def vacuum(
     # are tmp+rename and idempotent — a crash mid-vacuum just reruns.
     for v in keep:
         raw = _read_manifest(spark, table_path, v)
-        if raw.get("delta_of") in dropset:
+        if raw.get("delta_of") in dropset and not dry_run:
             ckpt = _ckpt_uri(table_path, v)
             ckpt_p = hpath(ckpt)
             if not fs.exists(ckpt_p):
@@ -1974,10 +2077,17 @@ def vacuum(
             if f_uri in live:
                 all_gone = False
             elif fst.getPath().getName().endswith(".parquet"):
-                fs.delete(fst.getPath(), False)
+                if not dry_run:
+                    fs.delete(fst.getPath(), False)
                 deleted += 1
-        if all_gone:
+        if all_gone and not dry_run:
             fs.delete(st.getPath(), True)
+    if dry_run:
+        return {
+            "expired_versions": len(drop),
+            "deleted_files": deleted,
+            "dry_run": True,
+        }
     for v in drop:
         fs.delete(hpath(_manifest_uri(table_path, v)), False)
         fs.delete(hpath(_ckpt_uri(table_path, v)), False)  # absent → no-op
@@ -2013,6 +2123,7 @@ __all__ = [
     "rollback",
     "history",
     "describe_deletes",
+    "clone_table",
     "register_versioned_view",
     "latest_version",
     "version_as_of_timestamp",

@@ -771,3 +771,49 @@ def versioned_merge_update_set(spark: SparkSession, sf_dir: str) -> DataFrame:
     relation."""
     path = _update_set_fixture(spark, sf_dir)
     return _priority_rollup(read_table(spark, path))
+
+
+_CLONES: dict[str, str] = {}
+
+
+@register(
+    "versioned_clone_scan",
+    # Shallow CLONE of the MOR fixture's latest (zero-copy branch whose
+    # manifest references the source's files, delete entries and births
+    # carried): reading the CLONE must equal reading the source — i.e.
+    # the same relation versioned_mor_delete hashes, through a clone's
+    # manifest instead. Certifies the carry of files+deletes+births.
+    oracle="""
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(cents) AS BIGINT) AS total_cents
+FROM (
+  SELECT o_orderpriority,
+         CASE WHEN o_orderkey % 17 = 0
+              THEN CAST(FLOOR(o_totalprice * 100) AS BIGINT) + 1
+              ELSE CAST(FLOOR(o_totalprice * 100) AS BIGINT) END AS cents
+  FROM orders
+  WHERE o_orderkey % 17 = 0 OR o_orderkey % 13 <> 0
+)
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""",
+    tags=("versioning", "clone", "merge-on-read"),
+)
+def versioned_clone_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Read a SHALLOW clone of the merge-on-read fixture: the clone's
+    manifest references the source's data files with the delete entries
+    and birth map carried, so masking and rebirth scoping replay exactly
+    — zero data was copied to make this table."""
+    from procurement_data_pipeline_spark.operators.versioning import (
+        clone_table,
+    )
+
+    src = _mor_fixture(spark, sf_dir)
+    key = os.path.abspath(sf_dir)
+    if key not in _CLONES:
+        dst = src + "_clone"
+        shutil.rmtree(dst, ignore_errors=True)
+        clone_table(spark, src, dst)
+        _CLONES[key] = dst
+    return _priority_rollup(read_table(spark, _CLONES[key]))

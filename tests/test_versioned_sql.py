@@ -398,3 +398,43 @@ def test_timestamp_as_of_table_syntax(spark, tmp_path, monkeypatch):
     # before the first commit → loud error, not a silent latest read
     with pytest.raises(ValueError, match="precedes the first retained"):
         sql(spark, f"SELECT * FROM versioned.`{t}` TIMESTAMP AS OF 9999")
+
+
+def test_call_clone_and_vacuum_dry_run(spark, tmp_path):
+    """CALL versioned.clone (shallow + deep) and vacuum's dry_run flag
+    through the SQL surface."""
+    from procurement_data_pipeline_spark.operators.versioning import (
+        versioned_write,
+    )
+    from procurement_data_pipeline_spark.operators.versioned_sql import sql
+
+    src = str(tmp_path / "src")
+    versioned_write(
+        spark, spark.createDataFrame([(1,), (2,)], "id int"), src
+    )
+    versioned_write(
+        spark, spark.createDataFrame([(3,)], "id int"), src
+    )
+    dst = str(tmp_path / "dst")
+    row = sql(
+        spark, f"CALL versioned.clone('{src}', '{dst}', version => 1)"
+    ).collect()[0]
+    assert (row.version, row.op) == (1, "clone")
+    got = sql(spark, f"SELECT count(*) AS n FROM versioned.`{dst}`")
+    assert got.collect()[0].n == 2  # v1 only
+
+    deep = str(tmp_path / "deep")
+    sql(spark, f"CALL versioned.clone('{src}', '{deep}', deep => true)")
+    assert sql(
+        spark, f"SELECT count(*) AS n FROM versioned.`{deep}`"
+    ).collect()[0].n == 3
+
+    dry = sql(
+        spark,
+        f"CALL versioned.vacuum('{src}', keep_last => 1, dry_run => true)",
+    ).collect()[0]
+    assert dry.dry_run is True and dry.expired_versions == 1
+    # nothing expired: v1 still readable through SQL
+    assert sql(
+        spark, f"SELECT count(*) AS n FROM versioned.`{src}` VERSION AS OF 1"
+    ).collect()[0].n == 2

@@ -1630,3 +1630,88 @@ def test_translate_update_expr_boundaries():
     assert tr("xs.col + ts.col") == "xs.col + ts.col"  # identifier tail
     assert tr("`s.q` + s.q") == "`s.q` + _mu_q"
     assert tr("'it''s.fine' = s.z") == "'it''s.fine' = _mu_z"
+
+
+def test_clone_shallow_and_deep(spark, tmp_path):
+    """CLONE: shallow publishes a dst manifest referencing the source's
+    files (zero copy) and stays correct through MOR delete entries and
+    birth scoping; deep materializes the content with no source
+    dependency. Either way the clone is an independent table: writes at
+    dst never appear at src, and dst's vacuum never deletes src data."""
+    from procurement_data_pipeline_spark.operators.versioning import (
+        _resolve_manifest,
+        clone_table,
+        merge_into,
+        vacuum,
+    )
+
+    src = str(tmp_path / "src")
+    versioned_write(spark, _df(spark, [1, 2, 3, 4]), src)
+    merge_into(  # MOR delete id 2, then rebirth it — the scoping case
+        spark, src, spark.createDataFrame([(2,), (3,)], "id long"),
+        key_col="id", when_matched="delete", strategy="merge-on-read",
+    )
+    merge_into(
+        spark, src, _df(spark, [2]),
+        key_col="id", when_matched="update", strategy="merge-on-read",
+    )
+    assert _ids(read_table(spark, src)) == [1, 2, 4]
+
+    shallow = str(tmp_path / "shallow")
+    man = clone_table(spark, src, shallow)
+    assert man["op"] == "clone" and man["clone_src_version"] == 3
+    assert _ids(read_table(spark, shallow)) == [1, 2, 4]
+    # zero-copy: the dst manifest references the SOURCE's files
+    assert set(man["files"]) == set(_resolve_manifest(spark, src, 3)["files"])
+
+    deep = str(tmp_path / "deep")
+    clone_table(spark, src, deep, deep=True)
+    dman = _resolve_manifest(spark, deep, 1)
+    assert _ids(read_table(spark, deep)) == [1, 2, 4]
+    assert "deletes" not in dman  # materialized, no entries carried
+    assert all(f.startswith("file:" + deep) for f in dman["files"])
+
+    # version pinning: clone of v1 sees the pre-delete table
+    v1clone = str(tmp_path / "v1c")
+    clone_table(spark, src, v1clone, version=1)
+    assert _ids(read_table(spark, v1clone)) == [1, 2, 3, 4]
+
+    # independence: append at the shallow clone; src latest unchanged
+    versioned_write(spark, _df(spark, [99]), shallow)
+    assert _ids(read_table(spark, shallow)) == [1, 2, 4, 99]
+    assert _ids(read_table(spark, src)) == [1, 2, 4]
+    # dst vacuum sweeps only dst commit dirs — src data survives
+    versioned_write(spark, _df(spark, [100]), shallow)
+    vacuum(spark, shallow, keep_last=1)
+    assert _ids(read_table(spark, src)) == [1, 2, 4]
+
+    # refuse to clone ONTO an existing table
+    with pytest.raises(ValueError, match="already a versioned table"):
+        clone_table(spark, src, shallow)
+
+
+def test_vacuum_dry_run_reports_without_touching(spark, tmp_path):
+    """VACUUM DRY RUN: same counts as the real run would produce, zero
+    mutation — every version stays readable, no checkpoint appears."""
+    from procurement_data_pipeline_spark.operators.versioning import (
+        _list_versions,
+        vacuum,
+    )
+
+    t = str(tmp_path / "t")
+    versioned_write(spark, _df(spark, [1]), t, mode="append")
+    versioned_write(spark, _df(spark, [2]), t, mode="overwrite")
+    versioned_write(spark, _df(spark, [3]), t, mode="overwrite")
+    dry = vacuum(spark, t, keep_last=1, dry_run=True)
+    assert dry["dry_run"] is True and dry["expired_versions"] == 2
+    assert dry["deleted_files"] > 0
+    # nothing happened: all versions still listed and readable
+    assert _list_versions(spark, t) == [1, 2, 3]
+    assert _ids(read_table(spark, t, version=1)) == [1]
+    # the real run deletes exactly what the dry run predicted
+    real = vacuum(spark, t, keep_last=1)
+    assert real == {
+        "expired_versions": dry["expired_versions"],
+        "deleted_files": dry["deleted_files"],
+    }
+    assert _list_versions(spark, t) == [3]
