@@ -292,7 +292,8 @@ def sql(spark: SparkSession, statement: str) -> DataFrame:
 
     if cmd == "write":
         _kw({"mode", "merge_schema", "stats_cols", "cluster_by",
-             "cluster_files", "delta_min_files", "checkpoint_every"})
+             "cluster_files", "delta_min_files", "checkpoint_every",
+             "constraints"})
         path, source = args
         man = V.versioned_write(
             spark,
@@ -305,6 +306,7 @@ def sql(spark: SparkSession, statement: str) -> DataFrame:
             cluster_files=kw.get("cluster_files"),
             delta_min_files=kw.get("delta_min_files"),
             checkpoint_every=kw.get("checkpoint_every"),
+            constraints=kw.get("constraints"),
         )
         return _manifest_df(spark, man)
     if cmd == "merge":

@@ -144,8 +144,47 @@ _RESERVED_MANIFEST_KEYS = frozenset(
         "births",
         "clone_src",
         "clone_src_version",
+        "constraints",
     }
 )
+
+
+def _check_constraints(
+    spark: SparkSession,
+    schema_json: str,
+    files: list[str],
+    constraints: list[str] | None,
+) -> None:
+    """Enforce CHECK constraints (Delta's table-invariant shape) over the
+    given just-written files, BEFORE the manifest publish: SQL CHECK
+    semantics — a row violates when the expression is FALSE; NULL counts
+    as satisfied. One aggregate job over the files, all constraints in a
+    single pass; raises with per-constraint violation counts and nothing
+    is ever published (the caller deletes the orphan commit dir)."""
+    from pyspark.sql import functions as F
+
+    if not constraints or not files:
+        return
+    df = spark.read.schema(
+        StructType.fromJson(json.loads(schema_json))
+    ).parquet(*files)
+    aggs = [
+        F.sum(
+            F.when(~F.coalesce(F.expr(c), F.lit(True)), 1).otherwise(0)
+        ).alias(f"_c{i}")
+        for i, c in enumerate(constraints)
+    ]
+    row = df.agg(*aggs).collect()[0]
+    bad = {
+        constraints[i]: int(row[f"_c{i}"])
+        for i in range(len(constraints))
+        if row[f"_c{i}"]
+    }
+    if bad:
+        raise ValueError(
+            "CHECK constraint violation — commit aborted, nothing "
+            f"published (constraint -> violating rows): {bad}"
+        )
 
 
 def _now_ms() -> int:
@@ -748,8 +787,20 @@ def versioned_write(
     delta_min_files: int | None = None,
     checkpoint_every: int | None = None,
     expected_base: int | None | object = _BASE_UNSET,
+    constraints: list[str] | None = None,
 ) -> dict:
     """Write ``df`` as the next version of the table at ``table_path``.
+
+    ``constraints`` sets CHECK constraints (Delta's invariant shape):
+    SQL boolean expressions every row of every future write must satisfy
+    (FALSE = violation; NULL passes — SQL CHECK semantics). Sticky like
+    ``stats_cols``: pass once, later writes inherit and enforce; pass
+    ``[]`` to clear. Setting NEW constraints validates the whole table
+    (carried files included — Delta's ADD CONSTRAINT scan), steady-state
+    writes validate only the incoming batch, post-write pre-publish: a
+    violation aborts the commit with per-constraint counts and nothing
+    becomes visible. MERGE rewrites and merge-on-read upsert appends
+    enforce the same list.
 
     ``expected_base`` pins the SNAPSHOT the caller computed ``df`` from
     (the version it read, or None for "table did not exist"): the commit
@@ -835,6 +886,15 @@ def versioned_write(
     if prev is not None and stats_cols is None:
         stats_cols = prev.get("stats_cols")
         inherited_stats = stats_cols is not None
+    # CHECK constraints: None = inherit (sticky), [] = clear, a new list
+    # re-validates the WHOLE table below (the ADD CONSTRAINT scan)
+    constraints_changed = False
+    if constraints is None:
+        constraints = prev.get("constraints") if prev is not None else None
+    else:
+        constraints = list(constraints) or None
+        prev_cons = prev.get("constraints") if prev is not None else None
+        constraints_changed = constraints != prev_cons and constraints is not None
     if prev is not None and mode == "append":
         prev_files = prev["files"]
         prev_stats = prev.get("stats", {})
@@ -927,6 +987,21 @@ def versioned_write(
         )
     out.write.mode("error").parquet(commit_dir)
     new_files = _commit_files(spark, commit_dir)
+    try:
+        # validate what actually LANDED (exactly-once compute of df);
+        # a changed constraint set re-validates carried files too
+        _check_constraints(
+            spark,
+            schema_json,
+            (prev_files + new_files)
+            if (constraints_changed and mode == "append")
+            else new_files,
+            constraints,
+        )
+    except ValueError:
+        fs, commit_p, _ = _fs_path(spark, commit_dir)
+        fs.delete(commit_p, True)  # orphan data, no reader ever saw it
+        raise
     same_cols = prev is not None and prev.get("stats_cols") == (
         list(stats_cols) if stats_cols else None
     )
@@ -975,6 +1050,10 @@ def versioned_write(
             manifest["deletes"] = prev["deletes"]
     if cluster_by:
         manifest["cluster_by"] = list(cluster_by)
+    if constraints:
+        # recorded on EVERY manifest form (like stats_cols on deltas) so
+        # inheritance never needs more than the previous manifest
+        manifest["constraints"] = list(constraints)
     if stats_cols:
         manifest["stats_cols"] = list(stats_cols)
         new_stats = _file_stats(
@@ -1103,6 +1182,8 @@ def optimize_table(
         "zorder_cols": zorder_cols or [],
         **_lineage(base_man),
     }
+    if base_man.get("constraints"):  # content-identical → still valid
+        manifest["constraints"] = base_man["constraints"]
     stats_cols = base_man.get("stats_cols")
     if stats_cols:
         manifest["stats_cols"] = stats_cols
@@ -1169,6 +1250,15 @@ def _merge_on_read(
     if when_matched == "update":
         updates.write.mode("error").parquet(commit_dir)
         new_files = _commit_files(spark, commit_dir)
+        try:
+            _check_constraints(
+                spark, man["schema"], new_files, man.get("constraints")
+            )
+        except ValueError:
+            for d in (del_dir, commit_dir):
+                fs, p, _ = _fs_path(spark, d)
+                fs.delete(p, True)
+            raise
     entry = {
         "version": next_v,
         "key_cols": list(key_cols),
@@ -1212,6 +1302,8 @@ def _merge_on_read(
             **{f: next_v for f in new_files},
         }
         manifest["deletes"] = list(man.get("deletes", [])) + [entry]
+    if man.get("constraints"):
+        manifest["constraints"] = man["constraints"]
     if man.get("stats_cols"):
         manifest["stats_cols"] = man["stats_cols"]
         new_stats = _file_stats(
@@ -1730,6 +1822,17 @@ def merge_into(
             out = out.unionByName(p)
         out.write.mode("error").parquet(commit_dir)
         new_files = _commit_files(spark, commit_dir)
+        try:
+            # rewritten rows re-validate too — they were valid at their
+            # own write time, and a merge can only keep or replace them
+            # with update values, which is exactly what needs checking
+            _check_constraints(
+                spark, man["schema"], new_files, man.get("constraints")
+            )
+        except ValueError:
+            fs, commit_p, _ = _fs_path(spark, commit_dir)
+            fs.delete(commit_p, True)
+            raise
     # delta manifest on big tables: log only the rewritten files as
     # removes + the rewrite output as adds — a MERGE touching k files
     # costs O(k) metadata, never O(table) (see the _DELTA_MIN_FILES block)
@@ -1769,6 +1872,8 @@ def merge_into(
         # rewritten files' fresh birth version escapes them by design
         if man.get("deletes"):
             manifest["deletes"] = man["deletes"]
+    if man.get("constraints"):
+        manifest["constraints"] = man["constraints"]
     if man.get("stats_cols"):
         prev_stats = man.get("stats", {})
         manifest["stats_cols"] = man["stats_cols"]
@@ -1820,6 +1925,8 @@ def rollback(spark: SparkSession, table_path: str, to_version: int) -> dict:
         manifest["stats"] = target.get("stats", {})
     if target.get("deletes"):  # identical content → identical masking
         manifest["deletes"] = target["deletes"]
+    if target.get("constraints"):
+        manifest["constraints"] = target["constraints"]
     _publish(spark, table_path, manifest)
     _verify_commit_visible(spark, table_path, manifest, None)
     return manifest
@@ -1891,6 +1998,8 @@ def clone_table(
         "clone_src_version": version,
         **_lineage(None),
     }
+    if man.get("constraints"):  # the clone keeps enforcing them
+        manifest["constraints"] = man["constraints"]
     deletes = [dict(d) for d in man.get("deletes", [])]
     if not deep:
         manifest["files"] = list(man["files"])

@@ -1715,3 +1715,71 @@ def test_vacuum_dry_run_reports_without_touching(spark, tmp_path):
         "deleted_files": dry["deleted_files"],
     }
     assert _list_versions(spark, t) == [3]
+
+
+def test_check_constraints_enforced_everywhere(spark, tmp_path):
+    """CHECK constraints (Delta invariant shape): FALSE = violation, NULL
+    passes; sticky inheritance; set-time full-table scan; enforcement on
+    appends, MERGE rewrites, and merge-on-read upsert appends; a
+    violation aborts pre-publish (no version, no orphan files); rollback
+    restores the old constraint set; clones keep enforcing."""
+    from procurement_data_pipeline_spark.operators.versioning import (
+        _list_versions,
+        clone_table,
+        merge_into,
+    )
+
+    t = str(tmp_path / "t")
+    rows = lambda *vs: spark.createDataFrame(  # noqa: E731
+        list(vs), "id long, v long"
+    )
+    versioned_write(
+        spark, rows((1, 10), (2, None)), t, constraints=["v >= 0"]
+    )  # NULL passes (SQL CHECK semantics)
+
+    with pytest.raises(ValueError, match="CHECK constraint violation"):
+        versioned_write(spark, rows((3, -5)), t)  # inherited + enforced
+    assert _list_versions(spark, t) == [1]  # nothing published
+    # ...and no orphan commit dir rows leak into a later read
+    versioned_write(spark, rows((3, 30)), t)
+    assert read_table(spark, t).count() == 3
+
+    # MERGE upsert enforcement (COW rewrite path)
+    with pytest.raises(ValueError, match="CHECK constraint violation"):
+        merge_into(spark, t, rows((2, -1)), key_col="id")
+    # merge-on-read upsert appends enforce too
+    with pytest.raises(ValueError, match="CHECK constraint violation"):
+        merge_into(
+            spark, t, rows((2, -1)), key_col="id", strategy="merge-on-read"
+        )
+    merge_into(spark, t, rows((2, 22)), key_col="id")
+    assert {r.id: r.v for r in read_table(spark, t).collect()}[2] == 22
+
+    # ADD CONSTRAINT semantics: a new list validates EXISTING data too
+    with pytest.raises(ValueError, match="CHECK constraint violation"):
+        versioned_write(
+            spark, rows((4, 40)), t, constraints=["v >= 0", "v < 20"]
+        )  # existing v=30 violates the new bound
+    # clearing then re-adding a satisfiable set works
+    versioned_write(spark, rows((4, 40)), t, constraints=[])
+    versioned_write(spark, rows((5, -50)), t)  # cleared: negatives pass
+
+    # rollback restores the version's OWN constraint set
+    from procurement_data_pipeline_spark.operators.versioning import (
+        rollback,
+        _read_manifest,
+        latest_version,
+    )
+
+    rollback(spark, t, 3)
+    assert _read_manifest(
+        spark, t, latest_version(spark, t)
+    )["constraints"] == ["v >= 0"]
+    with pytest.raises(ValueError, match="CHECK constraint violation"):
+        versioned_write(spark, rows((9, -9)), t)
+
+    # clones keep enforcing
+    c = str(tmp_path / "c")
+    clone_table(spark, t, c)
+    with pytest.raises(ValueError, match="CHECK constraint violation"):
+        versioned_write(spark, rows((9, -9)), c)
