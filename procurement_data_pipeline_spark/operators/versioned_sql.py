@@ -381,10 +381,17 @@ def sql(spark: SparkSession, statement: str) -> DataFrame:
         rows = V.history(spark, args[0])
         return spark.createDataFrame(
             [
-                (h["version"], h["op"], h["base_version"], h["n_files"])
+                (
+                    h["version"],
+                    h["op"],
+                    h["base_version"],
+                    h["n_files"],
+                    h["committed_at_ms"],
+                )
                 for h in rows
             ],
-            "version int, op string, base_version int, n_files int",
+            "version int, op string, base_version int, n_files int, "
+            "committed_at_ms long",
         )
     if cmd == "describe":
         # describe(path [, version => k]) — the merge-on-read delete debt

@@ -1201,11 +1201,20 @@ def optimize_table(
 
 
 def read_table(
-    spark: SparkSession, table_path: str, version: int | None = None
+    spark: SparkSession,
+    table_path: str,
+    version: int | None = None,
+    timestamp=None,
 ) -> DataFrame:
     """The table's contents at ``version`` (default: latest). Resolves the
     manifest first and reads exactly its files — concurrent writers and
-    crashed commits are invisible by construction."""
+    crashed commits are invisible by construction. ``timestamp`` (epoch
+    ms, ISO string, or datetime — mutually exclusive with ``version``)
+    resolves via :func:`version_as_of_timestamp`."""
+    if timestamp is not None:
+        if version is not None:
+            raise ValueError("pass version OR timestamp, not both")
+        version = version_as_of_timestamp(spark, table_path, timestamp)
     if version is None:
         version = latest_version(spark, table_path)
         if version is None:
@@ -2093,7 +2102,9 @@ def describe_deletes(
 
 def history(spark: SparkSession, table_path: str) -> list[dict]:
     """Every retained version's manifest metadata, oldest first (file
-    lists elided to counts — the audit view, not the read path)."""
+    lists elided to counts — the audit view, not the read path).
+    ``committed_at_ms`` (None on pre-upgrade manifests) is how a user
+    discovers the instants ``TIMESTAMP AS OF`` can resolve."""
     out = []
     for v in _list_versions(spark, table_path):
         man = _read_manifest(spark, table_path, v)
@@ -2103,6 +2114,7 @@ def history(spark: SparkSession, table_path: str) -> list[dict]:
                 "op": man["op"],
                 "base_version": man["base_version"],
                 "n_files": man["n_files"],
+                "committed_at_ms": man.get("committed_at_ms"),
             }
         )
     return out

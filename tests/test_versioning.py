@@ -1783,3 +1783,24 @@ def test_check_constraints_enforced_everywhere(spark, tmp_path):
     clone_table(spark, t, c)
     with pytest.raises(ValueError, match="CHECK constraint violation"):
         versioned_write(spark, rows((9, -9)), c)
+
+
+def test_history_exposes_commit_timestamps_and_read_table_timestamp(
+    spark, tmp_path, monkeypatch
+):
+    """history() surfaces committed_at_ms (discovery surface for
+    TIMESTAMP AS OF) and read_table accepts timestamp= directly."""
+    from procurement_data_pipeline_spark.operators import versioning as V
+    from procurement_data_pipeline_spark.operators.versioned_sql import sql
+
+    t = str(tmp_path / "t")
+    clock = iter([1_000, 2_000])
+    monkeypatch.setattr(V, "_now_ms", lambda: next(clock))
+    versioned_write(spark, _df(spark, [1]), t)
+    versioned_write(spark, _df(spark, [2]), t)
+    assert [h["committed_at_ms"] for h in history(spark, t)] == [1_000, 2_000]
+    row = sql(spark, f"CALL versioned.history('{t}')").collect()[0]
+    assert row.committed_at_ms == 1_000
+    assert _ids(read_table(spark, t, timestamp=1_500)) == [1]
+    with pytest.raises(ValueError, match="not both"):
+        read_table(spark, t, version=1, timestamp=1_500)
