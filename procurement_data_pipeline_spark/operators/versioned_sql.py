@@ -331,9 +331,29 @@ def sql(spark: SparkSession, statement: str) -> DataFrame:
         )
         return _manifest_df(spark, man)
     if cmd == "rollback":
-        _kw(set())
+        # rollback(path, k) or rollback(path, timestamp => ts) — the
+        # RESTORE TO VERSION / TO TIMESTAMP pair
+        _kw({"timestamp"})
+        if len(args) == 1 and "timestamp" in kw:
+            return _manifest_df(
+                spark, V.rollback(spark, args[0], timestamp=kw["timestamp"])
+            )
         path, to_version = args
         return _manifest_df(spark, V.rollback(spark, path, to_version))
+    if cmd == "constraints":
+        # constraints(path [, version => k]) — the active CHECK set, one
+        # row per constraint (empty relation = nothing enforced)
+        _kw({"version"})
+        version = kw.get("version")
+        if version is None:
+            version = V.latest_version(spark, args[0])
+            if version is None:
+                raise ValueError(f"no versions published at {args[0]}")
+        man = V._resolve_manifest(spark, args[0], version)
+        cons = man.get("constraints", [])
+        return spark.createDataFrame(
+            [(i, c) for i, c in enumerate(cons)], "position int, expr string"
+        )
     if cmd == "optimize":
         _kw({"zorder", "target_files"})
         path = args[0]
@@ -487,8 +507,8 @@ def sql(spark: SparkSession, statement: str) -> DataFrame:
         return spark.table(name)
     raise ValueError(
         f"unknown procedure CALL versioned.{cmd} — known: write, merge, "
-        "rollback, optimize, vacuum, history, describe, clone, snapshot, "
-        "time_travel, scan, changes"
+        "rollback, optimize, vacuum, history, describe, constraints, "
+        "clone, snapshot, time_travel, scan, changes"
     )
 
 

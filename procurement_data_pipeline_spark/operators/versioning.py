@@ -1907,9 +1907,23 @@ def merge_into(
     return manifest
 
 
-def rollback(spark: SparkSession, table_path: str, to_version: int) -> dict:
+def rollback(
+    spark: SparkSession,
+    table_path: str,
+    to_version: int | None = None,
+    timestamp=None,
+) -> dict:
     """Publish a NEW version whose contents equal ``to_version`` — history
-    stays append-only, so the rollback itself is auditable (op/base)."""
+    stays append-only, so the rollback itself is auditable (op/base).
+    ``timestamp`` (mutually exclusive with ``to_version``) is Delta's
+    ``RESTORE TO TIMESTAMP`` form, resolved via
+    :func:`version_as_of_timestamp`."""
+    if timestamp is not None:
+        if to_version is not None:
+            raise ValueError("pass to_version OR timestamp, not both")
+        to_version = version_as_of_timestamp(spark, table_path, timestamp)
+    if to_version is None:
+        raise ValueError("rollback needs to_version or timestamp")
     target = _resolve_manifest(spark, table_path, to_version)
     base = latest_version(spark, table_path)
     manifest = {

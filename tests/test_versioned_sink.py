@@ -232,3 +232,38 @@ def test_torn_id_json_degrades_to_legacy_not_wedged(spark, tmp_path):
     shutil.rmtree(ckpt)
     _run(spark, src, table, ckpt)
     assert _ids(read_table(spark, table)) == before
+
+
+def test_streaming_sink_enforces_check_constraints(spark, tmp_path):
+    """The exactly-once streaming sink writes through versioned_write, so
+    a table's CHECK constraints gate every microbatch: a violating batch
+    fails the stream and publishes nothing."""
+    from procurement_data_pipeline_spark.operators.versioning import (
+        latest_version,
+        versioned_write,
+    )
+    from procurement_data_pipeline_spark.streaming.versioned_sink import (
+        stream_to_versioned_table,
+    )
+
+    t = str(tmp_path / "t")
+    versioned_write(
+        spark,
+        spark.createDataFrame([(1, 10)], "id long, v long"),
+        t,
+        constraints=["v >= 0"],
+    )
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    spark.createDataFrame([(2, -5)], "id long, v long").write.parquet(src)
+    stream = (
+        spark.readStream.schema("id long, v long").parquet(src)
+    )
+    q = (
+        stream_to_versioned_table(stream, t, checkpoint_dir=ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    with pytest.raises(Exception, match="CHECK constraint violation"):
+        q.awaitTermination()
+    assert latest_version(spark, t) == 1  # nothing published

@@ -438,3 +438,33 @@ def test_call_clone_and_vacuum_dry_run(spark, tmp_path):
     assert sql(
         spark, f"SELECT count(*) AS n FROM versioned.`{src}` VERSION AS OF 1"
     ).collect()[0].n == 2
+
+
+def test_rollback_by_timestamp_and_constraints_listing(spark, tmp_path, monkeypatch):
+    """RESTORE TO TIMESTAMP (rollback timestamp=) and the CALL
+    versioned.constraints discovery surface."""
+    from procurement_data_pipeline_spark.operators import versioning as V
+    from procurement_data_pipeline_spark.operators.versioned_sql import sql
+
+    t = str(tmp_path / "t")
+    clock = iter(range(1_000, 100_000, 1_000))  # rollback publishes too
+    monkeypatch.setattr(V, "_now_ms", lambda: next(clock))
+    V.versioned_write(
+        spark, spark.createDataFrame([(1,)], "v int"), t,
+        constraints=["v >= 0"],
+    )
+    V.versioned_write(spark, spark.createDataFrame([(2,)], "v int"), t)
+    cons = sql(spark, f"CALL versioned.constraints('{t}')").collect()
+    assert [(r.position, r.expr) for r in cons] == [(0, "v >= 0")]
+
+    man = sql(
+        spark, f"CALL versioned.rollback('{t}', timestamp => 1500)"
+    ).collect()[0]
+    assert (man.op, man.base_version) == ("rollback", 1)
+    assert sql(
+        spark, f"SELECT count(*) AS n FROM versioned.`{t}`"
+    ).collect()[0].n == 1
+    with pytest.raises(ValueError, match="not both"):
+        V.rollback(spark, t, to_version=1, timestamp=1_500)
+    with pytest.raises(ValueError, match="to_version or timestamp"):
+        V.rollback(spark, t)
