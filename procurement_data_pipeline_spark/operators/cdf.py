@@ -37,9 +37,11 @@ from procurement_data_pipeline_spark.operators.versioning import (
 def table_changes(
     spark: SparkSession,
     table_path: str,
-    from_version: int,
+    from_version: int | None = None,
     to_version: int | None = None,
     key_cols: list[str] | None = None,
+    from_timestamp=None,
+    to_timestamp=None,
 ) -> DataFrame:
     """Row-level changelog from ``from_version`` (exclusive) to
     ``to_version`` (inclusive, default latest).
@@ -47,7 +49,29 @@ def table_changes(
     ``key_cols`` is required only when the range is not pure-append (an
     overwrite / merge / rollback needs a keyed diff); the pure-append fast
     path works without keys and reads ONLY the added files.
+
+    ``from_timestamp`` / ``to_timestamp`` are the Delta CDF timestamp
+    forms: each resolves to the greatest version committed at or before
+    it (``version_as_of_timestamp``), then the version semantics above
+    apply — so "changes since instant T" means changes AFTER the version
+    that was current at T, exactly Delta's reading.
     """
+    from procurement_data_pipeline_spark.operators.versioning import (
+        version_as_of_timestamp,
+    )
+
+    if from_timestamp is not None:
+        if from_version is not None:
+            raise ValueError("pass from_version OR from_timestamp, not both")
+        from_version = version_as_of_timestamp(
+            spark, table_path, from_timestamp
+        )
+    if from_version is None:
+        raise ValueError("table_changes needs from_version or from_timestamp")
+    if to_timestamp is not None:
+        if to_version is not None:
+            raise ValueError("pass to_version OR to_timestamp, not both")
+        to_version = version_as_of_timestamp(spark, table_path, to_timestamp)
     if to_version is None:
         to_version = latest_version(spark, table_path)
         if to_version is None:

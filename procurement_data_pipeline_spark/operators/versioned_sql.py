@@ -473,8 +473,9 @@ def sql(spark: SparkSession, statement: str) -> DataFrame:
             table_changes,
         )
 
-        _kw({"to", "key_col"})
-        path, from_version = args
+        _kw({"to", "key_col", "from_timestamp", "to_timestamp"})
+        path = args[0]
+        from_version = args[1] if len(args) > 1 else None
         key_col = kw.get("key_col")
         return table_changes(
             spark,
@@ -482,6 +483,8 @@ def sql(spark: SparkSession, statement: str) -> DataFrame:
             from_version=from_version,
             to_version=kw.get("to"),
             key_cols=[key_col] if key_col else None,
+            from_timestamp=kw.get("from_timestamp"),
+            to_timestamp=kw.get("to_timestamp"),
         )
     if cmd in ("snapshot", "time_travel"):
         # snapshot(path, view_name [, version => k | timestamp => ts]) —

@@ -656,13 +656,19 @@ def scan_table(
     hi=None,
     version: int | None = None,
     predicates: dict[str, tuple] | None = None,
+    timestamp=None,
 ) -> DataFrame:
     """``read_table`` + ``WHERE lo <= col <= hi [AND ...]``, opening ONLY
     the files :func:`plan_scan` keeps. The residual filter is still
     applied to the rows read, so the result is exact whether or not a file
-    was prunable — stats only ever save IO, never decide correctness."""
+    was prunable — stats only ever save IO, never decide correctness.
+    ``timestamp`` resolves like :func:`read_table`'s."""
     from pyspark.sql import functions as F
 
+    if timestamp is not None:
+        if version is not None:
+            raise ValueError("pass version OR timestamp, not both")
+        version = version_as_of_timestamp(spark, table_path, timestamp)
     if version is None:
         version = latest_version(spark, table_path)
         if version is None:

@@ -1804,3 +1804,39 @@ def test_history_exposes_commit_timestamps_and_read_table_timestamp(
     assert _ids(read_table(spark, t, timestamp=1_500)) == [1]
     with pytest.raises(ValueError, match="not both"):
         read_table(spark, t, version=1, timestamp=1_500)
+
+
+def test_timestamp_forms_on_scan_and_cdf(spark, tmp_path, monkeypatch):
+    """scan_table(timestamp=) and table_changes(from_timestamp=/
+    to_timestamp=) resolve through version_as_of_timestamp with Delta's
+    'changes since instant T' reading (exclusive of the version current
+    at T)."""
+    from procurement_data_pipeline_spark.operators import versioning as V
+    from procurement_data_pipeline_spark.operators.cdf import table_changes
+
+    t = str(tmp_path / "t")
+    clock = iter(range(1_000, 100_000, 1_000))
+    monkeypatch.setattr(V, "_now_ms", lambda: next(clock))
+    versioned_write(spark, _df(spark, [1, 2]), t)      # v1 @ 1000
+    versioned_write(spark, _df(spark, [3]), t)         # v2 @ 2000
+    versioned_write(spark, _df(spark, [4]), t)         # v3 @ 3000
+
+    from procurement_data_pipeline_spark.operators.versioning import (
+        scan_table,
+    )
+
+    assert _ids(scan_table(spark, t, "id", lo=0, timestamp=2_500)) == [1, 2, 3]
+    with pytest.raises(ValueError, match="not both"):
+        scan_table(spark, t, "id", version=1, timestamp=2_500)
+
+    # changes since instant 1500 (v1 current then) = v2 + v3 adds
+    got = table_changes(spark, t, from_timestamp=1_500)
+    assert sorted(r.new_id for r in got.collect()) == [3, 4]
+    assert {r.change_type for r in got.collect()} == {"insert"}
+    # bounded above by an instant: (v1, v2]
+    got = table_changes(spark, t, from_timestamp=1_500, to_timestamp=2_500)
+    assert sorted(r.new_id for r in got.collect()) == [3]
+    with pytest.raises(ValueError, match="from_version or from_timestamp"):
+        table_changes(spark, t)
+    with pytest.raises(ValueError, match="not both"):
+        table_changes(spark, t, from_version=1, from_timestamp=1_500)
