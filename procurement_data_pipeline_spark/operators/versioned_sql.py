@@ -355,13 +355,18 @@ def sql(spark: SparkSession, statement: str) -> DataFrame:
             [(i, c) for i, c in enumerate(cons)], "position int, expr string"
         )
     if cmd == "optimize":
-        _kw({"zorder", "target_files"})
+        _kw({"zorder", "target_files", "scope", "small_file_bytes"})
         path = args[0]
+        opt_kw = {}
+        if "small_file_bytes" in kw:
+            opt_kw["small_file_bytes"] = kw["small_file_bytes"]
         man = V.optimize_table(
             spark,
             path,
             zorder_cols=kw.get("zorder"),
             target_files=kw.get("target_files"),
+            scope=kw.get("scope", "table"),
+            **opt_kw,
         )
         return _manifest_df(spark, man)
     if cmd == "vacuum":

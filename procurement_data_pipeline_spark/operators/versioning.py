@@ -145,6 +145,7 @@ _RESERVED_MANIFEST_KEYS = frozenset(
         "clone_src",
         "clone_src_version",
         "constraints",
+        "optimize_scope",
     }
 )
 
@@ -1140,22 +1141,95 @@ def optimize_table(
     zorder_cols: list[str] | None = None,
     target_files: int | None = None,
     bucket_mode: str = "width",
+    scope: str = "table",
+    small_file_bytes: int = 128 * 1024 * 1024,
 ) -> dict:
-    """Rewrite the latest version's contents into fewer / better-clustered
-    files and publish the result as a new version — Delta/Iceberg
-    ``OPTIMIZE [ZORDER BY]`` on this format. Contents are identical by
-    construction (one read, one write of the same rows); only the file
-    layout changes, so readers pruning via footer stats (operators/
-    fileindex) get the z-order benefit without any logical change. The
-    pre-optimize version remains time-travelable until vacuumed.
+    """Rewrite files of the latest version and publish the result as a
+    new version — Delta/Iceberg ``OPTIMIZE [ZORDER BY]`` on this format.
+    Contents are identical by construction; only the file layout changes,
+    so readers pruning via footer stats get the benefit without any
+    logical change. The pre-optimize version remains time-travelable
+    until vacuumed.
+
+    ``scope`` picks WHAT gets rewritten — at 100 TB a full-table rewrite
+    per maintenance pass is a non-starter, and the two targeted scopes
+    are the real compaction shapes:
+
+    * ``'table'`` (default) — everything; the only scope that may
+      Z-order (``zorder_cols`` requires it: clustering a subset would
+      leave the table half-ordered and the prune behavior misleading).
+    * ``'deletes'`` — ONLY the files masked by merge-on-read delete
+      entries (birth before some entry), read THROUGH the entries, so
+      the whole delete debt clears at O(masked files) IO instead of
+      O(table); untouched files carry verbatim. No-op (returns the
+      current manifest, no version published) when there is no debt.
+    * ``'small'`` — bin-pack only files under ``small_file_bytes`` (the
+      streaming-sink one-commit-per-microbatch shape); larger files
+      carry verbatim. Rewritten rows read through any live delete
+      entries (their fresh birth escapes the entries afterwards), and
+      the entries are DROPPED only if no carried file is still masked.
+      ``target_files`` defaults to ceil(rewritten bytes /
+      small_file_bytes). No-op when fewer than two files qualify. File
+      sizes come from one FileSystem metadata call per file — manifest-
+      scale driver work, never data IO.
 
     Append-heavy tables (the streaming sink writes one commit per
     microbatch) are exactly the small-file case this exists for.
     """
+    import math
+
+    if scope not in ("table", "deletes", "small"):
+        raise ValueError(f"scope must be table|deletes|small, got {scope!r}")
+    if scope != "table" and zorder_cols:
+        raise ValueError(
+            "zorder_cols requires scope='table' — Z-ordering a subset "
+            "leaves the table half-clustered"
+        )
     base = latest_version(spark, table_path)
     if base is None:
         raise ValueError(f"no versions published at {table_path}")
-    df = read_table(spark, table_path, version=base)
+    man = _resolve_manifest(spark, table_path, base)
+    schema_json = man["schema"]
+    deletes = man.get("deletes", [])
+    births = man.get("births")
+    max_entry = max((d["version"] for d in deletes), default=None)
+    if scope == "table":
+        rewrite, carry = list(man["files"]), []
+    elif scope == "deletes":
+        if max_entry is None:
+            return man  # no debt — nothing to do, no version published
+        rewrite = [
+            f for f in man["files"] if _file_birth(births, f) < max_entry
+        ]
+        carry = [
+            f for f in man["files"] if _file_birth(births, f) >= max_entry
+        ]
+    else:  # small
+        conf = spark._jsc.hadoopConfiguration()
+        _, _, jvm = _fs_path(spark, table_path)
+        hpath = jvm.org.apache.hadoop.fs.Path
+        sizes = {}
+        for f in man["files"]:
+            p = hpath(f)
+            sizes[f] = p.getFileSystem(conf).getFileStatus(p).getLen()
+        rewrite = [f for f in man["files"] if sizes[f] < small_file_bytes]
+        carry = [f for f in man["files"] if sizes[f] >= small_file_bytes]
+        if len(rewrite) < 2:
+            return man  # nothing worth compacting
+        if target_files is None:
+            target_files = max(
+                1,
+                math.ceil(sum(sizes[f] for f in rewrite) / small_file_bytes),
+            )
+    # entries drop only when nothing left is masked: every rewritten
+    # file's rows had the entries APPLIED during the read below, and a
+    # fresh birth version escapes them — but a carried file born before
+    # an entry still needs it
+    keep_deletes = deletes and any(
+        _file_birth(births, f) < max_entry for f in carry
+    )
+    schema = StructType.fromJson(json.loads(schema_json))
+    df = _apply_deletes(spark, schema, rewrite, deletes, births=births)
     next_v = base + 1
     commit_dir = (
         f"{table_path.rstrip('/')}/commit-{next_v:0{_VERSION_WIDTH}d}"
@@ -1176,26 +1250,35 @@ def optimize_table(
         out = df.coalesce(target_files) if target_files else df
         out.write.mode("error").parquet(commit_dir)
     new_files = _commit_files(spark, commit_dir)
-    base_man = _read_manifest(spark, table_path, base)
     manifest = {
         "version": next_v,
         "op": "optimize",
         "base_version": base,
-        "files": new_files,
-        "n_files": len(new_files),
-        "births": {f: next_v for f in new_files},
-        "schema": df.schema.json(),
+        "files": carry + new_files,
+        "n_files": len(carry) + len(new_files),
+        "births": {
+            **{f: _file_birth(births, f) for f in carry},
+            **{f: next_v for f in new_files},
+        },
+        "schema": schema_json,
         "zorder_cols": zorder_cols or [],
-        **_lineage(base_man),
+        "optimize_scope": scope,
+        **_lineage(man),
     }
-    if base_man.get("constraints"):  # content-identical → still valid
-        manifest["constraints"] = base_man["constraints"]
-    stats_cols = base_man.get("stats_cols")
+    if keep_deletes:
+        manifest["deletes"] = deletes
+    if man.get("constraints"):  # content-identical → still valid
+        manifest["constraints"] = man["constraints"]
+    stats_cols = man.get("stats_cols")
     if stats_cols:
+        prev_stats = man.get("stats", {})
         manifest["stats_cols"] = stats_cols
-        manifest["stats"] = _file_stats(
-            spark, new_files, stats_cols, _schema_col_types(df.schema.json())
-        )
+        manifest["stats"] = {
+            **{f: prev_stats[f] for f in carry if f in prev_stats},
+            **_file_stats(
+                spark, new_files, stats_cols, _schema_col_types(schema_json)
+            ),
+        }
     try:
         _publish(spark, table_path, manifest)
     except ConcurrentWriteError:

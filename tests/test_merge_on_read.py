@@ -608,3 +608,97 @@ def test_manifest_births_recorded_and_survive_file_moves(spark, tmp_path):
     assert _ids(read_table(spark, t)) == [0, 2, 3, 4, 5]
     got = {r.id: r.s for r in read_table(spark, t).collect()}
     assert got[2] == "reborn"
+
+
+def test_optimize_scope_deletes_rewrites_only_masked_files(spark, tmp_path):
+    """OPTIMIZE scope='deletes': clears the whole MOR debt at O(masked
+    files) — files born after every entry carry verbatim (same URIs),
+    content is unchanged, and describe_deletes returns to zero. A no-op
+    (current manifest, no new version) when there is no debt."""
+    from procurement_data_pipeline_spark.operators.versioning import (
+        describe_deletes,
+        latest_version,
+    )
+
+    t = str(tmp_path / "t")
+    versioned_write(spark, _df(spark, [(i, f"r{i}") for i in range(8)]), t)
+    merge_into(  # v2: delete {1,2}
+        spark, t, spark.createDataFrame([(1,), (2,)], "id long"),
+        key_col="id", when_matched="delete", strategy="merge-on-read",
+    )
+    merge_into(  # v3: upsert 2 (reborn) + 99 (new) — files born AFTER v2
+        spark, t, _df(spark, [(2, "reborn"), (99, "new")]),
+        key_col="id", when_matched="update", strategy="merge-on-read",
+    )
+    before = {(r.id, r.s) for r in read_table(spark, t).collect()}
+    m3 = _resolve_manifest(spark, t, 3)
+    upsert_files = {
+        f for f in m3["files"] if m3["births"][f] == 3
+    }
+    assert upsert_files  # the files that must NOT be rewritten
+
+    man = optimize_table(spark, t, scope="deletes")
+    assert man["op"] == "optimize" and man["optimize_scope"] == "deletes"
+    # the v3 upsert files carried verbatim; every masked file was replaced
+    assert upsert_files < set(man["files"])
+    assert not (set(m3["files"]) - upsert_files) & set(man["files"])
+    assert "deletes" not in man  # debt fully cleared
+    assert describe_deletes(spark, t)["entry_count"] == 0
+    assert {(r.id, r.s) for r in read_table(spark, t).collect()} == before
+
+    # no debt → no-op: latest version unchanged
+    v = latest_version(spark, t)
+    optimize_table(spark, t, scope="deletes")
+    assert latest_version(spark, t) == v
+
+
+def test_optimize_scope_small_binpacks_and_keeps_needed_entries(
+    spark, tmp_path
+):
+    """OPTIMIZE scope='small': only sub-threshold files rewrite (bin-
+    packed), big files carry; live delete entries are KEPT while any
+    carried file is still masked, and rewritten rows read through the
+    entries first (fresh births escape them afterwards)."""
+    t = str(tmp_path / "t")
+    # three tiny single-row commits + the masking delete
+    for i in range(3):
+        versioned_write(spark, _df(spark, [(i, f"r{i}")]), t)
+    merge_into(
+        spark, t, spark.createDataFrame([(0,)], "id long"),
+        key_col="id", when_matched="delete", strategy="merge-on-read",
+    )
+    before = _ids(read_table(spark, t))
+    assert before == [1, 2]
+    n_before = _resolve_manifest(
+        spark, t, 4
+    )["n_files"]
+    man = optimize_table(spark, t, scope="small")  # everything is tiny
+    assert man["n_files"] < n_before
+    # all masked files rewrote → entries dropped; content identical
+    assert "deletes" not in man
+    assert _ids(read_table(spark, t)) == before
+
+    # partial case: a big carried file that stays masked keeps the entry
+    t2 = str(tmp_path / "t2")
+    versioned_write(
+        spark,
+        spark.createDataFrame(
+            [(i, "x" * 64) for i in range(5000)], "id long, s string"
+        ).coalesce(1),  # ONE file, well above the threshold below
+        t2,
+    )
+    versioned_write(spark, _df(spark, [(100000, "tiny1")]), t2)
+    versioned_write(spark, _df(spark, [(100001, "tiny2")]), t2)
+    merge_into(
+        spark, t2, spark.createDataFrame([(7,), (100000,)], "id long"),
+        key_col="id", when_matched="delete", strategy="merge-on-read",
+    )
+    before2 = set(_ids(read_table(spark, t2)))
+    assert 7 not in before2 and 100000 not in before2
+    # threshold chosen between the tiny files and the 5000-row file
+    man2 = optimize_table(spark, t2, scope="small", small_file_bytes=4096)
+    assert man2.get("deletes"), "entry must survive while the big file is masked"
+    assert set(_ids(read_table(spark, t2))) == before2
+    # zorder demands full scope
+    with pytest.raises(ValueError, match="scope='table'"):
+        optimize_table(spark, t2, scope="small", zorder_cols=["id"])
