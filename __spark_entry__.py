@@ -170,6 +170,42 @@ GRADE_DEMOTED = frozenset(
         "versioned_time_travel",
         "tpch_q5_local_supplier_revenue",
         "tpch_q10_returned_items",
+        # round-11 rotation (VERDICT r10 item 1): the round-10 quartet
+        # (versioned_timestamp_travel / versioned_merge_update_set /
+        # versioned_describe_debt / versioned_clone_scan) promotes into
+        # the window — TIMESTAMP AS OF's between-commits resolution with
+        # the running-max clock adjustment, the partial-column MERGE SET
+        # path, MOR delete-debt observability, and the shallow-clone
+        # carried manifest are exactly the read/write-path logic the
+        # driver hash should certify. Four weakest graded siblings demote
+        # (the judge's own candidate list), each a pattern another window
+        # member still covers:
+        #   versioned_merge_current — reads the SAME shared fixture at
+        #       latest as versioned_pruned_scan / versioned_compound_scan
+        #       / versioned_clustered_scan (all staying graded), which
+        #       cannot hash-match unless the COW DELETE merge + OPTIMIZE
+        #       ZORDER it certifies were content-identical; the MERGE
+        #       write-path class additionally gains the strictly richer
+        #       versioned_merge_update_set (conditional partial-column
+        #       SET) this round
+        #   tpch_q13_customer_distribution — outer-join count histogram;
+        #       two-level count-then-distribution stays graded via
+        #       docs_dedup_clusters (cluster-size rollup) and
+        #       events_funnel (staged counts); outer-join NULL handling
+        #       via quality_exceptions (LEFT + IS NULL anti-join) and
+        #       net_demand_mrp (LEFT joins + COALESCE)
+        #   tpch_q15_top_supplier — scalar-max-subquery threshold; the
+        #       scalar-subquery-threshold class stays graded via
+        #       kpi_summary (latest-partition scalar subquery) and q20
+        #       (correlated 0.5*SUM threshold)
+        #   tpch_q22_dormant_customers — anti-join + avg-balance
+        #       threshold; anti-join exclusion stays graded via
+        #       quality_exceptions and q21 (NOT EXISTS), the global-agg
+        #       threshold via q20 and kpi_summary
+        "versioned_merge_current",
+        "tpch_q13_customer_distribution",
+        "tpch_q15_top_supplier",
+        "tpch_q22_dormant_customers",
     }
 )
 
@@ -224,19 +260,18 @@ GRADE_OVERFLOW = frozenset(
         # (round-10: emb_semantic_dedup_multiprobe / versioned_sql_time_travel
         # / versioned_mor_delete rotated OUT of overflow INTO the graded
         # window — see the round-10 entries in GRADE_DEMOTED above.)
-        # round-10: TIMESTAMP AS OF over manifest commit timestamps
-        # (VERDICT r9 item 3) — hash-checked twin of the graded
-        # versioned_sql_time_travel resolving by wall clock:
-        "versioned_timestamp_travel",
-        # round-10: merge-on-read delete-debt observability (VERDICT r9
-        # item 4) — integer debt counters from CALL versioned.describe:
-        "versioned_describe_debt",
-        # round-10: partial-column MERGE (UPDATE SET col = expr, VERDICT
-        # r9 item 5) — same rollup fixture through the update_set path:
-        "versioned_merge_update_set",
-        # round-10: shallow CLONE (zero-copy branching) — the MOR
-        # fixture's relation read through a clone's carried manifest:
-        "versioned_clone_scan",
+        # (round-11: versioned_timestamp_travel / versioned_describe_debt /
+        # versioned_merge_update_set / versioned_clone_scan rotated OUT of
+        # overflow INTO the graded window — see the round-11 entries in
+        # GRADE_DEMOTED above.)
+        # round-11: column mapping (RENAME COLUMN without rewrite) — both
+        # append eras of a renamed money column read through the physical
+        # pin and aggregate under the new logical name:
+        "versioned_renamed_scan",
+        # round-11: MOR delete-entry consolidation — the MOR fixture's
+        # relation through a clone whose two entries were metadata-merged
+        # into one (read-identity hash-certified):
+        "versioned_consolidated_scan",
         "docs_pack_sequences_2level",
         "docs_corpus_mix_temperature",
         "docs_quality_weighted_sample",

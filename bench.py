@@ -201,6 +201,9 @@ def main() -> None:
         "versioned_merge_update_set",
         "versioned_clone_scan",
         "events_value_deciles",
+        # Round-11 tier (column mapping: both append eras of a renamed
+        # column read through the physical pin):
+        "versioned_renamed_scan",
     ]
     def plan_rows() -> dict[str, str]:
         """query → its PLANS.md row: a cheap committed fingerprint of the

@@ -22,6 +22,8 @@ sinks) cannot tell which path produced the feed.
 
 from __future__ import annotations
 
+import json
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -51,21 +53,58 @@ def table_changes(
     path works without keys and reads ONLY the added files.
 
     ``from_timestamp`` / ``to_timestamp`` are the Delta CDF timestamp
-    forms: each resolves to the greatest version committed at or before
-    it (``version_as_of_timestamp``), then the version semantics above
-    apply — so "changes since instant T" means changes AFTER the version
-    that was current at T, exactly Delta's reading.
+    forms, with Delta's asymmetric boundary semantics (ADVICE r10 low —
+    the boundaries were both at-or-before-exclusive before):
+
+    * ``from_timestamp=T`` INCLUDES changes committed at-or-after T
+      (Delta's ``startingTimestamp``): it resolves to the first version
+      whose effective commit timestamp is >= T and includes that
+      version's changes. Raises if T is after the latest commit.
+    * ``to_timestamp=T`` includes changes committed at-or-before T
+      (Delta's ``endingTimestamp``): the greatest version committed
+      at-or-before T, inclusive (``version_as_of_timestamp``).
+
+    Effective timestamps are the running max down the version chain
+    (the same non-monotonic-clock adjustment as ``TIMESTAMP AS OF``).
     """
     from procurement_data_pipeline_spark.operators.versioning import (
+        _list_versions,
+        _read_manifest as _raw_manifest,
+        _ts_to_ms,
         version_as_of_timestamp,
     )
 
     if from_timestamp is not None:
         if from_version is not None:
             raise ValueError("pass from_version OR from_timestamp, not both")
-        from_version = version_as_of_timestamp(
-            spark, table_path, from_timestamp
-        )
+        t = _ts_to_ms(from_timestamp)
+        versions = _list_versions(spark, table_path)
+        if not versions:
+            raise ValueError(f"no versions published at {table_path}")
+        first_at_or_after = None
+        eff = 0
+        for v in versions:
+            eff = max(
+                eff,
+                int(_raw_manifest(spark, table_path, v).get(
+                    "committed_at_ms", 0
+                )),
+            )
+            if eff >= t:
+                first_at_or_after = v
+                break
+        if first_at_or_after is None:
+            raise ValueError(
+                f"from_timestamp {from_timestamp!r} is after the latest "
+                f"commit at {table_path} (latest committed_at_ms: {eff}) — "
+                "no changes exist at or after it"
+            )
+        # from_version is EXCLUSIVE, so minus one includes the resolved
+        # version's own changes. If that predecessor was vacuumed the
+        # range resolution below raises its standard message; the
+        # pure-append fast path never needs it (raw manifests of
+        # (from, to] only).
+        from_version = first_at_or_after - 1
     if from_version is None:
         raise ValueError("table_changes needs from_version or from_timestamp")
     if to_timestamp is not None:
@@ -134,14 +173,34 @@ def table_changes(
         else:
             # pure-append range WITH UNCHANGED delete entries: files added
             # after from_version were born after every live entry's
-            # version, so a raw read is exact
-            base = spark.read.schema(to_df.schema).parquet(*added)
+            # version, so a raw read is exact. The read goes through the
+            # manifest schema (not to_df.schema) so column-mapping
+            # physical names resolve — every raw manifest form carries
+            # the schema key.
+            from pyspark.sql.types import StructType as _ST
+
+            from procurement_data_pipeline_spark.operators.versioning import (
+                _read_data_files,
+            )
+
+            man_schema = _ST.fromJson(
+                json.loads(
+                    _read_manifest(spark, table_path, to_version)["schema"]
+                )
+            )
+            base = _read_data_files(spark, man_schema, added)
         return base.select(
             *keys,
             *[F.lit(None).cast(base.schema[c].dataType).alias(f"old_{c}") for c in compare],
             *[F.col(c).alias(f"new_{c}") for c in compare],
             F.lit("insert").alias("change_type"),
         )
+
+    native = _native_mor_feed(
+        spark, table_path, from_version, to_version, key_cols
+    )
+    if native is not None:
+        return native
 
     if not key_cols:
         raise ValueError(
@@ -157,6 +216,169 @@ def table_changes(
     return snapshot_diff(
         old_df, read_table(spark, table_path, version=to_version), key_cols
     )
+
+
+def _native_mor_feed(
+    spark: SparkSession,
+    table_path: str,
+    from_version: int,
+    to_version: int,
+    key_cols: list[str] | None,
+) -> DataFrame | None:
+    """Native change rows for a range of pure appends + MERGE-ON-READ
+    merges (VERDICT r10 stretch 8): derive the feed from each commit's
+    OWN metadata — O(changed data), never a full snapshot diff, and no
+    caller-supplied key_cols needed (the delete entries carry them).
+
+    Per MOR merge at version v the feed is ``snapshot_diff(old_v, new_v,
+    keys)`` where ``old_v`` = the pre-merge rows with entry keys
+    (candidate files stats-pruned by the keys' min/max, then a broadcast
+    semi-join — entry keys are O(batch) by the MOR contract) and
+    ``new_v`` = the merge's own upsert files. Rows outside the entry keys
+    are untouched by construction, so this equals the full diff of v-1
+    vs v restricted to changed rows — delete merges emit exactly the COW
+    diff's delete rows (old values populated); upserts emit the same
+    update/insert rows. Appends contribute their added files as inserts.
+
+    Granularity note: the feed is PER-COMMIT (a key touched twice in the
+    range appears once per touching commit — Delta CDF's reading), where
+    the keyed-diff fallback nets the endpoints.
+
+    Returns None (caller falls back) when the range contains any other
+    op, entries disagree on key columns, or the caller pinned different
+    ``key_cols`` than the entries use.
+    """
+    from pyspark.sql.types import StructType as _ST
+
+    from procurement_data_pipeline_spark.operators.versioning import (
+        _apply_deletes,
+        _phys_map,
+        _read_data_files,
+        plan_scan,
+    )
+
+    if from_version <= 0:
+        return None
+    per_version: list[tuple] = []  # (v, adds, new_entries)
+    prev_resolved: dict | None = None
+    for v in range(from_version + 1, to_version + 1):
+        raw = _read_manifest(spark, table_path, v)
+        op = raw.get("op")
+        mor = op == "merge" and (
+            raw.get("merge", {}).get("strategy") == "merge-on-read"
+        )
+        if op != "append" and not mor:
+            return None
+        if "delta_of" in raw:
+            if raw.get("removes"):
+                return None
+            adds = list(raw.get("adds", []))
+            new_entries = list(raw.get("deletes_adds", []))
+            if new_entries and not mor:
+                return None
+        else:
+            if prev_resolved is None or prev_resolved["version"] != v - 1:
+                prev_resolved = _resolve_manifest(spark, table_path, v - 1)
+            prev_files = set(prev_resolved["files"])
+            if not prev_files <= set(raw["files"]):
+                return None  # something removed: not pure growth
+            adds = [f for f in raw["files"] if f not in prev_files]
+            prev_keys = {
+                json.dumps(d, sort_keys=True)
+                for d in prev_resolved.get("deletes", [])
+            }
+            new_entries = [
+                d
+                for d in raw.get("deletes", [])
+                if json.dumps(d, sort_keys=True) not in prev_keys
+            ]
+            prev_resolved = raw  # full manifest: usable as next prev
+        per_version.append((v, adds, new_entries))
+    all_entries = [d for _, _, es in per_version for d in es]
+    if all_entries:
+        kc0 = all_entries[0]["key_cols"]
+        if any(d["key_cols"] != kc0 for d in all_entries[1:]):
+            return None
+    # schema / mapping of the range end pins names for the whole feed
+    end_schema = _ST.fromJson(
+        json.loads(_read_manifest(spark, table_path, to_version)["schema"])
+    )
+    rev = {p: l for l, p in _phys_map(end_schema).items()}
+    logical_keys = (
+        [rev.get(k, k) for k in all_entries[0]["key_cols"]]
+        if all_entries
+        else list(key_cols or [])
+    )
+    if key_cols is not None and all_entries and sorted(key_cols) != sorted(
+        logical_keys
+    ):
+        return None  # caller pinned different keys: their diff, not ours
+    cols = [f.name for f in end_schema.fields]
+    compare = [c for c in cols if c not in logical_keys]
+
+    def as_insert(df: DataFrame) -> DataFrame:
+        return df.select(
+            *logical_keys,
+            *[
+                F.lit(None).cast(df.schema[c].dataType).alias(f"old_{c}")
+                for c in compare
+            ],
+            *[F.col(c).alias(f"new_{c}") for c in compare],
+            F.lit("insert").alias("change_type"),
+        )
+
+    parts: list[DataFrame] = []
+    for v, adds, new_entries in per_version:
+        merge_adds_df = (
+            _read_data_files(spark, end_schema, adds) if adds else None
+        )
+        if not new_entries:
+            if merge_adds_df is not None:
+                parts.append(as_insert(merge_adds_df))
+            continue
+        # MOR merge: reconstruct the keyed diff of exactly the touched
+        # rows — old side = pre-merge rows with entry keys, new side =
+        # the merge's own upsert files (empty for delete merges)
+        entry = new_entries[0]  # one entry per MOR commit
+        keys_df = (
+            spark.read.parquet(*entry["files"])
+            .select(
+                *[
+                    F.col(k).alias(rev.get(k, k))
+                    for k in entry["key_cols"]
+                ]
+            )
+            .distinct()
+        )
+        man_prev = _resolve_manifest(spark, table_path, v - 1)
+        prev_schema = _ST.fromJson(json.loads(man_prev["schema"]))
+        kept = list(man_prev["files"])
+        fk = logical_keys[0]
+        if man_prev.get("stats_cols") and fk in man_prev["stats_cols"]:
+            bounds = keys_df.agg(
+                F.min(fk).alias("lo"), F.max(fk).alias("hi")
+            ).collect()[0]
+            kept, _total = plan_scan(
+                spark, table_path, fk, bounds["lo"], bounds["hi"],
+                version=v - 1, _manifest=man_prev,
+            )
+        old_v = _apply_deletes(
+            spark, prev_schema, kept, man_prev.get("deletes", []),
+            births=man_prev.get("births"),
+        ).join(F.broadcast(keys_df), on=logical_keys, how="semi")
+        new_v = (
+            merge_adds_df
+            if merge_adds_df is not None
+            else spark.createDataFrame([], end_schema)
+        )
+        parts.append(snapshot_diff(old_v, new_v, logical_keys))
+    if not parts:
+        to_df = read_table(spark, table_path, version=to_version)
+        return as_insert(to_df.limit(0))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
 
 
 __all__ = ["table_changes"]

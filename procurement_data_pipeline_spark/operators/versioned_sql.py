@@ -334,6 +334,10 @@ def sql(spark: SparkSession, statement: str) -> DataFrame:
         # rollback(path, k) or rollback(path, timestamp => ts) — the
         # RESTORE TO VERSION / TO TIMESTAMP pair
         _kw({"timestamp"})
+        if "timestamp" in kw and len(args) >= 2:
+            # the Python API's mutual-exclusion rule, surfaced here too
+            # instead of silently dropping the kwarg (ADVICE r10 low)
+            raise ValueError("pass to_version OR timestamp, not both")
         if len(args) == 1 and "timestamp" in kw:
             return _manifest_df(
                 spark, V.rollback(spark, args[0], timestamp=kw["timestamp"])
@@ -370,13 +374,14 @@ def sql(spark: SparkSession, statement: str) -> DataFrame:
         )
         return _manifest_df(spark, man)
     if cmd == "vacuum":
-        _kw({"keep_last", "dry_run"})
+        _kw({"keep_last", "dry_run", "retain_hours"})
         path = args[0]
         res = V.vacuum(
             spark,
             path,
             keep_last=kw.get("keep_last", 2),
             dry_run=kw.get("dry_run", False),
+            retain_hours=kw.get("retain_hours"),
         )
         return spark.createDataFrame(
             [
@@ -491,6 +496,23 @@ def sql(spark: SparkSession, statement: str) -> DataFrame:
             from_timestamp=kw.get("from_timestamp"),
             to_timestamp=kw.get("to_timestamp"),
         )
+    if cmd == "consolidate":
+        # consolidate(path) — metadata-only merge-on-read delete-entry
+        # compaction (one anti-join per REMAINING entry afterwards)
+        _kw(set())
+        return _manifest_df(spark, V.consolidate_deletes(spark, args[0]))
+    if cmd == "rename_column":
+        # rename_column(path, old, new) — metadata-only rename via the
+        # column mapping (zero data rewrite)
+        _kw(set())
+        path, old, new = args
+        return _manifest_df(spark, V.rename_column(spark, path, old, new))
+    if cmd == "drop_column":
+        # drop_column(path, name) — metadata-only drop; the on-disk name
+        # is tombstoned so a re-added column can never resurrect it
+        _kw(set())
+        path, name = args
+        return _manifest_df(spark, V.drop_column(spark, path, name))
     if cmd in ("snapshot", "time_travel"):
         # snapshot(path, view_name [, version => k | timestamp => ts]) —
         # registers the view AND returns it;
@@ -516,7 +538,8 @@ def sql(spark: SparkSession, statement: str) -> DataFrame:
     raise ValueError(
         f"unknown procedure CALL versioned.{cmd} — known: write, merge, "
         "rollback, optimize, vacuum, history, describe, constraints, "
-        "clone, snapshot, time_travel, scan, changes"
+        "clone, snapshot, time_travel, scan, changes, rename_column, "
+        "drop_column, consolidate"
     )
 
 

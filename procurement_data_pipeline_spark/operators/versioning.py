@@ -42,7 +42,7 @@ import time
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql.types import StructType
+from pyspark.sql.types import StructField, StructType
 
 from procurement_data_pipeline_spark.operators.erasure import (
     _fs_path,
@@ -146,6 +146,7 @@ _RESERVED_MANIFEST_KEYS = frozenset(
         "clone_src_version",
         "constraints",
         "optimize_scope",
+        "dropped_cols",
     }
 )
 
@@ -155,20 +156,29 @@ def _check_constraints(
     schema_json: str,
     files: list[str],
     constraints: list[str] | None,
+    deletes: list[dict] | None = None,
+    births: dict | None = None,
 ) -> None:
     """Enforce CHECK constraints (Delta's table-invariant shape) over the
     given just-written files, BEFORE the manifest publish: SQL CHECK
     semantics — a row violates when the expression is FALSE; NULL counts
     as satisfied. One aggregate job over the files, all constraints in a
     single pass; raises with per-constraint violation counts and nothing
-    is ever published (the caller deletes the orphan commit dir)."""
+    is ever published (the caller deletes the orphan commit dir).
+
+    ``deletes``/``births`` route the read through the merge-on-read mask
+    (ADVICE r10 low): an ADD CONSTRAINT re-validation of carried files
+    must judge what a reader actually SEES — rows masked by live delete
+    entries must not abort a constraint every real read satisfies."""
     from pyspark.sql import functions as F
 
     if not constraints or not files:
         return
-    df = spark.read.schema(
-        StructType.fromJson(json.loads(schema_json))
-    ).parquet(*files)
+    schema = StructType.fromJson(json.loads(schema_json))
+    if deletes:
+        df = _apply_deletes(spark, schema, files, deletes, births=births)
+    else:
+        df = _read_data_files(spark, schema, files)
     aggs = [
         F.sum(
             F.when(~F.coalesce(F.expr(c), F.lit(True)), 1).otherwise(0)
@@ -236,6 +246,72 @@ def _file_birth(births: dict | None, file_uri: str) -> int:
     return _birth_version(file_uri)
 
 
+# ---------------------------------------------------------------------------
+# Column mapping (VERDICT r10 item 4 — Delta's columnMapping shape):
+# RENAME/DROP COLUMN without rewriting a byte of data. Each logical field
+# MAY pin the name its data lives under on disk via field metadata
+# {"physical": "<on-disk name>"}; absent metadata means physical ==
+# logical (every pre-mapping table, zero-cost identity fast path). The
+# manifest schema stays the LOGICAL schema — time travel answers with
+# each version's own logical names for free, because every version pins
+# its own schema JSON. Writers rename logical → physical just before the
+# parquet write; readers read the physical struct and alias back. A
+# column re-added after a DROP gets a FRESH physical name (tracked via
+# the manifest's ``dropped_cols`` list), so dropped data can never
+# resurrect — Delta's max-column-id rule by other means.
+# ---------------------------------------------------------------------------
+
+
+def _phys_of(field: "StructField") -> str:
+    return (field.metadata or {}).get("physical", field.name)
+
+
+def _phys_map(schema: StructType) -> dict[str, str]:
+    """logical name -> on-disk (physical) name; identity without mapping."""
+    return {f.name: _phys_of(f) for f in schema.fields}
+
+
+def _is_identity_map(phys: dict[str, str]) -> bool:
+    return all(k == v for k, v in phys.items())
+
+
+def _to_physical(df: DataFrame, schema_json: str) -> DataFrame:
+    """Rename a logical-named DataFrame to physical names for writing.
+    Columns not in the table schema (never happens on validated paths)
+    pass through unchanged; identity mapping is a no-op."""
+    phys = _phys_map(StructType.fromJson(json.loads(schema_json)))
+    if _is_identity_map(phys):
+        return df
+    return df.toDF(*[phys.get(c, c) for c in df.columns])
+
+
+def _read_data_files(
+    spark: SparkSession, schema: "StructType", files: list[str]
+) -> DataFrame:
+    """Read data files under the LOGICAL schema: files store physical
+    names, so under a mapping the read schema uses physical names and a
+    projection aliases back — one Project node, no data movement. The
+    identity fast path is byte-for-byte the pre-mapping plan."""
+    phys = _phys_map(schema)
+    if _is_identity_map(phys):
+        return spark.read.schema(schema).parquet(*files)
+    from pyspark.sql import functions as F
+
+    pschema = StructType(
+        [
+            StructField(phys[f.name], f.dataType, f.nullable)
+            for f in schema.fields
+        ]
+    )
+    return (
+        spark.read.schema(pschema)
+        .parquet(*files)
+        .select(
+            *[F.col(phys[f.name]).alias(f.name) for f in schema.fields]
+        )
+    )
+
+
 def _apply_deletes(
     spark: SparkSession,
     schema: "StructType",
@@ -252,10 +328,12 @@ def _apply_deletes(
     never true)."""
     import bisect
 
+    from pyspark.sql import functions as F
+
     if not files:
         return spark.createDataFrame([], schema)
     if not deletes:
-        return spark.read.schema(schema).parquet(*files)
+        return _read_data_files(spark, schema, files)
     entries = sorted(deletes, key=lambda d: d["version"])
     versions = [d["version"] for d in entries]
     groups: dict[int, list[str]] = {}
@@ -266,16 +344,27 @@ def _apply_deletes(
         groups.setdefault(idx, []).append(f)
     # one keys relation per ENTRY, shared across birth groups (code-review
     # r9: building it inside the group loop planned G×E redundant
-    # read+distinct subtrees over identical delete files)
+    # read+distinct subtrees over identical delete files). Entry key_cols
+    # name the ON-DISK (physical) columns of the key files; under a
+    # column mapping they alias back to the current LOGICAL name so the
+    # anti-join follows a rename without touching the entry.
+    rev = {p: l for l, p in _phys_map(schema).items()}
+    entry_logical = [
+        [rev.get(k, k) for k in d["key_cols"]] for d in entries
+    ]
     entry_keys = [
-        spark.read.parquet(*d["files"]).select(*d["key_cols"]).distinct()
-        for d in entries
+        spark.read.parquet(*d["files"])
+        .select(
+            *[F.col(k).alias(lk) for k, lk in zip(d["key_cols"], lcols)]
+        )
+        .distinct()
+        for d, lcols in zip(entries, entry_logical)
     ]
     parts: list[DataFrame] = []
     for idx, fs_group in sorted(groups.items()):
-        df = spark.read.schema(schema).parquet(*fs_group)
-        for d, keys in zip(entries[idx:], entry_keys[idx:]):
-            df = df.join(keys, on=list(d["key_cols"]), how="left_anti")
+        df = _read_data_files(spark, schema, fs_group)
+        for lcols, keys in zip(entry_logical[idx:], entry_keys[idx:]):
+            df = df.join(keys, on=lcols, how="left_anti")
         parts.append(df)
     out = parts[0]
     for p in parts[1:]:
@@ -529,11 +618,16 @@ def _file_stats(
     files: list[str],
     stats_cols: list[str],
     col_types: dict[str, str] | None = None,
+    schema_json: str | None = None,
 ) -> dict:
     """Per-file ``{uri: {"n_rows": n, "<col>": [min, max]}}`` read from
     parquet footers (operators/fileindex distributes the footer reads; the
     collect here is manifest-scale — one small row per FILE, never rows of
-    data — the same bounded-collect contract the manifest itself is)."""
+    data — the same bounded-collect contract the manifest itself is).
+    ``stats_cols`` are LOGICAL names; under a column mapping
+    (``schema_json`` given) the footer lookup uses each column's physical
+    name while the stored stats stay keyed by the logical name — the rest
+    of the planner (plan_scan, merge pruning) never sees physical names."""
     if not files or not stats_cols:
         return {}
     from procurement_data_pipeline_spark.operators.fileindex import (
@@ -541,14 +635,24 @@ def _file_stats(
     )
 
     col_types = col_types or {}
+    phys = {c: c for c in stats_cols}
+    if schema_json is not None:
+        m = _phys_map(StructType.fromJson(json.loads(schema_json)))
+        phys = {c: m.get(c, c) for c in stats_cols}
     out: dict = {}
-    for r in footer_stats(spark, files, stats_cols, col_types=col_types).collect():
+    for r in footer_stats(
+        spark,
+        files,
+        [phys[c] for c in stats_cols],
+        col_types={phys[c]: t for c, t in col_types.items() if c in phys}
+        or None,
+    ).collect():
         ent: dict = {"n_rows": r["n_rows"]}
         for c in stats_cols:
             typ = col_types.get(c, "double")
             ent[c] = [
-                _encode_bound(r[f"min_{c}"], typ),
-                _encode_bound(r[f"max_{c}"], typ),
+                _encode_bound(r[f"min_{phys[c]}"], typ),
+                _encode_bound(r[f"max_{phys[c]}"], typ),
             ]
         out[r["file"]] = ent
     return out
@@ -940,14 +1044,29 @@ def versioned_write(
                         "merge_schema=True to ADD columns (old rows read NULL)"
                     )
                 # widening evolution: union of fields, old files backfill
-                # NULL through the manifest-pinned read schema
+                # NULL through the manifest-pinned read schema. A new
+                # field whose default physical name (its own name) is
+                # already taken on disk — by a DROPPED column's data or a
+                # renamed-away column's files — gets a FRESH physical name
+                # pinned in metadata, so stale data can never resurrect
+                # into the new column (Delta's column-mapping re-add rule).
                 merged = json.loads(prev["schema"])
                 have = set(prev_fields)
-                merged["fields"] += [
-                    f
-                    for f in json.loads(schema_json)["fields"]
-                    if f["name"] not in have
-                ]
+                taken = {
+                    (fld.get("metadata") or {}).get("physical", fld["name"])
+                    for fld in merged["fields"]
+                } | set(prev.get("dropped_cols", []))
+                for f in json.loads(schema_json)["fields"]:
+                    if f["name"] in have:
+                        continue
+                    f = dict(f)
+                    if f["name"] in taken:
+                        md = dict(f.get("metadata") or {})
+                        md["physical"] = (
+                            f["name"] + "__" + uuid.uuid4().hex[:8]
+                        )
+                        f["metadata"] = md
+                    merged["fields"].append(f)
                 schema_json = json.dumps(merged)
     if inherited_stats and stats_cols:
         # sticky stats_cols must survive contact with the NEW effective
@@ -992,18 +1111,34 @@ def versioned_write(
             if cluster_files
             else df.repartition(*cols)
         )
-    out.write.mode("error").parquet(commit_dir)
+    # files store PHYSICAL names (identity no-op without column mapping)
+    _to_physical(out, schema_json).write.mode("error").parquet(commit_dir)
     new_files = _commit_files(spark, commit_dir)
     try:
         # validate what actually LANDED (exactly-once compute of df);
-        # a changed constraint set re-validates carried files too
+        # a changed constraint set re-validates carried files too —
+        # through the MOR delete mask, because the constraint judges what
+        # readers see, not rows already deleted (ADVICE r10 low). New
+        # files carry birth next_v so no carried entry (version <= base)
+        # can mask them in the same pass.
+        revalidate = constraints_changed and mode == "append"
         _check_constraints(
             spark,
             schema_json,
-            (prev_files + new_files)
-            if (constraints_changed and mode == "append")
-            else new_files,
+            (prev_files + new_files) if revalidate else new_files,
             constraints,
+            deletes=(prev.get("deletes") if revalidate and prev else None),
+            births=(
+                {
+                    **{
+                        f: _file_birth(prev.get("births"), f)
+                        for f in prev_files
+                    },
+                    **{f: next_v for f in new_files},
+                }
+                if revalidate and prev
+                else None
+            ),
         )
     except ValueError:
         fs, commit_p, _ = _fs_path(spark, commit_dir)
@@ -1055,6 +1190,9 @@ def versioned_write(
         # overwrite replaces the content wholesale — nothing to mask.
         if mode == "append" and prev is not None and prev.get("deletes"):
             manifest["deletes"] = prev["deletes"]
+    if mode == "append" and prev is not None and prev.get("dropped_cols"):
+        # column-mapping bookkeeping survives every append (delta or full)
+        manifest["dropped_cols"] = prev["dropped_cols"]
     if cluster_by:
         manifest["cluster_by"] = list(cluster_by)
     if constraints:
@@ -1064,7 +1202,8 @@ def versioned_write(
     if stats_cols:
         manifest["stats_cols"] = list(stats_cols)
         new_stats = _file_stats(
-            spark, new_files, stats_cols, _schema_col_types(schema_json)
+            spark, new_files, stats_cols, _schema_col_types(schema_json),
+            schema_json=schema_json,
         )
         if is_delta:
             manifest["stats_adds"] = new_stats
@@ -1082,7 +1221,9 @@ def versioned_write(
             manifest["stats"] = {
                 **carried,
                 **_file_stats(
-                    spark, to_compute, stats_cols, _schema_col_types(schema_json)
+                    spark, to_compute, stats_cols,
+                    _schema_col_types(schema_json),
+                    schema_json=schema_json,
                 ),
                 **new_stats,
             }
@@ -1238,17 +1379,22 @@ def optimize_table(
     if zorder_cols:
         from procurement_data_pipeline_spark.catalog import z_order_write
 
+        # z-order on the PHYSICAL frame (what lands on disk), with the
+        # cluster columns translated through the mapping
+        zphys = _phys_map(schema)
         z_order_write(
-            df,
+            _to_physical(df, schema_json),
             commit_dir,
-            zorder_cols,
+            [zphys.get(c, c) for c in zorder_cols],
             num_files=target_files,
             mode="overwrite",
             bucket_mode=bucket_mode,
         )
     else:
         out = df.coalesce(target_files) if target_files else df
-        out.write.mode("error").parquet(commit_dir)
+        _to_physical(out, schema_json).write.mode("error").parquet(
+            commit_dir
+        )
     new_files = _commit_files(spark, commit_dir)
     manifest = {
         "version": next_v,
@@ -1269,6 +1415,8 @@ def optimize_table(
         manifest["deletes"] = deletes
     if man.get("constraints"):  # content-identical → still valid
         manifest["constraints"] = man["constraints"]
+    if man.get("dropped_cols"):
+        manifest["dropped_cols"] = man["dropped_cols"]
     stats_cols = man.get("stats_cols")
     if stats_cols:
         prev_stats = man.get("stats", {})
@@ -1276,15 +1424,124 @@ def optimize_table(
         manifest["stats"] = {
             **{f: prev_stats[f] for f in carry if f in prev_stats},
             **_file_stats(
-                spark, new_files, stats_cols, _schema_col_types(schema_json)
+                spark, new_files, stats_cols, _schema_col_types(schema_json),
+                schema_json=schema_json,
             ),
         }
-    try:
-        _publish(spark, table_path, manifest)
-    except ConcurrentWriteError:
+    # OCC rebase on conflict (VERDICT r10 item 6 — Delta's commit
+    # reconciliation): losing the publish to interleaved PURE APPENDS
+    # must not waste a long compaction. Re-read the new head, verify
+    # every interleaved commit only ADDED files (append data is disjoint
+    # from the rewritten set by construction — appends never touch
+    # existing files or delete entries), carry those adds into the
+    # manifest (with their births/stats from the head manifest, and the
+    # head's possibly-widened schema/constraints), and republish at
+    # head+1. Any non-append interleaver (merge, overwrite, rollback,
+    # another optimize, a schema op) aborts instead: its effect on the
+    # rewritten rows cannot be replayed, so the rewrite is discarded and
+    # the conflict propagates — correctness first. Interleaved appends
+    # are NOT z-ordered by this commit (they arrived after the plan); the
+    # next optimize picks them up, same as Delta.
+    published = False
+    rebase_adds: list[str] = []  # accumulates across conflict rounds
+    for _ in range(8):
+        try:
+            _publish(spark, table_path, manifest)
+            published = True
+            break
+        except ConcurrentWriteError:
+            target_v = manifest["version"]
+            head = latest_version(spark, table_path)
+            ok = head is not None and head >= target_v
+            extra_adds: list[str] = []
+            if ok:
+                # walk the interleaved commits; every one must be a pure
+                # append (delta adds, or a full manifest that only grew)
+                base_files = set(
+                    _resolve_manifest(spark, table_path, target_v - 1)[
+                        "files"
+                    ]
+                )
+                for v in range(target_v, head + 1):
+                    raw = _read_manifest(spark, table_path, v)
+                    if raw.get("op") != "append" or raw.get("deletes_adds"):
+                        ok = False
+                        break
+                    if "delta_of" in raw:
+                        if raw.get("removes"):
+                            ok = False
+                            break
+                        extra_adds.extend(raw["adds"])
+                        base_files.update(raw["adds"])
+                    else:
+                        cur = set(raw["files"])
+                        if not base_files <= cur:
+                            ok = False  # something was removed: not append
+                            break
+                        adds = [
+                            f for f in raw["files"] if f not in base_files
+                        ]
+                        extra_adds.extend(adds)
+                        base_files = cur
+            if not ok:
+                fs, commit_p, _ = _fs_path(spark, commit_dir)
+                fs.delete(commit_p, True)
+                raise
+            rebase_adds.extend(extra_adds)
+            head_raw = _read_manifest(spark, table_path, head)
+            head_man = _resolve_manifest(spark, table_path, head)
+            new_v2 = head + 1
+            manifest["version"] = new_v2
+            manifest["base_version"] = head
+            manifest["files"] = carry + new_files + rebase_adds
+            manifest["n_files"] = len(manifest["files"])
+            manifest["births"] = {
+                **{f: _file_birth(births, f) for f in carry},
+                **{f: new_v2 for f in new_files},
+                **{
+                    f: _file_birth(head_man.get("births"), f)
+                    for f in rebase_adds
+                },
+            }
+            # the head's schema may have WIDENED (merge_schema appends);
+            # rewritten files read the new columns back as NULL through
+            # the pinned schema — content identical either way
+            manifest["schema"] = head_man["schema"]
+            manifest.update(_lineage(head_raw))
+            for k in ("constraints", "dropped_cols"):
+                if head_man.get(k):
+                    manifest[k] = head_man[k]
+                else:
+                    manifest.pop(k, None)
+            head_sc = head_man.get("stats_cols")
+            if head_sc:
+                head_stats = head_man.get("stats", {})
+                manifest["stats_cols"] = head_sc
+                manifest["stats"] = {
+                    **{
+                        f: head_stats[f]
+                        for f in carry + rebase_adds
+                        if f in head_stats
+                    },
+                    **_file_stats(
+                        spark,
+                        new_files,
+                        head_sc,
+                        _schema_col_types(head_man["schema"]),
+                        schema_json=head_man["schema"],
+                    ),
+                }
+            else:
+                manifest.pop("stats_cols", None)
+                manifest.pop("stats", None)
+    if not published:
         fs, commit_p, _ = _fs_path(spark, commit_dir)
         fs.delete(commit_p, True)
-        raise
+        raise ConcurrentWriteError(
+            f"optimize at {table_path} lost the publish 8 times in a row "
+            "— writer volume too high for a maintenance rebase; retry in "
+            "a quieter window"
+        )
     _verify_commit_visible(spark, table_path, manifest, commit_dir)
     return manifest
 
@@ -1342,11 +1599,21 @@ def _merge_on_read(
         f"-{uuid.uuid4().hex[:8]}"
     )
     del_dir, commit_dir = stem + "-del", stem
-    updates.select(*key_cols).distinct().write.mode("error").parquet(del_dir)
+    # key files and upsert files store PHYSICAL names; the delete entry
+    # records the physical key names (descriptive of its files — the read
+    # path aliases them back through the CURRENT mapping, so entries
+    # follow later renames without rewrite)
+    phys = _phys_map(StructType.fromJson(json.loads(man["schema"])))
+    pkey_cols = [phys.get(k, k) for k in key_cols]
+    _to_physical(
+        updates.select(*key_cols).distinct(), man["schema"]
+    ).write.mode("error").parquet(del_dir)
     del_files = _commit_files(spark, del_dir)
     new_files: list[str] = []
     if when_matched == "update":
-        updates.write.mode("error").parquet(commit_dir)
+        _to_physical(updates, man["schema"]).write.mode("error").parquet(
+            commit_dir
+        )
         new_files = _commit_files(spark, commit_dir)
         try:
             _check_constraints(
@@ -1359,7 +1626,7 @@ def _merge_on_read(
             raise
     entry = {
         "version": next_v,
-        "key_cols": list(key_cols),
+        "key_cols": pkey_cols,
         "files": del_files,
         "n_keys": n_keys,
     }
@@ -1374,6 +1641,11 @@ def _merge_on_read(
         "n_files": len(man["files"]) + len(new_files),
         "schema": man["schema"],
         **_lineage(man),
+        **(
+            {"dropped_cols": man["dropped_cols"]}
+            if man.get("dropped_cols")
+            else {}
+        ),
         "merge": {
             "when_matched": when_matched,
             "key_cols": list(key_cols),
@@ -1405,7 +1677,8 @@ def _merge_on_read(
     if man.get("stats_cols"):
         manifest["stats_cols"] = man["stats_cols"]
         new_stats = _file_stats(
-            spark, new_files, man["stats_cols"], _schema_col_types(man["schema"])
+            spark, new_files, man["stats_cols"],
+            _schema_col_types(man["schema"]), schema_json=man["schema"],
         )
         if is_delta:
             manifest["stats_adds"] = new_stats
@@ -1751,15 +2024,20 @@ def merge_into(
     ):
         key_kind = None  # mixed-typed key list: no safe envelope
     if key_kind and man["files"]:
+        # footers store PHYSICAL names; the pruning key maps through the
+        # table's column mapping (identity without one)
+        pkey = _phys_map(StructType.fromJson(json.loads(man["schema"]))).get(
+            first_key, first_key
+        )
         stats = footer_stats(
             spark,
             man["files"],
-            [first_key],
-            col_types={first_key: "string"} if key_kind == "string" else None,
+            [pkey],
+            col_types={pkey: "string"} if key_kind == "string" else None,
         ).collect()
 
         def admits(r) -> bool:
-            lo, hi = r[f"min_{first_key}"], r[f"max_{first_key}"]
+            lo, hi = r[f"min_{pkey}"], r[f"max_{pkey}"]
             if lo is None or hi is None:
                 return True  # no stats → cannot prune
             if key_kind == "numeric":  # float64 envelope → ulp-widen
@@ -1918,7 +2196,9 @@ def merge_into(
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)
-        out.write.mode("error").parquet(commit_dir)
+        _to_physical(out, man["schema"]).write.mode("error").parquet(
+            commit_dir
+        )
         new_files = _commit_files(spark, commit_dir)
         try:
             # rewritten rows re-validate too — they were valid at their
@@ -1945,6 +2225,11 @@ def merge_into(
         "n_files": len(untouched) + len(new_files),
         "schema": man["schema"],
         **_lineage(man),
+        **(
+            {"dropped_cols": man["dropped_cols"]}
+            if man.get("dropped_cols")
+            else {}
+        ),
         "merge": {
             "when_matched": when_matched,
             "key_cols": key_cols,
@@ -1977,7 +2262,7 @@ def merge_into(
         manifest["stats_cols"] = man["stats_cols"]
         new_stats = _file_stats(
             spark, new_files, man["stats_cols"],
-            _schema_col_types(man["schema"]),
+            _schema_col_types(man["schema"]), schema_json=man["schema"],
         )
         if is_delta:
             manifest["stats_adds"] = new_stats
@@ -2039,6 +2324,159 @@ def rollback(
         manifest["deletes"] = target["deletes"]
     if target.get("constraints"):
         manifest["constraints"] = target["constraints"]
+    if target.get("dropped_cols"):
+        manifest["dropped_cols"] = target["dropped_cols"]
+    _publish(spark, table_path, manifest)
+    _verify_commit_visible(spark, table_path, manifest, None)
+    return manifest
+
+
+# a bare identifier reference inside a constraint expression — backtick-
+# quoted or dotted tails never match (same boundary rule as the merge
+# alias rewriter)
+def _expr_references(expr: str, col: str) -> bool:
+    return bool(
+        re.search(
+            rf"(?<![A-Za-z0-9_.`$]){re.escape(col)}(?![A-Za-z0-9_])", expr
+        )
+    )
+
+
+def rename_column(
+    spark: SparkSession, table_path: str, old: str, new: str
+) -> dict:
+    """RENAME COLUMN without rewriting a byte of data (VERDICT r10 item
+    4 — Delta's column-mapping rename). Publishes a metadata-only commit
+    whose schema carries the new LOGICAL name with the on-disk name
+    pinned in field metadata ``{"physical": ...}``; every data file,
+    birth version, delete entry and stats bound carries verbatim (stats
+    re-key to the new logical name). Time travel answers with each
+    version's OWN logical names, because each manifest pins its own
+    schema. Live merge-on-read delete entries follow the rename
+    automatically — they reference the PHYSICAL key name, which never
+    changes. Refuses when a CHECK constraint references ``old`` (drop or
+    rewrite the constraint first; silently rewriting user SQL is worse)."""
+    base = latest_version(spark, table_path)
+    if base is None:
+        raise ValueError(f"no versions published at {table_path}")
+    man = _resolve_manifest(spark, table_path, base)
+    schema = json.loads(man["schema"])
+    names = [f["name"] for f in schema["fields"]]
+    if old not in names:
+        raise ValueError(f"column {old!r} not in table (has: {names})")
+    if new in names:
+        raise ValueError(f"column {new!r} already exists")
+    for c in man.get("constraints", []):
+        if _expr_references(c, old):
+            raise ValueError(
+                f"cannot rename {old!r}: CHECK constraint {c!r} references "
+                "it — drop the constraint, rename, then re-add it under "
+                "the new name"
+            )
+    for f in schema["fields"]:
+        if f["name"] == old:
+            md = dict(f.get("metadata") or {})
+            md.setdefault("physical", old)  # pin the on-disk name
+            f["metadata"] = md
+            f["name"] = new
+    manifest = {
+        "version": base + 1,
+        "op": "rename_column",
+        "base_version": base,
+        "files": man["files"],
+        "n_files": len(man["files"]),
+        "births": {
+            f: _file_birth(man.get("births"), f) for f in man["files"]
+        },
+        "schema": json.dumps(schema),
+        **_lineage(man),
+    }
+    if man.get("deletes"):
+        manifest["deletes"] = man["deletes"]
+    if man.get("constraints"):
+        manifest["constraints"] = man["constraints"]
+    if man.get("dropped_cols"):
+        manifest["dropped_cols"] = man["dropped_cols"]
+    if man.get("stats_cols"):
+        manifest["stats_cols"] = [
+            new if c == old else c for c in man["stats_cols"]
+        ]
+        manifest["stats"] = {
+            fl: {
+                ("n_rows" if k == "n_rows" else (new if k == old else k)): v
+                for k, v in ent.items()
+            }
+            for fl, ent in man.get("stats", {}).items()
+        }
+    _publish(spark, table_path, manifest)
+    _verify_commit_visible(spark, table_path, manifest, None)
+    return manifest
+
+
+def drop_column(spark: SparkSession, table_path: str, name: str) -> dict:
+    """DROP COLUMN without data rewrite: the column leaves the LOGICAL
+    schema (reads stop projecting it — column pruning means the bytes
+    are never fetched), files carry verbatim, and the on-disk name is
+    recorded in the manifest's ``dropped_cols`` so a future ADD COLUMN of
+    the same name gets a fresh physical name and can never resurrect the
+    dropped data. Refuses when a CHECK constraint references the column
+    or a LIVE merge-on-read delete entry is keyed on it (the masking
+    anti-join would lose its key — OPTIMIZE the debt away first)."""
+    base = latest_version(spark, table_path)
+    if base is None:
+        raise ValueError(f"no versions published at {table_path}")
+    man = _resolve_manifest(spark, table_path, base)
+    schema = json.loads(man["schema"])
+    fields = schema["fields"]
+    names = [f["name"] for f in fields]
+    if name not in names:
+        raise ValueError(f"column {name!r} not in table (has: {names})")
+    if len(fields) == 1:
+        raise ValueError("cannot drop the table's only column")
+    for c in man.get("constraints", []):
+        if _expr_references(c, name):
+            raise ValueError(
+                f"cannot drop {name!r}: CHECK constraint {c!r} references "
+                "it — drop the constraint first"
+            )
+    victim = next(f for f in fields if f["name"] == name)
+    physical = (victim.get("metadata") or {}).get("physical", name)
+    for d in man.get("deletes", []):
+        if physical in d["key_cols"]:
+            raise ValueError(
+                f"cannot drop {name!r}: a live merge-on-read delete entry "
+                f"(version {d['version']}) is keyed on it — run "
+                "optimize_table(scope='deletes') to materialize the debt "
+                "first"
+            )
+    schema["fields"] = [f for f in fields if f["name"] != name]
+    manifest = {
+        "version": base + 1,
+        "op": "drop_column",
+        "base_version": base,
+        "files": man["files"],
+        "n_files": len(man["files"]),
+        "births": {
+            f: _file_birth(man.get("births"), f) for f in man["files"]
+        },
+        "schema": json.dumps(schema),
+        "dropped_cols": sorted(
+            set(man.get("dropped_cols", [])) | {physical}
+        ),
+        **_lineage(man),
+    }
+    if man.get("deletes"):
+        manifest["deletes"] = man["deletes"]
+    if man.get("constraints"):
+        manifest["constraints"] = man["constraints"]
+    if man.get("stats_cols"):
+        kept = [c for c in man["stats_cols"] if c != name]
+        if kept:
+            manifest["stats_cols"] = kept
+            manifest["stats"] = {
+                fl: {k: v for k, v in ent.items() if k != name}
+                for fl, ent in man.get("stats", {}).items()
+            }
     _publish(spark, table_path, manifest)
     _verify_commit_visible(spark, table_path, manifest, None)
     return manifest
@@ -2072,8 +2510,17 @@ def clone_table(
     shape for zero-copy branching (dev/test tables, experiment branches,
     point-in-time forks at 100 TB where a physical copy is a non-starter).
 
-    SHALLOW (default): publishes ``dst``'s version 1 referencing the
-    SOURCE's data files — O(manifest) metadata work, zero data IO. The
+    SHALLOW (default): publishes ``dst`` AT THE SOURCE'S VERSION NUMBER
+    referencing the source's data files — O(manifest) metadata work, zero
+    data IO. Publishing at ``clone_src_version`` (not 1) keeps the
+    carried birth versions and delete-entry versions correctly scoped at
+    dst: every carried birth/entry version is <= the clone version, so
+    dst's next commit (clone_version + 1) strictly exceeds them — a
+    post-clone append is never masked by a carried delete entry, and a
+    post-clone MOR delete masks every carried file (ADVICE r10 high:
+    publishing at 1 put post-clone writes INSIDE the carried version
+    domain, silently vanishing re-appended once-deleted keys and
+    no-op'ing new deletes against carried files born at src >= 2). The
     clone is a fully independent table afterwards (its own log; writes,
     merges, OPTIMIZE at dst never touch src — dst's first OPTIMIZE
     breaks the file dependency entirely), with the standard caveat
@@ -2102,7 +2549,10 @@ def clone_table(
             raise ValueError(f"no versions published at {src_path}")
     man = _resolve_manifest(spark, src_path, version)
     manifest: dict = {
-        "version": 1,
+        # shallow clones publish at the SOURCE version so carried
+        # births/delete-entry versions stay in-domain (see docstring);
+        # deep clones materialize content with fresh births at 1
+        "version": 1 if deep else version,
         "op": "clone",
         "base_version": None,
         "schema": man["schema"],
@@ -2125,7 +2575,18 @@ def clone_table(
         if man.get("stats_cols"):
             manifest["stats_cols"] = man["stats_cols"]
             manifest["stats"] = dict(man.get("stats", {}))
+        if man.get("dropped_cols"):  # column-mapping bookkeeping carries
+            manifest["dropped_cols"] = man["dropped_cols"]
     else:
+        # deep clone materializes CONTENT under logical names — the
+        # column mapping (physical pins + dropped_cols) does not carry,
+        # because the fresh files are written with the logical schema
+        stripped = json.loads(man["schema"])
+        for fld in stripped["fields"]:
+            md = dict(fld.get("metadata") or {})
+            if md.pop("physical", None) is not None:
+                fld["metadata"] = md
+        manifest["schema"] = json.dumps(stripped)
         commit_dir = (
             f"{dst_path.rstrip('/')}/commit-{1:0{_VERSION_WIDTH}d}"
             f"-{uuid.uuid4().hex[:8]}"
@@ -2145,6 +2606,7 @@ def clone_table(
                 new_files,
                 man["stats_cols"],
                 _schema_col_types(man["schema"]),
+                # deep clone writes LOGICAL names (mapping stripped below)
             )
     manifest["n_files"] = len(manifest["files"])
     try:
@@ -2203,6 +2665,89 @@ def describe_deletes(
     }
 
 
+def consolidate_deletes(spark: SparkSession, table_path: str) -> dict:
+    """Metadata-only compaction of merge-on-read delete entries (VERDICT
+    r10 item 7): between OPTIMIZEs every MERGE adds one entry and every
+    read pays one anti-join per entry; this bounds that read cost WITHOUT
+    touching a data file.
+
+    Soundness rule (stricter than "same key_cols, union the files"):
+    masking is ``file birth < entry version``, so moving an entry's keys
+    to a LATER version would newly mask any file born in between — and a
+    file born there can carry a REBORN once-deleted key (a MOR upsert's
+    own appended files are the canonical case: born at the entry's
+    version, deliberately unmasked by it). Two adjacent entries (same
+    key_cols, versions v_a < v_b) therefore merge ONLY when no current
+    data file has birth in [v_a, v_b) — consecutive pure deletes always
+    qualify (a 'delete' merge appends nothing); any interleaved
+    append/upsert fences the run. Merged entries keep every original key
+    file (zero data IO — the union is a manifest edit); ``n_keys``
+    becomes the sum, an upper bound when batches shared keys (the read
+    path distinct()s anyway — advisory, stated).
+
+    Publishes an ``op='consolidate_deletes'`` version when anything
+    merged; returns the current manifest untouched otherwise. Reads
+    before/after are identical by the rule above; ``describe_deletes``
+    reflects the reduced entry count."""
+    base = latest_version(spark, table_path)
+    if base is None:
+        raise ValueError(f"no versions published at {table_path}")
+    man = _resolve_manifest(spark, table_path, base)
+    entries = sorted(man.get("deletes", []), key=lambda d: d["version"])
+    if len(entries) < 2:
+        return man
+    birth_list = sorted(
+        _file_birth(man.get("births"), f) for f in man["files"]
+    )
+    import bisect as _b
+
+    def births_in(lo: int, hi: int) -> bool:  # any birth in [lo, hi)?
+        return _b.bisect_left(birth_list, hi) > _b.bisect_left(
+            birth_list, lo
+        )
+
+    merged: list[dict] = []
+    run = dict(entries[0])
+    run["files"] = list(run["files"])
+    for e in entries[1:]:
+        if e["key_cols"] == run["key_cols"] and not births_in(
+            run["version"], e["version"]
+        ):
+            run["files"] += list(e["files"])
+            run["n_keys"] = int(run.get("n_keys", 0)) + int(
+                e.get("n_keys", 0)
+            )
+            run["version"] = e["version"]
+        else:
+            merged.append(run)
+            run = dict(e)
+            run["files"] = list(run["files"])
+    merged.append(run)
+    if len(merged) == len(entries):
+        return man  # nothing adjacent-and-safe to merge
+    manifest = {
+        "version": base + 1,
+        "op": "consolidate_deletes",
+        "base_version": base,
+        "files": man["files"],
+        "n_files": len(man["files"]),
+        "births": {
+            f: _file_birth(man.get("births"), f) for f in man["files"]
+        },
+        "schema": man["schema"],
+        "deletes": merged,
+        **_lineage(man),
+    }
+    for k in ("constraints", "dropped_cols", "stats_cols"):
+        if man.get(k):
+            manifest[k] = man[k]
+    if man.get("stats_cols"):
+        manifest["stats"] = dict(man.get("stats", {}))
+    _publish(spark, table_path, manifest)
+    _verify_commit_visible(spark, table_path, manifest, None)
+    return manifest
+
+
 def history(spark: SparkSession, table_path: str) -> list[dict]:
     """Every retained version's manifest metadata, oldest first (file
     lists elided to counts — the audit view, not the read path).
@@ -2229,11 +2774,23 @@ def vacuum(
     keep_last: int = 2,
     ctmp_grace_seconds: float = 3600.0,
     dry_run: bool = False,
+    retain_hours: float | None = None,
 ) -> dict:
     """Expire all but the newest ``keep_last`` versions: their manifests
     are removed and every data file or commit directory no RETAINED
     version references is deleted. Time travel to an expired version then
     fails loudly (:func:`read_table` names the surviving versions).
+
+    ``retain_hours`` (VERDICT r10 item 5 — Delta's ``VACUUM ...
+    RETAIN N HOURS`` form) ADDITIONALLY keeps every version whose
+    effective commit timestamp (the same running-max adjustment
+    ``TIMESTAMP AS OF`` uses, so clock skew can never expire a version
+    newer than a retained one) is within the last N hours. The two knobs
+    compose as floors: retention keeps the UNION of the age-retained
+    suffix and the ``keep_last`` newest — both sets are suffixes of the
+    version chain, so the kept set always is too. Manifests published
+    before commit timestamps existed count as age 0 (epoch) — reachable
+    only through ``keep_last``, stated not hidden.
 
     ``dry_run=True`` reports the same counts WITHOUT touching anything —
     no checkpoint writes, no deletes (Delta's ``VACUUM ... DRY RUN``):
@@ -2249,10 +2806,30 @@ def vacuum(
     if keep_last < 1:
         raise ValueError("keep_last must be >= 1")
     versions = _list_versions(spark, table_path)
-    if len(versions) <= keep_last:
+    keep_n = keep_last
+    if retain_hours is not None:
+        if retain_hours < 0:
+            raise ValueError("retain_hours must be >= 0")
+        horizon = _now_ms() - retain_hours * 3_600_000
+        eff = 0
+        oldest_keep_idx = len(versions)
+        for i, v in enumerate(versions):
+            eff = max(
+                eff,
+                int(
+                    _read_manifest(spark, table_path, v).get(
+                        "committed_at_ms", 0
+                    )
+                ),
+            )
+            if eff >= horizon:
+                oldest_keep_idx = i  # suffix start: all later are younger
+                break
+        keep_n = max(keep_last, len(versions) - oldest_keep_idx)
+    if len(versions) <= keep_n:
         out0 = {"expired_versions": 0, "deleted_files": 0}
         return {**out0, "dry_run": True} if dry_run else out0
-    keep, drop = versions[-keep_last:], versions[:-keep_last]
+    keep, drop = versions[-keep_n:], versions[:-keep_n]
     dropset = set(drop)
     live: set[str] = set()
     for v in keep:

@@ -12,10 +12,9 @@
   for a learned representation: near-±1 pairs mean wasted dimensions
   (JL/PCA candidates — both shipped in this repo as the reduction path).
   Exact integer moments per (i, j) pair; r needs two IEEE sqrts (correctly
-  rounded) and one division. The pair relation is d²-bounded per vector —
-  fine for d = 64; for d in the thousands the scale path is the
-  matmul-style Gram accumulation (emb_pca_power's pattern), not pairwise
-  explosion.
+  rounded) and one division. Computed as a matmul-style Gram accumulation
+  in mapInPandas (one int64 Vᵀ·V per Arrow batch): the shuffle carries
+  batches·d²/2 partial-moment rows, never n·d²/2 exploded pairs.
 
 Later additions in this module (each documented at its registration):
 events_type_gini_impurity, events_user_pareto_share, events_value_hampel,
@@ -138,38 +137,76 @@ LIMIT {_CORR_TOP}
     tags=("similarity", "llm", "profiling"),
 )
 def q_emb_dim_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """One posexplode + a co-located self-join on vec_id (the pair build
-    never shuffles vectors apart — AQE sees both sides share the vec_id
-    hash), then a (d·(d−1)/2)-group aggregate and a top-k. The vm
-    quantization makes every moment an exact integer, so ranking by |r|
-    compares identical doubles on both engines."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    dims = scoped_persist(
-        emb.select("vec_id", F.posexplode("embedding").alias("pos0", "xf")).select(
-            "vec_id",
-            (F.col("pos0") + 1).alias("pos"),  # 1-based, matching the oracle
-            F.floor(F.col("xf").cast("double") * 1000000).cast("long").alias("vm"),
-        )
-    )
-    a = dims.select(
-        "vec_id", F.col("pos").alias("i"), F.col("vm").alias("va")
-    )
-    b = dims.select(
-        "vec_id", F.col("pos").alias("j"), F.col("vm").alias("vb")
+    """Gram-matrix moment accumulation (VERDICT r10 item 2): each Arrow
+    batch of vectors folds into d×d integer moment matrices via ONE numpy
+    matmul (Vᵀ·V for sxy; column sums / squared-column sums broadcast for
+    sx/sy/sxx/syy), and the shuffle carries batches·d²/2 partial rows
+    instead of the previous n·d²/2 exploded pair rows — at 100× the data
+    the shuffle stays O(partitions·d²), independent of n. The per-batch
+    partials are exact int64 (|vm| ≤ 1e6 ⇒ |vm²| ≤ 1e12; Arrow batches
+    are ~10⁴ rows, overflow needs >9·10⁶ rows per batch), the cross-batch
+    sums decimal(38,0) — bit-identical moments to the oracle's HUGEINT
+    self-join, so the hash is unchanged. Variable-length vectors fold per
+    length class (a pair (i,j) counts exactly the vectors carrying both
+    dims, matching the oracle's inner join on position)."""
+    import numpy as np
+    import pandas as pd
+
+    emb = load_table(spark, sf_dir, "embeddings").select("embedding")
+
+    def gram_partials(batches):
+        for pdf in batches:
+            col = pdf["embedding"]
+            if not len(col):
+                continue
+            by_len: dict[int, list] = {}
+            for v in col:
+                vm = np.floor(
+                    np.asarray(v, dtype=np.float64) * 1_000_000
+                ).astype(np.int64)
+                by_len.setdefault(vm.shape[0], []).append(vm)
+            # one stacked int64 matmul per length class (exact — float64
+            # BLAS would lose exactness past 2^53 on the summed products)
+            acc = {}  # length class -> [N, colsum, sqsum, SXY]
+            for L, vs in by_len.items():
+                V = np.stack(vs)
+                acc[L] = [V.shape[0], V.sum(0), (V * V).sum(0), V.T @ V]
+            d = max(acc)
+            iu, ju = np.triu_indices(d, k=1)
+            out = {
+                k: np.zeros(iu.shape[0], dtype=np.int64)
+                for k in ("n", "sx", "sy", "sxy", "sxx", "syy")
+            }
+            for L, (nL, colsum, sqsum, sxy) in acc.items():
+                m = ju < L  # pairs where BOTH dims exist in this class
+                i_m, j_m = iu[m], ju[m]
+                out["n"][m] += nL
+                out["sx"][m] += colsum[i_m]
+                out["sy"][m] += colsum[j_m]
+                out["sxx"][m] += sqsum[i_m]
+                out["syy"][m] += sqsum[j_m]
+                out["sxy"][m] += sxy[i_m, j_m]
+            yield pd.DataFrame(
+                {
+                    "i": iu + 1,  # 1-based, matching the oracle
+                    "j": ju + 1,
+                    **out,
+                }
+            )
+
+    partials = emb.mapInPandas(
+        gram_partials,
+        "i long, j long, n long, sx long, sy long, sxy long, sxx long, "
+        "syy long",
     )
     dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
-    pairs = (
-        a.join(b, ["vec_id"])
-        .where(F.col("j") > F.col("i"))
-        .groupBy("i", "j")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n"),
-            F.sum(dec("va")).alias("sx"),
-            F.sum(dec("vb")).alias("sy"),
-            F.sum(dec("va") * dec("vb")).alias("sxy"),
-            F.sum(dec("va") * dec("va")).alias("sxx"),
-            F.sum(dec("vb") * dec("vb")).alias("syy"),
-        )
+    pairs = partials.groupBy("i", "j").agg(
+        F.sum("n").cast("long").alias("n"),
+        F.sum(dec("sx")).alias("sx"),
+        F.sum(dec("sy")).alias("sy"),
+        F.sum(dec("sxy")).alias("sxy"),
+        F.sum(dec("sxx")).alias("sxx"),
+        F.sum(dec("syy")).alias("syy"),
     )
     n = F.col("n")
     sxd, syd = F.col("sx").cast("double"), F.col("sy").cast("double")

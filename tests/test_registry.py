@@ -71,6 +71,14 @@ def test_entry_contract(spark):
 # hashes); versioned_time_travel (its SQL twin reads the same fixture
 # through a strictly larger path), tpch_q5 and tpch_q10 demoted —
 # rationale inline in __spark_entry__.GRADE_DEMOTED.
+# Round-11 rotation (VERDICT r10 item 1): versioned_timestamp_travel +
+# versioned_describe_debt + versioned_merge_update_set +
+# versioned_clone_scan promoted (TIMESTAMP AS OF resolution, MOR debt
+# observability, partial-column MERGE SET, shallow-clone carried
+# manifest earn driver hashes); versioned_merge_current (read path
+# subsumed by the three graded fixture-sharing scan queries), tpch_q13,
+# tpch_q15, tpch_q22 demoted — rationale inline in
+# __spark_entry__.GRADE_DEMOTED.
 GRADED_50 = (
     "events_sessionization",
     "events_retention_cohorts",
@@ -93,9 +101,6 @@ GRADED_50 = (
     "docs_corpus_curation",
     "tpch_q1_pricing_summary",
     "tpch_q3_shipping_priority",
-    "tpch_q13_customer_distribution",
-    "tpch_q15_top_supplier",
-    "tpch_q22_dormant_customers",
     "tpch_q8_market_share",
     "tpch_q20_concentrated_suppliers",
     "tpch_q21_waiting_supplier",
@@ -111,7 +116,6 @@ GRADED_50 = (
     "events_kmv_type_overlap",
     "events_ab_cuped",
     "orders_kaplan_meier",
-    "versioned_merge_current",
     "versioned_cdf_inserts",
     "versioned_pruned_scan",
     "versioned_compound_scan",
@@ -120,7 +124,11 @@ GRADED_50 = (
     "versioned_delta_cdf",
     "versioned_delta_pruned",
     "versioned_sql_time_travel",
+    "versioned_timestamp_travel",
     "versioned_mor_delete",
+    "versioned_describe_debt",
+    "versioned_merge_update_set",
+    "versioned_clone_scan",
     "docs_curriculum_schedule",
 )
 

@@ -468,3 +468,7 @@ def test_rollback_by_timestamp_and_constraints_listing(spark, tmp_path, monkeypa
         V.rollback(spark, t, to_version=1, timestamp=1_500)
     with pytest.raises(ValueError, match="to_version or timestamp"):
         V.rollback(spark, t)
+    # the CALL surface raises the SAME mutual-exclusion error instead of
+    # silently ignoring the timestamp kwarg (ADVICE r10 low)
+    with pytest.raises(ValueError, match="not both"):
+        sql(spark, f"CALL versioned.rollback('{t}', 1, timestamp => 1500)")

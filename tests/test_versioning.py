@@ -1690,6 +1690,235 @@ def test_clone_shallow_and_deep(spark, tmp_path):
         clone_table(spark, src, shallow)
 
 
+def test_clone_shallow_version_domain(spark, tmp_path):
+    """ADVICE r10 high: a shallow clone publishes at the SOURCE'S version
+    number, so post-clone writes land strictly OUTSIDE the carried
+    version domain. Two scoping cases that silently corrupted when the
+    clone published at version 1:
+
+    (a) a key MOR-deleted at src BEFORE the clone, re-appended at dst
+        AFTER it, must survive — the append's birth version exceeds the
+        carried delete entry's version;
+    (b) a NEW MOR delete at dst must mask carried files born at src
+        version >= 2 — the new entry's version exceeds every carried
+        birth."""
+    from procurement_data_pipeline_spark.operators.versioning import (
+        clone_table,
+        merge_into,
+    )
+
+    src = str(tmp_path / "src")
+    versioned_write(spark, _df(spark, [1, 2, 3]), src)          # v1
+    versioned_write(spark, _df(spark, [4]), src)                # v2 (birth 2)
+    merge_into(  # v3: MOR delete id 2 — entry version 3
+        spark, src, spark.createDataFrame([(2,)], "id long"),
+        key_col="id", when_matched="delete", strategy="merge-on-read",
+    )
+    assert _ids(read_table(spark, src)) == [1, 3, 4]
+
+    dst = str(tmp_path / "dst")
+    man = clone_table(spark, src, dst)
+    assert man["version"] == 3  # published AT the source version
+    assert latest_version(spark, dst) == 3
+
+    # (a) re-append the once-deleted key: birth 4 > entry version 3
+    versioned_write(spark, _df(spark, [2]), dst)
+    assert _ids(read_table(spark, dst)) == [1, 2, 3, 4]
+
+    # (b) new MOR delete at dst of a key living in a carried file born
+    # at src v2: entry version 5 > birth 2 — must actually mask
+    merge_into(
+        spark, dst, spark.createDataFrame([(4,)], "id long"),
+        key_col="id", when_matched="delete", strategy="merge-on-read",
+    )
+    assert _ids(read_table(spark, dst)) == [1, 2, 3]
+    # src untouched by any of it
+    assert _ids(read_table(spark, src)) == [1, 3, 4]
+
+
+def test_consolidate_deletes_merges_runs_and_respects_rebirths(
+    spark, tmp_path
+):
+    """MOR delete-entry consolidation (VERDICT r10 item 7): N consecutive
+    pure deletes collapse to ONE entry (reads pay one anti-join instead
+    of N), reads are unchanged, describe_deletes reflects it — and a
+    rebirth (upsert of a once-deleted key) FENCES the run, because moving
+    the older entry past the upsert's birth would re-delete the reborn
+    rows."""
+    from procurement_data_pipeline_spark.operators.versioning import (
+        consolidate_deletes,
+        describe_deletes,
+        merge_into,
+    )
+
+    t = str(tmp_path / "t")
+    versioned_write(spark, _df(spark, list(range(1, 11))), t)  # v1
+    for k in (2, 3, 4):  # v2..v4: three pure MOR deletes
+        merge_into(
+            spark, t, spark.createDataFrame([(k,)], "id long"),
+            key_col="id", when_matched="delete", strategy="merge-on-read",
+        )
+    assert describe_deletes(spark, t)["entry_count"] == 3
+    before = _ids(read_table(spark, t))
+    man = consolidate_deletes(spark, t)  # v5
+    assert man["op"] == "consolidate_deletes"
+    d = describe_deletes(spark, t)
+    assert d["entry_count"] == 1 and d["total_keys"] == 3
+    assert _ids(read_table(spark, t)) == before == [1, 5, 6, 7, 8, 9, 10]
+    # idempotent: nothing left to merge, no version published
+    assert consolidate_deletes(spark, t)["version"] == man["version"]
+
+    # rebirth fence: delete 5 (v6), upsert 5 back (v7: entry + upserted
+    # file born at 7), delete 6 (v8). Merging v6's entry past v7's birth
+    # would mask the reborn 5 — the run must split there.
+    merge_into(
+        spark, t, spark.createDataFrame([(5,)], "id long"),
+        key_col="id", when_matched="delete", strategy="merge-on-read",
+    )
+    merge_into(
+        spark, t, _df(spark, [5]),
+        key_col="id", when_matched="update", strategy="merge-on-read",
+    )
+    merge_into(
+        spark, t, spark.createDataFrame([(6,)], "id long"),
+        key_col="id", when_matched="delete", strategy="merge-on-read",
+    )
+    assert describe_deletes(spark, t)["entry_count"] == 4
+    consolidate_deletes(spark, t)
+    d = describe_deletes(spark, t)
+    # the run [v4-merged, v6, v7] merges (no data file born in [4,7) —
+    # masking keys {2,3,4,5} below birth 7 spares the reborn 5's file,
+    # born exactly AT 7), then v7's birth fences v8's entry out
+    assert d["entry_count"] == 2
+    assert _ids(read_table(spark, t)) == [1, 5, 7, 8, 9, 10]
+    # SQL surface
+    from procurement_data_pipeline_spark.operators.versioned_sql import sql
+
+    sql(spark, f"CALL versioned.consolidate('{t}')")
+    assert _ids(read_table(spark, t)) == [1, 5, 7, 8, 9, 10]
+
+
+def test_optimize_rebases_over_interleaved_append(spark, tmp_path, monkeypatch):
+    """OCC rebase (VERDICT r10 item 6): an append that lands while an
+    OPTIMIZE is compacting does not waste the rewrite — the optimize
+    re-reads the head, carries the interleaved append's files verbatim,
+    and republishes at head+1. Both writers' rows survive, no user-level
+    retry."""
+    from procurement_data_pipeline_spark.operators import versioning as V
+
+    t = str(tmp_path / "t")
+    versioned_write(spark, _df(spark, [1, 2]), t)  # v1
+    versioned_write(spark, _df(spark, [3]), t)  # v2
+
+    real_publish = V._publish
+    state = {"injected": False}
+
+    def racing_publish(spark_, path, manifest):
+        if manifest.get("op") == "optimize" and not state["injected"]:
+            state["injected"] = True  # before the write: its own publish
+            versioned_write(spark, _df(spark, [99]), t)  # steals v3
+        return real_publish(spark_, path, manifest)
+
+    monkeypatch.setattr(V, "_publish", racing_publish)
+    man = V.optimize_table(spark, t, target_files=1)
+    assert state["injected"]
+    assert man["op"] == "optimize" and man["version"] == 4
+    assert man["base_version"] == 3  # rebased onto the interleaved head
+    assert _ids(read_table(spark, t)) == [1, 2, 3, 99]
+    # the interleaved append's file carried VERBATIM (born at v3, not
+    # rewritten by a commit that planned before it existed)
+    v3_adds = [
+        f for f in man["files"] if V._file_birth(man["births"], f) == 3
+    ]
+    assert v3_adds and all("commit-00000003" in f for f in v3_adds)
+
+
+def test_optimize_conflict_with_non_append_still_raises(
+    spark, tmp_path, monkeypatch
+):
+    """A non-append interleaver (here a MERGE delete) cannot be rebased
+    over — the optimize discards its rewrite and raises; the table keeps
+    the merge's effect untouched."""
+    from procurement_data_pipeline_spark.operators import versioning as V
+    from procurement_data_pipeline_spark.operators.versioning import (
+        ConcurrentWriteError,
+        merge_into,
+    )
+
+    t = str(tmp_path / "t")
+    versioned_write(spark, _df(spark, [1, 2, 3]), t)  # v1
+
+    real_publish = V._publish
+    state = {"injected": False}
+
+    def racing_publish(spark_, path, manifest):
+        if manifest.get("op") == "optimize" and not state["injected"]:
+            state["injected"] = True
+            merge_into(  # steals v2 with a rewrite
+                spark, t, spark.createDataFrame([(2,)], "id long"),
+                key_col="id", when_matched="delete",
+            )
+        return real_publish(spark_, path, manifest)
+
+    monkeypatch.setattr(V, "_publish", racing_publish)
+    with pytest.raises(ConcurrentWriteError):
+        V.optimize_table(spark, t, target_files=1)
+    assert _ids(read_table(spark, t)) == [1, 3]  # merge intact
+    assert latest_version(spark, t) == 2
+
+
+def test_vacuum_retain_hours_age_boundary(spark, tmp_path, monkeypatch):
+    """VACUUM RETAIN N HOURS (VERDICT r10 item 5): keeps every version
+    whose effective commit timestamp is inside the horizon, composes as a
+    floor with keep_last, and dry run reports the same split without
+    touching anything."""
+    from procurement_data_pipeline_spark.operators import versioning as V
+    from procurement_data_pipeline_spark.operators.versioned_sql import sql
+
+    HOUR = 3_600_000
+    t = str(tmp_path / "t")
+    clock = iter([1 * HOUR, 2 * HOUR, 3 * HOUR, 10 * HOUR])
+    monkeypatch.setattr(V, "_now_ms", lambda: next(clock))
+    versioned_write(spark, _df(spark, [1]), t, mode="overwrite")  # v1 @ 1h
+    versioned_write(spark, _df(spark, [2]), t, mode="overwrite")  # v2 @ 2h
+    versioned_write(spark, _df(spark, [3]), t, mode="overwrite")  # v3 @ 3h
+    # vacuum "now" = 10h, retain 8h → horizon 2h: v2 (exactly at the
+    # boundary, inclusive) and v3 stay by age; keep_last=1 floor is lower
+    dry = V.vacuum(
+        spark, t, keep_last=1, retain_hours=8, dry_run=True
+    )
+    assert dry["expired_versions"] == 1 and dry["dry_run"] is True
+    # dry run touched nothing
+    assert _list_versions_of(spark, t) == [1, 2, 3]
+    monkeypatch.setattr(V, "_now_ms", lambda: 10 * HOUR)
+    res = V.vacuum(spark, t, keep_last=1, retain_hours=8)
+    assert res == {
+        "expired_versions": 1, "deleted_files": dry["deleted_files"],
+    }
+    assert _list_versions_of(spark, t) == [2, 3]
+    assert _ids(read_table(spark, t, version=2)) == [2]
+    # keep_last floor still applies when the horizon would keep less
+    res = V.vacuum(spark, t, keep_last=2, retain_hours=0)
+    assert res == {"expired_versions": 0, "deleted_files": 0}
+    # SQL surface passes retain_hours through
+    versioned_write(spark, _df(spark, [4]), t, mode="overwrite")  # v4 @10h
+    monkeypatch.setattr(V, "_now_ms", lambda: 20 * HOUR)
+    row = sql(
+        spark,
+        f"CALL versioned.vacuum('{t}', keep_last => 1, retain_hours => 5)",
+    ).collect()[0]
+    assert row.expired_versions == 2  # v2,v3 aged out; v4 retained
+    assert _list_versions_of(spark, t) == [4]
+
+
+def _list_versions_of(spark, t):
+    from procurement_data_pipeline_spark.operators.versioning import (
+        _list_versions,
+    )
+
+    return _list_versions(spark, t)
+
+
 def test_vacuum_dry_run_reports_without_touching(spark, tmp_path):
     """VACUUM DRY RUN: same counts as the real run would produce, zero
     mutation — every version stays readable, no checkpoint appears."""
@@ -1785,6 +2014,34 @@ def test_check_constraints_enforced_everywhere(spark, tmp_path):
         versioned_write(spark, rows((9, -9)), c)
 
 
+def test_add_constraint_validates_through_mor_deletes(spark, tmp_path):
+    """ADVICE r10 low: ADD CONSTRAINT's full-table re-validation judges
+    what a READER sees — a row masked by a live merge-on-read delete
+    entry must not abort a constraint every actual read satisfies."""
+    from procurement_data_pipeline_spark.operators.versioning import (
+        merge_into,
+    )
+
+    t = str(tmp_path / "t")
+    rows = lambda *vs: spark.createDataFrame(  # noqa: E731
+        list(vs), "id long, v long"
+    )
+    versioned_write(spark, rows((1, 10), (2, -99)), t)
+    merge_into(  # MOR delete the violating row — zero rewrites
+        spark, t, spark.createDataFrame([(2,)], "id long"),
+        key_col="id", when_matched="delete", strategy="merge-on-read",
+    )
+    # every read satisfies v >= 0 now; ADD CONSTRAINT must agree
+    versioned_write(spark, rows((3, 30)), t, constraints=["v >= 0"])
+    assert sorted(
+        (r.id, r.v) for r in read_table(spark, t).collect()
+    ) == [(1, 10), (3, 30)]
+    # ...and still catches a LIVE violation among carried rows
+    versioned_write(spark, rows((4, -4)), t, constraints=[])
+    with pytest.raises(ValueError, match="CHECK constraint violation"):
+        versioned_write(spark, rows((5, 5)), t, constraints=["v >= 0"])
+
+
 def test_history_exposes_commit_timestamps_and_read_table_timestamp(
     spark, tmp_path, monkeypatch
 ):
@@ -1808,9 +2065,10 @@ def test_history_exposes_commit_timestamps_and_read_table_timestamp(
 
 def test_timestamp_forms_on_scan_and_cdf(spark, tmp_path, monkeypatch):
     """scan_table(timestamp=) and table_changes(from_timestamp=/
-    to_timestamp=) resolve through version_as_of_timestamp with Delta's
-    'changes since instant T' reading (exclusive of the version current
-    at T)."""
+    to_timestamp=) resolve with Delta's asymmetric boundary semantics:
+    startingTimestamp INCLUDES a commit landing exactly at T (first
+    version at-or-after T), endingTimestamp is at-or-before-inclusive
+    (ADVICE r10 low)."""
     from procurement_data_pipeline_spark.operators import versioning as V
     from procurement_data_pipeline_spark.operators.cdf import table_changes
 
@@ -1836,6 +2094,16 @@ def test_timestamp_forms_on_scan_and_cdf(spark, tmp_path, monkeypatch):
     # bounded above by an instant: (v1, v2]
     got = table_changes(spark, t, from_timestamp=1_500, to_timestamp=2_500)
     assert sorted(r.new_id for r in got.collect()) == [3]
+    # Delta startingTimestamp boundary: a commit landing EXACTLY at T is
+    # included (v2 @ 2000 is the first version at-or-after 2000)
+    got = table_changes(spark, t, from_timestamp=2_000)
+    assert sorted(r.new_id for r in got.collect()) == [3, 4]
+    # T before every commit = bootstrap (everything is an insert)
+    got = table_changes(spark, t, from_timestamp=500)
+    assert sorted(r.new_id for r in got.collect()) == [1, 2, 3, 4]
+    # T after the latest commit: no changes exist at-or-after it
+    with pytest.raises(ValueError, match="after the latest commit"):
+        table_changes(spark, t, from_timestamp=999_999_999)
     with pytest.raises(ValueError, match="from_version or from_timestamp"):
         table_changes(spark, t)
     with pytest.raises(ValueError, match="not both"):
