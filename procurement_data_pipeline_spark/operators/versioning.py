@@ -1771,6 +1771,14 @@ def merge_into(
     shape. Publishes op='merge'; the pre-merge version stays
     time-travelable until vacuumed.
 
+    Concurrency: a merge that loses the version race raises
+    :class:`ConcurrentWriteError` and deliberately does NOT auto-rebase
+    (unlike :func:`optimize_table`, whose rewrite is content-identical):
+    an interleaved append may contain rows matching the merge keys, so
+    replaying the stale result would silently miss them — Delta's
+    ``ConcurrentAppendException`` draws the same line. The caller
+    re-reads and re-runs the merge against the new state.
+
     ``strategy='merge-on-read'`` is the Iceberg-v2 equality-delete /
     Delta deletion-vector shape: the merge rewrites NO data file at all.
     A delete publishes the distinct key tuples as DELETE FILES plus a
