@@ -23,6 +23,12 @@ from pyspark.sql.window import Window
 
 SCALE = 1_000_000
 
+# float64 accumulates integer dot products EXACTLY while every partial sum
+# stays below 2^53 (all integers ≤ 2^53 are representable and integer
+# add/multiply on them is closed) — the guard bound for using BLAS matmul
+# on quantized vectors instead of the (slower) int64 matmul path.
+_GRAM_EXACT_BOUND = float(2**53)
+
 
 def _micro(col: Column) -> Column:
     """array<float> → array<bigint> of FLOOR(x*1e6) (exact quantization)."""
@@ -790,45 +796,88 @@ def semantic_dedup(
     base = embeddings.select(
         F.col(id_col).alias("_id"),
         F.col(vec_col).alias("_v"),
-        F.sqrt(quantized_norm_sq(F.col(vec_col)).cast("double")).alias("_nrm"),
     )
-    # persisted: the cluster-tagged relation feeds both sides of the
-    # self-join AND the corpus-shaped output — without the persist the
-    # kmeans assignment projection would re-run three times
+    # persisted: the cluster-tagged relation feeds both the pair scan AND
+    # the corpus-shaped output — without the persist the kmeans assignment
+    # projection would re-run twice
     from procurement_data_pipeline_spark.caching import scoped_persist
 
     pts = scoped_persist(
         base.join(asg.withColumnRenamed(id_col, "_id"), "_id")
     )
-    a = pts.select(
-        F.col("_id").alias("_ida"),
-        F.col("_v").alias("_va"),
-        F.col("_nrm").alias("_na"),
-        "cluster",
+    # Within-cell pair scan as ONE integer Gram matrix per cell (numpy)
+    # instead of a self-join evaluating a d-element zip_with/aggregate
+    # lambda per candidate pair: the scores are the identical doubles —
+    # micro-quantization (FLOOR(x*1e6), exact int64), dot products as
+    # matmul (see _GRAM_EXACT_BOUND: every intermediate is an integer
+    # below 2^53, so float64 BLAS is EXACT; larger quantities fall back
+    # to int64 matmul), then the same cast-to-double division by the
+    # norm product. Emitting only the surviving (larger-id, smaller-id)
+    # pairs keeps the shuffle O(duplicates) instead of O(candidate
+    # pairs × d) — per guide §4.2 (batchwise native code) and §2.3
+    # (shuffle decisions, not payloads).
+    pair_schema = "_ida long, _idb long"
+    thr = float(threshold)
+
+    empty = pd.DataFrame(
+        {
+            "_ida": np.array([], dtype=np.int64),
+            "_idb": np.array([], dtype=np.int64),
+        }
     )
-    b = pts.select(
-        F.col("_id").alias("_idb"),
-        F.col("_v").alias("_vb"),
-        F.col("_nrm").alias("_nb"),
-        "cluster",
-    )
-    score = quantized_dot(F.col("_va"), F.col("_vb")).cast("double") / (
-        F.col("_na") * F.col("_nb")
-    )
+
+    def _cell_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        m = len(pdf)
+        if m < 2:
+            return empty
+        ids = pdf["_id"].to_numpy()
+        V = np.floor(
+            np.array([np.asarray(v, dtype=np.float64) for v in pdf["_v"]])
+            * SCALE
+        )
+        # exactness guard: d * max|a| * max|b| must stay below 2^53 for
+        # float64 accumulation to be exact; otherwise use int64 matmul
+        amax = float(np.abs(V).max()) if m else 0.0
+        exact64 = V.shape[1] * amax * amax < _GRAM_EXACT_BOUND
+        M = V if exact64 else V.astype(np.int64)
+        # norm follows the same engine contract: exact int64 sum of
+        # squares, cast to double, sqrt (in the exact64 regime the float64
+        # sum IS that integer; the fallback reproduces Java long wrap)
+        nrm = np.sqrt(np.asarray((M * M).sum(axis=1), dtype=np.float64))
+        out_a: list[np.ndarray] = []
+        out_b: list[np.ndarray] = []
+        for s in range(0, m, 2048):
+            e = min(s + 2048, m)
+            G = M[s:e] @ M.T
+            score = np.asarray(G, dtype=np.float64) / (
+                nrm[s:e, None] * nrm[None, :]
+            )
+            ai, bj = np.nonzero(
+                (score >= thr) & (ids[None, :] < ids[s:e, None])
+            )
+            if len(ai):
+                out_a.append(ids[s:e][ai])
+                out_b.append(ids[bj])
+        if not out_a:
+            return empty
+        return pd.DataFrame(
+            {
+                "_ida": np.concatenate(out_a).astype(np.int64),
+                "_idb": np.concatenate(out_b).astype(np.int64),
+            }
+        )
+
+    pair_src = pts.select("_id", "_v", "cluster")
+    pairs = pair_src.groupBy("cluster").applyInPandas(_cell_pairs, pair_schema)
     # a pair co-probed in TWO shared cells must count once — countDistinct
     # for multi-probe; with one probe each pair appears exactly once, so
     # plain count is the same VALUE without the distinct-aggregation
-    # exchange (the graded single-probe plan keeps its 4-shuffle shape)
+    # exchange
     partner_count = (
         F.countDistinct("_idb") if probes > 1 else F.count("_idb")
     )
-    dups = (
-        a.join(b, "cluster")
-        .filter(F.col("_idb") < F.col("_ida"))
-        .withColumn("_s", score)
-        .filter(F.col("_s") >= F.lit(threshold))
-        .groupBy("_ida")
-        .agg(partner_count.cast("long").alias("n_dup_smaller"))
+    dups = pairs.groupBy("_ida").agg(
+        partner_count.cast("long").alias("n_dup_smaller")
     )
     return (
         pts.filter(F.col("probe") == 0)
