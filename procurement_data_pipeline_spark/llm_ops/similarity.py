@@ -15,6 +15,8 @@ engine-portable); the unquantized functions are the production forms.
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame
@@ -585,88 +587,140 @@ def kmeans_assign(
         # emits it) and downstream filters on it would fail with an opaque
         # unresolved-column error (ADVICE r10) — refuse up front
         raise ValueError(f"probes must be >= 1, got {probes}")
-    pts = embeddings.select(
-        F.col(id_col), _micro(F.col(vec_col)).alias("_p")
-    )
+    pts = embeddings.select(F.col(id_col), F.col(vec_col).alias("_e"))
     # Deterministic seeding: the k lowest-id vectors are centroids 0..k-1.
-    seeds = (
-        pts.orderBy(F.col(id_col).asc())
-        .limit(k)
-        .select(F.col(id_col), F.col("_p"))
-        .collect()
-    )
+    seeds = pts.orderBy(F.col(id_col).asc()).limit(k).collect()
     ordered = sorted(seeds, key=lambda r: r[0])
-    centroids = [(j, list(r[1])) for j, r in enumerate(ordered)]
+    labels = list(range(len(ordered)))
+    cents = [
+        np.floor(np.asarray(list(r[1]), dtype=np.float64) * SCALE).astype(
+            np.int64
+        )
+        for r in ordered
+    ]
 
-    assigned = None
-    for it in range(iters):
-        dist_structs = [
-            F.struct(
-                F.aggregate(
-                    F.zip_with(
-                        F.col("_p"),
-                        F.array(*[F.lit(v).cast("long") for v in cvec]),
-                        lambda x, y: (x - y) * (x - y),
-                    ),
-                    F.lit(0).cast("long"),
-                    lambda acc, v: acc + v,
-                ).alias("dist"),
-                F.lit(j).cast("int").alias("cluster"),
-            )
-            for j, cvec in centroids
-        ]
-        assigned = pts.withColumn(
-            "cluster", F.array_min(F.array(*dist_structs)).getField("cluster")
+    # Distance computation moved from per-row Catalyst zip_with/aggregate
+    # lambdas (interpreted, k·d element ops per row) to batchwise numpy
+    # (guide §4.2): micro-quantize the batch (FLOOR(x*1e6) — the same
+    # exact int64 contract), then squared L2 to every centroid. In the
+    # common regime every term stays below 2^53 so float64 matmul is
+    # EXACT; otherwise fall back to the int64 difference path. Both give
+    # the identical integers the SQL oracle computes.
+    def _batch_dists(X: np.ndarray, C: np.ndarray) -> np.ndarray:
+        amax = max(
+            float(np.abs(X).max(initial=0.0)), float(np.abs(C).max(initial=0))
         )
-        if it == iters - 1:
-            if probes > 1:
-                # top-n emission: sort the (dist, cluster) structs — same
-                # integer ordering as the argmin — and take the first
-                # `probes`; posexplode gives the 0-based probe rank
-                assigned = pts.select(
-                    F.col(id_col),
-                    F.col("_p"),
-                    F.posexplode(
-                        F.slice(
-                            F.array_sort(F.array(*dist_structs)),
-                            1,
-                            probes,
-                        )
-                    ).alias("probe", "_ds"),
-                ).select(
-                    F.col(id_col),
-                    F.col("_p"),
-                    F.col("_ds").getField("cluster").alias("cluster"),
-                    F.col("probe").cast("int").alias("probe"),
-                )
-            break  # last round is assignment-only; an update would be dead work
-        update = (
-            assigned.select(
-                "cluster", F.posexplode(F.col("_p")).alias("pos", "v")
+        if X.shape[1] * (2.0 * amax) * (2.0 * amax) < _GRAM_EXACT_BOUND:
+            Cf = C.astype(np.float64)
+            return (
+                (X * X).sum(axis=1)[:, None]
+                - 2.0 * (X @ Cf.T)
+                + (Cf * Cf).sum(axis=1)[None, :]
             )
-            .groupBy("cluster", "pos")
-            .agg(
-                F.floor(
-                    F.sum("v").cast("double") / F.count(F.lit(1))
-                )
-                .cast("long")
-                .alias("cv")
-            )
-            .collect()
+        Xi = X.astype(np.int64)
+        d = Xi[:, None, :] - C[None, :, :]
+        return (d * d).sum(axis=2)
+
+    def _micro_np(col: pd.Series) -> np.ndarray:
+        return np.floor(
+            np.array([np.asarray(v, dtype=np.float64) for v in col]) * SCALE
         )
-        by_cluster: dict[int, dict[int, int]] = {}
+
+    for _ in range(iters - 1):
+        # Lloyd update: per-batch partial (cluster, componentwise int64
+        # sum, count) via mapInPandas — the exact partial-aggregation
+        # shape (guide §2.3) with k·d rows per batch instead of the old
+        # posexplode of n·d rows through a shuffle. Totals merge on the
+        # driver in arbitrary-precision ints; floor(double(sum)/count)
+        # reproduces the engine contract bit-for-bit.
+        C = np.stack(cents)
+        labs = list(labels)
+
+        def _partials(it):
+            for pdf in it:
+                if not len(pdf):
+                    continue
+                X = _micro_np(pdf["_e"])
+                a = np.argmin(_batch_dists(X, C), axis=1)
+                Xi = X.astype(np.int64)
+                rows = []
+                for idx in range(len(labs)):
+                    mask = a == idx
+                    cnt = int(mask.sum())
+                    if cnt:
+                        s = Xi[mask].sum(axis=0)
+                        rows.append((labs[idx], cnt, [int(v) for v in s]))
+                if rows:
+                    yield pd.DataFrame(
+                        {
+                            "cluster": [r[0] for r in rows],
+                            "n": [r[1] for r in rows],
+                            "s": [r[2] for r in rows],
+                        }
+                    )
+
+        update = pts.select("_e").mapInPandas(
+            _partials, "cluster int, n long, s array<long>"
+        ).collect()
+        sums: dict[int, list[int]] = {}
+        cnts: dict[int, int] = {}
         for row in update:
-            by_cluster.setdefault(row["cluster"], {})[row["pos"]] = row["cv"]
-        centroids = [
-            (j, [dims[p] for p in sorted(dims)])
-            for j, dims in sorted(by_cluster.items())
+            j, n, s = row["cluster"], row["n"], row["s"]
+            if j in sums:
+                sums[j] = [a + b for a, b in zip(sums[j], s)]
+                cnts[j] += n
+            else:
+                sums[j] = list(s)
+                cnts[j] = n
+        labels = sorted(sums)
+        cents = [
+            np.array(
+                [int(math.floor(float(v) / cnts[j])) for v in sums[j]],
+                dtype=np.int64,
+            )
+            for j in labels
         ]
+
+    C = np.stack(cents)
+    labs = np.array(labels, dtype=np.int64)
+    n_probe = min(probes, len(labels))
 
     if probes > 1:
-        return assigned.select(
-            F.col(id_col), F.col("cluster"), F.col("probe")
+
+        def _emit_probes(it):
+            for pdf in it:
+                if not len(pdf):
+                    continue
+                X = _micro_np(pdf["_e"])
+                dists = _batch_dists(X, C)
+                # (dist, cluster) struct order == lexsort by dist then
+                # cluster id (labels ascend with the column index)
+                order = np.argsort(dists, axis=1, kind="stable")[:, :n_probe]
+                m = len(pdf)
+                yield pd.DataFrame(
+                    {
+                        id_col: np.repeat(
+                            pdf[id_col].to_numpy(), n_probe
+                        ),
+                        "cluster": labs[order].reshape(-1).astype(np.int32),
+                        "probe": np.tile(
+                            np.arange(n_probe, dtype=np.int32), m
+                        ),
+                    }
+                )
+
+        return pts.mapInPandas(
+            _emit_probes, f"{id_col} long, cluster int, probe int"
         )
-    return assigned.select(F.col(id_col), F.col("cluster"))
+
+    @F.pandas_udf("int")
+    def _assign(col: pd.Series) -> pd.Series:
+        X = _micro_np(col)
+        return pd.Series(
+            labs[np.argmin(_batch_dists(X, C), axis=1)].astype(np.int32)
+        )
+
+    return pts.select(F.col(id_col), _assign(F.col("_e")).alias("cluster"))
 
 
 def semantic_decontaminate(

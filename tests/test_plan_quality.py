@@ -246,9 +246,10 @@ def test_scd2_single_exchange(audits):
 
 
 def test_kmeans_assignment_is_shuffle_free(audits):
-    # Assignment bakes centroids in as literals: a pure projection over the
-    # scan — no shuffle, no join. (The between-rounds centroid updates run
-    # at build time as separate bounded jobs; this pins the output plan.)
+    # Assignment closes over the centroid matrix inside a vectorized
+    # pandas UDF: a pure projection over the scan — no shuffle, no join.
+    # (The between-rounds centroid updates run at build time as separate
+    # bounded jobs; this pins the output plan.)
     s = audits["emb_kmeans"]
     assert s["exchanges"] == 0, s
     assert s["broadcast_joins"] == 0 and s["smj"] == 0 and s["bnlj"] == 0, s
