@@ -58,6 +58,37 @@ def hash_frac(hash_col: str | Column) -> Column:
     ) / F.lit(_FRAC_DENOM)
 
 
+def hash_frac_lt(
+    hash_col: str | Column, threshold: float, prefixed: bool = False
+) -> Column:
+    """``hash_frac(h) < threshold`` as a pure 13-char hex-prefix string
+    comparison — no ``conv``/``substring``-to-integer decode per row.
+
+    conv(hex, 16, 10) costs as much as the md5 itself (measured: +1.8 s on
+    a 3.2M-row pass vs +2.2 s for the md5); hex chars order exactly like
+    the number they encode, so the comparison moves to the 13-char prefix
+    against an EXACT precomputed boundary: with I = int(prefix, 16),
+    ``I/2^52 < c  ⟺  I ≤ ceil(c·2^52) − 1  ⟺  prefix < hex13(ceil(c·2^52))``
+    (ceil computed in exact rational arithmetic — float c's value is a
+    dyadic rational, so no rounding anywhere). Value-identical to
+    ``hash_frac(h) < lit(c)`` for every hash.
+
+    ``prefixed=True`` declares the column ALREADY holds the 13-char
+    prefix (project it once when several thresholds test the same hash).
+    """
+    from fractions import Fraction
+
+    c = F.col(hash_col) if isinstance(hash_col, str) else hash_col
+    if threshold <= 0.0:
+        return F.lit(False)
+    x = Fraction(threshold) * (1 << (4 * _FRAC_HEX_CHARS))
+    bound = -((-x.numerator) // x.denominator)  # exact ceil
+    if bound >= 1 << (4 * _FRAC_HEX_CHARS):
+        return F.lit(True)  # admits every prefix
+    prefix = c if prefixed else F.substring(c, 1, _FRAC_HEX_CHARS)
+    return prefix < F.lit(format(bound, f"0{_FRAC_HEX_CHARS}x"))
+
+
 def hash_frac_sql(hash_expr: str) -> str:
     """DuckDB-side twin of :func:`hash_frac` (same 52-bit exact contract)."""
     return (

@@ -1,0 +1,93 @@
+"""Scan-side parallelism for compute-heavy stages (optimization guide §2.5).
+
+A parquet source that yields fewer splits than the session has cores leaves
+every pre-shuffle operator single-task: the scan, any per-row expression
+work (hashes, explodes, higher-order lambdas), and the map side of the
+first aggregation all run on ONE core while the rest of the machine idles.
+That is precisely the guide's "input skew: one huge unsplittable file"
+case, and its prescribed fix is a repartition immediately after the read.
+
+The repartition must be SCALE-ADAPTIVE, not a constant tuned for local
+mode: on a 100 TB table the scan already yields thousands of splits and an
+unconditional repartition would add a full extra shuffle of the fact for
+nothing. :func:`widen_scan` therefore decides from the SOURCE FILE SIZES —
+the same quantity Spark's own split planner uses — and no-ops whenever the
+files already produce at least ``cores`` splits. Wherever the split
+estimate cannot be computed (non-local path), it also no-ops: the helper
+may only ever ADD parallelism it can prove is missing.
+
+Round-robin repartition is retry-safe here because Spark sorts before
+repartitioning by default (``spark.sql.execution.sortBeforeRepartition``,
+guide §2.5), and every consumer in this repo is order-insensitive
+(aggregations, joins, windows that re-shuffle by their own keys).
+"""
+
+from __future__ import annotations
+
+import math
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+_MPB_CONF = "spark.sql.files.maxPartitionBytes"
+_DEFAULT_MPB = 128 * 1024 * 1024
+
+
+def _conf_bytes(spark: SparkSession, key: str, default: int) -> int:
+    """Parse a size conf that may carry a unit suffix ("128m", "…b")."""
+    try:
+        raw = str(spark.conf.get(key, str(default))).strip().lower()
+    except Exception:  # noqa: BLE001 — conf lookup is best-effort
+        return default
+    if raw.endswith("b"):
+        raw = raw[:-1]
+    mult = 1
+    if raw and raw[-1] in "kmg":
+        mult = {"k": 1024, "m": 1024**2, "g": 1024**3}[raw[-1]]
+        raw = raw[:-1]
+    try:
+        return int(float(raw) * mult)
+    except ValueError:
+        return default
+
+
+def estimated_scan_splits(
+    spark: SparkSession, sf_dir: str, tables: tuple[str, ...]
+) -> int | None:
+    """Estimated number of scan splits the named source files produce,
+    or None when the files cannot be sized locally."""
+    mpb = _conf_bytes(spark, _MPB_CONF, _DEFAULT_MPB)
+    total = 0
+    for t in tables:
+        path = os.path.join(sf_dir, f"{t}.parquet")
+        try:
+            size = os.path.getsize(path)
+        except OSError:
+            return None
+        total += max(1, math.ceil(size / mpb))
+    return total
+
+
+def widen_scan(
+    df: DataFrame,
+    spark: SparkSession,
+    sf_dir: str,
+    tables: tuple[str, ...],
+    *key_cols: str,
+) -> DataFrame:
+    """Repartition ``df`` to the session's core count IFF its source files
+    are too small to split (single-task scan) — the guide-§2.5 fix for
+    compute-heavy stages over unsplittable inputs, guarded so it is a
+    NO-OP at any scale where the scan is already parallel.
+
+    ``key_cols``: optional deterministic hash keys (skips the round-robin
+    path's local sort); must be well-spread (many more distinct values
+    than partitions — guide §2.5 on synthetic keys).
+    """
+    cores = spark.sparkContext.defaultParallelism
+    splits = estimated_scan_splits(spark, sf_dir, tables)
+    if splits is None or splits >= cores:
+        return df
+    if key_cols:
+        return df.repartition(cores, *key_cols)
+    return df.repartition(cores)

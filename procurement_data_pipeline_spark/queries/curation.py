@@ -296,7 +296,19 @@ def q_docs_cluster_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from procurement_data_pipeline_spark.llm_ops.sampling import cluster_safe_split
 
-    docs = load_table(spark, sf_dir, "documents")
+    # widened scan: n-gram shingling + PPJoin prefix expansion is heavy
+    # per-row text work that a single-split source serializes (guide §2.5)
+    from procurement_data_pipeline_spark.operators.parallelism import (
+        widen_scan,
+    )
+
+    docs = widen_scan(
+        load_table(spark, sf_dir, "documents"),
+        spark,
+        sf_dir,
+        ("documents",),
+        "doc_id",
+    )
     pairs = ngram_jaccard_pairs(docs, n=3, threshold=0.8)
     clusters = dedup_clusters(docs, pairs)
     return cluster_safe_split(

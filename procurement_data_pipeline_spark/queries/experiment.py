@@ -29,8 +29,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from procurement_data_pipeline_spark.caching import scoped_persist
-from procurement_data_pipeline_spark.llm_ops.kmv import hash_frac, hash_frac_sql
+from procurement_data_pipeline_spark.llm_ops.kmv import (
+    hash_frac_lt,
+    hash_frac_sql,
+)
 from procurement_data_pipeline_spark.llm_ops.sampling import hash_key
+from procurement_data_pipeline_spark.operators.parallelism import widen_scan
 from procurement_data_pipeline_spark.registry import register
 from procurement_data_pipeline_spark.sources.tables import load_table
 
@@ -218,34 +222,52 @@ def q_events_value_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     cost is B× the scan, zero iteration, no driver resampling loop."""
     ev = load_table(spark, sf_dir, "events")
     # the replica branch (explode ×B) and the point-mean branch both read
-    # m: persist so the fact table scans once (scoped-persist convention)
+    # m: persist so the fact table scans once (scoped-persist convention).
+    # widen_scan: the ×B explode + per-replica md5 downstream is the
+    # heaviest per-row compute in the tier — a single-split source would
+    # run it all on one core (guide §2.5; no-op when the scan is already
+    # parallel)
     m = scoped_persist(
-        ev.select(
-            "event_type",
-            "event_id",
-            F.floor(F.col("value") * 1000000).cast("long").alias("vm"),
+        widen_scan(
+            ev.select(
+                "event_type",
+                "event_id",
+                F.floor(F.col("value") * 1000000).cast("long").alias("vm"),
+            ),
+            spark,
+            sf_dir,
+            ("events",),
         )
     )
-    u = hash_frac(
-        F.md5(
-            F.concat(
-                F.col("event_id").cast("string"), F.lit("|"), F.col("b").cast("string")
-            )
+    # derandomized Poisson draw via EXACT hex-prefix thresholds
+    # (hash_frac_lt): same values as hash_frac(h) < cdf[i], minus the
+    # per-row conv() decode that measured as expensive as the md5 itself.
+    # The 13-char prefix is projected ONCE per replica row (a CASE over
+    # hash_frac_lt would re-slice the hash per branch).
+    h = F.md5(
+        F.concat(
+            F.col("event_id").cast("string"), F.lit("|"), F.col("b").cast("string")
         )
     )
     w = (
-        F.when(u < _POIS_CDF[0], 0)
-        .when(u < _POIS_CDF[1], 1)
-        .when(u < _POIS_CDF[2], 2)
-        .when(u < _POIS_CDF[3], 3)
+        F.when(hash_frac_lt("_hp", _POIS_CDF[0], prefixed=True), 0)
+        .when(hash_frac_lt("_hp", _POIS_CDF[1], prefixed=True), 1)
+        .when(hash_frac_lt("_hp", _POIS_CDF[2], prefixed=True), 2)
+        .when(hash_frac_lt("_hp", _POIS_CDF[3], prefixed=True), 3)
         .otherwise(4)
     )
-    rep = m.select(
-        "event_type",
-        "event_id",
-        "vm",
-        F.explode(F.array(*[F.lit(i) for i in range(_B)])).alias("b"),
-    ).select("event_type", "vm", "b", w.alias("w"))
+    rep = (
+        m.select(
+            "event_type",
+            "event_id",
+            "vm",
+            F.explode(F.array(*[F.lit(i) for i in range(_B)])).alias("b"),
+        )
+        .select(
+            "event_type", "vm", "b", F.substring(h, 1, 13).alias("_hp")
+        )
+        .select("event_type", "vm", "b", w.alias("w"))
+    )
     means = (
         rep.groupBy("event_type", "b")
         .agg(

@@ -34,8 +34,45 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from procurement_data_pipeline_spark.caching import scoped_persist
+from procurement_data_pipeline_spark.operators.parallelism import widen_scan
 from procurement_data_pipeline_spark.registry import register
 from procurement_data_pipeline_spark.sources.tables import load_table
+
+
+def _copurchase_edges(spark, sf_dir, li):
+    """Directed co-purchase edges via ONE basket pass (groupBy +
+    collect_set + in-codegen pair expansion, both orientations emitted
+    together) instead of the fact-table self-join: the same distinct edge
+    set — collect_set dedupes repeat lines, set elements are pairwise
+    distinct so pa != pb holds by construction — with one fewer shuffle
+    of the fact and a widened scan (guide §2.4/§2.5)."""
+    basket = (
+        widen_scan(
+            li.select(
+                F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+            ),
+            spark,
+            sf_dir,
+            ("lineitem",),
+            "o",
+        )
+        .groupBy("o")
+        .agg(F.sort_array(F.collect_set("p")).alias("ps"))
+    )
+    return (
+        basket.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ps, (x, i) -> "
+                    "flatten(transform(slice(ps, i + 2, size(ps)), "
+                    "y -> array(struct(x AS pa, y AS pb), "
+                    "struct(y AS pa, x AS pb))))))"
+                )
+            ).alias("e")
+        )
+        .select("e.pa", "e.pb")
+        .distinct()
+    )
 
 _MAX_HOPS = 3
 
@@ -69,15 +106,7 @@ FROM reach GROUP BY part
 )
 def q_part_copurchase_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
-    a = li.select(
-        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pa")
-    )
-    b = li.select(
-        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pb")
-    )
-    edges = scoped_persist(
-        a.join(b, "ok").filter(F.col("pa") != F.col("pb")).select("pa", "pb").distinct()
-    )
+    edges = scoped_persist(_copurchase_edges(spark, sf_dir, li))
     seed = (
         li.groupBy(F.col("l_partkey").alias("part"))
         .agg(F.sum(F.col("l_quantity").cast("long")).alias("q"))
@@ -148,11 +177,7 @@ def q_part_graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     co-location); degrees are one part-grain count broadcast back onto
     the edges; the readout is one 1-row moment aggregate."""
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pa"))
-    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pb"))
-    edges = scoped_persist(
-        a.join(b, "ok").where(F.col("pa") != F.col("pb")).select("pa", "pb").distinct()
-    )
+    edges = scoped_persist(_copurchase_edges(spark, sf_dir, li))
     deg = edges.groupBy(F.col("pa").alias("part")).agg(
         F.count(F.lit(1)).cast("long").alias("d")
     )

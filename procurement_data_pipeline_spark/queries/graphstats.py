@@ -42,6 +42,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from procurement_data_pipeline_spark.caching import scoped_persist
+from procurement_data_pipeline_spark.operators.parallelism import widen_scan
 from procurement_data_pipeline_spark.registry import register
 from procurement_data_pipeline_spark.sources.tables import load_table
 
@@ -105,7 +106,15 @@ def q_part_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (measured 3.7 s → ~1.7 s for the edge build at sf0.1; identical
     # edge set, oracle hash unchanged).
     basket = (
-        li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        widen_scan(
+            li.select(
+                F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+            ),
+            spark,
+            sf_dir,
+            ("lineitem",),
+            "o",
+        )
         .groupBy("o")
         .agg(F.sort_array(F.collect_set("p")).alias("ps"))
     )
@@ -272,7 +281,15 @@ def q_part_also_bought_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     # a<b co-occurrence pairs both expand from the persisted baskets
     # in-codegen — no fact-table self-join, no separate distinct pass
     basket = (
-        li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        widen_scan(
+            li.select(
+                F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+            ),
+            spark,
+            sf_dir,
+            ("lineitem",),
+            "o",
+        )
         .groupBy("o")
         .agg(F.sort_array(F.collect_set("p")).alias("ps"))
     )

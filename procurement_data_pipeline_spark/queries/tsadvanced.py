@@ -37,6 +37,7 @@ from pyspark.sql import functions as F
 
 from procurement_data_pipeline_spark.caching import scoped_persist
 from procurement_data_pipeline_spark.functions.money import cents, dollars
+from procurement_data_pipeline_spark.operators.parallelism import widen_scan
 from procurement_data_pipeline_spark.registry import register
 from procurement_data_pipeline_spark.sources.tables import load_table
 
@@ -82,10 +83,19 @@ FROM pieces GROUP BY 1
     tags=("orders", "proration", "allocation"),
 )
 def q_orders_prorated_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem").select(
+    # widened scan: the day-piece explode below is the heavy per-row work
+    # and would otherwise run on the single split a small source yields
+    # (guide §2.5; no-op when the scan is already parallel)
+    li = widen_scan(
+        load_table(spark, sf_dir, "lineitem").select(
+            "l_orderkey",
+            F.col("l_shipdate").cast("date").alias("sdate"),
+            cents("l_extendedprice").alias("val_cents"),
+        ),
+        spark,
+        sf_dir,
+        ("lineitem",),
         "l_orderkey",
-        F.col("l_shipdate").cast("date").alias("sdate"),
-        cents("l_extendedprice").alias("val_cents"),
     )
     o = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", F.col("o_orderdate").cast("date").alias("odate")
@@ -180,10 +190,19 @@ def q_orders_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("dn"),
     ).agg(F.count(F.lit(1)).alias("cnt"))
-    daily = scoped_persist(daily)  # feeds pairs (twice) and n_days
+    # widened before the persist: the pair generation below fans each of
+    # the ~|days|·|priorities| rows into ~|days|/2 pairs — with the b-side
+    # BROADCAST (calendar-bounded: days × priorities at any sf), the
+    # a-side partitioning alone decides the fan-out parallelism, and the
+    # post-groupBy relation would otherwise AQE-coalesce to one tiny
+    # partition (guide §2.5). A shuffled join keyed on priority would cap
+    # parallelism at the priority count instead.
+    daily = scoped_persist(
+        widen_scan(daily, spark, sf_dir, ("orders",))
+    )  # feeds pairs (twice) and n_days
     a, b = daily.alias("a"), daily.alias("b")
     pairs = a.join(
-        b,
+        F.broadcast(b),
         (F.col("b.priority") == F.col("a.priority"))
         & (F.col("b.dn") > F.col("a.dn")),
     ).select(
