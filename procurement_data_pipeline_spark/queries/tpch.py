@@ -20,6 +20,7 @@ from procurement_data_pipeline_spark.functions.money import (
     cents,
     dollars,
 )
+from procurement_data_pipeline_spark.operators.parallelism import widen_scan
 from procurement_data_pipeline_spark.registry import register
 from procurement_data_pipeline_spark.sources.tables import load_table
 
@@ -474,6 +475,13 @@ def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer, orders, li = (
         load_table(spark, sf_dir, t) for t in ("customer", "orders", "lineitem")
     )
+    # One l_orderkey distribution serves the whole query: the `big` HAVING
+    # aggregate and the final per-order groupBy both cluster by orderkey
+    # (guide §2.4), and because both branches hang off the IDENTICAL
+    # repartition subtree, Spark reuses the exchange — lineitem is scanned
+    # and shuffled ONCE instead of twice. Single-split scans also gain full
+    # map-side parallelism (§2.5); no-op at scale via the widen_scan guard.
+    li = widen_scan(li, spark, sf_dir, ("lineitem",), "l_orderkey")
     big = (
         li.groupBy(F.col("l_orderkey").alias("b_orderkey"))
         .agg(F.sum(F.col("l_quantity").cast("long")).alias("_sq"))

@@ -26,6 +26,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from procurement_data_pipeline_spark.functions.money import cents, dollars
+from procurement_data_pipeline_spark.operators.parallelism import widen_scan
 from procurement_data_pipeline_spark.queries.tpch import _disc_price_cents, _REVENUE_SQL
 from procurement_data_pipeline_spark.registry import register
 from procurement_data_pipeline_spark.sources.tables import load_table
@@ -531,6 +532,11 @@ def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = load_table(spark, sf_dir, "nation")
 
     late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAY")
+    # The collect_set aggregate is the query's compute sink; distributing
+    # the scan by l_orderkey parallelizes its map side (guide §2.5) and
+    # satisfies the groupBy's clustering so the aggregate exchange
+    # disappears (§2.4). No-op at scale via the widen_scan guard.
+    li = widen_scan(li, spark, sf_dir, ("lineitem",), "l_orderkey")
     per_order = (
         li.join(
             orders.filter(F.col("o_orderstatus") == "F").select(

@@ -102,6 +102,13 @@ def product_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
+    # Distribute the scan by l_partkey (= product_id downstream): every
+    # consumer aggregates or joins at product grain — agg_orders_daily's
+    # (product, day) groupBy, the MRP demand branch, the quality anti-joins —
+    # so hashpartitioning(product_id) satisfies each of their clustering
+    # requirements (guide §2.4) and the single-split local scan gains full
+    # map-side parallelism (§2.5). No-ops at scale via the widen_scan guard.
+    li = widen_scan(li, spark, sf_dir, ("lineitem",), "l_partkey")
     return li.select(
         F.col("l_orderkey").alias("order_id"),
         F.col("l_partkey").alias("product_id"),
@@ -112,6 +119,13 @@ def orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def inventory(spark: SparkSession, sf_dir: str, cutoff: str = INV_CUTOFF) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
+    # Same l_partkey distribution as orders(): it satisfies BOTH the
+    # (product, warehouse) snapshot groupBy and the warehouse rollup's
+    # product_id re-aggregation (subset clustering, guide §2.4), collapsing
+    # the branch's 2 exchanges to this one while parallelizing the
+    # single-split scan (§2.5). The shipdate filter pushes below the
+    # repartition, so only the pre-cutoff rows shuffle.
+    li = widen_scan(li, spark, sf_dir, ("lineitem",), "l_partkey")
     return (
         li.filter(F.col("l_shipdate") < F.lit(cutoff).cast("timestamp"))
         .groupBy(
