@@ -48,6 +48,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from procurement_data_pipeline_spark.operators.parallelism import widen_scan
 from procurement_data_pipeline_spark.registry import register
 from procurement_data_pipeline_spark.sources.tables import load_table
 
@@ -60,6 +61,11 @@ _HOLD_MICRO_PER_PRICE = 200_000.0
 def _daily_demand(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(partkey, day, qty): shipped units per part per day, exact bigint."""
     li = load_table(spark, sf_dir, "lineitem")
+    # l_partkey distribution serves every consumer: the (part, day) groupBy
+    # here and the per-part aggregations/windows downstream all cluster by
+    # partkey (guide §2.4 — one exchange for the whole family), and the
+    # single-split scan's map side parallelizes (§2.5).
+    li = widen_scan(li, spark, sf_dir, ("lineitem",), "l_partkey")
     return li.groupBy(
         F.col("l_partkey").alias("partkey"),
         F.col("l_shipdate").cast("date").alias("day"),
@@ -569,6 +575,11 @@ FROM folded
 )
 def q_part_lot_sizing_ww(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
+    # One l_partkey distribution serves the whole chain: the (part, month)
+    # groupBy, the per-part prefix window, and the per-part fold aggregate
+    # all cluster by partkey (guide §2.4), so the O(T²) DP fold spreads
+    # over every core instead of riding the single-split scan (§2.5).
+    li = widen_scan(li, spark, sf_dir, ("lineitem",), "l_partkey")
     monthly = li.groupBy(
         F.col("l_partkey").alias("partkey"),
         (

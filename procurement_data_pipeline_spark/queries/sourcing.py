@@ -40,6 +40,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from procurement_data_pipeline_spark.functions.money import cents, dollars
+from procurement_data_pipeline_spark.operators.parallelism import widen_scan
 from procurement_data_pipeline_spark.registry import register
 from procurement_data_pipeline_spark.sources.tables import load_table
 
@@ -257,7 +258,13 @@ FROM b
     tags=("procurement", "compliance", "supplier", "brand"),
 )
 def q_brand_maverick_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem").select(
+    # l_partkey distribution: the (part, supplier) groupBy and the
+    # per-part rank window both cluster by partkey (guide §2.4) — one
+    # exchange, parallel map side (§2.5).
+    li = widen_scan(
+        load_table(spark, sf_dir, "lineitem"), spark, sf_dir, ("lineitem",),
+        "l_partkey",
+    ).select(
         "l_partkey", "l_suppkey", cents("l_extendedprice").alias("val_c")
     )
     ps = li.groupBy(
@@ -347,7 +354,11 @@ FROM classified GROUP BY 1
     tags=("procurement", "portfolio", "classification", "part"),
 )
 def q_part_kraljic_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem").select(
+    li = load_table(spark, sf_dir, "lineitem")
+    # l_partkey distribution: both phases of the part-grain groupBy
+    # (countDistinct expand included) cluster by partkey (guide §2.4), and
+    # the single-split scan's map side parallelizes (§2.5).
+    li = widen_scan(li, spark, sf_dir, ("lineitem",), "l_partkey").select(
         "l_partkey", "l_suppkey", cents("l_extendedprice").alias("val_c")
     )
     from procurement_data_pipeline_spark.caching import scoped_persist
@@ -481,7 +492,13 @@ FROM b
     tags=("procurement", "risk", "what-if", "supplier"),
 )
 def q_supplier_disruption_premium(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem").select(
+    # Same l_partkey distribution as maverick_spend: (part, supplier)
+    # groupBy + per-part windows + per-part rollup all ride one exchange
+    # (guide §2.4), with a parallel map side (§2.5).
+    li = widen_scan(
+        load_table(spark, sf_dir, "lineitem"), spark, sf_dir, ("lineitem",),
+        "l_partkey",
+    ).select(
         "l_partkey",
         "l_suppkey",
         cents("l_extendedprice").alias("val_c"),
