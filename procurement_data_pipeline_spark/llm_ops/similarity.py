@@ -83,13 +83,12 @@ def knn_bruteforce(
     shape when |queries| is small; for large query sets use lsh_ann. Output:
     (query_id, vec_id, score) with k rows per query, ties broken by vec_id.
     """
+    if quantized:
+        return _knn_bruteforce_gram(corpus, queries, k, id_col, vec_col)
     # Norms are precomputed per row BEFORE the pair join: each corpus norm is
     # evaluated once instead of once per query (and vice versa) — the same
     # IEEE sqrt(dot) either way, so scores are bit-identical to the oracle.
-    if quantized:
-        norm = lambda c: F.sqrt(quantized_norm_sq(c).cast("double"))  # noqa: E731
-    else:
-        norm = lambda c: F.sqrt(dot(c, c))  # noqa: E731
+    norm = lambda c: F.sqrt(dot(c, c))  # noqa: E731
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("_qvec"),
@@ -100,18 +99,117 @@ def knn_bruteforce(
         .join(F.broadcast(q))
         .filter(F.col(id_col) != F.col("query_id"))
     )
-    if quantized:
-        score = quantized_dot(F.col(vec_col), F.col("_qvec")).cast("double") / (
-            F.col("_cn") * F.col("_qn")
-        )
-    else:
-        score = dot(F.col(vec_col), F.col("_qvec")) / (F.col("_cn") * F.col("_qn"))
+    score = dot(F.col(vec_col), F.col("_qvec")) / (F.col("_cn") * F.col("_qn"))
     w = Window.partitionBy("query_id").orderBy(
         F.col("score").desc(), F.col(id_col).asc()
     )
     return (
         joined.withColumn("score", score)
         .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", id_col, "score", F.col("rank").cast("int").alias("rank"))
+    )
+
+
+def _knn_bruteforce_gram(
+    corpus: DataFrame, queries: DataFrame, k: int, id_col: str, vec_col: str
+) -> DataFrame:
+    """Quantized exact top-k as one integer Gram matmul per Arrow batch.
+
+    Replaces the broadcast-nested-loop + per-pair zip_with/aggregate lambda
+    (d interpreted steps per candidate pair) with ``C @ Qᵀ`` over the
+    micro-quantized matrices — the same rewrite the SemDeDup pair scan got
+    (guide §4.2 batchwise native code). Scores are the IDENTICAL doubles:
+    FLOOR(x·1e6) int64 components, exact integer dots (float64 BLAS while
+    every intermediate stays under 2^53 — see ``_GRAM_EXACT_BOUND`` — int64
+    matmul beyond), then the same cast-to-double division by the norm
+    product, so oracle hashes are unchanged.
+
+    The query set is bounded by contract (the docstring's "small query
+    set"; large sets route through lsh_ann), so collecting it once is the
+    same boundedness trade the broadcast made — precedent: PQ codebooks.
+    Each batch emits only its own exact top-k per query under Spark's
+    (score DESC NULLS/NaN-first, id ASC) total order, so the final global
+    window ranks ≤ batches·k candidates per query instead of the whole
+    corpus — the shuffle carries survivors, not pairs (guide §2.3)."""
+    qrows = queries.select(F.col(id_col), F.col(vec_col)).collect()
+    spark = corpus.sparkSession
+    out_schema = f"query_id long, {id_col} long, score double"
+    if not qrows:
+        empty_ranked = spark.createDataFrame(
+            [], out_schema + ", rank int"
+        )
+        return empty_ranked.select("query_id", id_col, "score", "rank")
+    qids = np.array([r[0] for r in qrows], dtype=np.int64)
+    Q = np.floor(
+        np.array([np.asarray(r[1], dtype=np.float64) for r in qrows]) * SCALE
+    )
+    d = Q.shape[1]
+    kk = int(k)
+
+    def _score_batches(batches):
+        for pdf in batches:
+            m = len(pdf)
+            if m == 0:
+                continue
+            ids = pdf[id_col].to_numpy()
+            C = np.floor(
+                np.array(
+                    [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+                )
+                * SCALE
+            )
+            amax = max(
+                float(np.abs(C).max()) if m else 0.0,
+                float(np.abs(Q).max()) if len(Q) else 0.0,
+            )
+            exact64 = d * amax * amax < _GRAM_EXACT_BOUND
+            Cm = C if exact64 else C.astype(np.int64)
+            Qm = Q if exact64 else Q.astype(np.int64)
+            cn = np.sqrt(np.asarray((Cm * Cm).sum(axis=1), dtype=np.float64))
+            qn = np.sqrt(np.asarray((Qm * Qm).sum(axis=1), dtype=np.float64))
+            out_q: list[np.ndarray] = []
+            out_c: list[np.ndarray] = []
+            out_s: list[np.ndarray] = []
+            for s in range(0, m, 4096):
+                e = min(s + 4096, m)
+                G = Cm[s:e] @ Qm.T
+                score = np.asarray(G, dtype=np.float64) / (
+                    cn[s:e, None] * qn[None, :]
+                )
+                bids = ids[s:e]
+                for j in range(len(qids)):
+                    col = score[:, j]
+                    keep = bids != qids[j]
+                    cand_ids, cand_s = bids[keep], col[keep]
+                    if not len(cand_ids):
+                        continue
+                    # Spark's (score DESC, id ASC) puts NaN first (NaN is
+                    # the largest double in Spark's ordering) — mirror it
+                    # so batch pruning never drops a row the global window
+                    # would rank inside the top k.
+                    key = np.where(np.isnan(cand_s), -np.inf, -cand_s)
+                    order = np.lexsort((cand_ids, key))[:kk]
+                    out_q.append(np.full(len(order), qids[j], dtype=np.int64))
+                    out_c.append(cand_ids[order].astype(np.int64))
+                    out_s.append(cand_s[order])
+            if out_q:
+                yield pd.DataFrame(
+                    {
+                        "query_id": np.concatenate(out_q),
+                        id_col: np.concatenate(out_c),
+                        "score": np.concatenate(out_s),
+                    }
+                )
+
+    scored = corpus.select(id_col, vec_col).mapInPandas(
+        _score_batches, out_schema
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", id_col, "score", F.col("rank").cast("int").alias("rank"))
     )
