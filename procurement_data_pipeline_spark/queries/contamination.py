@@ -31,6 +31,7 @@ from pyspark.sql import functions as F
 
 from procurement_data_pipeline_spark.llm_ops.text import normalize_text, words
 from procurement_data_pipeline_spark.queries.text import _NORM, _W3, _WORDS
+from procurement_data_pipeline_spark.operators.parallelism import widen_scan
 from procurement_data_pipeline_spark.registry import register
 from procurement_data_pipeline_spark.sources.tables import load_table
 
@@ -268,6 +269,10 @@ def q_docs_dup_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     from procurement_data_pipeline_spark.llm_ops.text import word_ngrams
 
     docs = load_table(spark, sf_dir, "documents")
+    # doc_id distribution: trigram shingling is heavy per-row text work on
+    # a single-split source (guide §2.5), and the final per-doc coverage
+    # groupBy rides the same clustering (§2.4).
+    docs = widen_scan(docs, spark, sf_dir, ("documents",), "doc_id")
     occ = docs.select(
         "doc_id", F.explode(word_ngrams("text", 3)).alias("w")
     )

@@ -21,6 +21,7 @@ from procurement_data_pipeline_spark.llm_ops.curation import (
     pack_sequences,
     repetition_metrics,
 )
+from procurement_data_pipeline_spark.operators.parallelism import widen_scan
 from procurement_data_pipeline_spark.registry import register
 from procurement_data_pipeline_spark.sources.tables import load_table
 
@@ -104,6 +105,10 @@ def q_docs_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     each remaining document's distinct 8-grams that appear in it (inverted-
     index equi-join on the gram — llm_ops/curation.py decontaminate)."""
     docs = load_table(spark, sf_dir, "documents")
+    # Widen the single-split scan (guide §2.5): both the corpus and eval
+    # sides tokenize from the same repartition subtree (exchange reused),
+    # parallelizing the 8-gram shingling.
+    docs = widen_scan(docs, spark, sf_dir, ("documents",), "doc_id")
     return decontaminate(
         docs.filter(F.col("source") != "src0"),
         docs.filter(F.col("source") == "src0"),

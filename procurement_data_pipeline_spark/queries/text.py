@@ -21,6 +21,7 @@ from procurement_data_pipeline_spark.llm_ops.text import (
     token_count,
     word_count,
 )
+from procurement_data_pipeline_spark.operators.parallelism import widen_scan
 from procurement_data_pipeline_spark.registry import register
 from procurement_data_pipeline_spark.sources.tables import load_table
 
@@ -504,6 +505,10 @@ def q_docs_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     from procurement_data_pipeline_spark.llm_ops.text import words
 
     docs = load_table(spark, sf_dir, "documents")
+    # Widen the single-split scan (guide §2.5): tokenization parallelizes
+    # and the (doc_id, word) tf groupBy plus the per-doc top-5 window ride
+    # the doc_id clustering (§2.4).
+    docs = widen_scan(docs, spark, sf_dir, ("documents",), "doc_id")
     # tf feeds BOTH the df aggregation and the final scoring join; without a
     # persist Catalyst re-derives the explode+groupBy per consumer (the plan
     # audit showed 3 scans) — at scale that doubles the heaviest stage.
