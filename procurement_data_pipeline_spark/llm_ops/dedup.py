@@ -14,6 +14,8 @@ scalable pattern at 100 TB):
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -123,13 +125,32 @@ def ngram_jaccard_pairs(
             F.col("_pos")
             <= F.col("_sz") - F.ceil(F.lit(threshold) * F.col("_sz")) + 1
         )
-        .select("_id", "w")
+        .select("_id", "w", "_sz")
     )
     prefix = scoped_persist(prefix)  # feeds BOTH sides of the candidate self-join
+    # PPJoin LENGTH filter: J(A,B) ≥ θ forces |A∩B| ≥ θ·max(|A|,|B|) and
+    # |A∩B| ≤ min(|A|,|B|), so min ≥ θ·max — pairs of incompatible sizes
+    # can be dropped BEFORE the distinct and the array-intersect verify.
+    # The integer form floor(θ·1e6)·max ≤ min·1e6 is strictly conservative
+    # (floor only relaxes the bound), so no qualifying pair is ever
+    # pruned: the verification filter downstream already rejects exactly
+    # these pairs, making the output — and the oracle hash — unchanged.
+    theta_ppm = int(math.floor(threshold * 1_000_000))
     cand = (
-        prefix.select(F.col("_id").alias("doc_a"), "w")
-        .join(prefix.select(F.col("_id").alias("doc_b"), "w"), "w")
-        .filter(F.col("doc_a") < F.col("doc_b"))
+        prefix.select(F.col("_id").alias("doc_a"), "w", F.col("_sz").alias("_sa"))
+        .join(
+            prefix.select(
+                F.col("_id").alias("doc_b"), "w", F.col("_sz").alias("_sb")
+            ),
+            "w",
+        )
+        .filter(
+            (F.col("doc_a") < F.col("doc_b"))
+            & (
+                F.least("_sa", "_sb") * F.lit(1_000_000)
+                >= F.lit(theta_ppm) * F.greatest("_sa", "_sb")
+            )
+        )
         .select("doc_a", "doc_b")
         .distinct()
     )
