@@ -108,7 +108,8 @@ def q_part_copurchase_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     edges = scoped_persist(_copurchase_edges(spark, sf_dir, li))
     seed = (
-        li.groupBy(F.col("l_partkey").alias("part"))
+        widen_scan(li, spark, sf_dir, ("lineitem",), "l_partkey")
+        .groupBy(F.col("l_partkey").alias("part"))
         .agg(F.sum(F.col("l_quantity").cast("long")).alias("q"))
         .orderBy(F.desc("q"), "part")
         .limit(1)
@@ -117,7 +118,13 @@ def q_part_copurchase_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     dist = seed.select("part", F.lit(0).alias("hops"))
     for h in range(1, _MAX_HOPS + 1):
         frontier = dist.filter(F.col("hops") == h - 1)
-        nxt = frontier.join(edges, frontier["part"] == edges["pa"]).select(
+        # The frontier is PART-grain (bounded by the catalog dimension at
+        # any sf — the same class as broadcast dims), so broadcasting it
+        # keeps the cached edge list un-shuffled on every hop: 3 edge
+        # exchanges → 0 (guide §3.1).
+        nxt = F.broadcast(frontier).join(
+            edges, frontier["part"] == edges["pa"]
+        ).select(
             F.col("pb").alias("part"), F.lit(h).alias("hops")
         )
         dist = scoped_persist(

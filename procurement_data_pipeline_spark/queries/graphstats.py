@@ -317,9 +317,12 @@ def q_part_also_bought_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).unionAll(co.select(F.col("pb").alias("p"), F.col("pa").alias("q"), "nab"))
     na = n.select(F.col("p").alias("_pa"), F.col("np").alias("np_a"))
     nb = n.select(F.col("p").alias("_pb"), F.col("np").alias("np_b"))
+    # n is PART-grain (dimension-scale at any sf): broadcasting both roles
+    # keeps the 2·|pairs| sym relation un-shuffled through the two count
+    # joins — its only exchange is the per-part rank window (guide §3.1).
     scored = (
-        sym.join(na, sym["p"] == na["_pa"])
-        .join(nb, sym["q"] == nb["_pb"])
+        sym.join(F.broadcast(na), sym["p"] == na["_pa"])
+        .join(F.broadcast(nb), sym["q"] == nb["_pb"])
         .select(
             "p",
             "q",

@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from procurement_data_pipeline_spark.functions.money import cents, dollars, micros
+from procurement_data_pipeline_spark.operators.parallelism import widen_scan
 from procurement_data_pipeline_spark.registry import register
 from procurement_data_pipeline_spark.sources.tables import load_table
 
@@ -411,6 +412,11 @@ def q_part_affinity_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     from procurement_data_pipeline_spark.caching import scoped_persist
 
     li = load_table(spark, sf_dir, "lineitem")
+    # l_orderkey distribution: the basket distinct clusters by (orderkey,
+    # partkey) — subset-satisfied (guide §2.4) — and the persisted relation
+    # keeps that partitioning, so the pair self-join on orderkey shuffles
+    # neither side; the single-split scan parallelizes (§2.5).
+    li = widen_scan(li, spark, sf_dir, ("lineitem",), "l_orderkey")
     # The deduplicated basket relation feeds four consumers (total, item
     # counts, both sides of the pair self-join) — persist it so the fact
     # scan + distinct shuffle run once.
