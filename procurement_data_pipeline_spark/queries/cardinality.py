@@ -217,18 +217,29 @@ def q_events_kmv_type_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(types.alias("b"), F.col("a.event_type") < F.col("b.event_type"))
         .select(F.col("a.event_type").alias("t1"), F.col("b.event_type").alias("t2"))
     )
-    # Broadcast the PAIR LIST (|types|² rows), never the hash relation —
-    # dh is data-sized at 100 TB; pairs is bounded by the type domain.
-    side1 = dh.join(F.broadcast(pairs), F.col("event_type") == F.col("t1")).select(
-        "t1", "t2", "h", F.lit(1).alias("in1"), F.lit(0).alias("in2")
-    )
-    side2 = dh.join(F.broadcast(pairs), F.col("event_type") == F.col("t2")).select(
-        "t1", "t2", "h", F.lit(0).alias("in1"), F.lit(1).alias("in2")
-    )
+    # H-GRAIN membership build: ONE |dh| shuffle to per-hash type sets,
+    # then the BOUNDED pair domain (|types|² rows, broadcast — never the
+    # data-sized hash relation) fans out in-codegen with array_contains
+    # flags. Produces the IDENTICAL flagged relation the old two-equi-join
+    # + union + (t1,t2,h) groupBy built — (t1,t2,h) present iff h belongs
+    # to either type, in1/in2 = per-side membership — while shuffling |dh|
+    # rows once instead of ~2·|pairs-per-type|·|dh| rows through the
+    # regroup (guide §2.3: shuffle decisions, not payloads). The tiny
+    # cross join is this query's allowlisted bounded-domain BNLJ.
+    hsets = dh.groupBy("h").agg(F.collect_set("event_type").alias("_S"))
     flagged = scoped_persist(
-        side1.unionByName(side2)
-        .groupBy("t1", "t2", "h")
-        .agg(F.max("in1").alias("in1"), F.max("in2").alias("in2"))
+        hsets.join(F.broadcast(pairs))
+        .filter(
+            F.array_contains("_S", F.col("t1"))
+            | F.array_contains("_S", F.col("t2"))
+        )
+        .select(
+            "t1",
+            "t2",
+            "h",
+            F.array_contains("_S", F.col("t1")).cast("int").alias("in1"),
+            F.array_contains("_S", F.col("t2")).cast("int").alias("in2"),
+        )
     )
     sk = (
         kmv_bottom_k(flagged, ["t1", "t2"], "h", _KMV_K)
