@@ -125,7 +125,7 @@ def ngram_jaccard_pairs(
             F.col("_pos")
             <= F.col("_sz") - F.ceil(F.lit(threshold) * F.col("_sz")) + 1
         )
-        .select("_id", "w", "_sz")
+        .select("_id", "w", "_sz", "_pos")
     )
     prefix = scoped_persist(prefix)  # feeds BOTH sides of the candidate self-join
     # PPJoin LENGTH filter: J(A,B) ≥ θ forces |A∩B| ≥ θ·max(|A|,|B|) and
@@ -135,12 +135,37 @@ def ngram_jaccard_pairs(
     # (floor only relaxes the bound), so no qualifying pair is ever
     # pruned: the verification filter downstream already rejects exactly
     # these pairs, making the output — and the oracle hash — unchanged.
+    #
+    # PPJoin POSITION filter (Xiao et al., WWW'08): ``_pos`` is the
+    # token's 1-based rank in the doc's full (df, w)-sorted shingle list —
+    # a GLOBAL total order, identical in every doc, with no duplicates
+    # inside a doc (the shingle relation is (_id, w)-distinct). For a
+    # collision on the pair's FIRST common token in that order, every
+    # common token ranks ≥ _pos in both docs, so
+    # |A∩B| ≤ 1 + min(sa − pa, sb − pb). J ≥ θ needs
+    # |A∩B| ≥ θ/(1+θ)·(sa+sb); rows whose upper bound cannot reach the
+    # integer-relaxed requirement (θ' = floor(θ·1e6)/1e6 ≤ θ, and
+    # x/(1+x) is increasing, so the θ' requirement is the weaker one —
+    # strictly conservative) are dropped BEFORE the distinct. A
+    # qualifying pair always survives via its first-common-token row:
+    # there 1 + min(...) ≥ |A∩B| ≥ the requirement. Later collision rows
+    # of the same pair may be pruned — the distinct only needs one row —
+    # so candidates shrink (measured sf0.1: 43,543 → 12,784 distinct
+    # pairs, −71%) while the verified output is byte-identical.
     theta_ppm = int(math.floor(threshold * 1_000_000))
     cand = (
-        prefix.select(F.col("_id").alias("doc_a"), "w", F.col("_sz").alias("_sa"))
+        prefix.select(
+            F.col("_id").alias("doc_a"),
+            "w",
+            F.col("_sz").alias("_sa"),
+            F.col("_pos").alias("_pa"),
+        )
         .join(
             prefix.select(
-                F.col("_id").alias("doc_b"), "w", F.col("_sz").alias("_sb")
+                F.col("_id").alias("doc_b"),
+                "w",
+                F.col("_sz").alias("_sb"),
+                F.col("_pos").alias("_pb"),
             ),
             "w",
         )
@@ -149,6 +174,17 @@ def ngram_jaccard_pairs(
             & (
                 F.least("_sa", "_sb") * F.lit(1_000_000)
                 >= F.lit(theta_ppm) * F.greatest("_sa", "_sb")
+            )
+            & (
+                (
+                    F.lit(1)
+                    + F.least(
+                        F.col("_sa") - F.col("_pa"),
+                        F.col("_sb") - F.col("_pb"),
+                    )
+                )
+                * F.lit(1_000_000 + theta_ppm)
+                >= F.lit(theta_ppm) * (F.col("_sa") + F.col("_sb"))
             )
         )
         .select("doc_a", "doc_b")

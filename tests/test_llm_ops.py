@@ -66,6 +66,51 @@ def test_ngram_jaccard_near_dup(spark, docs):
     assert (1, 5) not in pairs
 
 
+def test_ppjoin_filters_lose_no_pairs_vs_bruteforce(spark):
+    """Zero-miss gate for the PPJoin prefix + length + POSITION filters:
+    on a seeded corpus dense with near-dups of varying lengths (including
+    pairs whose Jaccard sits exactly at θ and pairs whose only shared
+    prefix token is the LAST prefix slot — the position-filter boundary),
+    the filtered candidate pipeline must return exactly the brute-force
+    all-pairs result, values included."""
+    import itertools
+    import random
+
+    rng = random.Random(7)
+    vocab = [f"w{i:03d}" for i in range(120)]
+    rows = []
+    base = vocab[:40]
+    for i in range(30):
+        # overlapping mutations of a common base: many qualifying pairs
+        words_i = list(base)
+        for _ in range(rng.randrange(0, 12)):
+            words_i[rng.randrange(len(words_i))] = rng.choice(vocab)
+        rng.shuffle(words_i)
+        rows.append((i, " ".join(words_i)))
+    for i in range(30, 45):
+        # disjoint tail of varying sizes: length-filter fodder
+        k = rng.randrange(3, 60)
+        rows.append((i, " ".join(rng.sample(vocab, k))))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    theta = 0.5
+    got = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in ngram_jaccard_pairs(df, n=1, threshold=theta).collect()
+    }
+    sets = {i: set(t.split()) for i, t in rows}
+    want = {}
+    for a, b in itertools.combinations(sorted(sets), 2):
+        inter = len(sets[a] & sets[b])
+        if inter == 0:
+            continue
+        j = inter / (len(sets[a]) + len(sets[b]) - inter)
+        if j >= theta:
+            want[(a, b)] = j
+    assert set(got) == set(want)
+    for k in want:
+        assert math.isclose(got[k], want[k], rel_tol=0, abs_tol=0), k
+
+
 def test_minhash_finds_planted_near_dups(spark, docs):
     got = {(r.doc_a, r.doc_b) for r in minhash_dedup_pairs(docs, n=1, threshold=0.7).collect()}
     assert (1, 2) in got and (1, 3) in got and (2, 3) in got
