@@ -103,31 +103,57 @@ def ngram_jaccard_pairs(
     Prefix ordering is (global document frequency, shingle), so the join
     keys are the *rarest* shingles — the anti-skew ordering.
 
-    The shingle relation feeds three consumers (document frequencies,
-    per-doc arrays, prefix rows) and the arrays feed three joins; both are
-    persisted MEMORY_AND_DISK so the corpus is tokenized ONCE per query —
-    at 100 TB re-tokenizing per consumer would dominate the runtime, and
+    The shingle relation feeds the document-frequency aggregate and the
+    packed per-doc relation; ``packed`` (one (df, w)-sorted struct array
+    per doc) feeds the prefix rows (both sides of the candidate
+    self-join) and the verification arrays. Both are persisted
+    MEMORY_AND_DISK so the corpus is tokenized ONCE per query — at
+    100 TB re-tokenizing per consumer would dominate the runtime, and
     persist (unlike checkpoint) keeps lineage for fault recovery.
     """
     sh = scoped_persist(_doc_shingles(df, text_col, id_col, n))
     dfreq = sh.groupBy("w").agg(F.count(F.lit(1)).alias("_df"))
-    arrs = scoped_persist(
-        sh.groupBy("_id").agg(F.sort_array(F.collect_list("w")).alias("_toks"))
-    )
-    rank_w = Window.partitionBy("_id").orderBy(
-        F.col("_df").asc(), F.col("w").asc()
-    )
-    prefix = (
+    # ONE _id shuffle builds everything doc-grain: collect each doc's
+    # (df, w) structs once, sorted by (document frequency, shingle) —
+    # sort_array on structs compares fields in order, exactly the
+    # (_df asc, w asc) total order the prefix rank needs. The prefix rows
+    # (posexplode of the first sz − ⌈θ·sz⌉ + 1 slots), the prefix
+    # positions (pos + 1 ≡ the former per-doc row_number), the doc sizes,
+    # and the lexically-sorted verification arrays (re-sort of the same
+    # multiset) all derive from this ONE relation in-codegen. The former
+    # shape paid a second full _id shuffle (row_number window over
+    # sh⋈dfreq), a separate arrs collect, a doc-size join INTO the
+    # prefix, and a third persist — all gone (guide §2.4: operations
+    # keyed the same way share one exchange).
+    packed = scoped_persist(
         sh.join(dfreq, "w")
-        .withColumn("_pos", F.row_number().over(rank_w))
-        .join(arrs.select("_id", F.size("_toks").alias("_sz")), "_id")
-        .filter(
-            F.col("_pos")
-            <= F.col("_sz") - F.ceil(F.lit(threshold) * F.col("_sz")) + 1
-        )
-        .select("_id", "w", "_sz", "_pos")
+        .groupBy("_id")
+        .agg(F.sort_array(F.collect_list(F.struct("_df", "w"))).alias("_dw"))
     )
-    prefix = scoped_persist(prefix)  # feeds BOTH sides of the candidate self-join
+    arrs = packed.select(
+        "_id",
+        F.array_sort(F.expr("transform(_dw, s -> s.w)")).alias("_toks"),
+    )
+    prefix = packed.select(
+        "_id",
+        F.size("_dw").alias("_sz"),
+        F.posexplode(
+            F.slice(
+                F.col("_dw"),
+                1,
+                (
+                    F.size("_dw")
+                    - F.ceil(F.lit(threshold) * F.size("_dw"))
+                    + 1
+                ).cast("int"),
+            )
+        ).alias("_p0", "_s"),
+    ).select(
+        "_id",
+        F.col("_s.w").alias("w"),
+        "_sz",
+        (F.col("_p0") + 1).alias("_pos"),
+    )
     # PPJoin LENGTH filter: J(A,B) ≥ θ forces |A∩B| ≥ θ·max(|A|,|B|) and
     # |A∩B| ≤ min(|A|,|B|), so min ≥ θ·max — pairs of incompatible sizes
     # can be dropped BEFORE the distinct and the array-intersect verify.
