@@ -519,10 +519,16 @@ def connected_components(
         .distinct()
         .localCheckpoint()
     )
+    # Seed each node with min(id, min neighbor id) instead of its own id:
+    # the fixpoint (component min, labels only ever decrease toward it) is
+    # unchanged, but a clique/star — the shape of real near-dup clusters —
+    # is already converged at round 0, so the loop's first changed==0
+    # check stops it one full propagation round earlier. Same cost as the
+    # old distinct (one groupBy over the symmetrized edges).
     labels = (
-        edges.select(F.col("src").alias("id"))
-        .distinct()
-        .withColumn("label", F.col("id"))
+        edges.groupBy(F.col("src").alias("id"))
+        .agg(F.min("dst").alias("_nmin"))
+        .select("id", F.least(F.col("id"), F.col("_nmin")).alias("label"))
         .localCheckpoint()
     )
     for _ in range(max_iter):
