@@ -196,10 +196,12 @@ def ngram_jaccard_pairs(
             "w",
         )
         .filter(
+            # All ppm arithmetic in 64-bit: int32 * 1e6 overflows (ANSI
+            # ARITHMETIC_OVERFLOW) for docs with ≳2,147 distinct shingles.
             (F.col("doc_a") < F.col("doc_b"))
             & (
-                F.least("_sa", "_sb") * F.lit(1_000_000)
-                >= F.lit(theta_ppm) * F.greatest("_sa", "_sb")
+                F.least("_sa", "_sb").cast("long") * F.lit(1_000_000)
+                >= F.lit(theta_ppm).cast("long") * F.greatest("_sa", "_sb")
             )
             & (
                 (
@@ -208,9 +210,10 @@ def ngram_jaccard_pairs(
                         F.col("_sa") - F.col("_pa"),
                         F.col("_sb") - F.col("_pb"),
                     )
-                )
+                ).cast("long")
                 * F.lit(1_000_000 + theta_ppm)
-                >= F.lit(theta_ppm) * (F.col("_sa") + F.col("_sb"))
+                >= F.lit(theta_ppm).cast("long")
+                * (F.col("_sa") + F.col("_sb"))
             )
         )
         .select("doc_a", "doc_b")

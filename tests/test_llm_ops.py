@@ -111,6 +111,28 @@ def test_ppjoin_filters_lose_no_pairs_vs_bruteforce(spark):
         assert math.isclose(got[k], want[k], rel_tol=0, abs_tol=0), k
 
 
+def test_ppjoin_filter_arithmetic_is_64bit_for_large_docs(spark):
+    """Regression: the PPJoin length/position ppm filters multiplied int32
+    sizes by ~1e6-2e6 literals, which under ANSI mode (default in Spark 4)
+    raised ARITHMETIC_OVERFLOW for docs with ≳1,431 distinct shingles at
+    θ=0.5 (≳2,147 for the length filter). Pin the arithmetic at 64-bit:
+    a near-duplicate pair of ~2,500-distinct-word docs and a disjoint
+    >4,300-word doc must produce exactly the expected pair, no error."""
+    big = [f"tok{i:05d}" for i in range(2500)]
+    near = big[:2400] + [f"alt{i:05d}" for i in range(100)]
+    huge = [f"other{i:05d}" for i in range(4400)]
+    rows = [(1, " ".join(big)), (2, " ".join(near)), (3, " ".join(huge))]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in ngram_jaccard_pairs(df, n=1, threshold=0.5).collect()
+    }
+    inter = 2400
+    want = inter / (2500 + 2500 - inter)
+    assert set(got) == {(1, 2)}
+    assert math.isclose(got[(1, 2)], want, rel_tol=0, abs_tol=0)
+
+
 def test_minhash_finds_planted_near_dups(spark, docs):
     got = {(r.doc_a, r.doc_b) for r in minhash_dedup_pairs(docs, n=1, threshold=0.7).collect()}
     assert (1, 2) in got and (1, 3) in got and (2, 3) in got
