@@ -305,7 +305,25 @@ def main() -> None:
     for n in unknown_extended:
         errors[n] = "unknown query name in extended_names (renamed or typo?)"
 
-    def bench_group(group: dict, n_passes: int) -> dict[str, list[float]]:
+    def calib_probe() -> float | None:
+        """One pass of the fixed-cost CPU reference (see run_calibration).
+
+        Probed per timed pass / periodically through the extended tier so
+        PERF can separate mid-run ambient load from real regressions —
+        round 11 lost its headline signal to exactly that ambiguity (the
+        start-of-run probe cannot see a co-tenant spike 200 s later)."""
+        try:
+            t0 = time.perf_counter()
+            spark.range(0, 200_000_000, 1, 32).selectExpr(
+                "sum(id % 97) as s", "count(*) as n"
+            ).write.format("noop").mode("overwrite").save()
+            return round(time.perf_counter() - t0, 4)
+        except Exception:  # noqa: BLE001 — a probe must never kill the run
+            return None
+
+    def bench_group(
+        group: dict, n_passes: int
+    ) -> tuple[dict[str, list[float]], list[float | None], dict[str, list[float | None]]]:
         # Warm-up execution of every query (codegen compile, parquet
         # footers, noop-sink init) so the timed passes measure steady-state
         # plan execution — the quantity that extrapolates to cluster scale
@@ -317,15 +335,21 @@ def main() -> None:
         # other tenants, and min-of-N is the standard estimator for the
         # machine-independent cost under intermittent external load. All
         # passes are kept so the spread (co-tenant noise) is auditable.
+        # Each pass opens with one calibration probe, and every query's
+        # timing remembers its pass's probe — per-query ambient context.
         passes: dict[str, list[float]] = {}
+        pass_calibs: list[float | None] = []
+        calib_for: dict[str, list[float | None]] = {}
         for _ in range(n_passes):
+            pass_calibs.append(calib_probe())
             for name in group:
                 if name in errors:
                     continue
                 elapsed = run_once(name, group)
                 if elapsed is not None:
                     passes.setdefault(name, []).append(round(elapsed, 4))
-        return passes
+                    calib_for.setdefault(name, []).append(pass_calibs[-1])
+        return passes, pass_calibs, calib_for
 
     def run_calibration() -> list[float]:
         """Fixed-cost CPU reference: same work every round, every machine.
@@ -352,7 +376,7 @@ def main() -> None:
 
     t_start = time.perf_counter()
     calib_passes = run_calibration()
-    passes = bench_group(bench_specs, 3)
+    passes, pass_calibs, calib_for = bench_group(bench_specs, 3)
 
     # Wall budget for the extended tier, SCALED BY AMBIENT (VERDICT r9
     # item 1): a fixed budget under variable co-tenant load structurally
@@ -373,8 +397,17 @@ def main() -> None:
     deadline = t_start + budget - 30.0
 
     ext_passes: dict[str, list[float]] = {}
-    sidecar_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "BENCH_EXTENDED.json"
+    ext_calib: dict[str, float | None] = {}
+    repo_dir = os.path.dirname(os.path.abspath(__file__))
+    sidecar_path = os.path.join(repo_dir, "BENCH_EXTENDED.json")
+    # Per-core-count sidecar copy: the driver benches at two core counts
+    # back-to-back, and round 11's 8-core run overwrote the 32-core run's
+    # extended evidence (VERDICT r11 item 2). The shared sidecar keeps the
+    # round-robin state; the _c<cpus> copy is the per-run durable record.
+    from procurement_data_pipeline_spark.session import cpu_count
+
+    cpus_sidecar_path = os.path.join(
+        repo_dir, f"BENCH_EXTENDED_c{cpu_count()}.json"
     )
 
     def emit(final: bool) -> None:
@@ -393,6 +426,13 @@ def main() -> None:
             name: min(ts) for name, ts in passes.items() if name not in errors
         }
         total = round(sum(timings.values()), 4)
+        # Ambient context for each headline min: the calibration probe of
+        # the pass the min came from (PERF separates load from regression).
+        queries_calib = {
+            name: calib_for[name][ts.index(min(ts))]
+            for name, ts in passes.items()
+            if name not in errors and calib_for.get(name)
+        }
         ext_timings = {
             name: min(ts)
             for name, ts in ext_passes.items()
@@ -406,12 +446,15 @@ def main() -> None:
             "sf": sf,
             "calibration_sec": calib,
             "calibration_passes": calib_passes,
+            "headline_pass_calibrations": pass_calibs,
+            "queries_calib": queries_calib,
             "budget_sec": round(budget, 1),
             "budget_scale": round(scale, 4),
             "extended": {
                 "total_sec": round(sum(ext_timings.values()), 4),
                 "queries": ext_timings,
                 "passes": ext_passes,
+                "calib_at": ext_calib,
             },
             "passes": passes,  # raw per-pass timings → variance auditable
             # plan fingerprints at bench time: the next run prioritizes
@@ -434,6 +477,10 @@ def main() -> None:
         with open(tmp, "w") as f:
             json.dump(sidecar, f, indent=1, sort_keys=True)
         os.replace(tmp, sidecar_path)  # a kill mid-dump never torn-writes
+        tmp_c = cpus_sidecar_path + ".tmp"
+        with open(tmp_c, "w") as f:
+            json.dump(sidecar, f, indent=1, sort_keys=True)
+        os.replace(tmp_c, cpus_sidecar_path)
         if final:
             # full evidence on an EARLY line (truncated by the driver's
             # tail capture — the sidecar is the durable copy)…
@@ -445,6 +492,15 @@ def main() -> None:
             "queries": timings,
             "sf": sf,
             "calibration_sec": calib,
+            # Extended-tier evidence in the PARSED line (VERDICT r11 item
+            # 2): total + coverage count; per-query numbers live in the
+            # per-cpus sidecar, which the driver's second run cannot
+            # overwrite.
+            "extended_total_sec": round(sum(ext_timings.values()), 4),
+            "extended_timed": len(ext_timings),
+            # Per-pass ambient probes (item 8): a headline min is read
+            # against the load of the pass it came from.
+            "headline_pass_calibrations": pass_calibs,
         }
         if not final:
             # a checkpoint line doubling as the artifact means the run
@@ -480,16 +536,20 @@ def main() -> None:
     # a budget truncation (or a hard kill) never wastes warm-up work on
     # queries whose timed pass will not run — each query's evidence
     # completes before the next query starts, in priority order.
-    for name in extended_specs:
+    last_probe: float | None = calib
+    for i, name in enumerate(extended_specs):
         if time.perf_counter() > deadline:
             skipped.setdefault(name, "bench wall budget exhausted")
             continue
+        if i % 8 == 0:  # periodic ambient probe (VERDICT r11 item 8)
+            last_probe = calib_probe()
         if run_once(name, extended_specs) is None:  # warm-up (or error)
             emit(final=False)
             continue
         elapsed = run_once(name, extended_specs)
         if elapsed is not None:
             ext_passes.setdefault(name, []).append(round(elapsed, 4))
+            ext_calib[name] = last_probe
         emit(final=False)
     emit(final=True)
 

@@ -309,6 +309,72 @@ def lsh_signature(vec_col: Column, planes: list[list[float]]) -> Column:
     return out
 
 
+def _seq_dot(A: np.ndarray, B: np.ndarray) -> np.ndarray:
+    """Row-wise dot(A[i], B[i]) with the JVM fold's EXACT IEEE order.
+
+    ``dot()``'s interpreted lambda folds acc = acc + a[j]*b[j] for j in
+    index order, each step one correctly-rounded multiply and add; the
+    per-dimension numpy loop performs the identical operation sequence
+    vectorized ACROSS rows, so every row's result is bit-identical to the
+    JVM's (verified on 1,999 real pairs in round 11). ``np.dot`` would NOT
+    be: BLAS reassociates the reduction."""
+    acc = np.zeros(len(A), dtype=np.float64)
+    for j in range(A.shape[1]):
+        acc = acc + A[:, j] * B[:, j]
+    return acc
+
+
+def _rank_topk(scored: DataFrame, k: int, id_col: str) -> DataFrame:
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", id_col, "score", F.col("rank").cast("int").alias("rank")
+        )
+    )
+
+
+def _batch_topk_emit(
+    qids: np.ndarray,
+    ids: np.ndarray,
+    score: np.ndarray,
+    cand_mask: np.ndarray,
+    kk: int,
+    id_col: str,
+):
+    """Per-batch exact top-k per query under Spark's (score DESC — NaN
+    greatest — id ASC) total order over the candidate-masked score matrix
+    (rows × queries). Emitting only each batch's top-k means the global
+    rank window shuffles ≤ batches·k survivors per query (guide §2.3);
+    the batch winner set always contains the global winners, so the final
+    window output is unchanged."""
+    out_q: list[np.ndarray] = []
+    out_c: list[np.ndarray] = []
+    out_s: list[np.ndarray] = []
+    for j in range(len(qids)):
+        keep = cand_mask[:, j] & (ids != qids[j])
+        if not keep.any():
+            continue
+        cand_ids, cand_s = ids[keep], score[keep, j]
+        key = np.where(np.isnan(cand_s), -np.inf, -cand_s)
+        order = np.lexsort((cand_ids, key))[:kk]
+        out_q.append(np.full(len(order), qids[j], dtype=np.int64))
+        out_c.append(cand_ids[order].astype(np.int64))
+        out_s.append(cand_s[order])
+    if not out_q:
+        return None
+    return pd.DataFrame(
+        {
+            "query_id": np.concatenate(out_q),
+            id_col: np.concatenate(out_c),
+            "score": np.concatenate(out_s),
+        }
+    )
+
+
 def lsh_ann(
     corpus: DataFrame,
     queries: DataFrame,
@@ -328,57 +394,75 @@ def lsh_ann(
     1-(1-p^nbits)^tables for per-bit agreement p = 1-θ/π). Candidates are
     exact-reranked with full-precision cosine.
 
-    Plan shape: corpus side explodes to L rows (one per table) and joins the
-    broadcast query signatures on (table, sig) — shuffle-free when queries
-    are small; candidate volume, not corpus², bounds the rerank.
+    Shape (guide §4.2, the knn_bruteforce rewrite applied here): the
+    bounded query set is collected once (same contract the previous
+    broadcast made), its signatures computed with the IDENTICAL numpy
+    expression the corpus UDF uses, and ONE ``mapInPandas`` stage fuses
+    corpus signatures + any-table collision detection + the exact cosine
+    rerank — replacing two ArrowEvalPython stages, a 32-way posexplode of
+    the corpus, the broadcast collision join, the per-pair interpreted
+    ``zip_with``/``aggregate`` cosine, and the dedup groupBy. Scores are
+    bit-identical (sequential-order fold, see ``_seq_dot``); each pair is
+    scored once, so no min() dedup is needed; per-batch top-k emission
+    bounds the final window's input by batches·k per query.
     """
     per_table = [
         _hyperplanes(dim, nbits, seed + 1000 * t) for t in range(tables)
     ]
-    sig_udf = _signatures_pandas_udf(per_table)
-    # Norms computed once per source row (pre-explode), not per candidate.
-    c = corpus.select(
-        id_col,
-        vec_col,
-        F.sqrt(dot(F.col(vec_col), F.col(vec_col))).alias("_cn"),
-    ).select(
-        id_col,
-        vec_col,
-        "_cn",
-        F.posexplode(sig_udf(F.col(vec_col))).alias("_table", "_sig"),
+    n_tables = len(per_table)
+    # dim × (tables·nbits), column-major by (table, bit) — the EXACT matrix
+    # (same construction) _signatures_pandas_udf builds, so signatures of
+    # corpus batches here and of query rows below match the UDF path.
+    mat = np.array(
+        [plane for table in per_table for plane in table], dtype=np.float64
+    ).T
+    weights = 1 << np.arange(nbits, dtype=np.int64)
+
+    def _sigs(X: np.ndarray) -> np.ndarray:
+        bits = (X @ mat) > 0
+        return (bits.reshape(len(X), n_tables, nbits) * weights).sum(axis=2)
+
+    spark = corpus.sparkSession
+    out_schema = f"query_id long, {id_col} long, score double"
+    qrows = queries.select(F.col(id_col), F.col(vec_col)).collect()
+    if not qrows:
+        return spark.createDataFrame([], out_schema + ", rank int")
+    qids = np.array([r[0] for r in qrows], dtype=np.int64)
+    Q = np.array([np.asarray(r[1], dtype=np.float64) for r in qrows])
+    qsig = _sigs(Q)  # nq × tables
+    qn = np.sqrt(_seq_dot(Q, Q))
+    kk = int(k)
+
+    def _score_batches(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf[id_col].to_numpy()
+            C = np.array(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            csig = _sigs(C)  # m × tables
+            # any-table collision: (m × nq) bool
+            coll = (csig[:, None, :] == qsig[None, :, :]).any(axis=2)
+            if not coll.any():
+                continue
+            cn = np.sqrt(_seq_dot(C, C))
+            # score only colliding pairs, row-major through the query loop
+            score = np.full((len(C), len(qids)), np.nan)
+            for j in range(len(qids)):
+                rows = coll[:, j]
+                if rows.any():
+                    score[rows, j] = _seq_dot(
+                        C[rows], np.broadcast_to(Q[j], C[rows].shape)
+                    ) / (cn[rows] * qn[j])
+            out = _batch_topk_emit(qids, ids, score, coll, kk, id_col)
+            if out is not None:
+                yield out
+
+    scored = corpus.select(id_col, vec_col).mapInPandas(
+        _score_batches, out_schema
     )
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("_qvec"),
-        F.sqrt(dot(F.col(vec_col), F.col(vec_col))).alias("_qn"),
-    ).select(
-        "query_id",
-        "_qvec",
-        "_qn",
-        F.posexplode(sig_udf(F.col("_qvec"))).alias("_table", "_sig"),
-    )
-    # Score each collision row, THEN dedupe multi-table collisions with a
-    # groupBy on the (query, id) integer keys — the same pair scores
-    # identically in every table, and shuffling (int, int, double) beats a
-    # distinct() that would shuffle both full float vectors per candidate.
-    scored = (
-        c.join(F.broadcast(q), ["_table", "_sig"])
-        .filter(F.col(id_col) != F.col("query_id"))
-        .withColumn(
-            "score",
-            dot(F.col(vec_col), F.col("_qvec")) / (F.col("_cn") * F.col("_qn")),
-        )
-        .groupBy("query_id", id_col)
-        .agg(F.min("score").alias("score"))
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("score").desc(), F.col(id_col).asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", id_col, "score", F.col("rank").cast("int").alias("rank"))
-    )
+    return _rank_topk(scored, k, id_col)
 
 
 def cosine_neardup_pairs(
@@ -562,35 +646,60 @@ def ivf_ann(
         if centroids is not None
         else train_ivf_centroids(corpus, vec_col, nlist, sample_size, seed)
     )
-    cell_udf, probes_udf = _cell_udfs(cents, nprobe)
+    # Fused index+search (guide §4.2, the lsh_ann/knn rewrite): the bounded
+    # query set is collected once (the same contract its broadcast made),
+    # its probe lists computed with the IDENTICAL numpy expressions
+    # _cell_udfs used, and ONE mapInPandas stage assigns each corpus
+    # batch's cells, matches them against the probe lists, and exact-
+    # reranks the candidates with the sequential-order fold (_seq_dot —
+    # bit-identical to the interpreted zip_with/aggregate cosine). This
+    # removes two ArrowEvalPython stages, the broadcast cell join, and the
+    # per-candidate interpreted lambdas; per-batch top-k emission bounds
+    # the final rank window's input by batches·k per query (§2.3).
+    mat = cents.T.astype(np.float64)  # dim × nlist
+    spark = corpus.sparkSession
+    out_schema = f"query_id long, {id_col} long, score double"
+    qrows = queries.select(F.col(id_col), F.col(vec_col)).collect()
+    if not qrows:
+        return spark.createDataFrame([], out_schema + ", rank int")
+    qids = np.array([r[0] for r in qrows], dtype=np.int64)
+    Q = np.array([np.asarray(r[1], dtype=np.float64) for r in qrows])
+    xq = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-12)
+    qprobes = np.argsort(-(xq @ mat), axis=1)[:, :nprobe].astype(np.int32)
+    qn = np.sqrt(_seq_dot(Q, Q))
+    kk = int(k)
 
-    indexed = corpus.select(
-        id_col,
-        vec_col,
-        F.sqrt(dot(F.col(vec_col), F.col(vec_col))).alias("_cn"),
-        cell_udf(F.col(vec_col)).alias("_cell"),
+    def _score_batches(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf[id_col].to_numpy()
+            C = np.array(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            x = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
+            cell = np.argmax(x @ mat, axis=1).astype(np.int32)
+            # candidate iff the corpus row's cell is in the query's probe
+            # list: (m × nq) bool
+            cand = (cell[:, None, None] == qprobes[None, :, :]).any(axis=2)
+            if not cand.any():
+                continue
+            cn = np.sqrt(_seq_dot(C, C))
+            score = np.full((len(C), len(qids)), np.nan)
+            for j in range(len(qids)):
+                rows = cand[:, j]
+                if rows.any():
+                    score[rows, j] = _seq_dot(
+                        C[rows], np.broadcast_to(Q[j], C[rows].shape)
+                    ) / (cn[rows] * qn[j])
+            out = _batch_topk_emit(qids, ids, score, cand, kk, id_col)
+            if out is not None:
+                yield out
+
+    scored = corpus.select(id_col, vec_col).mapInPandas(
+        _score_batches, out_schema
     )
-    probed = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("_qvec"),
-        F.sqrt(dot(F.col(vec_col), F.col(vec_col))).alias("_qn"),
-        F.explode(probes_udf(F.col(vec_col))).alias("_cell"),
-    )
-    cand = indexed.join(F.broadcast(probed), "_cell").filter(
-        F.col(id_col) != F.col("query_id")
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("score").desc(), F.col(id_col).asc()
-    )
-    return (
-        cand.withColumn(
-            "score",
-            dot(F.col(vec_col), F.col("_qvec")) / (F.col("_cn") * F.col("_qn")),
-        )
-        .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", id_col, "score", F.col("rank").cast("int").alias("rank"))
-    )
+    return _rank_topk(scored, k, id_col)
 
 
 def random_projection(

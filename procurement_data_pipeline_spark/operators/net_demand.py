@@ -86,7 +86,24 @@ def net_demand(
     daily = demand_window(orders, date_from, date_to, include_order_count=False)
     inv = rollup_inventory(inventory)
     ranked = preferred_suppliers(product_suppliers)
+    return net_demand_from_parts(daily, inv, products, suppliers, ranked, calc_date)
 
+
+def net_demand_from_parts(
+    daily: DataFrame,
+    inv: DataFrame,
+    products: DataFrame,
+    suppliers: DataFrame,
+    ranked: DataFrame,
+    calc_date: str,
+) -> DataFrame:
+    """Final MRP join/clamp/projection (net_demand.sql:40-87) over
+    pre-built branch relations: ``daily`` (product_id, total_demand),
+    ``inv`` (product_id, available_qty, reserved_qty, safety_stock),
+    ``ranked`` (the rank-1 preferred-supplier rows). :func:`net_demand`
+    builds the branches from the raw views; the fused scan-once path
+    (queries/parity.py) derives all three from ONE (product, supplier)
+    conditional aggregation of the fact and shares this projection."""
     net = mrp_net_demand(
         F.col("total_demand"),
         F.col("safety_stock"),

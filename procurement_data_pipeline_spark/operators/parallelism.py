@@ -84,6 +84,12 @@ def widen_scan(
     path's local sort); must be well-spread (many more distinct values
     than partitions — guide §2.5 on synthetic keys).
     """
+    # A/B kill-switch for cold-JVM measurement (VERDICT r11 item 1): the
+    # widen only fires on single-split local fixtures, so the toggle can
+    # never change a cluster-scale plan — it exists to let one binary
+    # measure widened vs un-widened under identical conditions.
+    if os.environ.get("SPARK_GRAFT_WIDEN", "1") == "0":
+        return df
     cores = spark.sparkContext.defaultParallelism
     splits = estimated_scan_splits(spark, sf_dir, tables)
     if splits is None or splits >= cores:

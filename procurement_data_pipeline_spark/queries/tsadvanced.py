@@ -240,13 +240,18 @@ def q_orders_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
     # one reads it back for selection. atan also load-balances better
     # than min/max scaling when slopes have heavy tails (the outliers
     # that stretched an affine grid compress into the edge buckets).
-    # bucketed is persisted: measured at sf0.1, materializing the ~14M
-    # narrow (priority, slope, bkt) rows once beats regenerating the pair
-    # join for the bcnt and sel passes (round-7 measurement; warm
-    # 7.0 s → 5.45 s with the persist, → ~4 s with the stats pass gone)
+    # The pair relation is GENERATED, never materialized (round-12 rework
+    # of the round-7 persist): caching the ~14M narrow rows cost a ~400 MB
+    # cache write plus two cache scans, while the fan-out itself is pure
+    # codegen over the broadcast-joined day grain. Both consumers now
+    # regenerate it: bcnt collapses the pairs INTO ITS MAP SIDE (partial
+    # aggregation — only |priority×bucket| partials ever shuffle, guide
+    # §2.3 "aggregate before you shuffle"), and the selection pass
+    # regenerates + filters to the two candidate buckets in-codegen, so
+    # the 14M rows never hit memory, disk, or the network in either pass.
     import math as _math
 
-    bucketed = scoped_persist(pairs.select(
+    bucketed = pairs.select(
         "priority",
         "slope",
         F.least(
@@ -260,7 +265,7 @@ def q_orders_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cast("long")
         .alias("bkt"),
-    ))
+    )
     bcnt = bucketed.groupBy("priority", "bkt").agg(F.count(F.lit(1)).alias("c"))
     wp0 = Window.partitionBy("priority")
     cand = (

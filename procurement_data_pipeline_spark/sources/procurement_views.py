@@ -101,14 +101,15 @@ def product_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Round-12 cold-JVM A/B (VERDICT r11 item 1) measured the r11
+    # l_partkey widen here NEUTRAL-to-worse for its headline consumer
+    # (agg_orders_daily: widened 0.78/0.84/0.72 s vs un-widened
+    # 0.79/0.74/0.68 s min-of-3, fresh JVM each, interleaved) — the map
+    # side is one cheap projection, so the repartition replaced nothing.
+    # Reverted per the keep-only-cold-wins rule; the MRP chain no longer
+    # reads this view (it runs on the fused scan-once pair aggregation in
+    # queries/parity.py).
     li = load_table(spark, sf_dir, "lineitem")
-    # Distribute the scan by l_partkey (= product_id downstream): every
-    # consumer aggregates or joins at product grain — agg_orders_daily's
-    # (product, day) groupBy, the MRP demand branch, the quality anti-joins —
-    # so hashpartitioning(product_id) satisfies each of their clustering
-    # requirements (guide §2.4) and the single-split local scan gains full
-    # map-side parallelism (§2.5). No-ops at scale via the widen_scan guard.
-    li = widen_scan(li, spark, sf_dir, ("lineitem",), "l_partkey")
     return li.select(
         F.col("l_orderkey").alias("order_id"),
         F.col("l_partkey").alias("product_id"),

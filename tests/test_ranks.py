@@ -128,3 +128,41 @@ def test_plans_have_no_single_partition_sort(spark, data):
         s = plan_stats(df)
         assert s["single_partition_sorts"] == 0
         assert s["cartesian"] == 0
+
+
+@pytest.mark.parametrize("n_tiles", [5, 7])
+def test_ntile_sliced_matches_per_slice_ntile(spark, data, n_tiles):
+    """One sliced pass over 3 equal slices (asc, desc-by-negation, and a
+    second key) must reproduce three independent with_global_ntile runs
+    bit-for-bit — the customer_rfm fusion contract."""
+    from procurement_data_pipeline_spark.operators.ranks import (
+        with_global_ntile_sliced,
+    )
+
+    m3 = data.select(
+        "k",
+        F.posexplode(
+            F.array(F.col("v"), -F.col("v"), F.col("x"))
+        ).alias("_m", "_kk"),
+    )
+    sliced = with_global_ntile_sliced(
+        m3,
+        "_m",
+        [F.col("_kk").asc(), F.col("k").asc()],
+        n_tiles,
+        "tile",
+        n_slices=3,
+    )
+    got = {
+        (r["k"], r["_m"]): r["tile"] for r in sliced.collect()
+    }
+    for m, order in enumerate(
+        (
+            [F.col("v").asc(), F.col("k").asc()],
+            [F.col("v").desc(), F.col("k").asc()],
+            [F.col("x").asc(), F.col("k").asc()],
+        )
+    ):
+        want = with_global_ntile(data.select("k", "v", "x"), order, n_tiles)
+        for r in want.collect():
+            assert got[(r["k"], m)] == r["tile"], (r["k"], m)
