@@ -111,27 +111,50 @@ def q_orders_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(dec(ms) - dec(qty) * _MA_DAYS).alias("err28"),
     )
     n = F.col("n_days")
-    lag7 = sums.select(
-        F.lit("naive_lag7").alias("method"),
-        n.alias("n_days"),
-        (F.col("abs7").cast("double") / n / F.lit(1000000.0)).alias("mae"),
-        (F.col("err7").cast("double") / n / F.lit(1000000.0)).alias("bias"),
-        (F.col("abs7").cast("double") / F.col("sum_a").cast("double")).alias("wape"),
-    )
-    ma = sums.select(
-        F.lit("ma28").alias("method"),
-        n.alias("n_days"),
-        (
-            F.col("abs28").cast("double") / _MA_DAYS / n / F.lit(1000000.0)
-        ).alias("mae"),
-        (
-            F.col("err28").cast("double") / _MA_DAYS / n / F.lit(1000000.0)
-        ).alias("bias"),
-        (
-            F.col("abs28").cast("double") / _MA_DAYS / F.col("sum_a").cast("double")
-        ).alias("wape"),
-    )
-    return lag7.unionByName(ma)
+    # both method rows fan out from the ONE sums row in-codegen (round
+    # 12): the former two-branch union replayed the fact aggregate per
+    # branch — same two-row relation, one pass over the facts
+    return sums.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("naive_lag7").alias("method"),
+                    n.alias("n_days"),
+                    (F.col("abs7").cast("double") / n / F.lit(1000000.0)).alias(
+                        "mae"
+                    ),
+                    (F.col("err7").cast("double") / n / F.lit(1000000.0)).alias(
+                        "bias"
+                    ),
+                    (
+                        F.col("abs7").cast("double")
+                        / F.col("sum_a").cast("double")
+                    ).alias("wape"),
+                ),
+                F.struct(
+                    F.lit("ma28").alias("method"),
+                    n.alias("n_days"),
+                    (
+                        F.col("abs28").cast("double")
+                        / _MA_DAYS
+                        / n
+                        / F.lit(1000000.0)
+                    ).alias("mae"),
+                    (
+                        F.col("err28").cast("double")
+                        / _MA_DAYS
+                        / n
+                        / F.lit(1000000.0)
+                    ).alias("bias"),
+                    (
+                        F.col("abs28").cast("double")
+                        / _MA_DAYS
+                        / F.col("sum_a").cast("double")
+                    ).alias("wape"),
+                ),
+            )
+        ).alias("_m")
+    ).select("_m.method", "_m.n_days", "_m.mae", "_m.bias", "_m.wape")
 
 
 @register(

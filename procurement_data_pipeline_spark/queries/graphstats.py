@@ -134,7 +134,11 @@ def q_part_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # edges feed the orientation joins plus the degree rollup — persist so
     # the lineitem self-join + distinct runs once (harness releases later).
     e = scoped_persist(edges)
-    deg = (
+    # deg is persisted because BOTH orientation sides broadcast it under
+    # different aliases — two non-identical broadcast subtrees cannot
+    # share an exchange, so without the persist the union+groupBy (two
+    # passes over the cached edges) ran TWICE (round-12 stage profile).
+    deg = scoped_persist(
         e.select(F.col("pa").alias("v"))
         .unionAll(e.select(F.col("pb").alias("v")))
         .groupBy("v")
@@ -183,10 +187,14 @@ def q_part_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # wedge rows through a shuffle (~7·10⁷ at sf0.1) with an in-codegen
     # set intersection per edge; only the actual triangle corners (the
     # exploded intersections) ever hit a shuffle.
-    adj = F.broadcast(
+    # the adjacency relation is persisted for the same reason deg is: it
+    # broadcasts TWICE (u- and v-side, different aliases), and without the
+    # persist each broadcast re-ran the collect_list groupBy over oriented
+    adj_rel = scoped_persist(
         oriented.groupBy(F.col("lo").alias("_u"))
         .agg(F.sort_array(F.collect_list("hi")).alias("nbrs"))
     )
+    adj = F.broadcast(adj_rel)
     per_edge = (
         oriented.join(adj, oriented["lo"] == F.col("_u"))
         .drop("_u")
@@ -294,7 +302,10 @@ def q_part_also_bought_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sort_array(F.collect_set("p")).alias("ps"))
     )
     bk = scoped_persist(basket)
-    n = (
+    # persisted: both endpoint roles broadcast this part-grain relation
+    # under different aliases (two non-identical broadcast subtrees), so
+    # without the persist the explode+groupBy over the baskets ran twice
+    n = scoped_persist(
         bk.select(F.explode("ps").alias("p"))
         .groupBy("p")
         .agg(F.count(F.lit(1)).cast("long").alias("np"))
@@ -312,9 +323,21 @@ def q_part_also_bought_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("e.pa").alias("pa"), F.col("e.pb").alias("pb"))
         .agg(F.count(F.lit(1)).cast("long").alias("nab"))
     )
+    # both orientations fan out from ONE co row in-codegen (round 12): the
+    # former two-branch union replayed the pair-expansion groupBy per
+    # branch — same symmetric relation, half the passes
     sym = co.select(
-        F.col("pa").alias("p"), F.col("pb").alias("q"), "nab"
-    ).unionAll(co.select(F.col("pb").alias("p"), F.col("pa").alias("q"), "nab"))
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("pa").alias("p"), F.col("pb").alias("q"), F.col("nab")
+                ),
+                F.struct(
+                    F.col("pb").alias("p"), F.col("pa").alias("q"), F.col("nab")
+                ),
+            )
+        ).alias("_s")
+    ).select("_s.p", "_s.q", "_s.nab")
     na = n.select(F.col("p").alias("_pa"), F.col("np").alias("np_a"))
     nb = n.select(F.col("p").alias("_pb"), F.col("np").alias("np_b"))
     # n is PART-grain (dimension-scale at any sf): broadcasting both roles

@@ -418,34 +418,50 @@ def q_part_affinity_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     from procurement_data_pipeline_spark.caching import scoped_persist
 
     li = load_table(spark, sf_dir, "lineitem")
-    # l_orderkey distribution: the basket distinct clusters by (orderkey,
-    # partkey) — subset-satisfied (guide §2.4) — and the persisted relation
-    # keeps that partitioning, so the pair self-join on orderkey shuffles
-    # neither side; the single-split scan parallelizes (§2.5).
-    li = widen_scan(li, spark, sf_dir, ("lineitem",), "l_orderkey")
-    # The deduplicated basket relation feeds four consumers (total, item
-    # counts, both sides of the pair self-join) — persist it so the fact
-    # scan + distinct shuffle run once.
-    baskets = scoped_persist(
-        li.select(
-            F.col("l_orderkey").alias("orderkey"),
-            F.col("l_partkey").alias("partkey"),
-        ).distinct()
+    # Basket expansion instead of the fact self-join (round 12; the same
+    # rewrite part_triangle_stats / part_also_bought / the BFS edge build
+    # got in round 11): ONE l_orderkey shuffle groups each order's
+    # distinct parts (collect_set dedupes repeat lines — exactly the old
+    # DISTINCT), and the persisted baskets feed all four consumers:
+    # n_orders = basket count, item counts from one explode, and the a<b
+    # pairs expand in-codegen from the sorted array (bounded blowup —
+    # TPC-H orders hold ≤ 7 lines). The per-order pair fan-out never
+    # rides a join; the item-count joins broadcast the part-grain
+    # relation (guide §3.1), so the pair relation's only exchange is its
+    # own groupBy.
+    bk = scoped_persist(
+        widen_scan(
+            li.select(
+                F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+            ),
+            spark,
+            sf_dir,
+            ("lineitem",),
+            "o",
+        )
+        .groupBy("o")
+        .agg(F.sort_array(F.collect_set("p")).alias("ps"))
     )
-    n = baskets.agg(F.countDistinct("orderkey").cast("long").alias("n_orders"))
-    item = baskets.groupBy("partkey").agg(
-        F.count(F.lit(1)).cast("long").alias("item_n")
-    )
-    a = baskets.select(
-        F.col("orderkey"), F.col("partkey").alias("part_a")
-    )
-    b = baskets.select(
-        F.col("orderkey"), F.col("partkey").alias("part_b")
+    n = bk.agg(F.count(F.lit(1)).cast("long").alias("n_orders"))
+    # persisted: both rule directions broadcast this part-grain relation
+    # under different aliases, so without the persist the explode+groupBy
+    # over the baskets would run twice
+    item = scoped_persist(
+        bk.select(F.explode("ps").alias("partkey"))
+        .groupBy("partkey")
+        .agg(F.count(F.lit(1)).cast("long").alias("item_n"))
     )
     pairs = (
-        a.join(b, "orderkey")
-        .where(F.col("part_a") < F.col("part_b"))
-        .groupBy("part_a", "part_b")
+        bk.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ps, (x, i) -> "
+                    "transform(slice(ps, i + 2, size(ps)), "
+                    "y -> struct(x AS part_a, y AS part_b))))"
+                )
+            ).alias("e")
+        )
+        .groupBy(F.col("e.part_a").alias("part_a"), F.col("e.part_b").alias("part_b"))
         .agg(F.count(F.lit(1)).cast("long").alias("pair_n"))
         .where(F.col("pair_n") >= 3)
     )
@@ -456,7 +472,9 @@ def q_part_affinity_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("partkey").alias("part_b"), F.col("item_n").alias("item_b")
     )
     enriched = (
-        pairs.join(ia, "part_a").join(ib, "part_b").crossJoin(F.broadcast(n))
+        pairs.join(F.broadcast(ia), "part_a")
+        .join(F.broadcast(ib), "part_b")
+        .crossJoin(F.broadcast(n))
     )
     pn = F.col("pair_n").cast("double")
     return (

@@ -235,17 +235,26 @@ def q_events_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("ts_us").alias("start_us"),
         (F.max("ts_us") + 1).alias("end_us"),
     )
+    # Both sweep deltas fan out from ONE bounds row in-codegen (round 12):
+    # the former two-branch union replayed the whole sessionization
+    # window + groupBy subtree once per branch — same (ts_us, delta,
+    # started) relation, half the session passes.
     deltas = bounds.select(
-        F.col("start_us").alias("ts_us"),
-        F.lit(1).alias("delta"),
-        F.lit(1).alias("started"),
-    ).unionAll(
-        bounds.select(
-            F.col("end_us").alias("ts_us"),
-            F.lit(-1).alias("delta"),
-            F.lit(0).alias("started"),
-        )
-    )
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("start_us").alias("ts_us"),
+                    F.lit(1).alias("delta"),
+                    F.lit(1).alias("started"),
+                ),
+                F.struct(
+                    F.col("end_us").alias("ts_us"),
+                    F.lit(-1).alias("delta"),
+                    F.lit(0).alias("started"),
+                ),
+            )
+        ).alias("_d")
+    ).select("_d.ts_us", "_d.delta", "_d.started")
     netted = deltas.groupBy(
         F.timestamp_micros(F.col("ts_us")).cast("date").alias("day"), "ts_us"
     ).agg(

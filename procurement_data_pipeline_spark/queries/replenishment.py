@@ -422,10 +422,33 @@ def q_part_abc_xyz_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     from procurement_data_pipeline_spark.caching import scoped_persist
     from procurement_data_pipeline_spark.queries.tpch import _disc_price_cents
 
-    li = load_table(spark, sf_dir, "lineitem")
+    # Scan-once (guide §6.2): the ABC side (per-part revenue) and the XYZ
+    # side (per-part CV² of daily demand) both aggregate lineitem — one
+    # (part, day) conditional aggregation feeds both, so the fact is read
+    # and exchanged ONCE. Per-part revenue = sum of per-(part, day) sums
+    # (exact integer cents, associative); the daily relation is the same
+    # (partkey, day, qty) _daily_demand computes — reproduced here with
+    # the revenue column added rather than shared, because adding a column
+    # to the shared helper would widen the five sibling queries' scans.
+    li = widen_scan(
+        load_table(spark, sf_dir, "lineitem"),
+        spark,
+        sf_dir,
+        ("lineitem",),
+        "l_partkey",
+    )
+    base = scoped_persist(
+        li.groupBy(
+            F.col("l_partkey").alias("partkey"),
+            F.col("l_shipdate").cast("date").alias("day"),
+        ).agg(
+            F.sum(F.col("l_quantity").cast("long")).alias("qty"),
+            F.sum(_disc_price_cents()).alias("day_rev_cents"),
+        )
+    )
     rev = scoped_persist(
-        li.groupBy(F.col("l_partkey").alias("partkey")).agg(
-            F.sum(_disc_price_cents()).alias("rev_cents")
+        base.groupBy("partkey").agg(
+            F.sum("day_rev_cents").alias("rev_cents")
         )
     )
     # distributed exact Pareto cumsum over the sf-proportional part grain
@@ -452,14 +475,10 @@ def q_part_abc_xyz_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("abc_class"),
     )
     dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
-    per = (
-        _daily_demand(spark, sf_dir)
-        .groupBy("partkey")
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum("qty").alias("s1"),
-            F.sum(F.col("qty") * F.col("qty")).alias("s2"),
-        )
+    per = base.groupBy("partkey").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("qty").alias("s1"),
+        F.sum(F.col("qty") * F.col("qty")).alias("s2"),
     )
     cv2 = (
         dec(F.col("n")) * dec(F.col("s2")) - dec(F.col("s1")) * dec(F.col("s1"))

@@ -387,9 +387,21 @@ def q_supplier_customer_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("w"))
     )
+    # both edge directions fan out from ONE raw row in-codegen (round 12):
+    # the former two-branch union replayed the li⋈orders groupBy per
+    # branch — same symmetric relation, half the fact passes
     edges = raw.select(
-        F.col("c").alias("src"), F.col("s").alias("dst"), "w"
-    ).unionByName(raw.select(F.col("s").alias("src"), F.col("c").alias("dst"), "w"))
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("c").alias("src"), F.col("s").alias("dst"), F.col("w")
+                ),
+                F.struct(
+                    F.col("s").alias("src"), F.col("c").alias("dst"), F.col("w")
+                ),
+            )
+        ).alias("_e")
+    ).select("_e.src", "_e.dst", "_e.w")
     ranks = pagerank(edges, iterations=3, weight="w")
     return ranks.filter(F.col("node").startswith("s")).select(
         F.substring("node", 2, 1_000_000).cast("long").alias("suppkey"),

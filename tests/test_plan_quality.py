@@ -136,10 +136,17 @@ SF_DIR = "/root/testdata/sf0.001"
 
 @pytest.fixture(scope="module")
 def audits(spark):
-    return {
-        name: plan_stats(spec.builder(spark, SF_DIR))
-        for name, spec in load_all().items()
-    }
+    # Plan building + explain are driver-side analysis round-trips;
+    # threads overlap them (guide §2.6) — this fixture was the suite's
+    # second-biggest wall-time item (129 s serial for 312 plans).
+    from concurrent.futures import ThreadPoolExecutor
+
+    def one(item):
+        name, spec = item
+        return name, plan_stats(spec.builder(spark, SF_DIR))
+
+    with ThreadPoolExecutor(max_workers=8) as pool:
+        return dict(pool.map(one, load_all().items()))
 
 
 def test_no_cartesian_products_anywhere(audits):
