@@ -194,13 +194,14 @@ def q_part_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         oriented.groupBy(F.col("lo").alias("_u"))
         .agg(F.sort_array(F.collect_list("hi")).alias("nbrs"))
     )
-    adj = F.broadcast(adj_rel)
     per_edge = (
-        oriented.join(adj, oriented["lo"] == F.col("_u"))
+        oriented.join(F.broadcast(adj_rel), oriented["lo"] == F.col("_u"))
         .drop("_u")
         .withColumnRenamed("nbrs", "nbrs_u")
         .join(
-            adj.withColumnRenamed("nbrs", "nbrs_v"),
+            # hint applied AFTER the rename: a broadcast hint does not
+            # survive withColumnRenamed over the cached relation
+            F.broadcast(adj_rel.withColumnRenamed("nbrs", "nbrs_v")),
             oriented["hi"] == F.col("_u"),
         )
         .select(
@@ -221,8 +222,12 @@ def q_part_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("v")
         .agg(F.sum("n").cast("long").alias("triangles"))
     )
+    # tri_v is part-grain (dimension-scale) — broadcast it explicitly:
+    # with deg persisted, the static planner lost the estimate that made
+    # this LeftOuter a broadcast join and fell back to SMJ (AQE would fix
+    # it at runtime, but the committed plan audit should not rely on that)
     return (
-        deg.join(tri_v, deg["v"] == tri_v["v"], "left")
+        deg.join(F.broadcast(tri_v), deg["v"] == tri_v["v"], "left")
         .select(
             deg["v"].alias("part"),
             "degree",
